@@ -1,0 +1,368 @@
+"""Per-column chunk encoder/decoder with codec auto-selection.
+
+Public API (pure pyarrow/numpy; no Spark imports — runs inside Arrow UDFs):
+
+    encode_column(arr: pa.Array, codec='auto') -> (codec_name, payload: bytes)
+    decode_column(payload: bytes, typ: pa.DataType) -> pa.Array
+
+The payload is self-describing given the column's Arrow type (which the
+chunk stores once in its serialized schema). Layout:
+
+    <B block_flag> body                      block_flag 0 = raw
+    block_flag 1 -> <Q raw_len> zstd(body)   per-chunk block compression
+    body = <B codec_id> <Q n> <B has_validity> [validity bits] codec-body
+
+Codec ids: 1 PLAIN (Arrow IPC, universal fallback), 2 INT (bit-faithful
+int64 view -> FOR/DELTA/RLE int stream), 3 BOOL (bit-packed), 4 STR_PLAIN
+(lengths int-stream + raw bytes), 5 STR_FSST (lengths + symbol-table
+compressed bytes), 6 DICT (int-stream indexes + recursively encoded
+dictionary; applied when distinct/count <= 0.8, the reference's gate at
+/root/reference/Parquet/ParquetResultListener.cs:45), 7 LIST (lengths
+int-stream + recursively encoded child).
+
+Null handling is centralized: a bit-packed validity bitmap plus the
+codec body over non-null values only; decode scatters through
+`values.take(indexes-with-null-mask)` so every type round-trips
+bit-identically (north-rule contract, BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import fsst
+from .ints import decode_uint64, encode_uint64
+
+PLAIN, INT, BOOL, STR_PLAIN, STR_FSST, DICT, LIST = 1, 2, 3, 4, 5, 6, 7
+
+CODEC_NAMES = {PLAIN: "plain", INT: "int", BOOL: "bool", STR_PLAIN: "str_plain",
+               STR_FSST: "fsst", DICT: "dict", LIST: "list"}
+CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
+
+_ZSTD = pa.Codec("zstd", compression_level=3)
+
+DICT_MAX_DISTINCT_RATIO = 0.8  # reference: ParquetResultListener.cs:45
+_SAMPLE_VALUES = 512
+
+_INT_TYPES = {pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+              pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64()}
+
+
+# ---------------------------------------------------------------- helpers
+
+def _block_wrap(body: bytes) -> bytes:
+    if len(body) > 64:
+        comp = _ZSTD.compress(body).to_pybytes()
+        if len(comp) + 9 < len(body):
+            return b"\x01" + struct.pack("<Q", len(body)) + comp
+    return b"\x00" + body
+
+
+def _block_unwrap(payload: bytes) -> bytes:
+    if payload[0] == 1:
+        (raw_len,) = struct.unpack_from("<Q", payload, 1)
+        return _ZSTD.decompress(payload[9:], raw_len).to_pybytes()
+    return payload[1:]
+
+
+def _validity_header(arr: pa.Array, codec_id: int) -> tuple[bytes, pa.Array]:
+    n = len(arr)
+    if arr.null_count == 0:
+        return struct.pack("<BQB", codec_id, n, 0), arr
+    valid = np.invert(pc.is_null(arr).to_numpy(zero_copy_only=False))
+    head = struct.pack("<BQB", codec_id, n, 1) + np.packbits(valid).tobytes()
+    return head, arr.drop_null()
+
+
+def _read_header(body: bytes) -> tuple[int, int, np.ndarray | None, int]:
+    codec_id, n, has_valid = struct.unpack_from("<BQB", body, 0)
+    off = 10
+    valid = None
+    if has_valid:
+        nbytes = (n + 7) // 8
+        valid = np.unpackbits(np.frombuffer(body, np.uint8, nbytes, off),
+                              count=n).astype(bool)
+        off += nbytes
+    return codec_id, n, valid, off
+
+
+def _scatter(values: pa.Array, n: int, valid: np.ndarray | None) -> pa.Array:
+    """Re-insert nulls: take(values, idx) where idx is null at null slots."""
+    if valid is None:
+        return values
+    idx = np.zeros(n, dtype=np.int64)
+    idx[valid] = np.arange(len(values), dtype=np.int64)
+    return values.take(pa.array(idx, type=pa.int64(), mask=~valid))
+
+
+def _bytes_and_lengths(a: pa.Array) -> tuple[bytes, np.ndarray]:
+    a = a.cast(pa.large_binary())
+    if len(a) == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    offs = np.frombuffer(a.buffers()[1], dtype=np.int64,
+                         count=len(a) + 1, offset=a.offset * 8)
+    data = a.buffers()[2].to_pybytes()[offs[0]: offs[-1]]
+    return data, np.diff(offs)
+
+
+def _prefix_u32(b: bytes) -> bytes:
+    return struct.pack("<I", len(b)) + b
+
+
+def _read_u32_block(buf: bytes, off: int) -> tuple[bytes, int]:
+    (ln,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    return buf[off:off + ln], off + ln
+
+
+# ---------------------------------------------------------------- encoders
+
+def _enc_plain(arr: pa.Array) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, pa.schema([pa.field("c", arr.type)])) as w:
+        w.write_batch(pa.record_batch([arr], names=["c"]))
+    return struct.pack("<BQB", PLAIN, len(arr), 0) + sink.getvalue().to_pybytes()
+
+
+def _dec_plain(body: bytes) -> pa.Array:
+    _, _, _, off = _read_header(body)
+    with pa.ipc.open_stream(pa.BufferReader(body[off:])) as r:
+        tbl = r.read_all()
+    return tbl.column(0).combine_chunks()
+
+
+def _int_view(vals: pa.Array) -> np.ndarray:
+    """Bit-faithful int64 view of any int/float/temporal non-null array."""
+    t = vals.type
+    if pa.types.is_float64(t):
+        return vals.to_numpy(zero_copy_only=False).view(np.int64)
+    if pa.types.is_float32(t):
+        return vals.to_numpy(zero_copy_only=False).view(np.uint32).astype(np.int64)
+    if pa.types.is_uint64(t):
+        return vals.to_numpy(zero_copy_only=False).view(np.int64)
+    return vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _int_restore(ints: np.ndarray, t: pa.DataType) -> pa.Array:
+    if pa.types.is_float64(t):
+        return pa.array(ints.view(np.float64), type=t)
+    if pa.types.is_float32(t):
+        return pa.array(ints.astype(np.uint32).view(np.float32), type=t)
+    if pa.types.is_uint64(t):
+        return pa.array(ints.view(np.uint64), type=t)
+    a = pa.array(ints, type=pa.int64())
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return a.cast(pa.int32()).cast(t)
+    if t in _INT_TYPES and t != pa.int64():
+        return a.cast(t)
+    if pa.types.is_int64(t):
+        return a
+    return a.cast(t)  # timestamp/date64/time64/duration
+
+
+def _enc_int(arr: pa.Array) -> bytes:
+    head, vals = _validity_header(arr, INT)
+    return head + encode_uint64(_int_view(vals).view(np.uint64))
+
+
+def _dec_int(body: bytes, t: pa.DataType) -> pa.Array:
+    _, n, valid, off = _read_header(body)
+    ints = decode_uint64(body[off:]).view(np.int64)
+    return _scatter(_int_restore(ints, t), n, valid)
+
+
+def _enc_bool(arr: pa.Array) -> bytes:
+    head, vals = _validity_header(arr, BOOL)
+    npv = vals.to_numpy(zero_copy_only=False)
+    return head + struct.pack("<Q", len(npv)) + np.packbits(npv).tobytes()
+
+
+def _dec_bool(body: bytes, t: pa.DataType) -> pa.Array:
+    _, n, valid, off = _read_header(body)
+    (nv,) = struct.unpack_from("<Q", body, off)
+    bits = np.unpackbits(np.frombuffer(body, np.uint8, (nv + 7) // 8, off + 8),
+                         count=nv).astype(bool)
+    return _scatter(pa.array(bits, type=pa.bool_()), n, valid)
+
+
+def _strings_from(data: bytes, lengths: np.ndarray, t: pa.DataType) -> pa.Array:
+    offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    arr = pa.Array.from_buffers(
+        pa.large_binary(), len(lengths),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)])
+    return arr.cast(t)
+
+
+def _enc_str_plain(arr: pa.Array) -> bytes:
+    head, vals = _validity_header(arr, STR_PLAIN)
+    data, lengths = _bytes_and_lengths(vals)
+    return head + _prefix_u32(encode_uint64(lengths.view(np.uint64))) + data
+
+
+def _dec_str_plain(body: bytes, t: pa.DataType) -> pa.Array:
+    _, n, valid, off = _read_header(body)
+    lens_b, off = _read_u32_block(body, off)
+    lengths = decode_uint64(lens_b).view(np.int64)
+    return _scatter(_strings_from(body[off:], lengths, t), n, valid)
+
+
+def _enc_fsst(arr: pa.Array, table=None) -> bytes | None:
+    head, vals = _validity_header(arr, STR_FSST)
+    data, lengths = _bytes_and_lengths(vals)
+    if table is None:
+        table = fsst.train(data)
+    if not table:
+        return None
+    return (head + _prefix_u32(encode_uint64(lengths.view(np.uint64))) +
+            fsst.encode(data, table))
+
+
+def _dec_fsst(body: bytes, t: pa.DataType) -> pa.Array:
+    _, n, valid, off = _read_header(body)
+    lens_b, off = _read_u32_block(body, off)
+    lengths = decode_uint64(lens_b).view(np.int64)
+    data = fsst.decode(body[off:])
+    return _scatter(_strings_from(data, lengths, t), n, valid)
+
+
+def _enc_dict(arr: pa.Array) -> bytes:
+    head, vals = _validity_header(arr, DICT)
+    denc = vals.dictionary_encode()
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_vals = denc.dictionary
+    inner = _encode_body(dict_vals, "auto", allow_dict=False)
+    return head + _prefix_u32(encode_uint64(idx.view(np.uint64))) + inner
+
+
+def _dec_dict(body: bytes, t: pa.DataType) -> pa.Array:
+    _, n, valid, off = _read_header(body)
+    idx_b, off = _read_u32_block(body, off)
+    idx = decode_uint64(idx_b).view(np.int64)
+    dict_vals = _decode_body(body[off:], t)
+    taken = dict_vals.take(pa.array(idx, type=pa.int64()))
+    return _scatter(taken, n, valid)
+
+
+def _enc_list(arr: pa.Array) -> bytes:
+    head, vals = _validity_header(arr, LIST)
+    flat = vals.flatten()
+    if pa.types.is_large_list(vals.type):
+        offs = np.frombuffer(vals.buffers()[1], np.int64,
+                             count=len(vals) + 1, offset=vals.offset * 8)
+    else:
+        offs = np.frombuffer(vals.buffers()[1], np.int32,
+                             count=len(vals) + 1, offset=vals.offset * 4).astype(np.int64)
+    lengths = np.diff(offs)
+    inner = _encode_body(flat, "auto")
+    return head + _prefix_u32(encode_uint64(lengths.view(np.uint64))) + inner
+
+
+def _dec_list(body: bytes, t: pa.DataType) -> pa.Array:
+    _, n, valid, off = _read_header(body)
+    lens_b, off = _read_u32_block(body, off)
+    lengths = decode_uint64(lens_b).view(np.int64)
+    child = _decode_body(body[off:], t.value_type)
+    offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    if pa.types.is_large_list(t):
+        lst = pa.LargeListArray.from_arrays(pa.array(offs, type=pa.int64()), child)
+    else:
+        lst = pa.ListArray.from_arrays(pa.array(offs.astype(np.int32),
+                                                type=pa.int32()), child)
+    return _scatter(lst.cast(t), n, valid)
+
+
+# ------------------------------------------------------------- auto-select
+
+def _is_intfamily(t: pa.DataType) -> bool:
+    return (pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_timestamp(t) or pa.types.is_date(t)
+            or pa.types.is_time(t) or pa.types.is_duration(t))
+
+
+def _pick_string_codec(arr: pa.Array) -> int:
+    """Sample-driven choice between DICT / FSST / STR_PLAIN."""
+    n = len(arr)
+    step = max(1, n // _SAMPLE_VALUES)
+    sample = arr[::step] if step > 1 else arr
+    nn = max(1, len(sample) - sample.null_count)
+    distinct_ratio = pc.count_distinct(sample).as_py() / nn
+    if distinct_ratio <= DICT_MAX_DISTINCT_RATIO:
+        return DICT
+    sizes = {}
+    body = _enc_str_plain(sample)
+    sizes[STR_PLAIN] = len(_block_wrap(body))
+    fs = _enc_fsst(sample)
+    if fs is not None:
+        sizes[STR_FSST] = len(_block_wrap(fs))
+    return min(sizes, key=sizes.get)
+
+
+def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True) -> bytes:
+    t = arr.type
+    if codec != "auto":
+        cid = CODEC_IDS[codec]
+    elif pa.types.is_boolean(t):
+        cid = BOOL
+    elif _is_intfamily(t):
+        cid = INT
+    elif pa.types.is_string(t) or pa.types.is_large_string(t) \
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        cid = _pick_string_codec(arr) if allow_dict else None
+        if cid is None:  # dictionary values: fsst-vs-plain only
+            fs = _enc_fsst(arr)
+            if fs is not None:
+                sp = _enc_str_plain(arr)
+                return fs if len(fs) < len(sp) else sp
+            cid = STR_PLAIN
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        cid = LIST
+    else:
+        cid = PLAIN
+
+    if cid == STR_FSST:
+        body = _enc_fsst(arr)
+        if body is None:
+            body = _enc_str_plain(arr)
+        return body
+    enc = {PLAIN: _enc_plain, INT: _enc_int, BOOL: _enc_bool,
+           STR_PLAIN: _enc_str_plain, DICT: _enc_dict, LIST: _enc_list}[cid]
+    return enc(arr)
+
+
+def _decode_body(body: bytes, t: pa.DataType) -> pa.Array:
+    cid = body[0]
+    dec = {PLAIN: lambda b: _dec_plain(b), INT: _dec_int, BOOL: _dec_bool,
+           STR_PLAIN: _dec_str_plain, STR_FSST: _dec_fsst,
+           DICT: _dec_dict, LIST: _dec_list}
+    if cid == PLAIN:
+        return _dec_plain(body)
+    return dec[cid](body, t)
+
+
+# ------------------------------------------------------------------ public
+
+def encode_column(arr: pa.Array, codec: str = "auto") -> tuple[str, bytes]:
+    """Encode one column chunk. Returns (codec_name, payload)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    try:
+        body = _encode_body(arr, codec)
+    except Exception:
+        if codec != "auto":
+            raise
+        body = _enc_plain(arr)  # universal fallback keeps every type working
+    return CODEC_NAMES[body[0]], _block_wrap(body)
+
+
+def decode_column(payload: bytes, typ: pa.DataType) -> pa.Array:
+    body = _block_unwrap(payload)
+    out = _decode_body(body, typ)
+    if out.type != typ:
+        out = out.cast(typ)
+    return out
