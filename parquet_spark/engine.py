@@ -1,0 +1,173 @@
+"""Spark-side encode/decode engine.
+
+encode_table: DataFrame -> DataFrame of encoded column-chunk rows
+decode_table: encoded DataFrame -> original DataFrame (bit-identical)
+
+Spark-first rendering of the reference's hot path (rows -> columnar
+row-group cache -> flush, /root/reference/Parquet.Core/Fragment.cs:129-311):
+
+  * the "row-group" is an Arrow record batch (maxRecordsPerBatch is the
+    RowGroupSize knob, reference default 10,000, Options.cs:8);
+  * the "fragment" is a Spark partition, placed by explicit hash/range
+    partitioning on xxhash64(key) so layout is uniform and deterministic
+    at any scale (north rule: explicit url-hash partitioning);
+  * the "writer thread" is the executor's Python worker running a
+    vectorized Arrow UDF (mapInArrow) — no per-row Python anywhere.
+
+Chunks are self-describing: each encoded row carries the serialized
+Arrow schema plus one payload per column, so decode needs no driver
+state and no shuffle (narrow mapInArrow over encoded rows).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from .codecs import decode_column, encode_column
+
+ENCODED_DDL = ("part_id bigint, chunk_id bigint, n_rows bigint, "
+               "schema_ipc binary, names array<string>, "
+               "codecs array<string>, payloads array<binary>, "
+               "bytes_in array<bigint>, bytes_out array<bigint>")
+
+DEFAULT_ROWS_PER_CHUNK = 10_000  # reference RowGroupSize default (Options.cs:8)
+
+
+# ------------------------------------------------------------ pure pieces
+
+def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
+                 codec: str = "auto") -> dict:
+    """Encode one Arrow batch into a chunk row (pure, Spark-free)."""
+    names, codecs, payloads, b_in, b_out = [], [], [], [], []
+    for i, field in enumerate(batch.schema):
+        arr = batch.column(i)
+        cname, payload = encode_column(arr, codec)
+        names.append(field.name)
+        codecs.append(cname)
+        payloads.append(payload)
+        b_in.append(arr.nbytes)
+        b_out.append(len(payload))
+    return {
+        "part_id": part_id, "chunk_id": chunk_id, "n_rows": batch.num_rows,
+        "schema_ipc": batch.schema.serialize().to_pybytes(),
+        "names": names, "codecs": codecs, "payloads": payloads,
+        "bytes_in": b_in, "bytes_out": b_out,
+    }
+
+
+def decode_chunk(schema_ipc: bytes, names: list[str],
+                 payloads: list[bytes]) -> pa.RecordBatch:
+    """Inverse of encode_chunk (pure, Spark-free)."""
+    schema = pa.ipc.read_schema(pa.BufferReader(schema_ipc))
+    cols = [decode_column(p, schema.field(n).type)
+            for n, p in zip(names, payloads)]
+    return pa.RecordBatch.from_arrays(cols, schema=schema)
+
+
+def _chunk_rows_to_batch(chunks: list[dict]) -> pa.RecordBatch:
+    return pa.RecordBatch.from_pylist(chunks, schema=pa.schema([
+        pa.field("part_id", pa.int64()),
+        pa.field("chunk_id", pa.int64()),
+        pa.field("n_rows", pa.int64()),
+        pa.field("schema_ipc", pa.binary()),
+        pa.field("names", pa.list_(pa.string())),
+        pa.field("codecs", pa.list_(pa.string())),
+        pa.field("payloads", pa.list_(pa.binary())),
+        pa.field("bytes_in", pa.list_(pa.int64())),
+        pa.field("bytes_out", pa.list_(pa.int64())),
+    ]))
+
+
+# ------------------------------------------------------------- Spark side
+
+def partition_for_encode(df: DataFrame, key: list[str] | None = None,
+                         n_parts: int | None = None) -> tuple[DataFrame, list[str]]:
+    """Explicit deterministic placement: _part = pmod(xxhash64(key), n).
+
+    xxhash64 of a (near-)unique key is uniform, so partitions are balanced
+    even when raw key values (lang, domain) are Zipf-skewed — the salting
+    story from the north rule. sortWithinPartitions makes chunk contents
+    reproducible run-to-run at any parallelism.
+    """
+    key = key or [df.columns[0]]
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    out = (df.withColumn("_part", F.pmod(F.xxhash64(*key), F.lit(n_parts)))
+             .repartition(n_parts, "_part")
+             .sortWithinPartitions("_part", *key))
+    return out, key
+
+
+def encode_table(df: DataFrame, key: list[str] | None = None,
+                 n_parts: int | None = None, codec: str = "auto",
+                 rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK) -> DataFrame:
+    """Encode a DataFrame into column-chunk rows (one row per chunk)."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(rows_per_chunk))
+    dfp, _ = partition_for_encode(df, key, n_parts)
+
+    def encoder(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        chunk_seq: dict[int, int] = {}
+        for batch in batches:
+            parts = batch.column("_part").to_numpy()
+            data = batch.drop_columns(["_part"])
+            # _part values are contiguous after the sort; split on run edges
+            edges = np.flatnonzero(parts[1:] != parts[:-1]) + 1
+            bounds = np.concatenate(([0], edges, [len(parts)]))
+            chunks = []
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                pid = int(parts[lo])
+                cid = chunk_seq.get(pid, 0)
+                chunk_seq[pid] = cid + 1
+                chunks.append(encode_chunk(data.slice(lo, hi - lo),
+                                           pid, cid, codec))
+            if chunks:
+                yield _chunk_rows_to_batch(chunks)
+
+    return dfp.mapInArrow(encoder, ENCODED_DDL)
+
+
+def read_encoded_schema(enc_df: DataFrame) -> pa.Schema:
+    row = enc_df.select("schema_ipc").head()
+    if row is None:
+        raise ValueError("empty encoded table")
+    return pa.ipc.read_schema(pa.BufferReader(row[0]))
+
+
+def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None) -> DataFrame:
+    """Decode chunk rows back to the original table. Narrow (no shuffle)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+    schema = schema or read_encoded_schema(enc_df)
+    spark_schema = from_arrow_schema(schema)
+
+    def decoder(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            d = batch.to_pylist()
+            for row in d:
+                yield decode_chunk(row["schema_ipc"], row["names"],
+                                   row["payloads"])
+
+    return enc_df.mapInArrow(decoder, spark_schema)
+
+
+def encoding_stats(enc_df: DataFrame) -> DataFrame:
+    """Per-column codec + size stats (the lineage/metrics facet)."""
+    z = enc_df.select(
+        "part_id", "chunk_id", "n_rows",
+        F.explode(F.arrays_zip("names", "codecs", "bytes_in", "bytes_out"))
+        .alias("c"))
+    return (z.select("part_id", "chunk_id", "n_rows",
+                     F.col("c.names").alias("column"),
+                     F.col("c.codecs").alias("codec"),
+                     F.col("c.bytes_in").alias("bytes_in"),
+                     F.col("c.bytes_out").alias("bytes_out"))
+            .groupBy("column", "codec")
+            .agg(F.sum("n_rows").alias("rows"),
+                 F.sum("bytes_in").alias("bytes_in"),
+                 F.sum("bytes_out").alias("bytes_out"))
+            .withColumn("ratio", F.round(F.col("bytes_in") /
+                                         F.col("bytes_out"), 3)))

@@ -1,0 +1,123 @@
+"""Engine tests: chunk-level (Spark-free) and full Spark round trips.
+
+Spark analog of the reference file-level round-trip suite
+(/root/reference/Parquet.Tests/ParquetFileTests.cs) on the F1 webpages
+fixture and the driver testdata tables.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_spark.corpus import gen_batch, gen_corpus
+from parquet_spark.engine import (decode_chunk, decode_table, encode_chunk,
+                                  encode_table, encoding_stats)
+from parquet_spark.verify import verify_roundtrip
+
+
+# ------------------------------------------------------- chunk level (fast)
+
+def test_chunk_roundtrip_webpages():
+    batch = gen_batch(np.arange(3000, dtype=np.uint64))
+    chunk = encode_chunk(batch, part_id=0, chunk_id=0)
+    out = decode_chunk(chunk["schema_ipc"], chunk["names"], chunk["payloads"])
+    assert out.equals(batch)
+
+
+def test_chunk_codec_choices_match_column_nature():
+    batch = gen_batch(np.arange(8000, dtype=np.uint64))
+    chunk = encode_chunk(batch, 0, 0)
+    by = dict(zip(chunk["names"], chunk["codecs"]))
+    assert by["warc_ts"] == "int"      # FOR/DELTA on epoch-us
+    assert by["lang"] == "dict"        # 30 distinct over 8000 rows
+    assert by["text"] in ("fsst", "dict", "str_plain")
+    assert by["html"] == "str_plain"   # random bytes: no dict, no fsst
+
+    sizes = dict(zip(chunk["names"], zip(chunk["bytes_in"], chunk["bytes_out"])))
+    bi, bo = sizes["lang"]
+    assert bo < bi / 10                # dict+rle crushes lang
+    bi, bo = sizes["warc_ts"]
+    assert bo < bi / 2                 # FOR beats raw int64
+    bi, bo = sizes["text"]
+    assert bo < bi / 2                 # redundant prose compresses 2x+
+
+
+def test_chunk_deterministic():
+    ids = np.arange(500, dtype=np.uint64)
+    c1 = encode_chunk(gen_batch(ids), 0, 0)
+    c2 = encode_chunk(gen_batch(ids), 0, 0)
+    assert c1["payloads"] == c2["payloads"]
+
+
+# ------------------------------------------------------------- spark level
+
+@pytest.mark.spark
+def test_corpus_deterministic_across_parallelism(spark):
+    a = gen_corpus(spark, 2000, seed=7, parts=2).orderBy("url").collect()
+    b = gen_corpus(spark, 2000, seed=7, parts=5).orderBy("url").collect()
+    assert a == b
+
+
+@pytest.mark.spark
+def test_encode_decode_roundtrip_corpus(spark):
+    df = gen_corpus(spark, 5000, seed=42, parts=4)
+    enc = encode_table(df, key=["url"], n_parts=8, rows_per_chunk=1000)
+    enc.cache()
+    dec = decode_table(enc)
+    report = verify_roundtrip(df, dec, key=["url"], digest_col="text")
+    assert report["rows"] == 5000
+    enc.unpersist()
+
+
+@pytest.mark.spark
+def test_encode_chunks_respect_rows_per_chunk(spark):
+    df = gen_corpus(spark, 4000, seed=1, parts=2)
+    enc = encode_table(df, key=["url"], n_parts=4, rows_per_chunk=500)
+    rows = enc.select("part_id", "chunk_id", "n_rows").collect()
+    assert all(r.n_rows <= 500 for r in rows)
+    assert sum(r.n_rows for r in rows) == 4000
+    # chunk ids are dense per partition
+    per_part = {}
+    for r in rows:
+        per_part.setdefault(r.part_id, []).append(r.chunk_id)
+    for cids in per_part.values():
+        assert sorted(cids) == list(range(len(cids)))
+
+
+@pytest.mark.spark
+def test_compression_beats_parquet_snappy(spark, tmp_path):
+    import os
+    df = gen_corpus(spark, 20000, seed=3, parts=4)
+    df.cache()
+    enc = encode_table(df, key=["url"], n_parts=8)
+    ours = (enc.select(F.explode("bytes_out").alias("b"))
+            .agg(F.sum("b")).collect()[0][0])
+    pq_path = str(tmp_path / "baseline.parquet")
+    df.write.mode("overwrite").parquet(pq_path)
+    theirs = sum(f.stat().st_size for f in (tmp_path / "baseline.parquet").rglob("*.parquet"))
+    df.unpersist()
+    assert ours <= theirs, f"ours {ours} > parquet-snappy {theirs}"
+
+
+@pytest.mark.spark
+def test_roundtrip_testdata_tables(spark, sf_dir):
+    for name, key in [("lineitem", ["l_orderkey", "l_linenumber"]),
+                      ("events", ["event_id"]),
+                      ("documents", ["doc_id"]),
+                      ("embeddings", ["vec_id"]),
+                      ("orders", ["o_orderkey"])]:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        enc = encode_table(df, key=key, n_parts=4)
+        dec = decode_table(enc)
+        verify_roundtrip(df, dec)
+
+
+@pytest.mark.spark
+def test_encoding_stats_facet(spark):
+    df = gen_corpus(spark, 3000, seed=5, parts=2)
+    stats = encoding_stats(encode_table(df, key=["url"], n_parts=4)).collect()
+    cols = {r.column for r in stats}
+    assert cols == {"url", "warc_ts", "html", "text", "lang"}
+    total_rows = sum(r.rows for r in stats if r.column == "url")
+    assert total_rows == 3000
