@@ -1,0 +1,215 @@
+"""Iceberg-style table layer: snapshot commits, per-partition lineage, resume.
+
+Spark-first rendering of the reference's atomic finalize (tmp-file write +
+rename onto the target path, /root/reference/Parquet.Core/ParquetFile.cs:
+37-47,106-125) and artifact-publish lifecycle (ParquetResultListener.cs:
+65-81), extended to the north-rule checkpoint contract (BASELINE.json:6):
+encoded column chunks are checkpointed with per-partition lineage rows
+(snapshot id, codec mix, bytes in/out, wall time) so a killed run resumes
+from the last committed partition.
+
+Layout (no Iceberg jars in this sandbox; manifest-last commit gives the
+same atomicity):
+
+    <table>/data/part-<id>.parquet     one file per logical partition
+    <table>/snapshots/snap-<n>.json    immutable snapshot manifests
+    <table>/CURRENT                    name of live snapshot (tmp+rename)
+
+Data files for partitions not referenced by CURRENT are invisible —
+exactly the crash-consistency the reference gets from its tmp files.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+import uuid
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .engine import (DEFAULT_ROWS_PER_CHUNK, _chunk_rows_to_batch,
+                     decode_table, encode_chunk, partition_for_encode)
+
+LINEAGE_DDL = ("part_id bigint, file string, n_chunks bigint, n_rows bigint, "
+               "bytes_in bigint, bytes_out bigint, wall_ms double, "
+               "codecs string")
+
+
+class EncodedTable:
+    """Driver-side handle to a committed encoded table."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.snap_dir = os.path.join(path, "snapshots")
+
+    def current_snapshot(self) -> dict | None:
+        cur = os.path.join(self.path, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.snap_dir, name)) as f:
+            return json.load(f)
+
+    def committed_parts(self) -> dict[str, dict]:
+        snap = self.current_snapshot()
+        return snap["parts"] if snap else {}
+
+    def schema(self) -> pa.Schema | None:
+        snap = self.current_snapshot()
+        if not snap or not snap.get("schema_ipc_b64"):
+            return None
+        return pa.ipc.read_schema(
+            pa.BufferReader(base64.b64decode(snap["schema_ipc_b64"])))
+
+    def commit(self, parts: dict[str, dict], schema_ipc: bytes | None,
+               parent: dict | None, meta: dict | None = None) -> dict:
+        """Write snapshot json, then flip CURRENT atomically (commit point)."""
+        os.makedirs(self.snap_dir, exist_ok=True)
+        sid = (parent["snapshot_id"] + 1) if parent else 0
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "committed_at": time.time(),
+            "schema_ipc_b64": base64.b64encode(schema_ipc).decode()
+            if schema_ipc else (parent or {}).get("schema_ipc_b64"),
+            "meta": meta or {},
+            "parts": parts,
+        }
+        name = f"snap-{sid:06d}.json"
+        tmp = os.path.join(self.snap_dir, name + f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, os.path.join(self.snap_dir, name))
+        cur_tmp = os.path.join(self.path, f"CURRENT.tmp-{uuid.uuid4().hex}")
+        with open(cur_tmp, "w") as f:
+            f.write(name)
+        os.replace(cur_tmp, os.path.join(self.path, "CURRENT"))
+        return snap
+
+    def data_files(self) -> list[str]:
+        return [p["file"] for p in self.committed_parts().values()]
+
+
+def write_encoded(df: DataFrame, table_path: str,
+                  key: list[str] | None = None, n_parts: int | None = None,
+                  codec: str = "auto",
+                  rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
+                  limit_parts: int | None = None) -> dict:
+    """Encode df into the table, committing a new snapshot. Resumable.
+
+    Partitions already present in the CURRENT snapshot are skipped (the
+    filter on `_part` prunes them before any encoding work). `limit_parts`
+    caps how many new partitions this run encodes (incremental backfill /
+    crash-simulation hook) — the commit is still atomic.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(rows_per_chunk))
+    table = EncodedTable(table_path)
+    parent = table.current_snapshot()
+    done = set(map(int, table.committed_parts().keys()))
+
+    key = key or [df.columns[0]]
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    dfp, _ = partition_for_encode(df, key, n_parts)
+    todo = [p for p in range(n_parts) if p not in done]
+    if limit_parts is not None:
+        todo = todo[:limit_parts]
+    if done or limit_parts is not None:
+        dfp = dfp.where(F.col("_part").isin(todo))
+
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    schema_holder: list[bytes] = []
+
+    def writer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pending: dict[int, dict] = {}
+
+        def flush(pid: int) -> pa.RecordBatch:
+            st = pending.pop(pid)
+            tbl = pa.Table.from_batches(
+                [_chunk_rows_to_batch(st["chunks"])])
+            final = os.path.join(data_dir, f"part-{pid:05d}.parquet")
+            tmp = final + f".tmp-{uuid.uuid4().hex}"
+            pq.write_table(tbl, tmp, compression="none")  # payloads pre-compressed
+            os.replace(tmp, final)
+            codec_mix = sorted({c for ch in st["chunks"] for c in ch["codecs"]})
+            return pa.RecordBatch.from_pylist([{
+                "part_id": pid, "file": final,
+                "n_chunks": len(st["chunks"]),
+                "n_rows": int(sum(c["n_rows"] for c in st["chunks"])),
+                "bytes_in": int(sum(sum(c["bytes_in"]) for c in st["chunks"])),
+                "bytes_out": int(sum(sum(c["bytes_out"]) for c in st["chunks"])),
+                "wall_ms": (time.monotonic() - st["t0"]) * 1000.0,
+                "codecs": ",".join(codec_mix),
+            }])
+
+        for batch in batches:
+            parts = batch.column("_part").to_numpy()
+            data = batch.drop_columns(["_part"])
+            edges = np.flatnonzero(parts[1:] != parts[:-1]) + 1
+            bounds = np.concatenate(([0], edges, [len(parts)]))
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                pid = int(parts[lo])
+                # input is sorted by _part: any pending pid < pid is complete
+                for done_pid in [p for p in pending if p < pid]:
+                    yield flush(done_pid)
+                st = pending.setdefault(
+                    pid, {"chunks": [], "t0": time.monotonic()})
+                st["chunks"].append(
+                    encode_chunk(data.slice(lo, hi - lo), pid,
+                                 len(st["chunks"]), codec))
+        for pid in list(pending):
+            yield flush(pid)
+
+    lineage = dfp.mapInArrow(writer, LINEAGE_DDL).collect()
+
+    schema_ipc = None
+    if lineage:
+        # original data schema from a chunk row of the first written file
+        t = pq.read_table(lineage[0].file, columns=["schema_ipc"])
+        if t.num_rows:
+            schema_ipc = t.column(0)[0].as_py()
+
+    parts = dict(table.committed_parts())
+    for row in lineage:
+        parts[str(row.part_id)] = {
+            "file": row.file, "n_chunks": row.n_chunks, "n_rows": row.n_rows,
+            "bytes_in": row.bytes_in, "bytes_out": row.bytes_out,
+            "wall_ms": row.wall_ms, "codecs": row.codecs,
+        }
+    meta = {"key": key, "n_parts": n_parts, "codec": codec,
+            "rows_per_chunk": rows_per_chunk,
+            "new_parts": sorted(int(r.part_id) for r in lineage)}
+    return table.commit(parts, schema_ipc, parent, meta)
+
+
+def read_encoded(spark: SparkSession, table_path: str) -> DataFrame:
+    """Chunk rows of the CURRENT snapshot (uncommitted files invisible)."""
+    files = EncodedTable(table_path).data_files()
+    if not files:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    return spark.read.parquet(*files)
+
+
+def read_decoded(spark: SparkSession, table_path: str) -> DataFrame:
+    return decode_table(read_encoded(spark, table_path),
+                        EncodedTable(table_path).schema())
+
+
+def lineage_df(spark: SparkSession, table_path: str) -> DataFrame:
+    """Per-partition lineage rows of the CURRENT snapshot as a DataFrame."""
+    snap = EncodedTable(table_path).current_snapshot()
+    if snap is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    rows = [{"part_id": int(pid), "snapshot_id": snap["snapshot_id"], **info}
+            for pid, info in snap["parts"].items()]
+    return spark.createDataFrame(rows)

@@ -1,0 +1,130 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale notes (the 100 TB story):
+  * exact dedup: one hash-shuffle on a 32-hex-char digest — minimal key
+    width, map-side partial aggregation, AQE-coalesced;
+  * MinHash: shingle explode is a narrow map; the signature groupBy
+    shuffles doc_id -> fixed-width mins; LSH banding turns the O(n^2)
+    pair problem into a self-join on band keys (broadcast never needed,
+    bucket keys are high-cardinality so the join is skew-resistant);
+  * SimHash: pure per-row expression work (no shuffle until the final
+    group), stays in whole-stage codegen — md5+bit tricks, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# word k-shingles over whitespace-tokenized text
+SHINGLE_K = 3
+N_MINHASH = 8
+BAND_SIZE = 2  # 4 bands of 2 hashes
+
+
+def _shingles(col: str, k: int = SHINGLE_K):
+    """array of word k-grams: zero-UDF, codegen-friendly."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({col}, ' ')) - {k - 1}, 1)),"
+        f" i -> array_join(slice(split({col}, ' '), i, {k}), ' '))")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact text digest (hash-groupBy)."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+              .agg(F.min(id_col).alias("keeper_id"),
+                   F.count("*").alias("n_dups")))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       n_hashes: int = N_MINHASH) -> DataFrame:
+    """Per-doc MinHash signature: h_j = min(md5(j || shingle))."""
+    sh = (df.select(id_col, F.explode(_shingles(text_col)).alias("sh"))
+            .distinct())
+    aggs = [F.min(F.md5(F.concat(F.lit(str(j)), F.col("sh"))))
+            .alias(f"h{j}") for j in range(n_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
+                        n_hashes: int = N_MINHASH,
+                        band_size: int = BAND_SIZE) -> DataFrame:
+    """Docs sharing any band of the signature -> candidate near-dup pairs."""
+    bands = []
+    for b in range(0, n_hashes, band_size):
+        key = F.md5(F.concat_ws("|", *[F.col(f"h{j}")
+                                       for j in range(b, b + band_size)]))
+        bands.append(sig.select(F.col(id_col).alias("doc"),
+                                F.lit(b).alias("band"), key.alias("bkey")))
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionByName(extra)
+    a, b_ = all_bands.alias("a"), all_bands.alias("b")
+    return (a.join(b_, ["band", "bkey"])
+             .where(F.col("a.doc") < F.col("b.doc"))
+             .select(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b"))
+             .distinct())
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification stage)."""
+    sh = (df.select(F.col(id_col).alias("doc"),
+                    F.explode(_shingles(text_col, k)).alias("sh"))
+            .distinct())
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # intersection size via join on (doc pair, shingle)
+    sh_a = sh.select(F.col("doc").alias("doc_a"), "sh")
+    sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh"))
+    inter = (pairs.join(sh_a, "doc_a").join(sh_b, ["doc_b", "sh"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc", "doc_a")
+                       .withColumnRenamed("sz", "sz_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc", "doc_b")
+                       .withColumnRenamed("sz", "sz_b"), "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter") /
+                                (F.col("sz_a") + F.col("sz_b") -
+                                 F.col("n_inter")), 4)))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n_bits: int = 16) -> DataFrame:
+    """n_bit SimHash from md5 nibbles of each token (zero-UDF).
+
+    bit_i(token) = i-th bit of md5(token); simhash bit = majority vote.
+    """
+    tok = df.select(id_col, F.explode(F.split(F.col(text_col), " "))
+                    .alias("tok"))
+    h = F.md5(F.col("tok"))
+    votes = []
+    for i in range(n_bits):
+        nib = F.substring(h, i // 4 + 1, 1)
+        val = F.instr(F.lit("0123456789abcdef"), nib) - 1
+        bit = F.shiftrightunsigned(val, 3 - (i % 4)).bitwiseAND(F.lit(1))
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{i}"))
+    v = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(n_bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return v.select(id_col, sig.cast("bigint").alias("simhash"))
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.98,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Cosine near-duplicate pairs among embeddings (brute-force O(n^2);
+    the scale path buckets by LSH sign bits first — see similarity.py)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (s, v) -> s + v)")
+    na = F.sqrt(F.expr("aggregate(va, 0D, (s, v) -> s + v * v)"))
+    nb = F.sqrt(F.expr("aggregate(vb, 0D, (s, v) -> s + v * v)"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", F.round(dot / (na * nb), 4))
+             .where(F.col("cos") >= threshold)
+             .select("id_a", "id_b", "cos"))

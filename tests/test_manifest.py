@@ -1,0 +1,90 @@
+"""Manifest/lineage/resume tests — the reference's atomic-finalize and
+overwrite semantics (/root/reference/Parquet.Tests/ResultListenerTests.cs:
+130-153) recast as snapshot commits, plus the north-rule resume contract:
+kill after K partitions -> rerun encodes only N-K (BASELINE.json:6)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_spark.corpus import gen_corpus
+from parquet_spark.manifest import (EncodedTable, lineage_df, read_decoded,
+                                    read_encoded, write_encoded)
+from parquet_spark.verify import verify_roundtrip
+
+N_PARTS = 6
+
+
+@pytest.mark.spark
+def test_write_commit_read_roundtrip(spark, tmp_path):
+    df = gen_corpus(spark, 4000, seed=11, parts=3)
+    path = str(tmp_path / "tbl")
+    snap = write_encoded(df, path, key=["url"], n_parts=N_PARTS,
+                         rows_per_chunk=800)
+    assert snap["snapshot_id"] == 0
+    assert len(snap["parts"]) == N_PARTS
+    out = read_decoded(spark, path)
+    verify_roundtrip(df, out, key=["url"], digest_col="text")
+
+
+@pytest.mark.spark
+def test_resume_encodes_only_missing_parts(spark, tmp_path):
+    df = gen_corpus(spark, 3000, seed=13, parts=3)
+    path = str(tmp_path / "tbl")
+    # simulate a run killed after 2 of 6 partitions committed
+    s1 = write_encoded(df, path, key=["url"], n_parts=N_PARTS, limit_parts=2)
+    assert len(s1["parts"]) == 2
+    assert len(s1["meta"]["new_parts"]) == 2
+    # resumed run: only the remaining 4 get encoded
+    s2 = write_encoded(df, path, key=["url"], n_parts=N_PARTS)
+    assert len(s2["parts"]) == N_PARTS
+    assert len(s2["meta"]["new_parts"]) == N_PARTS - 2
+    assert set(s2["meta"]["new_parts"]).isdisjoint(s1["meta"]["new_parts"])
+    # and the final table is complete + correct
+    verify_roundtrip(df, read_decoded(spark, path))
+    # second full run is a no-op
+    s3 = write_encoded(df, path, key=["url"], n_parts=N_PARTS)
+    assert s3["meta"]["new_parts"] == []
+
+
+@pytest.mark.spark
+def test_uncommitted_files_invisible(spark, tmp_path):
+    df = gen_corpus(spark, 1000, seed=17, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=2)
+    t = EncodedTable(path)
+    # drop an orphan data file: must not appear in reads
+    orphan = os.path.join(t.data_dir, "part-00099.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"garbage")
+    files = t.data_files()
+    assert orphan not in files
+    assert read_decoded(spark, path).count() == 1000
+
+
+@pytest.mark.spark
+def test_lineage_rows(spark, tmp_path):
+    df = gen_corpus(spark, 2000, seed=19, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=4)
+    lin = lineage_df(spark, path)
+    rows = lin.collect()
+    assert {r.part_id for r in rows} == set(range(4))
+    assert all(r.bytes_out > 0 and r.wall_ms >= 0 for r in rows)
+    assert sum(r.n_rows for r in rows) == 2000
+    assert all("dict" in r.codecs or "int" in r.codecs for r in rows)
+
+
+@pytest.mark.spark
+def test_snapshot_chain(spark, tmp_path):
+    df = gen_corpus(spark, 600, seed=23, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=4, limit_parts=1)
+    write_encoded(df, path, key=["url"], n_parts=4)
+    t = EncodedTable(path)
+    snap = t.current_snapshot()
+    assert snap["snapshot_id"] == 1 and snap["parent_id"] == 0
+    with open(os.path.join(t.snap_dir, "snap-000000.json")) as f:
+        assert len(json.load(f)["parts"]) == 1
