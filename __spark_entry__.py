@@ -1,38 +1,514 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)       -> flagship encode->decode->verify on sf0.001 documents
+queries()/oracle_sql() -> SQL-checkable facets of the engine's operators
+(SURVEY.md §2) plus the training-data pipeline ops (dedup, similarity,
+text analysis), each checked against DuckDB at sf0.01.
+
+Cross-engine determinism rules used throughout:
+  * hashing: md5 only (identical hex in Spark and DuckDB);
+  * float aggregation: values are rounded then cast to DECIMAL before
+    SUM so results are order-independent;
+  * ratios: computed from integer sums, divided once, rounded.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+TESTDATA_SMOKE = "/root/testdata/sf0.001"
+
+STOP_EN = ("the", "and", "of", "to", "in", "is", "that", "for")
+STOP_DE = ("der", "die", "und", "das", "ist", "nicht", "ein", "zu")
+STOP_FR = ("le", "la", "et", "les", "des", "est", "une", "dans")
+STOP_ES = ("el", "los", "que", "de", "es", "una", "por", "con")
+_LANGS = {"en": STOP_EN, "de": STOP_DE, "fr": STOP_FR, "es": STOP_ES}
+
+SHINGLE_SPARK = ("transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+                 " i -> array_join(slice(split(text, ' '), i, 3), ' '))")
+SHINGLE_DUCK = ("list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),"
+                " i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Encode sf0.001 documents, decode, verify bit-identity, return the
+    per-column codec/size lineage facet (O1/O2/O12-O16 end-to-end)."""
+    from parquet_spark.engine import decode_table, encode_table, encoding_stats
+    from parquet_spark.verify import verify_roundtrip
+
+    df = _t(spark, TESTDATA_SMOKE, "documents")
+    enc = encode_table(df, key=["doc_id"], n_parts=4).cache()
+    dec = decode_table(enc)
+    verify_roundtrip(df, dec, key=["doc_id"], digest_col="text")
+    out = encoding_stats(enc).orderBy("column")
+    return out
+
+
+# ---------------------------------------------------------------- queries
+
+def q_dict_gate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+
+    def one(col):
+        return d.agg(
+            F.lit(col).alias("column"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.countDistinct(col) / F.count(F.lit(1)), 6).alias("distinct_ratio"),
+            (F.countDistinct(col) / F.count(F.lit(1)) <= 0.8).alias("dict_eligible"))
+    return one("lang").unionByName(one("source")).orderBy("column")
+
+
+def q_run_length_lang(spark, sf_dir):
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "chunk", F.floor(F.col("doc_id") / 1000))
+    w = Window.partitionBy("chunk").orderBy("doc_id")
+    runs = d.withColumn("prev", F.lag("lang").over(w)).withColumn(
+        "is_start", F.when(~F.col("prev").eqNullSafe(F.col("lang")), 1).otherwise(0))
+    return runs.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("is_start").alias("n_runs")).withColumn(
+        "mean_run_len", F.round(F.col("n_rows") / F.col("n_runs"), 4)).orderBy("chunk")
+
+
+def q_for_bitpack_width(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("event_id") / 250).alias("chunk"),
+        F.unix_micros("ts").alias("us"))
+    g = e.groupBy("chunk").agg(F.min("us").alias("min_us"),
+                               F.max("us").alias("max_us"))
+    width = F.when(F.col("max_us") == F.col("min_us"), F.lit(0)).otherwise(
+        (F.floor(F.log2(F.col("max_us") - F.col("min_us"))) + 1))
+    return g.withColumn("bit_width", width.cast("bigint")).orderBy("chunk")
+
+
+def q_merge_union_nullfill(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_totalprice")
+    b = o.select("o_orderkey", "o_orderpriority")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count("o_totalprice").alias("n_price"),
+                 F.count("o_orderpriority").alias("n_priority"))
+
+
+def q_explode_pad(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings")
+    ex = em.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("pos").alias("sum_pos"),
+        F.sum(F.round(F.col("val").cast("double"), 3)
+              .cast("decimal(20,3)")).alias("sum_val"))
+
+
+def q_scalar_broadcast(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region_name"))
+            .agg(F.count(F.lit(1)).alias("n_nations"))
+            .orderBy("region_name"))
+
+
+def q_chunk_partition_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy(F.pmod(F.col("doc_id"), F.lit(8)).alias("part_id"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("part_id"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    from parquet_spark.textops.dedup import exact_dedup
+    g = exact_dedup(_t(spark, sf_dir, "documents"))
+    return g.agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum("n_dups").alias("n_docs"),
+                 F.sum(F.when(F.col("n_dups") > 1, 1).otherwise(0))
+                 .alias("n_dup_groups"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from parquet_spark.textops.dedup import minhash_signatures
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 32)
+    return minhash_signatures(d, n_hashes=4).orderBy("doc_id")
+
+
+def q_lsh_pairs(spark, sf_dir):
+    from parquet_spark.textops.dedup import (lsh_candidate_pairs,
+                                             minhash_signatures)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sig = minhash_signatures(d, n_hashes=4)
+    pairs = lsh_candidate_pairs(sig, n_hashes=4, band_size=2)
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"),
+                     F.count(F.lit(1)).alias("n_pairs2")).select("n_pairs")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from parquet_spark.textops.dedup import (lsh_candidate_pairs,
+                                             minhash_signatures, ngram_jaccard)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = lsh_candidate_pairs(minhash_signatures(d, n_hashes=4),
+                                n_hashes=4, band_size=2)
+    j = ngram_jaccard(d, pairs)
+    return j.agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.col("jaccard").cast("decimal(10,4)")).alias("sum_jaccard"),
+                 F.sum(F.when(F.col("jaccard") >= 0.8, 1).otherwise(0))
+                 .alias("n_near_dups"))
+
+
+def q_simhash(spark, sf_dir):
+    from parquet_spark.textops.dedup import simhash
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    return simhash(d, n_bits=16).orderBy("doc_id")
+
+
+def q_cosine_topk(spark, sf_dir):
+    from parquet_spark.textops.similarity import cosine_topk
+    em = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))"))
+    queries = em.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    corpus = em.where(F.col("vec_id") >= 3)
+    return cosine_topk(corpus, queries, k=3).orderBy("q_id", "rank")
+
+
+def q_ann_buckets(spark, sf_dir):
+    from parquet_spark.textops.similarity import hyperplanes, lsh_bucket
+    em = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))"))
+    planes = hyperplanes(64, n_planes=4, seed=42)
+    return (lsh_bucket(em, planes).groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_vecs")).orderBy("bucket"))
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("ws_tokens"),
+        F.sum(F.size(F.regexp_extract_all(
+            F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))))
+        .alias("re_tokens"))
+
+
+def q_quality_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOP_EN)))
+    punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
+    per = d.select("source",
+                   F.size(words).alias("n_words"),
+                   stop_hits.alias("stop_hits"),
+                   punct.alias("n_punct"),
+                   F.length("text").alias("n_chars"))
+    return (per.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").alias("sum_words"),
+                 F.sum("stop_hits").alias("sum_stop_hits"),
+                 F.sum("n_punct").alias("sum_punct"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .withColumn("stopword_ratio",
+                        F.round(F.col("sum_stop_hits") / F.col("sum_words"), 6))
+            .orderBy("source"))
+
+
+def q_lang_id(spark, sf_dir):
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    scored = None
+    for lang, sw in _LANGS.items():
+        hits = F.size(F.filter(words, lambda w: w.isin(*sw)))
+        one = d.select("doc_id", F.lit(lang).alias("cand"),
+                       hits.alias("hits"))
+        scored = one if scored is None else scored.unionByName(one)
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(),
+                                             F.col("cand").desc())
+    best = (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1))
+    return (best.groupBy(F.col("cand").alias("lang_guess"))
+            .agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang_guess"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from parquet_spark.textops.textstats import fingerprint
+    d = fingerprint(_t(spark, sf_dir, "documents"))
+    return d.agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("fp").alias("n_fingerprints"))
+
+
+def q_media_metadata(spark, sf_dir):
+    from parquet_spark.textops.multimodal import media_metadata
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "blob", F.col("text").cast("binary"))
+    m = media_metadata(d, "doc_id", "blob")
+    return m.agg(F.count(F.lit(1)).alias("n_media"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.countDistinct("sha256").alias("n_unique"))
+
+
+# ------------------------------------------------- rows-only (non-SQL ops)
+
+def q_roundtrip_documents(spark, sf_dir):
+    from parquet_spark.engine import decode_table, encode_table, encoding_stats
+    from parquet_spark.verify import verify_roundtrip
+    df = _t(spark, sf_dir, "documents")
+    enc = encode_table(df, key=["doc_id"], n_parts=4).cache()
+    verify_roundtrip(df, decode_table(enc))
+    return (encoding_stats(enc).select("column", "codec", "rows")
+            .orderBy("column"))
+
+
+def q_corpus_encode(spark, sf_dir):
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.engine import decode_table, encode_table, encoding_stats
+    from parquet_spark.verify import verify_roundtrip
+    df = gen_corpus(spark, 4000, seed=42, parts=4)
+    enc = encode_table(df, key=["url"], n_parts=4).cache()
+    verify_roundtrip(df, decode_table(enc), key=["url"], digest_col="text")
+    return (encoding_stats(enc).select("column", "codec", "rows")
+            .orderBy("column"))
+
+
+def q_media_features(spark, sf_dir):
+    from parquet_spark.textops.multimodal import extract_features
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "blob", F.col("text").cast("binary"))
+    feats = extract_features(d, "doc_id", "blob", fake=True)
+    return (feats.where(F.col("media_id") < 16)
+            .select("media_id", "n_bytes", "decoder").orderBy("media_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "dict_gate": q_dict_gate,
+        "run_length_lang": q_run_length_lang,
+        "for_bitpack_width": q_for_bitpack_width,
+        "merge_union_nullfill": q_merge_union_nullfill,
+        "explode_pad": q_explode_pad,
+        "scalar_broadcast": q_scalar_broadcast,
+        "chunk_partition_stats": q_chunk_partition_stats,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_buckets": q_ann_buckets,
+        "token_counts": q_token_counts,
+        "quality_by_source": q_quality_by_source,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "media_metadata": q_media_metadata,
+        "roundtrip_documents": q_roundtrip_documents,
+        "corpus_encode": q_corpus_encode,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _minhash_sql(pred: str, n_hashes: int = 4) -> str:
+    mins = ", ".join(
+        f"MIN(md5('{j}' || sh)) AS h{j}" for j in range(n_hashes))
+    return f"""
+        SELECT doc_id, {mins}
+        FROM (SELECT DISTINCT doc_id, unnest({SHINGLE_DUCK}) AS sh
+              FROM documents WHERE {pred}) t
+        GROUP BY doc_id"""
+
+
+def _simhash_sql(pred: str, n_bits: int = 16) -> str:
+    votes = ", ".join(
+        f"SUM((((strpos('0123456789abcdef', substr(md5(tok), {i // 4 + 1}, 1)) - 1)"
+        f" >> {3 - i % 4}) & 1) * 2 - 1) AS v{i}" for i in range(n_bits))
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(n_bits))
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents WHERE {pred}),
+        v AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
+
+
+def _planes_sql(n_planes: int = 4, seed: int = 42, dim: int = 64) -> list[str]:
+    from parquet_spark.textops.similarity import hyperplanes
+    return ["[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in p) + "]"
+            for p in hyperplanes(dim, n_planes, seed)]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    planes = _planes_sql()
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    lang_scores = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS cand, len(list_filter(string_split(text, ' '), "
+        f"w -> w IN ({', '.join(repr(s) for s in sw)}))) AS hits FROM documents"
+        for lang, sw in _LANGS.items())
+    return {
+        "dict_gate": """
+            SELECT * FROM (
+              SELECT 'lang' AS column, COUNT(DISTINCT lang) AS n_distinct,
+                     COUNT(*) AS n_rows,
+                     ROUND(COUNT(DISTINCT lang) * 1.0 / COUNT(*), 6) AS distinct_ratio,
+                     COUNT(DISTINCT lang) * 1.0 / COUNT(*) <= 0.8 AS dict_eligible
+              FROM documents
+              UNION ALL
+              SELECT 'source', COUNT(DISTINCT source), COUNT(*),
+                     ROUND(COUNT(DISTINCT source) * 1.0 / COUNT(*), 6),
+                     COUNT(DISTINCT source) * 1.0 / COUNT(*) <= 0.8
+              FROM documents) ORDER BY column""",
+        "run_length_lang": """
+            WITH o AS (SELECT CAST(FLOOR(doc_id / 1000) AS BIGINT) AS chunk, lang,
+                              lag(lang) OVER (PARTITION BY CAST(FLOOR(doc_id / 1000) AS BIGINT)
+                                              ORDER BY doc_id) AS prev
+                       FROM documents)
+            SELECT chunk, COUNT(*) AS n_rows,
+                   SUM(CASE WHEN prev IS DISTINCT FROM lang THEN 1 ELSE 0 END) AS n_runs,
+                   ROUND(COUNT(*) * 1.0 / SUM(CASE WHEN prev IS DISTINCT FROM lang
+                                              THEN 1 ELSE 0 END), 4) AS mean_run_len
+            FROM o GROUP BY chunk ORDER BY chunk""",
+        "for_bitpack_width": """
+            WITH c AS (SELECT CAST(FLOOR(event_id / 250) AS BIGINT) AS chunk,
+                              epoch_us(ts) AS us FROM events)
+            SELECT chunk, MIN(us) AS min_us, MAX(us) AS max_us,
+                   CAST(CASE WHEN MAX(us) = MIN(us) THEN 0
+                        ELSE FLOOR(LOG2(MAX(us) - MIN(us))) + 1 END AS BIGINT) AS bit_width
+            FROM c GROUP BY chunk ORDER BY chunk""",
+        "merge_union_nullfill": """
+            WITH u AS (
+              SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM orders
+              UNION ALL
+              SELECT o_orderkey, NULL, o_orderpriority FROM orders)
+            SELECT COUNT(*) AS n_rows, COUNT(o_totalprice) AS n_price,
+                   COUNT(o_orderpriority) AS n_priority FROM u""",
+        "explode_pad": """
+            WITH ex AS (SELECT vec_id,
+                               generate_subscripts(embedding, 1) - 1 AS pos,
+                               unnest(embedding) AS val FROM embeddings)
+            SELECT COUNT(*) AS n_cells, SUM(pos) AS sum_pos,
+                   SUM(CAST(ROUND(CAST(val AS DOUBLE), 3) AS DECIMAL(20,3))) AS sum_val
+            FROM ex""",
+        "scalar_broadcast": """
+            SELECT r.r_name AS region_name, COUNT(*) AS n_nations
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name ORDER BY region_name""",
+        "chunk_partition_stats": """
+            SELECT doc_id % 8 AS part_id, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT lang) AS n_langs, SUM(n_chars) AS sum_chars
+            FROM documents GROUP BY 1 ORDER BY part_id""",
+        "exact_dedup": """
+            WITH g AS (SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id,
+                              COUNT(*) AS n_dups FROM documents GROUP BY 1)
+            SELECT COUNT(*) AS n_groups, SUM(n_dups) AS n_docs,
+                   SUM(CASE WHEN n_dups > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+            FROM g""",
+        "minhash_signatures": _minhash_sql("doc_id < 32") + " ORDER BY doc_id",
+        "lsh_pairs": f"""
+            WITH sig AS ({_minhash_sql("doc_id < 200")}),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig)
+            SELECT COUNT(*) AS n_pairs FROM (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+              WHERE a.doc_id < b.doc_id)""",
+        "ngram_jaccard": f"""
+            WITH sig AS ({_minhash_sql("doc_id < 200")}),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+              WHERE a.doc_id < b.doc_id),
+            sh AS (SELECT DISTINCT doc_id AS doc, unnest({SHINGLE_DUCK}) AS sh
+                   FROM documents WHERE doc_id < 200),
+            sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+            inter AS (
+              SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+              FROM pairs p
+              JOIN sh a ON a.doc = p.doc_a
+              JOIN sh b ON b.doc = p.doc_b AND b.sh = a.sh
+              GROUP BY p.doc_a, p.doc_b),
+            j AS (SELECT i.doc_a, i.doc_b,
+                         ROUND(i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter), 4) AS jaccard
+                  FROM inter i
+                  JOIN sizes sa ON sa.doc = i.doc_a
+                  JOIN sizes sb ON sb.doc = i.doc_b)
+            SELECT COUNT(*) AS n_pairs,
+                   SUM(CAST(jaccard AS DECIMAL(10,4))) AS sum_jaccard,
+                   SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS n_near_dups
+            FROM j""",
+        "simhash": _simhash_sql("doc_id < 64"),
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS q_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                  FROM embeddings WHERE vec_id >= 3),
+            s AS (SELECT q_id, vec_id,
+                         ROUND(list_dot_product(qv, cv) /
+                               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                               6) AS cos
+                  FROM q, c),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                               ORDER BY cos DESC, vec_id ASC) AS rank
+                  FROM s)
+            SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 3
+            ORDER BY q_id, rank""",
+        "ann_buckets": f"""
+            SELECT bucket, COUNT(*) AS n_vecs FROM (
+              SELECT CAST({bucket_expr} AS INT) AS bucket FROM embeddings)
+            GROUP BY bucket ORDER BY bucket""",
+        "token_counts": """
+            SELECT COUNT(*) AS n_docs,
+                   SUM(len(string_split(text, ' '))) AS ws_tokens,
+                   SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS re_tokens
+            FROM documents""",
+        "quality_by_source": f"""
+            WITH per AS (
+              SELECT source, len(string_split(text, ' ')) AS n_words,
+                     len(list_filter(string_split(text, ' '),
+                         w -> w IN ({', '.join(repr(s) for s in STOP_EN)}))) AS stop_hits,
+                     length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+                     length(text) AS n_chars
+              FROM documents)
+            SELECT source, COUNT(*) AS n_docs, SUM(n_words) AS sum_words,
+                   SUM(stop_hits) AS sum_stop_hits, SUM(n_punct) AS sum_punct,
+                   SUM(n_chars) AS sum_chars,
+                   ROUND(SUM(stop_hits) * 1.0 / SUM(n_words), 6) AS stopword_ratio
+            FROM per GROUP BY source ORDER BY source""",
+        "lang_id": f"""
+            WITH scored AS ({lang_scores}),
+            w AS (SELECT doc_id, cand,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY hits DESC, cand DESC) AS rn
+                  FROM scored)
+            SELECT cand AS lang_guess, COUNT(*) AS n_docs FROM w WHERE rn = 1
+            GROUP BY cand ORDER BY lang_guess""",
+        "fingerprint": """
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS n_fingerprints
+            FROM documents""",
+        "media_metadata": """
+            SELECT COUNT(*) AS n_media,
+                   SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+                   COUNT(DISTINCT sha256(CAST(text AS BLOB))) AS n_unique
+            FROM documents""",
+        # roundtrip_documents / corpus_encode / media_features: engine-internal
+        # (encode->decode->verify, FSST, mapInPandas stub) — rows-only checks.
+    }

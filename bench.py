@@ -1,0 +1,148 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries (at $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1):
+  encode_corpus      encode the deterministic webpages corpus (the north-rule
+                     workload: dict/FSST/FOR/auto-select + url-hash placement)
+  decode_corpus      full decode of the encoded corpus
+  encode_documents   encode the sf documents table
+  exact_dedup        hash-groupBy dedup over documents
+  minhash_lsh        minhash signatures + LSH candidate pairs
+  cosine_topk        brute-force cosine top-k over embeddings
+
+Extra keys: throughput (GB/s over Arrow bytes_in) and the N->4N scaling
+run (local[8] vs local[32] subprocesses on identical pre-materialized
+input, fixed partition count) with its efficiency ratio.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
+SF = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1}.get(
+    os.path.basename(SF_DIR.rstrip("/")), 0.1)
+N_CORPUS = int(60_000 * (SF / 0.1)) or 1000
+
+
+def main():
+    from pyspark.sql import SparkSession, functions as F
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .appName("parquet_spark_bench")
+             .config("spark.sql.shuffle.partitions", str(CPUS))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", "64g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.engine import decode_table, encode_table
+    from parquet_spark.textops.dedup import (exact_dedup,
+                                             lsh_candidate_pairs,
+                                             minhash_signatures)
+    from parquet_spark.textops.similarity import cosine_topk
+
+    queries, extra = {}, {}
+    tmp = tempfile.mkdtemp(prefix="pqspark_bench_")
+    corpus_path = os.path.join(tmp, "corpus.parquet")
+
+    # materialize the deterministic corpus once (generation excluded from
+    # encode timing; this is also the fixed input for the scaling runs)
+    gen_corpus(spark, N_CORPUS, seed=42, parts=CPUS) \
+        .write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        queries[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # -- headline: encode the corpus (throughput metric)
+    def run_encode():
+        enc = encode_table(corpus, key=["url"], n_parts=CPUS)
+        return enc.select(
+            F.sum(F.expr("aggregate(bytes_in, 0L, (s, v) -> s + v)")).alias("bin"),
+            F.sum(F.expr("aggregate(bytes_out, 0L, (s, v) -> s + v)")).alias("bout"),
+            F.sum("n_rows").alias("rows")).collect()[0]
+    agg = timed("encode_corpus", run_encode)
+    extra["encode_gb_per_s"] = round(agg.bin / queries["encode_corpus"] / 1e9, 4)
+    extra["corpus_rows"] = agg.rows
+    extra["bytes_in"] = agg.bin
+    extra["bytes_out"] = agg.bout
+    extra["compression_ratio"] = round(agg.bin / max(agg.bout, 1), 3)
+
+    # parquet-snappy baseline size of the same data (reference comparison)
+    pq_path = os.path.join(tmp, "baseline_snappy.parquet")
+    corpus.write.mode("overwrite").option("compression", "snappy").parquet(pq_path)
+    pq_bytes = sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(pq_path) for f in fs
+                   if f.endswith(".parquet"))
+    extra["parquet_snappy_bytes"] = pq_bytes
+    extra["size_vs_parquet_snappy"] = round(agg.bout / pq_bytes, 4)
+
+    # -- decode
+    enc_cached = encode_table(corpus, key=["url"], n_parts=CPUS).cache()
+    enc_cached.count()
+    timed("decode_corpus", lambda: decode_table(enc_cached).count())
+    enc_cached.unpersist()
+
+    # -- encode the sf documents table
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("encode_documents", lambda: encode_table(
+        docs, key=["doc_id"], n_parts=CPUS).select(F.sum("n_rows")).collect())
+
+    # -- dedup ops
+    timed("exact_dedup", lambda: exact_dedup(docs).count())
+    timed("minhash_lsh", lambda: lsh_candidate_pairs(
+        minhash_signatures(docs, n_hashes=4), n_hashes=4).count())
+
+    # -- similarity
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))"))
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    timed("cosine_topk", lambda: cosine_topk(emb, qs, k=10).count())
+
+    spark.stop()
+
+    # -- scaling evidence: same input, same partition count, N vs 4N cores
+    if RUN_SCALING:
+        try:
+            res = {}
+            for m in ("local[8]", "local[32]"):
+                p = subprocess.run(
+                    [sys.executable, "scripts/encode_job.py", "--master", m,
+                     "--input", corpus_path, "--parts", "64", "--key", "url"],
+                    capture_output=True, text=True, timeout=900,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                res[m] = json.loads(p.stdout.strip().splitlines()[-1])
+            t8, t32 = res["local[8]"]["seconds"], res["local[32]"]["seconds"]
+            extra["scaling"] = {
+                "local8_sec": t8, "local32_sec": t32,
+                "local8_gb_s": res["local[8]"]["gb_per_s"],
+                "local32_gb_s": res["local[32]"]["gb_per_s"],
+                "efficiency": round((t8 / t32) / 4.0, 4),
+            }
+        except Exception as e:  # bench must still emit its line
+            extra["scaling_error"] = repr(e)[:200]
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({"metric": "headline_total", "value": total,
+                      "unit": "sec", "queries": queries, "sf": SF, **extra}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Similarity search over an embedding column (array<float/double>).
+
+Brute-force cosine top-k is the correctness baseline (broadcast the
+small query set, scan the corpus once — no shuffle on the big side).
+The scale path is sign-LSH bucketing: project every vector onto P fixed
+hyperplanes, bucket by the sign-bit key, and only score within buckets —
+turns the 10^12-row cross product into a bucket-local join. Hyperplane
+values are deterministic literals (seed-derived) so Spark and the DuckDB
+oracle compute identical buckets.
+
+Everything is built-in expressions (zip_with/aggregate) — JVM-side,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a: str, b: str):
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)")
+
+
+def _norm(a: str):
+    return F.sqrt(F.expr(f"aggregate({a}, 0D, (s, v) -> s + v * v)"))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "q_id") -> DataFrame:
+    """Exact top-k by cosine: broadcast queries x scan corpus once."""
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    scored = (c.join(F.broadcast(q))
+              .withColumn("cos", F.round(_dot("qv", "cv") /
+                                         (_norm("qv") * _norm("cv")), 6)))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(),
+                                            F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "cos", "rank"))
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic projection planes shared by Spark and the oracle."""
+    rng = np.random.default_rng(seed)
+    return [[round(float(v), 6) for v in rng.standard_normal(dim)]
+            for _ in range(n_planes)]
+
+
+def lsh_bucket(df: DataFrame, planes: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Add a sign-bit LSH bucket column (int) from fixed hyperplanes."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        lit = "array(" + ",".join(f"{v}D" for v in p) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> x * y), "
+            f"0D, (s, v) -> s + v)")
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_planes: int = 8, seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding", qid_col: str = "q_id",
+             dim: int | None = None) -> DataFrame:
+    """Approximate top-k: score only inside matching LSH buckets."""
+    if dim is None:
+        row = queries.select(F.size(vec_col)).head()
+        dim = row[0]
+    planes = hyperplanes(dim, n_planes, seed)
+    c = lsh_bucket(corpus.select(F.col(id_col), F.col(vec_col).alias("cv")),
+                   planes, "cv")
+    q = lsh_bucket(queries.select(F.col(qid_col), F.col(vec_col).alias("qv")),
+                   planes, "qv")
+    scored = (c.join(F.broadcast(q), "bucket")
+              .withColumn("cos", F.round(_dot("qv", "cv") /
+                                         (_norm("qv") * _norm("cv")), 6)))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(),
+                                            F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "cos", "rank"))

@@ -1,0 +1,70 @@
+"""Text analysis: language id, quality scoring, token counting,
+fingerprinting. All pure built-in expressions (whole-stage codegen,
+no UDFs) so they run at scan speed on 100 TB and are SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "es": ["el", "la", "los", "que", "de", "es", "una", "por"],
+}
+
+TOKEN_REGEX = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    return df.withColumn(
+        "ws_tokens", F.size(F.split(F.col(text_col), " "))).withColumn(
+        "re_tokens", F.size(F.regexp_extract_all(F.col(text_col),
+                                                 F.lit(TOKEN_REGEX), 0)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-length heuristics in [0,1]."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    mean_wlen = (n_chars - n_words + 1) / n_words
+    stop_hits = F.size(F.filter(
+        words, lambda w: w.isin(STOPWORDS["en"])))
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9 ]", ""))
+    return (df
+            .withColumn("n_chars", n_chars)
+            .withColumn("n_words", n_words)
+            .withColumn("mean_word_len", F.round(mean_wlen, 4))
+            .withColumn("stopword_ratio", F.round(stop_hits / n_words, 4))
+            .withColumn("punct_ratio", F.round(punct / n_chars, 4))
+            .withColumn("quality", F.round(
+                F.least(n_words / F.lit(64.0), F.lit(1.0)) * 0.4 +
+                F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.4 +
+                (1 - F.least(F.col("punct_ratio") * 10, F.lit(1.0))) * 0.2, 4)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language guess (n-gram heuristic baseline)."""
+    words = F.split(F.col(text_col), " ")
+    scores = []
+    for lang, sw in STOPWORDS.items():
+        hits = F.size(F.filter(words, lambda w: w.isin(sw)))
+        scores.append(F.struct((hits / F.size(words)).alias("score"),
+                               F.lit(lang).alias("lang")))
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return (df.withColumn("lang_guess", best.getField("lang"))
+              .withColumn("lang_score", F.round(best.getField("score"), 4)))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization fingerprint: md5 of lowercased, punct-stripped,
+    space-collapsed text (near-dup canonical form)."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", ""),
+        r" +", " "))
+    return df.withColumn("fp", F.md5(norm))

@@ -1,0 +1,63 @@
+"""Standalone encode job for scaling-efficiency evidence.
+
+Runs the SAME encode work (same input parquet, same partition count) at a
+given parallelism level and prints one JSON line with wall time and byte
+counts. bench.py launches this at local[8] and local[32] to evidence the
+north-rule criterion: >=0.8 throughput scaling efficiency from N to 4N
+(BASELINE.json:14) — the in-sandbox stand-in for two cluster sizes.
+
+Ships as a plain spark-submit-able file: all imports are from the
+parquet_spark package (the --py-files story: `spark-submit --py-files
+parquet_spark.zip scripts/encode_job.py ...`).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--parts", type=int, default=64)
+    ap.add_argument("--key", default="url")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+    spark = (SparkSession.builder.master(args.master)
+             .appName(f"encode_job_{args.master}")
+             .config("spark.sql.shuffle.partitions", str(args.parts))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", "48g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from parquet_spark.engine import encode_table
+
+    df = spark.read.parquet(args.input)
+    df.count()  # warm the file listing/footers before timing
+
+    t0 = time.monotonic()
+    enc = encode_table(df, key=[args.key], n_parts=args.parts)
+    agg = enc.select(
+        F.sum(F.expr("aggregate(bytes_in, 0L, (s, v) -> s + v)")).alias("bin"),
+        F.sum(F.expr("aggregate(bytes_out, 0L, (s, v) -> s + v)")).alias("bout"),
+        F.sum("n_rows").alias("rows")).collect()[0]
+    dt = time.monotonic() - t0
+
+    print(json.dumps({"master": args.master, "seconds": round(dt, 3),
+                      "rows": agg.rows, "bytes_in": agg.bin,
+                      "bytes_out": agg.bout,
+                      "gb_per_s": round(agg.bin / dt / 1e9, 4)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
