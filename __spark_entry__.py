@@ -59,12 +59,12 @@ def q_dict_gate(spark, sf_dir):
 
     def one(col):
         return d.agg(
-            F.lit(col).alias("column"),
+            F.lit(col).alias("col_name"),
             F.countDistinct(col).alias("n_distinct"),
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.countDistinct(col) / F.count(F.lit(1)), 6).alias("distinct_ratio"),
             (F.countDistinct(col) / F.count(F.lit(1)) <= 0.8).alias("dict_eligible"))
-    return one("lang").unionByName(one("source")).orderBy("column")
+    return one("lang").unionByName(one("source")).orderBy("col_name")
 
 
 def q_run_length_lang(spark, sf_dir):
@@ -83,7 +83,8 @@ def q_run_length_lang(spark, sf_dir):
 def q_for_bitpack_width(spark, sf_dir):
     e = _t(spark, sf_dir, "events").select(
         F.floor(F.col("event_id") / 250).alias("chunk"),
-        F.unix_micros("ts").alias("us"))
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+        .alias("us"))  # tz-proof epoch-us on TIMESTAMP_NTZ (= DuckDB epoch_us)
     g = e.groupBy("chunk").agg(F.min("us").alias("min_us"),
                                F.max("us").alias("max_us"))
     width = F.when(F.col("max_us") == F.col("min_us"), F.lit(0)).otherwise(
@@ -358,7 +359,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dict_gate": """
             SELECT * FROM (
-              SELECT 'lang' AS column, COUNT(DISTINCT lang) AS n_distinct,
+              SELECT 'lang' AS col_name, COUNT(DISTINCT lang) AS n_distinct,
                      COUNT(*) AS n_rows,
                      ROUND(COUNT(DISTINCT lang) * 1.0 / COUNT(*), 6) AS distinct_ratio,
                      COUNT(DISTINCT lang) * 1.0 / COUNT(*) <= 0.8 AS dict_eligible
@@ -367,7 +368,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'source', COUNT(DISTINCT source), COUNT(*),
                      ROUND(COUNT(DISTINCT source) * 1.0 / COUNT(*), 6),
                      COUNT(DISTINCT source) * 1.0 / COUNT(*) <= 0.8
-              FROM documents) ORDER BY column""",
+              FROM documents) ORDER BY col_name""",
         "run_length_lang": """
             WITH o AS (SELECT CAST(FLOOR(doc_id / 1000) AS BIGINT) AS chunk, lang,
                               lag(lang) OVER (PARTITION BY CAST(FLOOR(doc_id / 1000) AS BIGINT)
@@ -507,7 +508,7 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": """
             SELECT COUNT(*) AS n_media,
                    SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
-                   COUNT(DISTINCT sha256(CAST(text AS BLOB))) AS n_unique
+                   COUNT(DISTINCT text) AS n_unique
             FROM documents""",
         # roundtrip_documents / corpus_encode / media_features: engine-internal
         # (encode->decode->verify, FSST, mapInPandas stub) — rows-only checks.
