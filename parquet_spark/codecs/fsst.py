@@ -27,14 +27,26 @@ import struct
 
 import numpy as np
 
-MAX_SYMBOLS = 96          # replace passes are O(passes * buf); cap them
+MAX_SYMBOLS = 64          # replace passes are O(passes * buf); cap them
 SAMPLE_BYTES = 1 << 16    # train on at most 64 KiB
 _SYM_LENGTHS = (8, 6, 4, 3, 2)
+MIN_GAIN_RATIO = 0.002    # skip symbols saving <0.2% of the sample
+
+
+def _window_codes(s: np.ndarray, length: int) -> np.ndarray:
+    """Exact big-endian uint64 code of every `length`-byte window (1-D)."""
+    n = len(s) - length + 1
+    c = np.zeros(n, dtype=np.uint64)
+    for j in range(length):
+        c |= s[j:j + n].astype(np.uint64) << np.uint64(8 * (length - 1 - j))
+    return c
 
 
 def train(buf: bytes, max_symbols: int = MAX_SYMBOLS) -> list[tuple[int, bytes]]:
     """Pick (code_byte, symbol) pairs by estimated gain on a sample.
 
+    Window counting is exact-code based: each <=8-byte window maps to one
+    uint64, so frequency counting is a single 1-D np.unique per length.
     Returns [] when no unused byte values exist or the buffer is tiny.
     """
     if len(buf) < 64:
@@ -45,29 +57,26 @@ def train(buf: bytes, max_symbols: int = MAX_SYMBOLS) -> list[tuple[int, bytes]]
     if len(free_codes) == 0:
         return []
     sample = arr[:SAMPLE_BYTES]
+    min_gain = max(16, int(len(sample) * MIN_GAIN_RATIO))
 
-    candidates: list[tuple[int, bytes]] = []  # (gain, symbol)
+    candidates: list[tuple[int, int, bytes]] = []  # (gain, length, symbol)
     for length in _SYM_LENGTHS:
         if len(sample) <= length:
             continue
-        win = np.lib.stride_tricks.sliding_window_view(sample, length)
-        # subsample long windows to bound unique() cost
-        step = max(1, len(win) // 65536)
-        win = win[::step]
-        uniq, counts = np.unique(win, axis=0, return_counts=True)
-        keep = counts >= 4
-        uniq, counts = uniq[keep], counts[keep]
-        gains = counts * (length - 1) * step
+        codes = _window_codes(sample, length)
+        uniq, counts = np.unique(codes, return_counts=True)
+        gains = counts * (length - 1)
+        keep = gains >= min_gain
+        uniq, gains = uniq[keep], gains[keep]
         order = np.argsort(gains)[::-1][:max_symbols]
         for i in order:
-            candidates.append((int(gains[i]), uniq[i].tobytes()))
+            candidates.append((int(gains[i]), length,
+                               int(uniq[i]).to_bytes(length, "big")))
 
-    candidates.sort(key=lambda t: (-t[0], -len(t[1])))
-    # drop symbols that are substrings of an already-chosen longer symbol
-    # only when they share the same count region -- cheap filter: dedupe exact
+    candidates.sort(key=lambda t: (-t[0], -t[1]))
     chosen: list[bytes] = []
     seen: set[bytes] = set()
-    for _, sym in candidates:
+    for _, _, sym in candidates:
         if sym in seen:
             continue
         seen.add(sym)
