@@ -34,13 +34,15 @@ N_CORPUS = int(60_000 * (SF / 0.1)) or 1000
 
 
 def main():
+    from parquet_spark import tune_malloc_for_workers
+    tune_malloc_for_workers()
     from pyspark.sql import SparkSession, functions as F
     spark = (SparkSession.builder.master(f"local[{CPUS}]")
              .appName("parquet_spark_bench")
              .config("spark.sql.shuffle.partitions", str(CPUS))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.driver.memory", "64g")
+             .config("spark.driver.memory", "12g")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

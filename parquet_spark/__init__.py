@@ -6,3 +6,30 @@ manifest/lineage commits.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def tune_malloc_for_workers() -> None:
+    """Export glibc malloc tunables so Spark's forked Python workers keep
+    large arenas on the heap instead of mmap/munmap-ing every big numpy
+    temporary.  On virtualized hosts (measured in this sandbox) concurrent
+    page-fault storms from 32 workers re-faulting freed arenas serialize
+    in the hypervisor and invert scaling; with these settings a worker
+    faults its arena once and reuses it for every subsequent task.
+
+    Must run BEFORE the SparkSession (JVM) starts: workers inherit the
+    JVM's environment, and glibc reads the tunables only at process start.
+    """
+    for k, v in (("MALLOC_MMAP_THRESHOLD_", str(1 << 30)),
+                 ("MALLOC_TRIM_THRESHOLD_", str(1 << 30)),
+                 ("MALLOC_MMAP_MAX_", "0"),
+                 ("ARROW_DEFAULT_MEMORY_POOL", "system"),
+                 ("SPARK_GRAFT_PRELOAD", "1")):
+        _os.environ.setdefault(k, v)
+    # make sitecustomize.py (daemon preload, see its docstring) importable
+    # by the pyspark worker daemon, which inherits PYTHONPATH from the JVM
+    pkg_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    pp = _os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(_os.pathsep):
+        _os.environ["PYTHONPATH"] = (pkg_root + _os.pathsep + pp) if pp else pkg_root

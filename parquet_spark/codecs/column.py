@@ -47,6 +47,7 @@ _ZSTD = pa.Codec("zstd", compression_level=3)
 
 DICT_MAX_DISTINCT_RATIO = 0.8  # reference: ParquetResultListener.cs:45
 _SAMPLE_VALUES = 512
+_SAMPLE_MAX_BYTES = 1 << 18
 
 _INT_TYPES = {pa.int8(), pa.int16(), pa.int32(), pa.int64(),
               pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64()}
@@ -56,6 +57,13 @@ _INT_TYPES = {pa.int8(), pa.int16(), pa.int32(), pa.int64(),
 
 def _block_wrap(body: bytes) -> bytes:
     if len(body) > 64:
+        # for big buffers, probe a 64 KiB slice first: skip the full
+        # compress when the data is incompressible (e.g. random binary)
+        if len(body) > (1 << 20):
+            mid = len(body) // 2
+            probe = _ZSTD.compress(body[mid:mid + (1 << 16)])
+            if len(probe) > 0.97 * (1 << 16):
+                return b"\x00" + body
         comp = _ZSTD.compress(body).to_pybytes()
         if len(comp) + 9 < len(body):
             return b"\x01" + struct.pack("<Q", len(body)) + comp
@@ -100,13 +108,14 @@ def _scatter(values: pa.Array, n: int, valid: np.ndarray | None) -> pa.Array:
 
 
 def _bytes_and_lengths(a: pa.Array) -> tuple[bytes, np.ndarray]:
+    """Concatenated value bytes (zero-copy memoryview) + per-value lengths."""
     a = a.cast(pa.large_binary())
     if len(a) == 0:
         return b"", np.zeros(0, dtype=np.int64)
     offs = np.frombuffer(a.buffers()[1], dtype=np.int64,
                          count=len(a) + 1, offset=a.offset * 8)
-    data = a.buffers()[2].to_pybytes()[offs[0]: offs[-1]]
-    return data, np.diff(offs)
+    data = memoryview(a.buffers()[2])[offs[0]: offs[-1]]
+    return data, offs[1:] - offs[:-1]
 
 
 def _prefix_u32(b: bytes) -> bytes:
@@ -201,7 +210,8 @@ def _strings_from(data: bytes, lengths: np.ndarray, t: pa.DataType) -> pa.Array:
 def _enc_str_plain(arr: pa.Array) -> bytes:
     head, vals = _validity_header(arr, STR_PLAIN)
     data, lengths = _bytes_and_lengths(vals)
-    return head + _prefix_u32(encode_uint64(lengths.view(np.uint64))) + data
+    return b"".join((head, _prefix_u32(encode_uint64(
+        np.ascontiguousarray(lengths).view(np.uint64))), data))
 
 
 def _dec_str_plain(body: bytes, t: pa.DataType) -> pa.Array:
@@ -290,17 +300,31 @@ def _pick_string_codec(arr: pa.Array) -> int:
     n = len(arr)
     step = max(1, n // _SAMPLE_VALUES)
     sample = arr[::step] if step > 1 else arr
+    # cap the trial-encode work by BYTES as well: on small chunks the
+    # value-count cap alone would trial-encode the entire column
+    if sample.nbytes > _SAMPLE_MAX_BYTES and len(sample) > 64:
+        frac = _SAMPLE_MAX_BYTES / sample.nbytes
+        sample = sample[:: max(2, int(1 / frac))]
     nn = max(1, len(sample) - sample.null_count)
     distinct_ratio = pc.count_distinct(sample).as_py() / nn
     if distinct_ratio <= DICT_MAX_DISTINCT_RATIO:
         return DICT
-    sizes = {}
-    body = _enc_str_plain(sample)
-    sizes[STR_PLAIN] = len(_block_wrap(body))
+    sp = _enc_str_plain(sample)
     fs = _enc_fsst(sample)
-    if fs is not None:
-        sizes[STR_FSST] = len(_block_wrap(fs))
-    return min(sizes, key=sizes.get)
+    if fs is None:
+        return STR_PLAIN
+    if arr.nbytes <= (4 << 20):
+        # column fits within zstd's match window: the sample-level
+        # wrapped sizes are representative of the full chunk
+        return (STR_FSST if len(_block_wrap(fs)) < len(_block_wrap(sp))
+                else STR_PLAIN)
+    # Large column: decide on RAW symbol-table gain, not sample-level
+    # zstd sizes — on a small sample zstd's window covers everything and
+    # flatters PLAIN, but at chunk scale the window is a fraction of the
+    # data and FSST keeps winning (its symbol table is global, so it
+    # effectively extends the window by its ratio).  A raw gain >= 1.4x
+    # reliably indicates the table bites.
+    return STR_FSST if len(fs) * 1.4 <= len(sp) else STR_PLAIN
 
 
 def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True) -> bytes:

@@ -31,9 +31,12 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     if width > 64:
         raise ValueError(f"width {width} > 64")
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    # view each value as 8 big-endian bytes -> 64 bits -> keep low `width`
-    b = v.astype(">u8").reshape(-1, 1).view(np.uint8)
-    bits = np.unpackbits(b, axis=1)[:, 64 - width:]
+    # view each value as the fewest big-endian bytes covering `width`
+    # bits, unpack those bits, keep the low `width` — identical bit
+    # stream to the all-64-bit path but 2-8x less memory traffic.
+    nbits = 8 if width <= 8 else 16 if width <= 16 else 32 if width <= 32 else 64
+    b = v.astype(f">u{nbits // 8}").reshape(-1, 1).view(np.uint8)
+    bits = np.unpackbits(b, axis=1)[:, nbits - width:]
     return np.packbits(bits.ravel()).tobytes()
 
 
@@ -43,9 +46,11 @@ def unpack_bits(buf: bytes, width: int, count: int) -> np.ndarray:
         return np.zeros(count, dtype=np.uint64)
     bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8),
                          count=count * width).reshape(count, width)
-    full = np.zeros((count, 64), dtype=np.uint8)
-    full[:, 64 - width:] = bits
-    return np.ascontiguousarray(np.packbits(full, axis=1)).view(">u8").ravel().astype(np.uint64)
+    nbits = 8 if width <= 8 else 16 if width <= 16 else 32 if width <= 32 else 64
+    full = np.zeros((count, nbits), dtype=np.uint8)
+    full[:, nbits - width:] = bits
+    return (np.ascontiguousarray(np.packbits(full, axis=1))
+            .view(f">u{nbits // 8}").ravel().astype(np.uint64))
 
 
 def zigzag_encode(v: np.ndarray) -> np.ndarray:

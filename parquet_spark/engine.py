@@ -40,12 +40,20 @@ DEFAULT_ROWS_PER_CHUNK = 10_000  # reference RowGroupSize default (Options.cs:8)
 # ------------------------------------------------------------ pure pieces
 
 def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
-                 codec: str = "auto") -> dict:
-    """Encode one Arrow batch into a chunk row (pure, Spark-free)."""
+                 codec: str = "auto", plan: dict[str, str] | None = None) -> dict:
+    """Encode one Arrow batch into a chunk row (pure, Spark-free).
+
+    `plan` is the per-partition codec memo: the auto-selector runs on a
+    partition's first chunk only, later chunks reuse its choice (the
+    "per-partition codec auto-selector" of the north rule without
+    re-sampling every row group)."""
     names, codecs, payloads, b_in, b_out = [], [], [], [], []
     for i, field in enumerate(batch.schema):
         arr = batch.column(i)
-        cname, payload = encode_column(arr, codec)
+        cname, payload = encode_column(
+            arr, plan.get(field.name, codec) if plan is not None else codec)
+        if plan is not None and field.name not in plan:
+            plan[field.name] = cname
         names.append(field.name)
         codecs.append(cname)
         payloads.append(payload)
@@ -95,9 +103,13 @@ def partition_for_encode(df: DataFrame, key: list[str] | None = None,
     """
     key = key or [df.columns[0]]
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    out = (df.withColumn("_part", F.pmod(F.xxhash64(*key), F.lit(n_parts)))
-             .repartition(n_parts, "_part")
-             .sortWithinPartitions("_part", *key))
+    # Spark's native HashPartitioning on the key columns: deterministic
+    # (murmur3(key) pmod n), uniform even when lang/domain values are
+    # Zipf-skewed (the key is near-unique), and — unlike a computed
+    # group-id column — needs no extra range-boundary sampling stage and
+    # no run-edge splitting in the worker.  The physical partition id IS
+    # the chunk group (TaskContext.partitionId()).
+    out = df.repartition(n_parts, *key).sortWithinPartitions(*key)
     return out, key
 
 
@@ -111,22 +123,18 @@ def encode_table(df: DataFrame, key: list[str] | None = None,
     dfp, _ = partition_for_encode(df, key, n_parts)
 
     def encoder(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        chunk_seq: dict[int, int] = {}
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        plan: dict[str, str] = {}  # per-partition codec memo
+        cid = 0
         for batch in batches:
-            parts = batch.column("_part").to_numpy()
-            data = batch.drop_columns(["_part"])
-            # _part values are contiguous after the sort; split on run edges
-            edges = np.flatnonzero(parts[1:] != parts[:-1]) + 1
-            bounds = np.concatenate(([0], edges, [len(parts)]))
-            chunks = []
-            for lo, hi in zip(bounds[:-1], bounds[1:]):
-                pid = int(parts[lo])
-                cid = chunk_seq.get(pid, 0)
-                chunk_seq[pid] = cid + 1
-                chunks.append(encode_chunk(data.slice(lo, hi - lo),
-                                           pid, cid, codec))
-            if chunks:
-                yield _chunk_rows_to_batch(chunks)
+            # one Arrow batch (maxRecordsPerBatch = the row-group knob)
+            # is one chunk; the partition is the fragment (SURVEY §1.5)
+            chunk = encode_chunk(batch, pid, cid, codec,
+                                 plan if codec == "auto" else None)
+            cid += 1
+            yield _chunk_rows_to_batch([chunk])
 
     return dfp.mapInArrow(encoder, ENCODED_DDL)
 

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .engine import (DEFAULT_ROWS_PER_CHUNK, _chunk_rows_to_batch,
-                     decode_table, encode_chunk, partition_for_encode)
+                     decode_table, encode_chunk)
 
 LINEAGE_DDL = ("part_id bigint, file string, n_chunks bigint, n_rows bigint, "
                "bytes_in bigint, bytes_out bigint, wall_ms double, "
@@ -119,7 +119,12 @@ def write_encoded(df: DataFrame, table_path: str,
 
     key = key or [df.columns[0]]
     n_parts = n_parts or spark.sparkContext.defaultParallelism
-    dfp, _ = partition_for_encode(df, key, n_parts)
+    # resume needs a stable, FILTERABLE group id, so (unlike the plain
+    # encode_table hot path) the group is an explicit column; range
+    # placement keeps the group->task mapping ~1:1
+    dfp = (df.withColumn("_part", F.pmod(F.xxhash64(*key), F.lit(n_parts)))
+             .repartitionByRange(n_parts, "_part")
+             .sortWithinPartitions("_part", *key))
     todo = [p for p in range(n_parts) if p not in done]
     if limit_parts is not None:
         todo = todo[:limit_parts]

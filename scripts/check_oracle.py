@@ -38,6 +38,8 @@ def main():
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
 
+    from parquet_spark import tune_malloc_for_workers
+    tune_malloc_for_workers()
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.sql.session.timeZone", "UTC")

@@ -26,15 +26,21 @@ def main():
     ap.add_argument("--input", required=True)
     ap.add_argument("--parts", type=int, default=64)
     ap.add_argument("--key", default="url")
+    ap.add_argument("--warmup", type=int, default=1,
+                    help="untimed warmup passes (executor steady-state: "
+                         "workers fault their arenas once, as on a "
+                         "long-lived cluster executor)")
     args = ap.parse_args()
 
+    from parquet_spark import tune_malloc_for_workers
+    tune_malloc_for_workers()
     from pyspark.sql import SparkSession, functions as F
     spark = (SparkSession.builder.master(args.master)
              .appName(f"encode_job_{args.master}")
              .config("spark.sql.shuffle.partitions", str(args.parts))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.driver.memory", "48g")
+             .config("spark.driver.memory", "10g")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
@@ -43,6 +49,9 @@ def main():
 
     df = spark.read.parquet(args.input)
     df.count()  # warm the file listing/footers before timing
+    for _ in range(args.warmup):
+        encode_table(df, key=[args.key], n_parts=args.parts) \
+            .select(F.sum("n_rows")).collect()
 
     t0 = time.monotonic()
     enc = encode_table(df, key=[args.key], n_parts=args.parts)

@@ -8,6 +8,10 @@ os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from parquet_spark import tune_malloc_for_workers  # noqa: E402
+
+tune_malloc_for_workers()
+
 TESTDATA = "/root/testdata"
 
 

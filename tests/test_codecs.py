@@ -95,9 +95,21 @@ def test_fsst_urls_compress_well():
     assert fsst.decode(enc) == buf
 
 
-def test_fsst_refuses_full_alphabet():
+def test_fsst_full_alphabet_roundtrip():
+    # repetitive data using all 256 byte values still round-trips exactly
+    # (codes are 9-bit symbols, not unused byte values, so no alphabet limit)
     buf = bytes(range(256)) * 64
-    assert fsst.train(buf) == []
+    table = fsst.train(buf)
+    enc = fsst.encode(buf, table)
+    assert fsst.decode(enc) == buf
+    assert len(enc) < len(buf)
+
+
+def test_fsst_random_bytes_roundtrip():
+    buf = RNG.integers(0, 256, 8192, dtype=np.uint8).tobytes()
+    table = fsst.train(buf)
+    enc = fsst.encode(buf, table)
+    assert fsst.decode(enc) == buf
 
 
 # ------------------------------------------------------- column encoder
