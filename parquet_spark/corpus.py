@@ -75,20 +75,84 @@ CORPUS_DDL = ("url string, warc_ts timestamp, html binary, "
               "text string, lang string")
 
 
+_HEX = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+_DEC = np.frombuffer(b"0123456789", dtype=np.uint8)
+
+
+def _hex_cols(v: np.ndarray, digits: int) -> np.ndarray:
+    """(n, digits) ASCII hex matrix of uint64 values, vectorized."""
+    out = np.empty((len(v), digits), dtype=np.uint8)
+    for d in range(digits):
+        out[:, digits - 1 - d] = _HEX[((v >> U64(4 * d)) & U64(0xF)).astype(np.int64)]
+    return out
+
+
+def _large_binary(n: int, offs: np.ndarray, data: bytes,
+                  null_mask: np.ndarray | None = None) -> pa.Array:
+    bufs = [None if null_mask is None
+            else pa.py_buffer(np.packbits(~null_mask, bitorder="little").tobytes()),
+            pa.py_buffer(np.ascontiguousarray(offs, dtype=np.int64).tobytes()),
+            pa.py_buffer(data)]
+    return pa.Array.from_buffers(
+        pa.large_binary(), n, bufs,
+        null_count=-1 if null_mask is None else int(null_mask.sum()))
+
+
+def _concat_segments(flat: np.ndarray, starts: np.ndarray,
+                     lens: np.ndarray) -> bytes:
+    """Concatenate flat[starts[i] : starts[i]+lens[i]] for all i.
+
+    Vectorized gather, tiled so the per-byte int32 index temporaries
+    stay cache-resident instead of first-touch-faulting hundreds of MB."""
+    out = []
+    if len(lens) == 0:
+        return b""
+    # ~2 MiB of output bytes per tile
+    tile = max(1024, int((2 << 20) / max(1.0, float(lens.mean()))))
+    for lo in range(0, len(lens), tile):
+        ls = lens[lo:lo + tile]
+        ss = starts[lo:lo + tile].astype(np.int64)
+        total = int(ls.sum())
+        out_starts = np.zeros(len(ls), dtype=np.int64)
+        np.cumsum(ls[:-1], out=out_starts[1:])
+        pos = np.arange(total, dtype=np.int64)
+        pos -= np.repeat(out_starts, ls)
+        idx = np.repeat(ss, ls)
+        idx += pos
+        out.append(flat[idx])
+    return b"".join(memoryview(o) for o in out)
+
+
 def gen_batch(ids: np.ndarray, seed: int = 42,
               avg_text_sentences: int = 24, avg_html_bytes: int = 2048,
               bank: list[bytes] | None = None) -> pa.RecordBatch:
-    """Generate one Arrow batch of webpages for the given row ids."""
+    """Generate one Arrow batch of webpages for the given row ids.
+
+    Fully vectorized (no per-row Python): urls are a fixed-width ASCII
+    matrix, text is a variable-length gather over the sentence bank,
+    html is built straight from buffers with a validity bitmap."""
     ids = ids.astype(U64)
     n = len(ids)
     bank = bank if bank is not None else _sentence_bank(seed)
     h1, h2, h3, h4, h5 = (_stream(ids, seed, k) for k in range(1, 6))
 
-    # url: Zipf-skewed hosts (hot-key skew for salting tests) + unique path
+    # url: Zipf-skewed hosts (hot-key skew for salting tests) + unique
+    # path; fixed-width layout so the whole column is one uint8 matrix
     u = h1.astype(np.float64) / 2 ** 64
     host = (u ** 3 * 1000).astype(np.int64)  # heavy mass near host 0
-    urls = [f"https://host{host[i]}.example.com/{int(ids[i]):012x}/{int(h2[i] & U64(0xffffffff)):08x}"
-            for i in range(n)]
+    parts = [np.broadcast_to(np.frombuffer(b"https://host", np.uint8), (n, 12))]
+    hd = np.empty((n, 3), dtype=np.uint8)
+    for d in range(3):
+        hd[:, 2 - d] = _DEC[(host // 10 ** d) % 10]
+    parts += [hd,
+              np.broadcast_to(np.frombuffer(b".example.com/", np.uint8), (n, 13)),
+              _hex_cols(ids, 12),
+              np.broadcast_to(np.frombuffer(b"/", np.uint8), (n, 1)),
+              _hex_cols(h2 & U64(0xFFFFFFFF), 8)]
+    url_mat = np.concatenate(parts, axis=1)
+    url_w = url_mat.shape[1]
+    url_offs = np.arange(n + 1, dtype=np.int64) * url_w
+    urls = _large_binary(n, url_offs, url_mat.tobytes()).cast(pa.string())
 
     # warc_ts: near-sorted in id with +/-2s local jitter
     ts = (_BASE_US + ids * U64(2_000_000) +
@@ -101,33 +165,58 @@ def gen_batch(ids: np.ndarray, seed: int = 42,
     langs = pa.array(np.array(LANGS, dtype=object)[lang_idx],
                      type=pa.string(), mask=lang_null)
 
-    # text: k sentences from the deterministic bank (~50% redundancy)
+    # text: k sentences from the deterministic bank (~50% redundancy),
+    # space-joined; built as one variable-length gather over the bank
     n_sent = (h5 % U64(2 * avg_text_sentences) + U64(1)).astype(np.int64)
-    texts = []
-    for i in range(n):
-        sid = _stream(ids[i] * U64(131) + np.arange(n_sent[i], dtype=U64),
-                      seed, 7) % U64(len(bank))
-        texts.append(b" ".join(bank[int(s)] for s in sid).decode())
+    total_sent = int(n_sent.sum())
+    sent_row_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_sent, out=sent_row_offs[1:])
+    ctr = np.arange(total_sent, dtype=np.int64)
+    ctr -= np.repeat(sent_row_offs[:-1], n_sent)
+    rep_ids = np.repeat(ids * U64(131), n_sent)
+    sid = (_stream(rep_ids + ctr.astype(U64), seed, 7)
+           % U64(len(bank))).astype(np.int64)
+    bank_sp = [s + b" " for s in bank]            # sentence + separator
+    bank_lens = np.array([len(s) for s in bank_sp], dtype=np.int64)
+    bank_starts = np.zeros(len(bank_sp) + 1, dtype=np.int64)
+    np.cumsum(bank_lens, out=bank_starts[1:])
+    bank_flat = np.frombuffer(b"".join(bank_sp), dtype=np.uint8)
+    is_last = ctr == np.repeat(n_sent - 1, n_sent)
+    out_lens = bank_lens[sid] - is_last          # drop trailing space
+    text_data = _concat_segments(bank_flat, bank_starts[sid], out_lens)
+    cs = np.zeros(total_sent + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=cs[1:])
+    text_offs = cs[sent_row_offs]  # per-row byte offsets
+    texts = _large_binary(n, text_offs, text_data).cast(pa.string())
 
-    # html: incompressible pseudo-random bytes, ~lognormal lengths, 5% null
+    # html: incompressible pseudo-random bytes, ~uniform lengths, 5% null
     hlen = (avg_html_bytes // 2 +
             (h2 % U64(avg_html_bytes))).astype(np.int64)
     html_null = (h5 % U64(20)) == U64(0)
     hlen[html_null] = 0
     words_per = (hlen + 7) // 8
-    rep_ids = np.repeat(ids * U64(1 << 20), words_per)
-    offs = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(words_per, out=offs[1:])
-    ctr = np.arange(len(rep_ids), dtype=np.int64) - np.repeat(offs[:-1], words_per)
-    blob = _stream(rep_ids + ctr.astype(U64), seed, 9).tobytes()
-    htmls = [None if html_null[i] else
-             blob[offs[i] * 8: offs[i] * 8 + hlen[i]] for i in range(n)]
+    rep_hids = np.repeat(ids * U64(1 << 20), words_per)
+    woffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(words_per, out=woffs[1:])
+    total_words = len(rep_hids)
+    wbase = np.repeat(woffs[:-1], words_per)
+    words = np.empty(total_words, dtype=U64)
+    wt = 1 << 19  # ~4 MiB of uint64 per tile keeps stream temporaries cached
+    for lo in range(0, total_words, wt):
+        hi = min(lo + wt, total_words)
+        hctr = np.arange(lo, hi, dtype=np.int64) - wbase[lo:hi]
+        words[lo:hi] = _stream(rep_hids[lo:hi] + hctr.astype(U64), seed, 9)
+    blob = words.view(np.uint8)
+    html_data = _concat_segments(blob, woffs[:-1] * 8, hlen)
+    html_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(hlen, out=html_offs[1:])
+    htmls = _large_binary(n, html_offs, html_data, html_null).cast(pa.binary())
 
     return pa.RecordBatch.from_arrays(
-        [pa.array(urls, type=pa.string()),
+        [urls,
          pa.array(ts, type=pa.timestamp("us")),
-         pa.array(htmls, type=pa.binary()),
-         pa.array(texts, type=pa.string()),
+         htmls,
+         texts,
          langs],
         schema=CORPUS_PA_SCHEMA)
 
