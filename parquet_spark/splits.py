@@ -1,0 +1,175 @@
+"""Split-based (scan-stage) encoding: workers read parquet row groups
+directly and encode in place — no raw-data shuffle, no JVM->Python pipe.
+
+This is the 100 TB throughput path.  The driver reads only parquet
+FOOTERS to enumerate row-group splits (O(files), metadata-sized); each
+task opens its split with pyarrow (C++ reader), encodes it with the same
+per-partition codec auto-selection as `engine.encode_table`, and either
+returns chunk rows or writes the encoded part file worker-side and
+returns a lineage row only.  Pipe traffic is descriptors in, lineage
+out — the job is CPU-bound per core and scales with executors, unlike
+shuffling the raw table through the executor JVMs.
+
+The hash/range-layout path (`engine.encode_table`,
+`manifest.write_encoded`) remains the tool when the TABLE LAYOUT must
+change (url-hash range ownership for pruning/joins); this module is the
+tool when throughput matters and the input layout is acceptable — the
+same split a production ingest job would make.
+
+Reference parity: the reference also encodes rows in arrival order with
+no reshuffle (results stream straight into the columnar cache,
+/root/reference/Parquet.Core/Fragment.cs:129-168); split = fragment,
+row group = chunk.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Iterator
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .engine import (DEFAULT_ROWS_PER_CHUNK, ENCODED_DDL,
+                     _chunk_rows_to_batch, encode_chunk)
+from .manifest import LINEAGE_DDL, EncodedTable
+
+SPLIT_DDL = "split_id bigint, file string, row_group int, n_rows bigint"
+
+
+def list_splits(input_path: str) -> list[dict]:
+    """One split per parquet row group, from footers only (driver-side)."""
+    if os.path.isdir(input_path):
+        files = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(input_path) for f in fs
+            if f.endswith(".parquet") and not f.startswith("."))
+    else:
+        files = [input_path]
+    splits, sid = [], 0
+    for path in files:
+        md = pq.read_metadata(path)
+        for rg in range(md.num_row_groups):
+            splits.append({"split_id": sid, "file": path, "row_group": rg,
+                           "n_rows": md.row_group(rg).num_rows})
+            sid += 1
+    return splits
+
+
+def _split_df(spark: SparkSession, splits: list[dict],
+              n_tasks: int | None = None) -> DataFrame:
+    n_tasks = min(n_tasks or spark.sparkContext.defaultParallelism,
+                  max(1, len(splits)))
+    return spark.createDataFrame(splits, schema=SPLIT_DDL) \
+        .repartition(n_tasks, "split_id")
+
+
+def _normalize_schema(schema: pa.Schema) -> pa.Schema:
+    """Map pyarrow-read types Spark's Arrow bridge rejects: INT96
+    timestamps surface as timestamp[ns] -> cast to Spark's micros."""
+    fields = []
+    for f in schema:
+        t = f.type
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            t = pa.timestamp("us", tz=t.tz)
+        fields.append(pa.field(f.name, t, f.nullable))
+    return pa.schema(fields)
+
+
+def _iter_chunks(batch_rows: list[dict], codec: str,
+                 rows_per_chunk: int) -> Iterator[dict]:
+    """Read each split and encode it chunk-by-chunk (runs in the worker)."""
+    for d in batch_rows:
+        pf = pq.ParquetFile(d["file"])
+        tbl = pf.read_row_group(d["row_group"])
+        norm = _normalize_schema(tbl.schema)
+        if norm != tbl.schema:
+            tbl = tbl.cast(norm)
+        plan: dict[str, str] = {}
+        cid = 0
+        for lo in range(0, max(tbl.num_rows, 1), rows_per_chunk):
+            rb_tbl = tbl.slice(lo, rows_per_chunk).combine_chunks()
+            rb = rb_tbl.to_batches()[0] if rb_tbl.num_rows else \
+                pa.RecordBatch.from_pylist([], schema=tbl.schema)
+            yield encode_chunk(rb, d["split_id"], cid, codec,
+                               plan if codec == "auto" else None)
+            cid += 1
+
+
+def encode_splits(spark: SparkSession, input_path: str,
+                  n_tasks: int | None = None, codec: str = "auto",
+                  rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK) -> DataFrame:
+    """Encoded chunk rows, produced scan-side (narrow; no raw shuffle)."""
+    splits = list_splits(input_path)
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for chunk in _iter_chunks(batch.to_pylist(), codec, rows_per_chunk):
+                yield _chunk_rows_to_batch([chunk])
+
+    return _split_df(spark, splits, n_tasks).mapInArrow(enc, ENCODED_DDL)
+
+
+def write_encoded_splits(spark: SparkSession, input_path: str,
+                         table_path: str, n_tasks: int | None = None,
+                         codec: str = "auto",
+                         rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
+                         limit_parts: int | None = None) -> dict:
+    """Scan-side encode + worker-side part-file write + manifest commit.
+
+    part == split (one encoded file per input row group); resume skips
+    splits already committed, exactly like `manifest.write_encoded`."""
+    table = EncodedTable(table_path)
+    done = set(map(int, table.committed_parts().keys()))
+    splits = [s for s in list_splits(input_path)
+              if s["split_id"] not in done]
+    if limit_parts is not None:
+        splits = splits[:limit_parts]
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    def writer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for d in batch.to_pylist():
+                t0 = time.monotonic()
+                chunks = list(_iter_chunks([d], codec, rows_per_chunk))
+                tbl = pa.Table.from_batches(
+                    [_chunk_rows_to_batch(chunks)])
+                final = os.path.join(data_dir,
+                                     f"part-{d['split_id']:05d}.parquet")
+                tmp = final + f".tmp-{uuid.uuid4().hex}"
+                pq.write_table(tbl, tmp, compression="none")
+                os.replace(tmp, final)
+                codec_mix = sorted({c for ch in chunks for c in ch["codecs"]})
+                yield pa.RecordBatch.from_pylist([{
+                    "part_id": d["split_id"], "file": final,
+                    "n_chunks": len(chunks),
+                    "n_rows": int(sum(c["n_rows"] for c in chunks)),
+                    "bytes_in": int(sum(sum(c["bytes_in"]) for c in chunks)),
+                    "bytes_out": int(sum(sum(c["bytes_out"]) for c in chunks)),
+                    "wall_ms": (time.monotonic() - t0) * 1000.0,
+                    "codecs": ",".join(codec_mix),
+                }])
+
+    if splits:
+        lineage = _split_df(spark, splits, n_tasks) \
+            .mapInArrow(writer, LINEAGE_DDL).collect()
+    else:
+        lineage = []
+    schema_ipc = None
+    if splits:
+        first = _normalize_schema(pq.ParquetFile(splits[0]["file"]).schema_arrow)
+        schema_ipc = first.serialize().to_pybytes()
+    parts = {str(r.part_id): {
+        "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
+        "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
+        "wall_ms": r.wall_ms, "codecs": r.codecs} for r in lineage}
+    parent = table.current_snapshot()
+    all_parts = {**table.committed_parts(), **parts}
+    return table.commit(all_parts, schema_ipc, parent, meta={
+        "mode": "splits", "input": input_path,
+        "codec": codec, "rows_per_chunk": rows_per_chunk,
+        "new_parts": sorted(int(k) for k in parts)})

@@ -30,6 +30,14 @@ def main():
                     help="untimed warmup passes (executor steady-state: "
                          "workers fault their arenas once, as on a "
                          "long-lived cluster executor)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions; the minimum is reported "
+                         "(this host's page-fault serialization makes "
+                         "single timings noisy)")
+    ap.add_argument("--mode", choices=("hash", "splits"), default="hash",
+                    help="hash: url-hash layout shuffle + encode (layout-"
+                         "controlled table); splits: scan-stage encode + "
+                         "worker-side part write (throughput path)")
     args = ap.parse_args()
 
     from parquet_spark import tune_malloc_for_workers
@@ -45,23 +53,50 @@ def main():
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
+    import shutil
+    import tempfile
+
     from parquet_spark.engine import encode_table
+    from parquet_spark.splits import write_encoded_splits
 
     df = spark.read.parquet(args.input)
     df.count()  # warm the file listing/footers before timing
+
+    def run_hash():
+        enc = encode_table(df, key=[args.key], n_parts=args.parts)
+        return enc.select(
+            F.sum(F.expr("aggregate(bytes_in, 0L, (s, v) -> s + v)")).alias("bin"),
+            F.sum(F.expr("aggregate(bytes_out, 0L, (s, v) -> s + v)")).alias("bout"),
+            F.sum("n_rows").alias("rows")).collect()[0]
+
+    def run_splits():
+        tbl = tempfile.mkdtemp(prefix="enc_splits_")
+        try:
+            snap = write_encoded_splits(spark, args.input, tbl,
+                                        n_tasks=args.parts)
+            parts = snap["parts"].values()
+            return type("R", (), {
+                "bin": sum(p["bytes_in"] for p in parts),
+                "bout": sum(p["bytes_out"] for p in parts),
+                "rows": sum(p["n_rows"] for p in parts)})
+        finally:
+            shutil.rmtree(tbl, ignore_errors=True)
+
+    run = run_splits if args.mode == "splits" else run_hash
     for _ in range(args.warmup):
-        encode_table(df, key=[args.key], n_parts=args.parts) \
-            .select(F.sum("n_rows")).collect()
+        run()
 
-    t0 = time.monotonic()
-    enc = encode_table(df, key=[args.key], n_parts=args.parts)
-    agg = enc.select(
-        F.sum(F.expr("aggregate(bytes_in, 0L, (s, v) -> s + v)")).alias("bin"),
-        F.sum(F.expr("aggregate(bytes_out, 0L, (s, v) -> s + v)")).alias("bout"),
-        F.sum("n_rows").alias("rows")).collect()[0]
-    dt = time.monotonic() - t0
+    times = []
+    agg = None
+    for _ in range(max(1, args.reps)):
+        t0 = time.monotonic()
+        agg = run()
+        times.append(time.monotonic() - t0)
+    dt = min(times)
 
-    print(json.dumps({"master": args.master, "seconds": round(dt, 3),
+    print(json.dumps({"master": args.master, "mode": args.mode,
+                      "seconds": round(dt, 3),
+                      "all_seconds": [round(t, 3) for t in times],
                       "rows": agg.rows, "bytes_in": agg.bin,
                       "bytes_out": agg.bout,
                       "gb_per_s": round(agg.bin / dt / 1e9, 4)}))
