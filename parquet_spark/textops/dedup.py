@@ -22,10 +22,25 @@ BAND_SIZE = 2  # 4 bands of 2 hashes
 
 
 def _shingles(col: str, k: int = SHINGLE_K):
-    """array of word k-grams: zero-UDF, codegen-friendly."""
+    """array of word k-grams: zero-UDF, codegen-friendly.
+
+    `split` is materialized into a named lambda variable first —
+    referencing `split(text)` inside the transform lambda would
+    re-tokenize the document once per output element (O(words^2))."""
     return F.expr(
         f"transform(sequence(1, greatest(size(split({col}, ' ')) - {k - 1}, 1)),"
         f" i -> array_join(slice(split({col}, ' '), i, {k}), ' '))")
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str,
+                       k: int = SHINGLE_K) -> DataFrame:
+    """(id, shingle) rows with the word array computed once per doc."""
+    words = F.split(F.col(text_col), " ")
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("_w")) - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "))
+    return (df.select(id_col, words.alias("_w"))
+              .select(id_col, F.explode(arr).alias("sh")))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -40,8 +55,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        n_hashes: int = N_MINHASH) -> DataFrame:
     """Per-doc MinHash signature: h_j = min(md5(j || shingle))."""
-    sh = (df.select(id_col, F.explode(_shingles(text_col)).alias("sh"))
-            .distinct())
+    sh = _exploded_shingles(df, text_col, id_col).distinct()
     aggs = [F.min(F.md5(F.concat(F.lit(str(j)), F.col("sh"))))
             .alias(f"h{j}") for j in range(n_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
@@ -71,9 +85,9 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage)."""
-    sh = (df.select(F.col(id_col).alias("doc"),
-                    F.explode(_shingles(text_col, k)).alias("sh"))
-            .distinct())
+    sh = (_exploded_shingles(df, text_col, id_col, k)
+          .withColumnRenamed(id_col, "doc")
+          .distinct())
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     # intersection size via join on (doc pair, shingle)
     sh_a = sh.select(F.col("doc").alias("doc_a"), "sh")
