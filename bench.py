@@ -91,6 +91,8 @@ def main():
             F.sum(F.expr("aggregate(bytes_in, 0L, (s, v) -> s + v)")).alias("bin"),
             F.sum(F.expr("aggregate(bytes_out, 0L, (s, v) -> s + v)")).alias("bout"),
             F.sum("n_rows").alias("rows")).collect()[0]
+    run_encode()  # untimed warmup: executor steady state (workers fault
+    #               their arenas once, as on a long-lived cluster)
     agg = timed("encode_corpus", run_encode)
     extra["encode_gb_per_s"] = round(agg.bin / queries["encode_corpus"] / 1e9, 4)
     extra["corpus_rows"] = agg.rows

@@ -44,6 +44,9 @@ CODEC_NAMES = {PLAIN: "plain", INT: "int", BOOL: "bool", STR_PLAIN: "str_plain",
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 _ZSTD = pa.Codec("zstd", compression_level=3)
+_ZSTD_HI = pa.Codec("zstd", compression_level=9)
+_HI_MAX_BYTES = 8 << 20  # lightweight-encoded streams are small; spend
+#                          zstd-9 on them, keep level 3 for big raw bodies
 
 DICT_MAX_DISTINCT_RATIO = 0.8  # reference: ParquetResultListener.cs:45
 _SAMPLE_VALUES = 512
@@ -64,7 +67,8 @@ def _block_wrap(body: bytes) -> bytes:
             probe = _ZSTD.compress(body[mid:mid + (1 << 16)])
             if len(probe) > 0.97 * (1 << 16):
                 return b"\x00" + body
-        comp = _ZSTD.compress(body).to_pybytes()
+        codec = _ZSTD_HI if len(body) <= _HI_MAX_BYTES else _ZSTD
+        comp = codec.compress(body).to_pybytes()
         if len(comp) + 9 < len(body):
             return b"\x01" + struct.pack("<Q", len(body)) + comp
     return b"\x00" + body
