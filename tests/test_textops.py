@@ -1,0 +1,169 @@
+"""Unit tests for the training-data-pipeline operators (textops).
+
+Planted-duplicate corpora give known answers; every operator is also
+oracle-checked against DuckDB via __spark_entry__, these tests cover
+the semantics the SQL facets can't (ANN recall, stub decoder contract,
+determinism under repartitioning).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (2, "completely different text about spark columnar encoding engines"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (4, "unrelated words with no overlap whatsoever in any shingle set"),
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text"])
+
+
+@pytest.mark.spark
+def test_exact_dedup_groups(spark, docs):
+    from parquet_spark.textops.dedup import exact_dedup
+    g = {r.keeper_id: r.n_dups for r in exact_dedup(docs).collect()}
+    assert g[0] == 2          # docs 0 and 3 are identical
+    assert g[1] == 1 and g[2] == 1 and g[4] == 1
+
+
+@pytest.mark.spark
+def test_minhash_identical_docs_share_signature(spark, docs):
+    from parquet_spark.textops.dedup import minhash_signatures
+    sig = {r.doc_id: tuple(r[i] for i in range(1, 5))
+           for r in minhash_signatures(docs, n_hashes=4).collect()}
+    assert sig[0] == sig[3]                  # identical text
+    assert sig[0] != sig[2]                  # unrelated text
+    # near-identical docs (1 word differs) share most minhash slots
+    assert sum(a == b for a, b in zip(sig[0], sig[1])) >= 2
+
+
+@pytest.mark.spark
+def test_lsh_finds_planted_near_dups(spark, docs):
+    from parquet_spark.textops.dedup import (lsh_candidate_pairs,
+                                             minhash_signatures,
+                                             ngram_jaccard)
+    sig = minhash_signatures(docs, n_hashes=4)
+    pairs = lsh_candidate_pairs(sig, n_hashes=4, band_size=2)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 3) in got                     # exact dup must be caught
+    j = {(r.doc_a, r.doc_b): r.jaccard
+         for r in ngram_jaccard(docs, pairs).collect()}
+    assert j[(0, 3)] == 1.0
+    for (a, b), v in j.items():
+        assert 0.0 <= v <= 1.0
+
+
+@pytest.mark.spark
+def test_simhash_similar_docs_close(spark, docs):
+    from parquet_spark.textops.dedup import simhash
+    h = {r.doc_id: r.simhash for r in simhash(docs, n_bits=16).collect()}
+    assert h[0] == h[3]
+    ham = bin(h[0] ^ h[1]).count("1")
+    ham_far = bin(h[0] ^ h[4]).count("1")
+    assert ham < ham_far                      # near-dup closer than unrelated
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(16)])
+            for i in range(40)]
+    # vec 100 = vec 0 scaled (cosine exactly 1.0)
+    rows.append(Row(vec_id=100,
+                    embedding=[2.0 * x for x in rows[0].embedding]))
+    return spark.createDataFrame(rows)
+
+
+@pytest.mark.spark
+def test_cosine_topk_matches_numpy(spark, vecs):
+    from parquet_spark.textops.similarity import cosine_topk
+    q = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    c = vecs.where(F.col("vec_id") != 0)
+    got = cosine_topk(c, q, k=3).orderBy("rank").collect()
+    assert got[0].vec_id == 100 and abs(got[0].cos - 1.0) < 1e-6
+    # numpy oracle for the full ranking
+    rows = {r.vec_id: np.array(r.embedding) for r in vecs.collect()}
+    qv = rows[0]
+    cos = {i: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+           for i, v in rows.items() if i != 0}
+    best = sorted(cos, key=lambda i: (-round(cos[i], 6), i))[:3]
+    assert [r.vec_id for r in got] == best
+
+
+@pytest.mark.spark
+def test_ann_bucket_recall_for_identical_direction(spark, vecs):
+    from parquet_spark.textops.similarity import ann_topk
+    q = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    c = vecs.where(F.col("vec_id") != 0)
+    got = ann_topk(c, q, k=3, n_planes=4, seed=42).collect()
+    # scaled copy has identical signs on every hyperplane -> same bucket
+    assert any(r.vec_id == 100 and abs(r.cos - 1.0) < 1e-6 for r in got)
+
+
+@pytest.mark.spark
+def test_lsh_bucket_deterministic(spark, vecs):
+    from parquet_spark.textops.similarity import hyperplanes, lsh_bucket
+    planes = hyperplanes(16, n_planes=4, seed=42)
+    assert planes == hyperplanes(16, n_planes=4, seed=42)
+    b1 = {r.vec_id: r.bucket for r in lsh_bucket(vecs, planes).collect()}
+    b2 = {r.vec_id: r.bucket
+          for r in lsh_bucket(vecs.repartition(5), planes).collect()}
+    assert b1 == b2
+    assert b1[0] == b1[100]                   # same direction, same bucket
+
+
+@pytest.mark.spark
+def test_quality_and_tokens(spark, docs):
+    from parquet_spark.textops.textstats import quality_score, token_count
+    r = (token_count(quality_score(docs))
+         .where(F.col("doc_id") == 0).head())
+    assert r.ws_tokens == r.n_words == 13
+    assert 0.0 <= r.quality <= 1.0
+    assert r.stopword_ratio > 0               # 'the' appears
+    assert r.punct_ratio == 0.0
+
+
+@pytest.mark.spark
+def test_lang_id_english(spark, docs):
+    from parquet_spark.textops.textstats import lang_id
+    out = {r.doc_id: r.lang_guess for r in lang_id(docs).collect()}
+    assert out[0] == "en"
+
+
+@pytest.mark.spark
+def test_fingerprint_normalizes(spark):
+    from parquet_spark.textops.textstats import fingerprint
+    df = spark.createDataFrame(
+        [(0, "Hello,  World!"), (1, "hello world"), (2, "other text")],
+        ["doc_id", "text"])
+    fp = {r.doc_id: r.fp for r in fingerprint(df).collect()}
+    assert fp[0] == fp[1] != fp[2]
+
+
+@pytest.mark.spark
+def test_media_metadata_and_stub_features(spark):
+    from parquet_spark.textops.multimodal import (decode_image,
+                                                  extract_features,
+                                                  media_metadata)
+    df = spark.createDataFrame(
+        [(0, bytearray(b"\x89PNG\r\nfakedata")), (1, bytearray(b"GIF89a!")),
+         (2, None)],
+        "media_id long, blob binary")
+    meta = {r.media_id: r for r in
+            media_metadata(df, "media_id", "blob").collect()}
+    assert meta[0].magic == "89504E47" and meta[0].n_bytes == 14
+    assert meta[2].n_bytes is None            # null blob stays null
+    feats = {r.media_id: r for r in
+             extract_features(df, "media_id", "blob", fake=True).collect()}
+    assert len(feats[0].feature) == 16
+    assert feats[2].feature is None and feats[2].n_bytes == 0
+    assert feats[0].decoder == "stub-sha256"
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x", fake=False)        # real decoder is stubbed
