@@ -130,6 +130,23 @@ def q_chunk_partition_stats(spark, sf_dir):
             .orderBy("part_id"))
 
 
+def q_global_dict_lang(spark, sf_dir):
+    from parquet_spark.dictionary import apply_global_dict, build_global_dict
+    d = _t(spark, sf_dir, "documents")
+    gd = build_global_dict(d, "lang")
+    enc = apply_global_dict(d.select("doc_id", "lang"), "lang", gd)
+    return (enc.where(F.col("lang_id").isNotNull())
+            .groupBy("lang_id").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang_id"))
+
+
+def q_salted_counts_source(spark, sf_dir):
+    from parquet_spark.dictionary import salted_key_counts
+    d = _t(spark, sf_dir, "documents")
+    return salted_key_counts(d.select("doc_id", "source"), "source") \
+        .orderBy("source")
+
+
 def q_exact_dedup(spark, sf_dir):
     from parquet_spark.textops.dedup import exact_dedup
     g = exact_dedup(_t(spark, sf_dir, "documents"))
@@ -300,6 +317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_pad": q_explode_pad,
         "scalar_broadcast": q_scalar_broadcast,
         "chunk_partition_stats": q_chunk_partition_stats,
+        "global_dict_lang": q_global_dict_lang,
+        "salted_counts_source": q_salted_counts_source,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
@@ -408,6 +427,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id % 8 AS part_id, COUNT(*) AS n_rows,
                    COUNT(DISTINCT lang) AS n_langs, SUM(n_chars) AS sum_chars
             FROM documents GROUP BY 1 ORDER BY part_id""",
+        "global_dict_lang": """
+            WITH d AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS dict_id
+                       FROM (SELECT DISTINCT lang AS value FROM documents
+                             WHERE lang IS NOT NULL))
+            SELECT d.dict_id AS lang_id, COUNT(*) AS n
+            FROM documents t JOIN d ON t.lang = d.value
+            GROUP BY d.dict_id ORDER BY lang_id""",
+        "salted_counts_source": """
+            SELECT source, COUNT(*) AS n FROM documents
+            GROUP BY source ORDER BY source""",
         "exact_dedup": """
             WITH g AS (SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id,
                               COUNT(*) AS n_dups FROM documents GROUP BY 1)
