@@ -278,6 +278,35 @@ def q_media_metadata(spark, sf_dir):
 
 # ------------------------------------------------- rows-only (non-SQL ops)
 
+def q_schema_evolution(spark, sf_dir):
+    """O6/O7/O8/O10: union frames with a type collision; return the final
+    physical schema + Mappings entries (rows-only: DDL not SQL-checkable)."""
+    from parquet_spark.merge import merge_tables
+    o = _t(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", F.col("o_totalprice").alias("price"))
+    b = o.select("o_orderkey", F.col("o_orderpriority").alias("price"),
+                 F.lit("frag2").alias("origin"))  # price: double vs string
+    merged, mappings = merge_tables([a, b], order_key=["o_orderkey"])
+    rows = [(f.name, f.dataType.simpleString(),
+             mappings.get(f.name, "")) for f in merged.schema.fields]
+    return spark.createDataFrame(
+        sorted(rows), "column string, type string, logical_name string")
+
+
+def q_splits_lineage(spark, sf_dir):
+    """Scan-stage encode lineage facet (O1/O11/O19, splits mode)."""
+    import tempfile
+
+    from parquet_spark.splits import write_encoded_splits
+    snap = write_encoded_splits(
+        spark, f"{sf_dir}/documents.parquet",
+        tempfile.mkdtemp(prefix="entry_splits_"))
+    rows = [(int(pid), p["n_chunks"], p["n_rows"], p["codecs"])
+            for pid, p in snap["parts"].items()]
+    return spark.createDataFrame(
+        sorted(rows), "part_id int, n_chunks long, n_rows long, codecs string")
+
+
 def q_roundtrip_documents(spark, sf_dir):
     from parquet_spark.engine import decode_table, encode_table, encoding_stats
     from parquet_spark.verify import verify_roundtrip
@@ -331,6 +360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "media_metadata": q_media_metadata,
+        "schema_evolution": q_schema_evolution,
+        "splits_lineage": q_splits_lineage,
         "roundtrip_documents": q_roundtrip_documents,
         "corpus_encode": q_corpus_encode,
         "media_features": q_media_features,
