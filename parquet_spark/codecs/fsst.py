@@ -2,28 +2,38 @@
 
 Boncz/Neumann/Leis-style idea (VLDB'20 "FSST: Fast Random Access String
 Compression"): replace frequent substrings (symbols of 2..8 bytes) with
-short codes.  This implementation builds the symbol table by iterated
-pair merging (2 -> 4 -> 8 byte symbols over three rounds), so both
-training and encoding are a BOUNDED number of numpy passes over the
-buffer — independent of the symbol count.  An earlier design applied
-one `bytes.replace` pass per symbol (O(symbols x buffer) memory
-traffic), which saturated DRAM bandwidth and destroyed multi-core
-scaling; this one is compute-light and cache-friendly.
+1-byte codes.  The symbol table is built by iterated pair merging
+(2 -> 4 -> 8 byte symbols over three rounds), so training and encoding
+are a BOUNDED number of numpy passes over the buffer — independent of
+the symbol count.  (An earlier design applied one `bytes.replace` pass
+per symbol: O(symbols x buffer) memory traffic, which saturated DRAM
+bandwidth and destroyed multi-core scaling.)
 
-  * code space: 0..255 are literal bytes; 256..510 are symbols, each
-    defined as a pair (left_code, right_code) of earlier codes,
-    expanding to at most 8 bytes;
-  * pair matching is a single gather through a 2 MiB lookup table
-    (key = left << 10 | right, codes < 1024 always);
-  * selection is exact greedy left-to-right, vectorized over matched
-    positions only (within each maximal run of consecutive matchable
-    positions, greedy picks offsets 0, 2, 4, ...);
-  * the final code stream is bit-packed to ceil(log2(n_codes)) bits.
+Two wire modes, chosen per buffer:
+
+  * mode 1 ("u8", the fast path): symbol codes are byte values that do
+    NOT occur anywhere in the buffer (web text/urls typically leave
+    150+ byte values free), so every pass stays in uint8 domain and the
+    output is a plain byte stream — about half the memory traffic of
+    the generic path and the closest rendering of real FSST's 1-byte
+    codes.  Requires >= _MIN_FREE free byte values.
+  * mode 0 ("u16", the generic path): codes 256..510 in uint16 domain,
+    emitted as a low-byte plane plus a bit-packed high-bit plane.
+    Handles buffers that use the full byte alphabet.
+
+Matching is a single gather through a lookup table; selection is a
+maximal non-overlapping match set computed with pure boolean passes
+(two-coloring of the conflict path graph — no index-array temporaries).
+Buffers are processed in L2-sized tiles, each tile running ALL merge
+rounds while cache-resident: DRAM traffic is ~one read + one write of
+the stream instead of one per round.
 
 Payload layout (self-describing):
-    <H n_symbols> <Q n_codes>
-    n_symbols x (<H left> <H right>)          merge rules, in code order
-    bit-packed code stream (width = bit_width(255 + n_symbols))
+    <B mode>
+    mode 1: <B n_rules> <Q n_codes> n_rules x (<B code><B left><B right>)
+            raw byte stream
+    mode 0: <H n_rules> <Q n_codes> n_rules x (<H left><H right>)
+            low-byte plane, bit-packed high-bit plane
 
 Reference parity: the reference has no string codec of its own (it
 delegates to Parquet.Net, /root/reference/Parquet.Core/Fragment.cs:307);
@@ -37,15 +47,110 @@ import struct
 
 import numpy as np
 
-
-MAX_SYMBOLS = 255          # new codes 256..510 -> 9-bit packed stream
-ROUNDS = 3                 # pair merges: symbol lengths 2, 4, 8
+MAX_SYMBOLS = 255          # generic mode: codes 256..510
+ROUNDS = 3                 # pair merges: symbol lengths up to 8
 SAMPLE_BYTES = 1 << 18     # train on at most 256 KiB
-_ROUND_BUDGET = (96, 80, 79)   # symbols admitted per round (sums to 255)
+_ROUND_BUDGET = (96, 80, 79)
 MIN_PAIR_COUNT = 16        # a pair must appear this often in the sample
-_KEY_BITS = 10             # codes < 1024 -> pair key fits 20 bits
+_MIN_FREE = 32             # min free byte values for the u8 fast path
+_MAX_SYM_LEN = 8           # FSST symbol length cap
+_TILE = 1 << 18            # stream elements per tile (cache-resident rounds)
+
+_KEY_BITS = 10             # u16 mode: codes < 1024 -> pair key < 2^20
 _LUT_SIZE = 1 << (2 * _KEY_BITS)
 
+
+# ------------------------------------------------------------- selection
+
+def _choose_matches(m: np.ndarray) -> np.ndarray:
+    """Maximal non-overlapping match selection, pure boolean passes.
+
+    Two-coloring of the conflict path graph: take all matches at even
+    positions first, then odd-position matches not adjacent to a taken
+    even match.  The result is a maximal independent set, so match
+    density is close to greedy's, and no index arrays materialize."""
+    n = len(m)
+    even = np.zeros(n, dtype=bool)
+    even[::2] = True
+    ce = m & even
+    blocked = np.zeros(n, dtype=bool)
+    blocked[1:] = ce[:-1]
+    blocked[:-1] |= ce[1:]
+    return ce | (m & ~even & ~blocked)
+
+
+# ------------------------------------------------------- u8 (fast) mode
+
+def _sub_u8(a: np.ndarray, lut_match: np.ndarray,
+            lut_code: np.ndarray) -> np.ndarray:
+    """One merge pass entirely in uint8 domain."""
+    if len(a) < 2:
+        return a
+    key = a[:-1].astype(np.uint16)
+    key <<= np.uint16(8)
+    key |= a[1:]
+    m = lut_match[key]
+    if not m.any():
+        return a
+    chosen = _choose_matches(m)
+    vals = np.where(chosen, lut_code[key], a[:-1])
+    out = np.empty(len(a), dtype=np.uint8)
+    out[:-1] = vals
+    out[-1] = a[-1]
+    keep = np.empty(len(a), dtype=bool)
+    keep[0] = True
+    keep[1:] = ~chosen
+    return out[keep]
+
+
+def _luts_u8(rules: list[tuple[int, int, int]]) -> tuple[np.ndarray, np.ndarray]:
+    lut_match = np.zeros(1 << 16, dtype=bool)
+    lut_code = np.zeros(1 << 16, dtype=np.uint8)
+    for code, left, right in rules:
+        k = (left << 8) | right
+        lut_match[k] = True
+        lut_code[k] = code
+    return lut_match, lut_code
+
+
+def _train_u8(arr: np.ndarray, free: np.ndarray) -> list[tuple[int, int, int]]:
+    sample = arr[:SAMPLE_BYTES].copy()
+    min_count = max(MIN_PAIR_COUNT, len(sample) >> 14)
+    lengths = np.ones(256, dtype=np.int64)
+    rules: list[tuple[int, int, int]] = []
+    free_iter = iter(int(b) for b in free)
+    for rnd in range(ROUNDS):
+        if len(sample) < 2 or len(rules) >= len(free):
+            break
+        budget = min(_ROUND_BUDGET[rnd], len(free) - len(rules))
+        key = sample[:-1].astype(np.uint16)
+        key <<= np.uint16(8)
+        key |= sample[1:]
+        counts = np.bincount(key, minlength=1 << 16)
+        cand = np.flatnonzero(counts >= min_count)
+        if len(cand) == 0:
+            break
+        order = np.argsort(counts[cand])[::-1]
+        added = 0
+        for k in cand[order]:
+            left, right = int(k) >> 8, int(k) & 0xFF
+            if lengths[left] + lengths[right] > _MAX_SYM_LEN:
+                continue
+            code = next(free_iter, None)
+            if code is None:
+                break
+            rules.append((code, left, right))
+            lengths[code] = lengths[left] + lengths[right]
+            added += 1
+            if added >= budget:
+                break
+        if added == 0:
+            break
+        sample = _sub_u8(sample, *_luts_u8(rules))
+    return rules
+
+
+# --------------------------------------------------- u16 (generic) mode
 
 def _build_lut(rules: list[tuple[int, int]]) -> np.ndarray:
     """code = lut[left << 10 | right]; -1 means no rule."""
@@ -55,44 +160,8 @@ def _build_lut(rules: list[tuple[int, int]]) -> np.ndarray:
     return lut
 
 
-_EVEN_MASK_CACHE: dict[int, np.ndarray] = {}
-
-
-def _parity_masks(n: int) -> tuple[np.ndarray, np.ndarray]:
-    even = _EVEN_MASK_CACHE.get(n)
-    if even is None:
-        even = np.zeros(n, dtype=bool)
-        even[::2] = True
-        if len(_EVEN_MASK_CACHE) > 8:
-            _EVEN_MASK_CACHE.clear()
-        _EVEN_MASK_CACHE[n] = even
-    return even, ~even
-
-
-def _choose_matches(m: np.ndarray) -> np.ndarray:
-    """Maximal non-overlapping match selection, pure boolean passes.
-
-    Two-coloring of the conflict path graph: take all matches at even
-    positions first, then odd-position matches not adjacent to a taken
-    even match.  No index arrays are materialized (important: large
-    int64 index temporaries dominate memory traffic otherwise), and the
-    result is a maximal independent set, so match density is close to
-    greedy's while every pass stays O(n) boolean work.
-    """
-    n = len(m)
-    even, odd = _parity_masks(n)
-    ce = m & even
-    blocked = np.zeros(n, dtype=bool)
-    blocked[1:] = ce[:-1]          # position after a taken even match
-    blocked[:-1] |= ce[1:]         # position before a taken even match
-    return ce | (m & odd & ~blocked)
-
-
 def _substitute(a: np.ndarray, lut: np.ndarray) -> np.ndarray:
-    """One merge pass: replace matched pairs with symbol codes.
-
-    `a` is a uint16 code array; returns the (shorter) substituted array.
-    """
+    """One merge pass in uint16 code domain."""
     if len(a) < 2:
         return a
     key = a[:-1].astype(np.uint32)
@@ -113,12 +182,9 @@ def _substitute(a: np.ndarray, lut: np.ndarray) -> np.ndarray:
     return out[keep]
 
 
-def train(buf: bytes, max_symbols: int = MAX_SYMBOLS) -> list[tuple[int, int]]:
-    """Learn merge rules on a sample. Returns [(left, right), ...] where
-    rule i defines code 256+i; later rules may reference earlier codes."""
-    if len(buf) < 64:
-        return []
-    sample = np.frombuffer(buf[:SAMPLE_BYTES], dtype=np.uint8).astype(np.uint16)
+def _train_u16(arr: np.ndarray,
+               max_symbols: int = MAX_SYMBOLS) -> list[tuple[int, int]]:
+    sample = arr[:SAMPLE_BYTES].astype(np.uint16)
     min_count = max(MIN_PAIR_COUNT, len(sample) >> 14)
     rules: list[tuple[int, int]] = []
     for rnd in range(ROUNDS):
@@ -131,88 +197,129 @@ def train(buf: bytes, max_symbols: int = MAX_SYMBOLS) -> list[tuple[int, int]]:
         if len(cand) == 0:
             break
         order = np.argsort(counts[cand])[::-1][:budget]
-        new_rules = [(int(k) >> _KEY_BITS, int(k) & ((1 << _KEY_BITS) - 1))
-                     for k in cand[order]]
-        rules.extend(new_rules)
+        rules.extend((int(k) >> _KEY_BITS, int(k) & ((1 << _KEY_BITS) - 1))
+                     for k in cand[order])
         sample = _substitute(sample, _build_lut(rules))
     return rules
 
 
-def _expand_rules(rules: list[tuple[int, int]]) -> list[bytes]:
-    """Byte expansion of every code (0..255 literals, then symbols)."""
-    exp = [bytes([i]) for i in range(256)]
-    for left, right in rules:
-        exp.append(exp[left] + exp[right])
-    return exp
+# --------------------------------------------------------------- public
+
+def train(buf: bytes, max_symbols: int = MAX_SYMBOLS):
+    """Learn a symbol table.  Returns an opaque table object (falsy when
+    the buffer yields no symbols); pass it to `encode`."""
+    if len(buf) < 64:
+        return []
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    hist = np.bincount(arr, minlength=256)
+    free = np.flatnonzero(hist == 0)
+    if len(free) >= _MIN_FREE:
+        rules = _train_u8(arr, free)
+        return {"mode": "u8", "rules": rules} if rules else []
+    rules = _train_u16(arr, max_symbols)
+    return {"mode": "u16", "rules": rules} if rules else []
 
 
-_TILE = 1 << 18  # codes per tile; all merge rounds run tile-resident (L2)
-
-
-def encode(buf: bytes, table: list[tuple[int, int]]) -> bytes:
-    """Apply merge rules (<= ROUNDS fixpoint passes), then plane-split.
-
-    The buffer is processed in L2-sized tiles, each tile running ALL
-    merge rounds while resident in cache — DRAM traffic is one read of
-    the input plus one write of the output instead of one read+write
-    per round, which is what lets 32 concurrent workers scale on a
-    bandwidth-limited socket.  (A pair match spanning a tile boundary
-    is missed; with 256 Ki-code tiles that is <0.01% of matches.)
-
-    Codes < 512 are stored as a low-byte plane plus a bit-packed
-    high-bit plane — 2 cheap passes instead of a 9-bit shuffle, and the
-    byte plane compresses better under the zstd block wrap."""
-    raw = np.frombuffer(buf, dtype=np.uint8)
-    lut = _build_lut(table) if table else None
+def _tiled(arr: np.ndarray, sub, prep) -> list[np.ndarray]:
     outs = []
-    for lo in range(0, max(len(raw), 1), _TILE):
-        a = raw[lo:lo + _TILE].astype(np.uint16)
-        if lut is not None:
-            for _ in range(ROUNDS):
-                b = _substitute(a, lut)
-                if len(b) == len(a):
-                    break
-                a = b
+    for lo in range(0, max(len(arr), 1), _TILE):
+        a = prep(arr[lo:lo + _TILE])
+        for _ in range(ROUNDS):
+            b = sub(a)
+            if len(b) == len(a):
+                break
+            a = b
         outs.append(a)
-    a = outs[0] if len(outs) == 1 else np.concatenate(outs)
-    head = struct.pack("<HQ", len(table), len(a))
-    rules_b = b"".join(struct.pack("<HH", l, r) for l, r in table)
+    return outs
+
+
+def encode(buf: bytes, table) -> bytes:
+    """Apply the symbol table tile-by-tile; self-describing payload."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if table and table["mode"] == "u8":
+        rules = table["rules"]
+        # safety: codes must be absent from this buffer (always true when
+        # the table was trained on it); otherwise ship zero rules
+        hist = np.bincount(raw, minlength=256)
+        if any(hist[c] for c, _, _ in rules):
+            rules = []
+        if rules:
+            lm, lc = _luts_u8(rules)
+            outs = _tiled(raw, lambda a: _sub_u8(a, lm, lc), lambda s: s)
+            a = outs[0] if len(outs) == 1 else np.concatenate(outs)
+        else:
+            a = raw
+        head = struct.pack("<BBQ", 1, len(rules), len(a))
+        rules_b = b"".join(struct.pack("<BBB", c, l, r) for c, l, r in rules)
+        return head + rules_b + a.tobytes()
+
+    rules = table["rules"] if table else []
+    if rules:
+        lut = _build_lut(rules)
+        outs = _tiled(raw, lambda a: _substitute(a, lut),
+                      lambda s: s.astype(np.uint16))
+        a = outs[0] if len(outs) == 1 else np.concatenate(outs)
+    else:
+        a = raw.astype(np.uint16)
+    head = struct.pack("<BHQ", 0, len(rules), len(a))
+    rules_b = b"".join(struct.pack("<HH", l, r) for l, r in rules)
     low = a.astype(np.uint8).tobytes()
-    high = np.packbits(a >= 256).tobytes() if table else b""
+    high = np.packbits(a >= 256).tobytes() if rules else b""
     return head + rules_b + low + high
 
 
+def _gather_decode(a: np.ndarray, exp: list[bytes]) -> bytes:
+    """Expand a code stream through the symbol table (tiled gather)."""
+    lengths32 = np.array([len(e) for e in exp], dtype=np.int32)
+    starts = np.zeros(len(exp) + 1, dtype=np.int32)
+    np.cumsum(lengths32, out=starts[1:])
+    flat = np.frombuffer(b"".join(exp), dtype=np.uint8)
+    parts = []
+    for lo in range(0, len(a), _TILE):
+        t = a[lo:lo + _TILE]
+        out_lens = lengths32[t]
+        total = int(out_lens.sum(dtype=np.int64))
+        dt = np.int32 if total < 2**31 - 1 else np.int64
+        out_lens = out_lens.astype(dt, copy=False)
+        out_starts = np.zeros(len(t), dtype=dt)
+        np.cumsum(out_lens[:-1], out=out_starts[1:])
+        pos = np.arange(total, dtype=dt)
+        pos -= np.repeat(out_starts, out_lens)
+        idx = np.repeat(starts[t].astype(dt, copy=False), out_lens)
+        idx += pos
+        parts.append(flat[idx])
+    return b"".join(memoryview(p) for p in parts)
+
+
 def decode(payload: bytes) -> bytes:
-    n_sym, n_codes = struct.unpack_from("<HQ", payload, 0)
-    off = 10
+    mode = payload[0]
+    if mode == 1:
+        n_rules, n_codes = struct.unpack_from("<BQ", payload, 1)
+        off = 10
+        exp = [bytes([i]) for i in range(256)]
+        for i in range(n_rules):
+            c, l, r = struct.unpack_from("<BBB", payload, off + 3 * i)
+            exp[c] = exp[l] + exp[r]
+        off += 3 * n_rules
+        if n_codes == 0:
+            return b""
+        a = np.frombuffer(payload, np.uint8, n_codes, off).astype(np.int32)
+        return _gather_decode(a, exp)
+
+    n_rules, n_codes = struct.unpack_from("<HQ", payload, 1)
+    off = 11
     rules = [struct.unpack_from("<HH", payload, off + 4 * i)
-             for i in range(n_sym)]
-    off += 4 * n_sym
+             for i in range(n_rules)]
+    off += 4 * n_rules
     if n_codes == 0:
         return b""
     a = np.frombuffer(payload, np.uint8, n_codes, off).astype(np.int32)
-    if n_sym:
+    if n_rules:
         high = np.unpackbits(
             np.frombuffer(payload, np.uint8, (n_codes + 7) // 8,
                           off + n_codes), count=n_codes)
         a += high.astype(np.int32) << 8
-    exp = _expand_rules(rules)
-    lengths = np.array([len(e) for e in exp], dtype=np.int32)
-    starts = np.zeros(len(exp) + 1, dtype=np.int32)
-    np.cumsum(lengths, out=starts[1:])
-    flat = np.frombuffer(b"".join(exp), dtype=np.uint8)
-    # tile the gather so its index temporaries stay cache-resident
-    parts = []
-    for lo in range(0, len(a), _TILE):
-        t = a[lo:lo + _TILE]
-        out_lens = lengths[t]
-        total = int(out_lens.sum(dtype=np.int64))
-        # vectorized variable-length gather: per code, copy its slice
-        out_starts = np.zeros(len(t), dtype=np.int32)
-        np.cumsum(out_lens[:-1], out=out_starts[1:])
-        pos = np.arange(total, dtype=np.int32)
-        pos -= np.repeat(out_starts, out_lens)
-        idx = np.repeat(starts[t], out_lens)
-        idx += pos
-        parts.append(flat[idx])
-    return b"".join(memoryview(p) for p in parts)
+    exp = [bytes([i]) for i in range(256)]
+    for left, right in rules:
+        exp.append(exp[left] + exp[right])
+    return _gather_decode(a, exp)
