@@ -299,8 +299,38 @@ def _is_intfamily(t: pa.DataType) -> bool:
             or pa.types.is_time(t) or pa.types.is_duration(t))
 
 
+def column_stats(sample: pa.Array) -> dict:
+    """Sampled column statistics driving codec auto-selection
+    (north-rule contract: cardinality, run length, byte entropy)."""
+    nn = max(1, len(sample) - sample.null_count)
+    distinct = pc.count_distinct(sample).as_py()
+    # mean run length of equal adjacent values
+    if len(sample) > 1:
+        vals = sample.drop_null()
+        neq = pc.sum(pc.not_equal(vals.slice(1), vals.slice(0, len(vals) - 1))
+                     ).as_py() or 0
+        mean_run = len(vals) / (neq + 1) if len(vals) else 1.0
+    else:
+        mean_run = 1.0
+    # byte entropy of the value bytes (high entropy -> plain/skip trials)
+    ent = 0.0
+    if (pa.types.is_string(sample.type) or pa.types.is_large_string(sample.type)
+            or pa.types.is_binary(sample.type)
+            or pa.types.is_large_binary(sample.type)):
+        data, _ = _bytes_and_lengths(sample.drop_null())
+        if len(data) > 0:
+            hist = np.bincount(np.frombuffer(data, np.uint8), minlength=256)
+            p = hist[hist > 0] / len(data)
+            ent = float(-(p * np.log2(p)).sum())
+    return {"distinct_ratio": distinct / nn, "mean_run_len": mean_run,
+            "byte_entropy": ent}
+
+
+_ENTROPY_SKIP_FSST = 7.5  # bits/byte; above this a symbol table can't win
+
+
 def _pick_string_codec(arr: pa.Array) -> int:
-    """Sample-driven choice between DICT / FSST / STR_PLAIN."""
+    """Stats-driven choice between DICT / FSST / STR_PLAIN."""
     n = len(arr)
     step = max(1, n // _SAMPLE_VALUES)
     sample = arr[::step] if step > 1 else arr
@@ -309,10 +339,11 @@ def _pick_string_codec(arr: pa.Array) -> int:
     if sample.nbytes > _SAMPLE_MAX_BYTES and len(sample) > 64:
         frac = _SAMPLE_MAX_BYTES / sample.nbytes
         sample = sample[:: max(2, int(1 / frac))]
-    nn = max(1, len(sample) - sample.null_count)
-    distinct_ratio = pc.count_distinct(sample).as_py() / nn
-    if distinct_ratio <= DICT_MAX_DISTINCT_RATIO:
+    stats = column_stats(sample)
+    if stats["distinct_ratio"] <= DICT_MAX_DISTINCT_RATIO:
         return DICT
+    if stats["byte_entropy"] >= _ENTROPY_SKIP_FSST:
+        return STR_PLAIN  # near-random bytes: skip the FSST trial entirely
     sp = _enc_str_plain(sample)
     fs = _enc_fsst(sample)
     if fs is None:

@@ -222,3 +222,30 @@ def test_column_decimal_falls_back_to_plain():
                    type=pa.decimal128(10, 2))
     name, _ = col_roundtrip(arr)
     assert name == "plain"
+
+
+# ------------------------------------------------------ selector stats
+
+def test_column_stats_shapes():
+    import pyarrow as pa
+    from parquet_spark.codecs.column import column_stats
+    runs = pa.array(["a"] * 50 + ["b"] * 50)
+    st = column_stats(runs)
+    assert st["distinct_ratio"] == 0.02
+    assert st["mean_run_len"] == 50.0
+    rand = pa.array([bytes([i % 256, (i * 7) % 256]) for i in range(512)],
+                    type=pa.binary())
+    assert column_stats(rand)["byte_entropy"] > 7.0
+
+
+def test_high_entropy_binary_goes_plain():
+    import numpy as np
+    import pyarrow as pa
+    from parquet_spark.codecs.column import CODEC_NAMES, encode_column
+    rng = np.random.default_rng(3)
+    blobs = pa.array([rng.integers(0, 256, 512, dtype=np.uint8).tobytes()
+                      for _ in range(600)], type=pa.binary())
+    name, payload = encode_column(blobs)
+    assert name == "str_plain"
+    # incompressible: the zstd block wrap must have been skipped (flag 0)
+    assert payload[0] == 0
