@@ -25,6 +25,7 @@ from typing import Iterator
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, functions as F
 
 from .codecs import decode_column, encode_column
@@ -32,7 +33,8 @@ from .codecs import decode_column, encode_column
 ENCODED_DDL = ("part_id bigint, chunk_id bigint, n_rows bigint, "
                "schema_ipc binary, names array<string>, "
                "codecs array<string>, payloads array<binary>, "
-               "bytes_in array<bigint>, bytes_out array<bigint>")
+               "bytes_in array<bigint>, bytes_out array<bigint>, "
+               "key_name string, key_min string, key_max string")
 
 DEFAULT_ROWS_PER_CHUNK = 10_000  # reference RowGroupSize default (Options.cs:8)
 
@@ -40,13 +42,15 @@ DEFAULT_ROWS_PER_CHUNK = 10_000  # reference RowGroupSize default (Options.cs:8)
 # ------------------------------------------------------------ pure pieces
 
 def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
-                 codec: str = "auto", plan: dict[str, str] | None = None) -> dict:
+                 codec: str = "auto", plan: dict[str, str] | None = None,
+                 zone_key: str | None = None) -> dict:
     """Encode one Arrow batch into a chunk row (pure, Spark-free).
 
     `plan` is the per-partition codec memo: the auto-selector runs on a
     partition's first chunk only, later chunks reuse its choice (the
     "per-partition codec auto-selector" of the north rule without
-    re-sampling every row group)."""
+    re-sampling every row group).  `zone_key` names a string column to
+    record a per-chunk [min,max] zone map for."""
     names, codecs, payloads, b_in, b_out = [], [], [], [], []
     for i, field in enumerate(batch.schema):
         arr = batch.column(i)
@@ -59,18 +63,33 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
         payloads.append(payload)
         b_in.append(arr.nbytes)
         b_out.append(len(payload))
+    # zone map on the sort key (string keys only: string ordering is the
+    # one Spark filters share) — enables chunk pruning without decode
+    key_name = key_min = key_max = None
+    if zone_key is not None and batch.num_rows:
+        idx = batch.schema.get_field_index(zone_key)
+        if idx >= 0 and pa.types.is_string(batch.schema.field(idx).type):
+            mm = pc.min_max(batch.column(idx))
+            key_name = zone_key
+            key_min = mm["min"].as_py()
+            key_max = mm["max"].as_py()
     return {
         "part_id": part_id, "chunk_id": chunk_id, "n_rows": batch.num_rows,
         "schema_ipc": batch.schema.serialize().to_pybytes(),
         "names": names, "codecs": codecs, "payloads": payloads,
         "bytes_in": b_in, "bytes_out": b_out,
+        "key_name": key_name, "key_min": key_min, "key_max": key_max,
     }
 
 
 def decode_chunk(schema_ipc: bytes, names: list[str],
-                 payloads: list[bytes]) -> pa.RecordBatch:
-    """Inverse of encode_chunk (pure, Spark-free)."""
+                 payloads: list[bytes],
+                 columns: list[str] | None = None) -> pa.RecordBatch:
+    """Inverse of encode_chunk (pure, Spark-free). `columns` projects to
+    a subset without touching the other columns' payloads."""
     schema = pa.ipc.read_schema(pa.BufferReader(schema_ipc))
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
     cols = [decode_column(p, schema.field(n).type)
             for n, p in zip(names, payloads)]
     return pa.RecordBatch.from_arrays(cols, schema=schema)
@@ -87,6 +106,9 @@ def _chunk_rows_to_batch(chunks: list[dict]) -> pa.RecordBatch:
         pa.field("payloads", pa.list_(pa.binary())),
         pa.field("bytes_in", pa.list_(pa.int64())),
         pa.field("bytes_out", pa.list_(pa.int64())),
+        pa.field("key_name", pa.string()),
+        pa.field("key_min", pa.string()),
+        pa.field("key_max", pa.string()),
     ]))
 
 
@@ -120,7 +142,8 @@ def encode_table(df: DataFrame, key: list[str] | None = None,
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                    str(rows_per_chunk))
-    dfp, _ = partition_for_encode(df, key, n_parts)
+    dfp, key = partition_for_encode(df, key, n_parts)
+    zone_key = key[0]
 
     def encoder(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -132,7 +155,8 @@ def encode_table(df: DataFrame, key: list[str] | None = None,
             # one Arrow batch (maxRecordsPerBatch = the row-group knob)
             # is one chunk; the partition is the fragment (SURVEY §1.5)
             chunk = encode_chunk(batch, pid, cid, codec,
-                                 plan if codec == "auto" else None)
+                                 plan if codec == "auto" else None,
+                                 zone_key=zone_key)
             cid += 1
             yield _chunk_rows_to_batch([chunk])
 
@@ -146,20 +170,52 @@ def read_encoded_schema(enc_df: DataFrame) -> pa.Schema:
     return pa.ipc.read_schema(pa.BufferReader(row[0]))
 
 
-def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None) -> DataFrame:
-    """Decode chunk rows back to the original table. Narrow (no shuffle)."""
+def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
+                 columns: list[str] | None = None) -> DataFrame:
+    """Decode chunk rows back to the original table. Narrow (no shuffle).
+
+    `columns` is column pruning THROUGH the encoded format: payloads are
+    stored per column, so unselected columns are never decompressed or
+    decoded — the projection reaches the "scan", like parquet column
+    pruning (a 2-column projection must not pay for `html`)."""
     from pyspark.sql.pandas.types import from_arrow_schema
     schema = schema or read_encoded_schema(enc_df)
+    if columns is not None:
+        missing = [c for c in columns if schema.get_field_index(c) < 0]
+        if missing:
+            raise KeyError(f"columns not in encoded schema: {missing}")
+        schema = pa.schema([schema.field(c) for c in columns])
     spark_schema = from_arrow_schema(schema)
+    want = columns
 
     def decoder(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             d = batch.to_pylist()
             for row in d:
-                yield decode_chunk(row["schema_ipc"], row["names"],
-                                   row["payloads"])
+                names, payloads = row["names"], row["payloads"]
+                if want is not None:
+                    keep = {n: p for n, p in zip(names, payloads)
+                            if n in want}
+                    names = list(want)
+                    payloads = [keep[n] for n in want]
+                yield decode_chunk(row["schema_ipc"], names, payloads,
+                                   columns=want)
 
     return enc_df.mapInArrow(decoder, spark_schema)
+
+
+def prune_chunks(enc_df: DataFrame, lo: str | None = None,
+                 hi: str | None = None) -> DataFrame:
+    """Zone-map chunk pruning: keep only chunks whose sort-key [min,max]
+    range can contain values in [lo, hi].  Runs as a plain filter on the
+    chunk-row metadata — pruned chunks are never decompressed (the
+    partition-pruning analog for the encoded format)."""
+    out = enc_df
+    if lo is not None:
+        out = out.where(F.col("key_max").isNull() | (F.col("key_max") >= lo))
+    if hi is not None:
+        out = out.where(F.col("key_min").isNull() | (F.col("key_min") <= hi))
+    return out
 
 
 def encoding_stats(enc_df: DataFrame) -> DataFrame:

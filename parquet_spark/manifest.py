@@ -171,7 +171,8 @@ def write_encoded(df: DataFrame, table_path: str,
                     pid, {"chunks": [], "t0": time.monotonic()})
                 st["chunks"].append(
                     encode_chunk(data.slice(lo, hi - lo), pid,
-                                 len(st["chunks"]), codec))
+                                 len(st["chunks"]), codec,
+                                 zone_key=key[0]))
         for pid in list(pending):
             yield flush(pid)
 

@@ -80,7 +80,8 @@ def _normalize_schema(schema: pa.Schema) -> pa.Schema:
 
 
 def _iter_chunks(batch_rows: list[dict], codec: str,
-                 rows_per_chunk: int) -> Iterator[dict]:
+                 rows_per_chunk: int,
+                 zone_key: str | None = None) -> Iterator[dict]:
     """Read each split and encode it chunk-by-chunk (runs in the worker)."""
     for d in batch_rows:
         pf = pq.ParquetFile(d["file"])
@@ -88,6 +89,9 @@ def _iter_chunks(batch_rows: list[dict], codec: str,
         norm = _normalize_schema(tbl.schema)
         if norm != tbl.schema:
             tbl = tbl.cast(norm)
+        if zone_key is None:
+            zone_key = next((f.name for f in tbl.schema
+                             if pa.types.is_string(f.type)), None)
         plan: dict[str, str] = {}
         cid = 0
         for lo in range(0, max(tbl.num_rows, 1), rows_per_chunk):
@@ -95,7 +99,8 @@ def _iter_chunks(batch_rows: list[dict], codec: str,
             rb = rb_tbl.to_batches()[0] if rb_tbl.num_rows else \
                 pa.RecordBatch.from_pylist([], schema=tbl.schema)
             yield encode_chunk(rb, d["split_id"], cid, codec,
-                               plan if codec == "auto" else None)
+                               plan if codec == "auto" else None,
+                               zone_key=zone_key)
             cid += 1
 
 

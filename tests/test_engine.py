@@ -121,3 +121,36 @@ def test_encoding_stats_facet(spark):
     assert cols == {"url", "warc_ts", "html", "text", "lang"}
     total_rows = sum(r.rows for r in stats if r.column == "url")
     assert total_rows == 3000
+
+
+@pytest.mark.spark
+def test_column_pruned_decode(spark):
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.engine import decode_table, encode_table
+    df = gen_corpus(spark, 1500, seed=5, parts=2)
+    enc = encode_table(df, key=["url"], n_parts=2).cache()
+    two = decode_table(enc, columns=["url", "lang"])
+    assert two.columns == ["url", "lang"]
+    assert two.count() == 1500
+    full = decode_table(enc)
+    assert (two.exceptAll(full.select("url", "lang")).count() == 0)
+    enc.unpersist()
+
+
+@pytest.mark.spark
+def test_zone_map_pruning(spark):
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.engine import decode_table, encode_table, prune_chunks
+    df = gen_corpus(spark, 3000, seed=5, parts=2)
+    enc = encode_table(df, key=["url"], n_parts=4,
+                       rows_per_chunk=250).cache()
+    n_all = enc.count()
+    lo, hi = "https://host1", "https://host2zz"
+    pruned = prune_chunks(enc, lo, hi)
+    assert pruned.count() < n_all          # some chunks skipped outright
+    got = decode_table(pruned).where(
+        (F.col("url") >= lo) & (F.col("url") <= hi))
+    want = df.where((F.col("url") >= lo) & (F.col("url") <= hi))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    enc.unpersist()
