@@ -102,13 +102,17 @@ def write_encoded(df: DataFrame, table_path: str,
                   key: list[str] | None = None, n_parts: int | None = None,
                   codec: str = "auto",
                   rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
-                  limit_parts: int | None = None) -> dict:
+                  limit_parts: int | None = None,
+                  part_offset: int = 0) -> dict:
     """Encode df into the table, committing a new snapshot. Resumable.
 
     Partitions already present in the CURRENT snapshot are skipped (the
     filter on `_part` prunes them before any encoding work). `limit_parts`
     caps how many new partitions this run encodes (incremental backfill /
-    crash-simulation hook) — the commit is still atomic.
+    crash-simulation hook) — the commit is still atomic.  `part_offset`
+    shifts this batch's part-id range (streaming: epoch k writes parts
+    [k*n_parts, (k+1)*n_parts) — re-delivered epochs become no-ops, so
+    the sink is exactly-once under Structured Streaming checkpointing).
     """
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
@@ -122,13 +126,15 @@ def write_encoded(df: DataFrame, table_path: str,
     # resume needs a stable, FILTERABLE group id, so (unlike the plain
     # encode_table hot path) the group is an explicit column; range
     # placement keeps the group->task mapping ~1:1
-    dfp = (df.withColumn("_part", F.pmod(F.xxhash64(*key), F.lit(n_parts)))
+    dfp = (df.withColumn("_part", F.pmod(F.xxhash64(*key), F.lit(n_parts))
+                         + F.lit(part_offset))
              .repartitionByRange(n_parts, "_part")
              .sortWithinPartitions("_part", *key))
-    todo = [p for p in range(n_parts) if p not in done]
+    todo = [p for p in range(part_offset, part_offset + n_parts)
+            if p not in done]
     if limit_parts is not None:
         todo = todo[:limit_parts]
-    if done or limit_parts is not None:
+    if done or limit_parts is not None or part_offset:
         dfp = dfp.where(F.col("_part").isin(todo))
 
     data_dir = os.path.join(table_path, "data")
