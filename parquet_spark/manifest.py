@@ -204,6 +204,90 @@ def write_encoded(df: DataFrame, table_path: str,
     return table.commit(parts, schema_ipc, parent, meta)
 
 
+def route_encoded(df: DataFrame, route_col: str, base_path: str,
+                  key: list[str] | None = None, n_parts: int | None = None,
+                  codec: str = "auto",
+                  rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK) -> dict[str, dict]:
+    """One encoded table per distinct `route_col` value (O17: the
+    reference's file-per-result-type macro path,
+    /root/reference/Parquet/ParquetResultListener.cs:119-144 — "best
+    performance" per its README because each route avoids the merge).
+
+    Routes are assumed low-cardinality (result types); each route is a
+    filtered single-pass write whose parquet scan prunes by the route
+    predicate.  Returns {route_value: snapshot}."""
+    routes = [r[0] for r in df.select(route_col).distinct().collect()]
+    out = {}
+    for val in sorted(routes, key=str):
+        sub = df.where(F.col(route_col).eqNullSafe(F.lit(val)))
+        path = os.path.join(base_path, f"{route_col}={val}")
+        out[str(val)] = write_encoded(sub, path, key=key, n_parts=n_parts,
+                                      codec=codec,
+                                      rows_per_chunk=rows_per_chunk)
+    return out
+
+
+def compact_table(spark: SparkSession, table_path: str,
+                  target_parts: int = 1) -> dict:
+    """Merge all committed part files into `target_parts` larger ones —
+    the reference's final fragment merge (O10/O11, ParquetFile.Dispose,
+    /root/reference/Parquet.Core/ParquetFile.cs:106-125) as a table
+    operation.  Chunk payloads are NOT re-encoded (streaming row-group
+    merge, Fragment.cs:319-332: bounded memory, no decode); part ids are
+    renumbered and a new snapshot commits atomically."""
+    table = EncodedTable(table_path)
+    parent = table.current_snapshot()
+    if parent is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    enc = read_encoded(spark, table_path)
+    data_dir = os.path.join(table_path, "data")
+
+    def writer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        t0 = time.monotonic()
+        rows: list[pa.RecordBatch] = []
+        for batch in batches:
+            rows.append(batch)
+        if not rows:
+            return
+        tbl = pa.Table.from_batches(rows)
+        final = os.path.join(data_dir, f"compact-{pid:05d}.parquet")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(tbl, tmp, compression="none")
+        os.replace(tmp, final)
+        cmix = sorted({c for ch in tbl.column("codecs") for c in ch.as_py()})
+        yield pa.RecordBatch.from_pylist([{
+            "part_id": pid, "file": final,
+            "n_chunks": tbl.num_rows,
+            "n_rows": int(pa.compute.sum(tbl.column("n_rows")).as_py()),
+            "bytes_in": int(sum(sum(v.as_py()) for v in tbl.column("bytes_in"))),
+            "bytes_out": int(sum(sum(v.as_py()) for v in tbl.column("bytes_out"))),
+            "wall_ms": (time.monotonic() - t0) * 1000.0,
+            "codecs": ",".join(cmix),
+        }])
+
+    lineage = (enc.repartition(target_parts, "part_id")
+               .sortWithinPartitions("part_id", "chunk_id")
+               .mapInArrow(writer, LINEAGE_DDL).collect())
+    parts = {str(r.part_id): {
+        "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
+        "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
+        "wall_ms": r.wall_ms, "codecs": r.codecs} for r in lineage}
+    old_files = set(table.data_files())
+    snap = table.commit(parts, None, parent,
+                        meta={"compacted_from": parent["snapshot_id"],
+                              "target_parts": target_parts})
+    for f in old_files:  # only files no longer referenced
+        if f not in {p["file"] for p in parts.values()}:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    return snap
+
+
 def read_encoded(spark: SparkSession, table_path: str) -> DataFrame:
     """Chunk rows of the CURRENT snapshot (uncommitted files invisible)."""
     files = EncodedTable(table_path).data_files()

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from parquet_spark.corpus import gen_corpus
+from tests.conftest import TESTDATA
 from parquet_spark.manifest import (EncodedTable, lineage_df, read_decoded,
                                     read_encoded, write_encoded)
 from parquet_spark.verify import verify_roundtrip
@@ -88,3 +89,41 @@ def test_snapshot_chain(spark, tmp_path):
     assert snap["snapshot_id"] == 1 and snap["parent_id"] == 0
     with open(os.path.join(t.snap_dir, "snap-000000.json")) as f:
         assert len(json.load(f)["parts"]) == 1
+
+
+@pytest.mark.spark
+def test_route_encoded_per_value(spark):
+    import os
+    import tempfile
+
+    from parquet_spark.manifest import read_decoded, route_encoded
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    base = tempfile.mkdtemp(prefix="routes_")
+    snaps = route_encoded(docs, "source", base, key=["doc_id"], n_parts=2)
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    assert set(snaps) == {str(s) for s in sources}
+    total = 0
+    for s in sources:
+        dec = read_decoded(spark, os.path.join(base, f"source={s}"))
+        assert dec.where(F.col("source") != s).count() == 0
+        total += dec.count()
+    assert total == docs.count()
+
+
+@pytest.mark.spark
+def test_compact_table_roundtrip(spark):
+    import tempfile
+
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.manifest import (EncodedTable, compact_table,
+                                        read_decoded, write_encoded)
+    from parquet_spark.verify import verify_roundtrip
+    df = gen_corpus(spark, 1200, seed=9, parts=3)
+    tbl = tempfile.mkdtemp(prefix="compact_")
+    write_encoded(df, tbl, key=["url"], n_parts=6)
+    assert len(EncodedTable(tbl).data_files()) == 6
+    snap = compact_table(spark, tbl, target_parts=2)
+    assert len(EncodedTable(tbl).data_files()) <= 2
+    assert snap["meta"]["compacted_from"] == 0
+    dec = read_decoded(spark, tbl)
+    verify_roundtrip(df, dec, key=["url"], digest_col="text")
