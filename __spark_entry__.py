@@ -307,6 +307,26 @@ def q_splits_lineage(spark, sf_dir):
         sorted(rows), "part_id int, n_chunks long, n_rows long, codecs string")
 
 
+def q_zone_prune(spark, sf_dir):
+    """Zone-map chunk pruning facet (O16 scan-side predicate pushdown):
+    how many chunks survive a url-range predicate, and that the pruned
+    decode equals the full filter (rows-only; engine-internal)."""
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.engine import decode_table, encode_table, prune_chunks
+    df = gen_corpus(spark, 2000, seed=42, parts=2)
+    enc = encode_table(df, key=["url"], n_parts=4, rows_per_chunk=250).cache()
+    lo, hi = "https://host1", "https://host3zz"
+    pruned = prune_chunks(enc, lo, hi)
+    n_match = (decode_table(pruned)
+               .where((F.col("url") >= lo) & (F.col("url") <= hi)).count())
+    out = spark.createDataFrame(
+        [(enc.count(), pruned.count(), n_match,
+          df.where((F.col("url") >= lo) & (F.col("url") <= hi)).count())],
+        "n_chunks long, n_chunks_pruned long, n_rows_decoded long, n_rows_expected long")
+    enc.unpersist()
+    return out
+
+
 def q_roundtrip_documents(spark, sf_dir):
     from parquet_spark.engine import decode_table, encode_table, encoding_stats
     from parquet_spark.verify import verify_roundtrip
@@ -361,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "media_metadata": q_media_metadata,
         "schema_evolution": q_schema_evolution,
+        "zone_prune": q_zone_prune,
         "splits_lineage": q_splits_lineage,
         "roundtrip_documents": q_roundtrip_documents,
         "corpus_encode": q_corpus_encode,

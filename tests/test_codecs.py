@@ -249,3 +249,28 @@ def test_high_entropy_binary_goes_plain():
     assert name == "str_plain"
     # incompressible: the zstd block wrap must have been skipped (flag 0)
     assert payload[0] == 0
+
+
+def test_column_decimal_roundtrip():
+    import decimal
+    vals = [decimal.Decimal("123.45"), None, decimal.Decimal("-0.01"),
+            decimal.Decimal("99999999.99")]
+    col_roundtrip(pa.array(vals, type=pa.decimal128(10, 2)))
+
+
+def test_column_struct_roundtrip():
+    arr = pa.array([{"a": 1, "b": "x"}, None, {"a": 2, "b": None}],
+                   type=pa.struct([("a", pa.int64()), ("b", pa.string())]))
+    col_roundtrip(arr)
+
+
+def test_column_list_of_floats_roundtrip():
+    arr = pa.array([[1.5, 2.5], None, [], [3.25]],
+                   type=pa.list_(pa.float32()))
+    col_roundtrip(arr)
+
+
+def test_column_timestamp_tz_roundtrip():
+    arr = pa.array([0, 1_700_000_000_000_000, None],
+                   type=pa.timestamp("us", tz="UTC"))
+    col_roundtrip(arr)
