@@ -210,6 +210,17 @@ def q_ann_buckets(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_vecs")).orderBy("bucket"))
 
 
+def q_ivf_clusters(spark, sf_dir):
+    """IVF coarse-quantizer facet (rows-only: centroids need a Lloyd
+    round, not SQL-expressible): deterministic cluster sizes."""
+    from parquet_spark.textops.similarity import ivf_assign, ivf_centroids
+    em = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))"))
+    cents = ivf_centroids(em, n_clusters=8, seed=42)
+    return (ivf_assign(em, cents).groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vecs")).orderBy("cluster"))
+
+
 def q_token_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.agg(
@@ -375,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
+        "ivf_clusters": q_ivf_clusters,
         "token_counts": q_token_counts,
         "quality_by_source": q_quality_by_source,
         "lang_id": q_lang_id,

@@ -62,6 +62,80 @@ def lsh_bucket(df: DataFrame, planes: list[list[float]],
     return df.withColumn("bucket", bucket.cast("int"))
 
 
+def _centroid_lit(c: list[float]) -> str:
+    return "array(" + ",".join(f"{v}D" for v in c) + ")"
+
+
+def ivf_centroids(emb: DataFrame, n_clusters: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  lloyd_iters: int = 1, seed: int = 42) -> list[list[float]]:
+    """Deterministic IVF coarse centroids: seed by the n_clusters vectors
+    with the smallest xxhash64(id) (stable under repartitioning), then
+    refine with `lloyd_iters` rounds of expression-only Lloyd updates
+    (assign via broadcast argmin, mean via posexplode + groupBy — both
+    shuffle only (cluster, dim)-sized aggregates, never the corpus)."""
+    seeds = (emb.select(F.col(vec_col).alias("v"),
+                        F.xxhash64(F.col(id_col) + F.lit(seed)).alias("h"))
+             .orderBy("h").limit(n_clusters).collect())
+    cents = [[float(x) for x in r.v] for r in seeds]
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(emb, cents, vec_col=vec_col)
+        means = (assigned.select("cluster",
+                                 F.posexplode(F.col(vec_col))
+                                 .alias("pos", "x"))
+                 .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("cluster")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("sm"))
+                 .collect())
+        for r in means:
+            cents[r.cluster] = [float(s.m) for s in r.sm]
+    return [[round(v, 6) for v in c] for c in cents]
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding", out_col: str = "cluster",
+               nprobe: int = 1) -> DataFrame:
+    """Nearest-centroid id(s) via a pure-expression argmin over the
+    broadcast centroid literals.  nprobe > 1 explodes each row into its
+    nprobe closest clusters (query-side fan-out)."""
+    dists = [F.struct(
+        F.expr(f"aggregate(zip_with({vec_col}, {_centroid_lit(c)}, "
+               f"(x, y) -> (x - y) * (x - y)), 0D, (s, v) -> s + v)")
+        .alias("d"), F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)]
+    arr = F.array_sort(F.array(*dists))
+    if nprobe <= 1:
+        return df.withColumn(out_col, arr[0].getField("i"))
+    probes = F.slice(arr, 1, nprobe)
+    return (df.withColumn("_p", F.explode(probes))
+              .withColumn(out_col, F.col("_p").getField("i")).drop("_p"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             centroids: list[list[float]], k: int = 5, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "q_id") -> DataFrame:
+    """IVF approximate top-k: corpus partitioned by nearest centroid
+    once (the inverted file); each query scores only its nprobe probe
+    lists.  The join key is the cluster id, so the corpus side shuffles
+    by cluster — at 10^12 rows that is the bucketed-layout read path."""
+    c = ivf_assign(corpus.select(F.col(id_col), F.col(vec_col).alias("cv")),
+                   centroids, "cv")
+    q = ivf_assign(queries.select(F.col(qid_col), F.col(vec_col).alias("qv")),
+                   centroids, "qv", nprobe=nprobe)
+    scored = (c.join(F.broadcast(q), "cluster")
+              .withColumn("cos", F.round(_dot("qv", "cv") /
+                                         (_norm("qv") * _norm("cv")), 6)))
+    return (scored.groupBy(qid_col, id_col)  # probe lists can overlap
+            .agg(F.max("cos").alias("cos"))
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy(qid_col).orderBy(
+                    F.col("cos").desc(), F.col(id_col).asc())))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "cos", "rank"))
+
+
 def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 8, seed: int = 42, id_col: str = "vec_id",
              vec_col: str = "embedding", qid_col: str = "q_id",

@@ -167,3 +167,35 @@ def test_media_metadata_and_stub_features(spark):
     assert feats[0].decoder == "stub-sha256"
     with pytest.raises(NotImplementedError):
         decode_image(b"x", fake=False)        # real decoder is stubbed
+
+
+@pytest.mark.spark
+def test_ivf_assign_deterministic_and_partitioning(spark, vecs):
+    from parquet_spark.textops.similarity import ivf_assign, ivf_centroids
+    cents = ivf_centroids(vecs, n_clusters=4, seed=42)
+    assert cents == ivf_centroids(vecs, n_clusters=4, seed=42)
+    a1 = {r.vec_id: r.cluster for r in ivf_assign(vecs, cents).collect()}
+    a2 = {r.vec_id: r.cluster
+          for r in ivf_assign(vecs.repartition(7), cents).collect()}
+    assert a1 == a2
+    assert set(a1.values()) <= set(range(4))
+
+
+@pytest.mark.spark
+def test_ivf_topk_recall_vs_bruteforce(spark, vecs):
+    from parquet_spark.textops.similarity import (cosine_topk, ivf_centroids,
+                                                  ivf_topk)
+    q = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    c = vecs.where(F.col("vec_id") != 0)
+    cents = ivf_centroids(vecs, n_clusters=4, seed=42)
+    approx = [r.vec_id for r in
+              ivf_topk(c, q, cents, k=5, nprobe=4).orderBy("rank").collect()]
+    exact = [r.vec_id for r in cosine_topk(c, q, k=5).orderBy("rank").collect()]
+    # nprobe = n_clusters probes everything -> must equal brute force
+    assert approx == exact
+    # scaled twin of the query lands in the same cluster -> found even
+    # with a single probe
+    one = [r.vec_id for r in
+           ivf_topk(c, q, cents, k=1, nprobe=1).collect()]
+    assert one == [100]
