@@ -47,6 +47,42 @@ def encode_stream(stream_df: DataFrame, table_path: str,
     return writer.start()
 
 
+def streaming_dedup(stream_df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Cross-batch exact dedup: emit each distinct text digest once,
+    ever — a custom stateful operator via applyInPandasWithState.
+
+    State is one flag per digest group; a digest seen in any earlier
+    micro-batch emits nothing.  Within a batch the lowest id wins (the
+    reference-style keeper rule, cf. textops.dedup.exact_dedup).  At
+    10^12 docs the state store shards by the digest hash across
+    executors; pair with a watermark/TTL timeout when the digest space
+    is unbounded."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"digest string, {id_col} long"
+    state_schema = "seen int"
+
+    def dedup_fn(key, pdfs, state):
+        import pandas as pd
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf[id_col].min())
+                best = m if best is None else min(best, m)
+        if state.exists or best is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame({"digest": [key[0]], id_col: [best]})
+
+    return (stream_df
+            .withColumn("digest", SF.md5(SF.col(text_col)))
+            .groupBy("digest")
+            .applyInPandasWithState(dedup_fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def file_stream(spark: SparkSession, input_dir: str, schema_ddl: str,
                 max_files_per_trigger: int = 1) -> DataFrame:
     """Parquet-directory source with bounded per-batch file count."""

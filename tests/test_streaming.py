@@ -64,3 +64,34 @@ def test_stream_restart_is_exactly_once(spark):
                       key=["url"], n_parts=2)
     q.awaitTermination(120)
     assert read_decoded(spark, tbl).count() == n1 == 300
+
+
+@pytest.mark.spark
+def test_streaming_dedup_across_batches(spark):
+    from parquet_spark.streaming import file_stream, streaming_dedup
+
+    src = tempfile.mkdtemp(prefix="sdedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdedup_ckpt_")
+    b1 = spark.createDataFrame(
+        [(0, "alpha text"), (1, "beta text")], ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [(2, "beta text"), (3, "gamma text"), (4, "gamma text")],
+        ["doc_id", "text"])
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+    b2.coalesce(1).write.parquet(os.path.join(src, "b2.parquet"))
+
+    stream = file_stream(spark, src, "doc_id long, text string")
+    q = (streaming_dedup(stream).writeStream
+         .format("memory").queryName("dedup_out")
+         .outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.doc_id for r in spark.sql("select * from dedup_out").collect()}
+    # one keeper per distinct text across ALL batches; min id wins
+    got = sorted(rows)
+    assert 0 in got and 3 in got           # alpha, gamma keepers
+    assert (1 in got) != (2 in got) or 1 in got  # beta emitted exactly once
+    n = spark.sql(
+        "select count(distinct digest) c from dedup_out").head().c
+    assert n == 3 and len(got) == 3
