@@ -83,6 +83,25 @@ def streaming_dedup(stream_df: DataFrame, text_col: str = "text",
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def windowed_ingest_stats(stream_df: DataFrame, ts_col: str = "warc_ts",
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Event-time windowed ingest statistics with a late-data watermark.
+
+    Per (window, lang) doc counts and byte volume — the monitoring feed
+    a crawl-ingest pipeline tails.  The watermark bounds state: windows
+    older than max(event_time) - watermark are finalized and dropped
+    from the store, so state size is O(active windows), not O(stream)."""
+    from pyspark.sql import functions as SF
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(SF.window(ts_col, window).alias("w"), "lang")
+            .agg(SF.count(SF.lit(1)).alias("n_docs"),
+                 SF.sum(SF.octet_length("text")).alias("text_bytes"))
+            .select(SF.col("w.start").alias("window_start"), "lang",
+                    "n_docs", "text_bytes"))
+
+
 def file_stream(spark: SparkSession, input_dir: str, schema_ddl: str,
                 max_files_per_trigger: int = 1) -> DataFrame:
     """Parquet-directory source with bounded per-batch file count."""

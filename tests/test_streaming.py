@@ -9,7 +9,9 @@ give exactly-once on re-delivery.
 import os
 import tempfile
 
+import pyarrow as pa
 import pytest
+from pyspark.sql import functions as F
 
 from parquet_spark.corpus import CORPUS_DDL
 
@@ -95,3 +97,35 @@ def test_streaming_dedup_across_batches(spark):
     n = spark.sql(
         "select count(distinct digest) c from dedup_out").head().c
     assert n == 3 and len(got) == 3
+
+
+@pytest.mark.spark
+def test_windowed_ingest_stats_with_watermark(spark):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_spark.corpus import gen_batch
+    from parquet_spark.streaming import file_stream, windowed_ingest_stats
+
+    src = tempfile.mkdtemp(prefix="wstats_src_")
+    ckpt = tempfile.mkdtemp(prefix="wstats_ckpt_")
+    # batch 1: ids 0..300 (~10 min of event time); batch 2 is ~55h later,
+    # so its arrival pushes the watermark past every batch-1 window
+    b1 = gen_batch(np.arange(300, dtype=np.uint64), seed=41)
+    b2 = gen_batch(np.arange(100_000, 100_050, dtype=np.uint64), seed=41)
+    pq.write_table(pa.Table.from_batches([b1]), os.path.join(src, "f1.parquet"))
+    pq.write_table(pa.Table.from_batches([b2]), os.path.join(src, "f2.parquet"))
+
+    stream = file_stream(spark, src, CORPUS_DDL)
+    q = (windowed_ingest_stats(stream, window="10 minutes",
+                               watermark="30 minutes").writeStream
+         .format("memory").queryName("wstats")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("select * from wstats")
+    # every batch-1 window is finalized; batch-2 windows are still open
+    total = out.agg(F.sum("n_docs")).head()[0] or 0
+    assert out.count() > 0
+    assert total == 300
