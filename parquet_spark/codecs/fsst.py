@@ -81,19 +81,23 @@ def _choose_matches(m: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------- u8 (fast) mode
 
-def _sub_u8(a: np.ndarray, lut_match: np.ndarray,
-            lut_code: np.ndarray) -> np.ndarray:
-    """One merge pass entirely in uint8 domain."""
+def _sub_u8(a: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """One merge pass entirely in uint8 domain.
+
+    Single 64 KiB int16 LUT gather per pass: entry = code + 1, 0 = no
+    rule (one gather instead of separate match/code tables)."""
     if len(a) < 2:
         return a
     key = a[:-1].astype(np.uint16)
     key <<= np.uint16(8)
     key |= a[1:]
-    m = lut_match[key]
+    v = lut[key]
+    m = v > 0
     if not m.any():
         return a
     chosen = _choose_matches(m)
-    vals = np.where(chosen, lut_code[key], a[:-1])
+    v -= 1
+    vals = np.where(chosen, v.astype(np.uint8), a[:-1])
     out = np.empty(len(a), dtype=np.uint8)
     out[:-1] = vals
     out[-1] = a[-1]
@@ -103,14 +107,11 @@ def _sub_u8(a: np.ndarray, lut_match: np.ndarray,
     return out[keep]
 
 
-def _luts_u8(rules: list[tuple[int, int, int]]) -> tuple[np.ndarray, np.ndarray]:
-    lut_match = np.zeros(1 << 16, dtype=bool)
-    lut_code = np.zeros(1 << 16, dtype=np.uint8)
+def _luts_u8(rules: list[tuple[int, int, int]]) -> np.ndarray:
+    lut = np.zeros(1 << 16, dtype=np.int16)
     for code, left, right in rules:
-        k = (left << 8) | right
-        lut_match[k] = True
-        lut_code[k] = code
-    return lut_match, lut_code
+        lut[(left << 8) | right] = code + 1
+    return lut
 
 
 def _train_u8(arr: np.ndarray, free: np.ndarray) -> list[tuple[int, int, int]]:
@@ -146,7 +147,7 @@ def _train_u8(arr: np.ndarray, free: np.ndarray) -> list[tuple[int, int, int]]:
                 break
         if added == 0:
             break
-        sample = _sub_u8(sample, *_luts_u8(rules))
+        sample = _sub_u8(sample, _luts_u8(rules))
     return rules
 
 
@@ -244,8 +245,8 @@ def encode(buf: bytes, table) -> bytes:
         if any(hist[c] for c, _, _ in rules):
             rules = []
         if rules:
-            lm, lc = _luts_u8(rules)
-            outs = _tiled(raw, lambda a: _sub_u8(a, lm, lc), lambda s: s)
+            lut8 = _luts_u8(rules)
+            outs = _tiled(raw, lambda a: _sub_u8(a, lut8), lambda s: s)
             a = outs[0] if len(outs) == 1 else np.concatenate(outs)
         else:
             a = raw
