@@ -47,3 +47,20 @@ def test_apply_is_broadcast_join(spark):
     plan = apply_global_dict(df, "lang", d)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:500]
+
+
+@pytest.mark.spark
+def test_salting_spreads_the_hot_key(spark):
+    # 'en' is ~60% of the corpus (Zipf hot key). Unsalted, one reducer
+    # gets all of it; salted phase-1 groups spread it over many.
+    df = gen_corpus(spark, 4000, seed=47, parts=4)
+    n_en = df.where(F.col("lang") == "en").count()
+    assert n_en > 1500  # the skew premise holds
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(64)).alias("_salt")
+    partial = (df.select("lang", salt)
+               .groupBy("lang", "_salt").agg(F.count(F.lit(1)).alias("c")))
+    hot = partial.where(F.col("lang") == "en")
+    n_groups = hot.count()
+    biggest = hot.agg(F.max("c")).head()[0]
+    assert n_groups >= 32           # spread across many reducers
+    assert biggest < 0.2 * n_en     # no single reducer owns the hot key
