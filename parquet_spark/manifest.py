@@ -296,9 +296,10 @@ def read_encoded(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.parquet(*files)
 
 
-def read_decoded(spark: SparkSession, table_path: str) -> DataFrame:
+def read_decoded(spark: SparkSession, table_path: str,
+                 columns: list[str] | None = None) -> DataFrame:
     return decode_table(read_encoded(spark, table_path),
-                        EncodedTable(table_path).schema())
+                        EncodedTable(table_path).schema(), columns=columns)
 
 
 def lineage_df(spark: SparkSession, table_path: str) -> DataFrame:

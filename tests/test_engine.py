@@ -154,3 +154,21 @@ def test_zone_map_pruning(spark):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     enc.unpersist()
+
+
+@pytest.mark.spark
+def test_encode_deterministic_under_input_partitioning(spark):
+    """Fixed (input, key, n_parts) must give byte-identical chunks no
+    matter how the input arrives (north-rule reproducibility)."""
+    from parquet_spark.corpus import gen_corpus
+    df = gen_corpus(spark, 2000, seed=3, parts=2)
+
+    def digests(frame):
+        enc = encode_table(frame, key=["url"], n_parts=4)
+        rows = enc.select("part_id", "chunk_id",
+                          F.md5(F.col("payloads")[0]).alias("d0"),
+                          F.md5(F.col("payloads")[3]).alias("d3")).collect()
+        return sorted((r.part_id, r.chunk_id, r.d0, r.d3) for r in rows)
+
+    assert digests(df) == digests(df.repartition(13)) \
+        == digests(df.coalesce(1))
