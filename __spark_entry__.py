@@ -270,6 +270,14 @@ def q_lang_id(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang_guess"))
 
 
+def q_rolling_fp(spark, sf_dir):
+    from parquet_spark.textops.textstats import rolling_fingerprint
+    d = rolling_fingerprint(_t(spark, sf_dir, "documents"))
+    return d.agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("rolling_fp").alias("n_distinct"),
+                 F.sum("rolling_fp").alias("sum_fp"))
+
+
 def q_fingerprint(spark, sf_dir):
     from parquet_spark.textops.textstats import fingerprint
     d = fingerprint(_t(spark, sf_dir, "documents"))
@@ -390,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_by_source": q_quality_by_source,
         "lang_id": q_lang_id,
+        "rolling_fp": q_rolling_fp,
         "fingerprint": q_fingerprint,
         "media_metadata": q_media_metadata,
         "schema_evolution": q_schema_evolution,
@@ -593,6 +602,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT cand AS lang_guess, COUNT(*) AS n_docs FROM w WHERE rn = 1
             GROUP BY cand ORDER BY lang_guess""",
+        "rolling_fp": """
+            WITH h AS (SELECT list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                         (a, b) -> (a * 31 + b) % 1000000007) AS fp
+                       FROM documents)
+            SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct,
+                   SUM(fp) AS sum_fp FROM h""",
         "fingerprint": """
             SELECT COUNT(*) AS n_docs,
                    COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),

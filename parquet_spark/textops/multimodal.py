@@ -49,6 +49,66 @@ def media_metadata(df: DataFrame, id_col: str, blob_col: str,
         F.sha2(b, 256).alias("sha256"))
 
 
+RESIZED_DDL = "media_id bigint, width int, height int, thumb binary"
+FRAMES_DDL = "media_id bigint, frame_idx int, frame binary"
+
+
+def resize_image(df: DataFrame, id_col: str, blob_col: str,
+                 width: int = 32, height: int = 32,
+                 fake: bool = True) -> DataFrame:
+    """Thumbnail stub over mapInPandas: real impl would decode+resample;
+    the fake path emits a deterministic width*height byte grid derived
+    from the blob hash, so schema/batching/partitioning are real."""
+    src = df.select(F.col(id_col).alias("media_id"),
+                    F.col(blob_col).alias("blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for blob in pdf["blob"]:
+                if blob is None:
+                    thumbs.append(None)
+                elif not fake:
+                    raise NotImplementedError("no image library in container")
+                else:
+                    seed = hashlib.sha256(bytes(blob)).digest()
+                    reps = (width * height) // len(seed) + 1
+                    thumbs.append((seed * reps)[: width * height])
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "width": width, "height": height,
+                                "thumb": thumbs})
+
+    return src.mapInPandas(run, RESIZED_DDL)
+
+
+def sample_frames(df: DataFrame, id_col: str, blob_col: str,
+                  frame_bytes: int = 1024, every_k: int = 4) -> DataFrame:
+    """Frame sampling over an opaque video blob: split the byte stream
+    into fixed-size "frames" and keep every k-th — the Spark-side
+    plumbing (explode fan-out, bounded batches) of a real frame sampler,
+    with the codec-specific parsing left to a pluggable decoder."""
+    src = df.select(F.col(id_col).alias("media_id"),
+                    F.col(blob_col).alias("blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                n = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n, every_k):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": pd.array(ids, dtype="int64"),
+                                "frame_idx": pd.array(idxs, dtype="int32"),
+                                "frame": frames})
+
+    return src.mapInPandas(run, FRAMES_DDL)
+
+
 def extract_features(df: DataFrame, id_col: str, blob_col: str,
                      fake: bool = True, batch_size: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over binary blobs (mapInPandas).

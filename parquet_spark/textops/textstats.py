@@ -61,6 +61,22 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
               .withColumn("lang_score", F.round(best.getField("score"), 4)))
 
 
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Polynomial rolling-hash fingerprint, pure codegen expressions:
+    h = fold(h * 31 + ascii(char)) mod 1e9+7 over the document bytes.
+    Order-sensitive (unlike a bag-of-words hash) and incremental — the
+    classic Rabin-Karp document fingerprint."""
+    chars = F.split(F.col(text_col), "")
+    h = F.aggregate(
+        chars, F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * ROLL_BASE + F.ascii(c)) % ROLL_MOD)
+    return df.withColumn("rolling_fp", h)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalization fingerprint: md5 of lowercased, punct-stripped,
     space-collapsed text (near-dup canonical form)."""

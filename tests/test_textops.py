@@ -199,3 +199,38 @@ def test_ivf_topk_recall_vs_bruteforce(spark, vecs):
     one = [r.vec_id for r in
            ivf_topk(c, q, cents, k=1, nprobe=1).collect()]
     assert one == [100]
+
+
+@pytest.mark.spark
+def test_rolling_fingerprint_matches_python(spark, docs):
+    from parquet_spark.textops.textstats import (ROLL_BASE, ROLL_MOD,
+                                                 rolling_fingerprint)
+    got = {r.doc_id: r.rolling_fp
+           for r in rolling_fingerprint(docs).collect()}
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    for did, text in rows.items():
+        h = 0
+        for ch in text:
+            h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
+        assert got[did] == h
+    assert got[0] == got[3] and got[0] != got[1]  # order-sensitive, exact
+
+
+@pytest.mark.spark
+def test_resize_and_frame_sampling_stubs(spark):
+    from parquet_spark.textops.multimodal import resize_image, sample_frames
+    df = spark.createDataFrame(
+        [(0, bytearray(b"x" * 5000)), (1, None), (2, bytearray(b"y" * 100))],
+        "media_id long, blob binary")
+    th = {r.media_id: r for r in
+          resize_image(df, "media_id", "blob", 8, 8).collect()}
+    assert len(th[0].thumb) == 64 and th[1].thumb is None
+    assert th[0].thumb != th[2].thumb          # content-derived
+    fr = sample_frames(df, "media_id", "blob",
+                       frame_bytes=1000, every_k=2).collect()
+    by_id = {}
+    for r in fr:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert sorted(by_id[0]) == [0, 2, 4]       # 5 frames, every 2nd
+    assert 1 not in by_id                      # null blob skipped
+    assert sorted(by_id[2]) == [0]
