@@ -225,15 +225,24 @@ def _dec_str_plain(body: bytes, t: pa.DataType) -> pa.Array:
     return _scatter(_strings_from(body[off:], lengths, t), n, valid)
 
 
-def _enc_fsst(arr: pa.Array, table=None) -> bytes | None:
+def _enc_fsst(arr: pa.Array, table=None, ctx: dict | None = None) -> bytes | None:
     head, vals = _validity_header(arr, STR_FSST)
     data, lengths = _bytes_and_lengths(vals)
+    if table is None and ctx is not None:
+        # per-partition symbol-table reuse: train on the first chunk,
+        # apply to the rest (re-validated; u8 codes must stay free)
+        cached = ctx.get("fsst_table")
+        if cached is not None and fsst.table_ok(data, cached):
+            table = cached
     if table is None:
         table = fsst.train(data)
+        if ctx is not None and table:
+            ctx["fsst_table"] = table
     if not table:
         return None
-    return (head + _prefix_u32(encode_uint64(lengths.view(np.uint64))) +
-            fsst.encode(data, table))
+    return (head + _prefix_u32(encode_uint64(
+        np.ascontiguousarray(lengths).view(np.uint64))) +
+        fsst.encode(data, table))
 
 
 def _dec_fsst(body: bytes, t: pa.DataType) -> pa.Array:
@@ -362,7 +371,8 @@ def _pick_string_codec(arr: pa.Array) -> int:
     return STR_FSST if len(fs) * 1.4 <= len(sp) else STR_PLAIN
 
 
-def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True) -> bytes:
+def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
+                 ctx: dict | None = None) -> bytes:
     t = arr.type
     if codec != "auto":
         cid = CODEC_IDS[codec]
@@ -385,7 +395,7 @@ def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True) -> bytes:
         cid = PLAIN
 
     if cid == STR_FSST:
-        body = _enc_fsst(arr)
+        body = _enc_fsst(arr, ctx=ctx)
         if body is None:
             body = _enc_str_plain(arr)
         return body
@@ -406,12 +416,17 @@ def _decode_body(body: bytes, t: pa.DataType) -> pa.Array:
 
 # ------------------------------------------------------------------ public
 
-def encode_column(arr: pa.Array, codec: str = "auto") -> tuple[str, bytes]:
-    """Encode one column chunk. Returns (codec_name, payload)."""
+def encode_column(arr: pa.Array, codec: str = "auto",
+                  ctx: dict | None = None) -> tuple[str, bytes]:
+    """Encode one column chunk. Returns (codec_name, payload).
+
+    `ctx` is an optional per-partition, per-column scratch dict: the
+    auto-selector's choice and the trained FSST symbol table are cached
+    there so later chunks of the same partition skip re-sampling."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     try:
-        body = _encode_body(arr, codec)
+        body = _encode_body(arr, codec, ctx=ctx)
     except Exception:
         if codec != "auto":
             raise

@@ -206,6 +206,16 @@ def _train_u16(arr: np.ndarray,
 
 # --------------------------------------------------------------- public
 
+def table_ok(buf: bytes, table) -> bool:
+    """Can `table` be applied to `buf`?  u8-mode tables require their
+    code bytes to be absent from the buffer (true when trained on it;
+    re-checked for cross-chunk reuse)."""
+    if not table or table["mode"] != "u8":
+        return True
+    hist = np.bincount(np.frombuffer(buf, dtype=np.uint8), minlength=256)
+    return not any(hist[c] for c, _, _ in table["rules"])
+
+
 def train(buf: bytes, max_symbols: int = MAX_SYMBOLS):
     """Learn a symbol table.  Returns an opaque table object (falsy when
     the buffer yields no symbols); pass it to `encode`."""

@@ -42,22 +42,24 @@ DEFAULT_ROWS_PER_CHUNK = 10_000  # reference RowGroupSize default (Options.cs:8)
 # ------------------------------------------------------------ pure pieces
 
 def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
-                 codec: str = "auto", plan: dict[str, str] | None = None,
+                 codec: str = "auto", plan: dict[str, dict] | None = None,
                  zone_key: str | None = None) -> dict:
     """Encode one Arrow batch into a chunk row (pure, Spark-free).
 
-    `plan` is the per-partition codec memo: the auto-selector runs on a
-    partition's first chunk only, later chunks reuse its choice (the
-    "per-partition codec auto-selector" of the north rule without
-    re-sampling every row group).  `zone_key` names a string column to
-    record a per-chunk [min,max] zone map for."""
+    `plan` is the per-partition codec memo: the auto-selector and FSST
+    trainer run on a partition's first chunk only, later chunks reuse
+    the choice and symbol table (the "per-partition codec auto-selector"
+    of the north rule without re-sampling every row group).  `zone_key`
+    names a string column to record a per-chunk [min,max] zone map for."""
     names, codecs, payloads, b_in, b_out = [], [], [], [], []
     for i, field in enumerate(batch.schema):
         arr = batch.column(i)
+        colctx = plan.setdefault(field.name, {}) if plan is not None else None
         cname, payload = encode_column(
-            arr, plan.get(field.name, codec) if plan is not None else codec)
-        if plan is not None and field.name not in plan:
-            plan[field.name] = cname
+            arr, colctx.get("codec", codec) if colctx is not None else codec,
+            ctx=colctx)
+        if colctx is not None and "codec" not in colctx:
+            colctx["codec"] = cname
         names.append(field.name)
         codecs.append(cname)
         payloads.append(payload)
@@ -149,7 +151,7 @@ def encode_table(df: DataFrame, key: list[str] | None = None,
         from pyspark import TaskContext
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        plan: dict[str, str] = {}  # per-partition codec memo
+        plan: dict[str, dict] = {}  # per-partition codec + symbol-table memo
         cid = 0
         for batch in batches:
             # one Arrow batch (maxRecordsPerBatch = the row-group knob)

@@ -92,7 +92,7 @@ def _iter_chunks(batch_rows: list[dict], codec: str,
         if zone_key is None:
             zone_key = next((f.name for f in tbl.schema
                              if pa.types.is_string(f.type)), None)
-        plan: dict[str, str] = {}
+        plan: dict[str, dict] = {}
         cid = 0
         for lo in range(0, max(tbl.num_rows, 1), rows_per_chunk):
             rb_tbl = tbl.slice(lo, rows_per_chunk).combine_chunks()
