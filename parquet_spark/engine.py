@@ -8,9 +8,10 @@ row-group cache -> flush, /root/reference/Parquet.Core/Fragment.cs:129-311):
 
   * the "row-group" is an Arrow record batch (maxRecordsPerBatch is the
     RowGroupSize knob, reference default 10,000, Options.cs:8);
-  * the "fragment" is a Spark partition, placed by explicit hash/range
-    partitioning on xxhash64(key) so layout is uniform and deterministic
-    at any scale (north rule: explicit url-hash partitioning);
+  * the "fragment" is a Spark partition, placed by deterministic hash
+    partitioning on the key (murmur3(key) pmod n — uniform and stable at
+    any scale; the north rule's explicit url-hash placement), with the
+    manifest layer offering filterable range placement for resume;
   * the "writer thread" is the executor's Python worker running a
     vectorized Arrow UDF (mapInArrow) — no per-row Python anywhere.
 
@@ -118,12 +119,12 @@ def _chunk_rows_to_batch(chunks: list[dict]) -> pa.RecordBatch:
 
 def partition_for_encode(df: DataFrame, key: list[str] | None = None,
                          n_parts: int | None = None) -> tuple[DataFrame, list[str]]:
-    """Explicit deterministic placement: _part = pmod(xxhash64(key), n).
+    """Deterministic placement: partition = murmur3(key) pmod n_parts.
 
-    xxhash64 of a (near-)unique key is uniform, so partitions are balanced
-    even when raw key values (lang, domain) are Zipf-skewed — the salting
-    story from the north rule. sortWithinPartitions makes chunk contents
-    reproducible run-to-run at any parallelism.
+    Hashing a (near-)unique key is uniform even when raw values (lang,
+    domain) are Zipf-skewed; sortWithinPartitions makes chunk contents
+    reproducible run-to-run at any parallelism (tested: identical chunk
+    digests under arbitrary input partitioning).
     """
     key = key or [df.columns[0]]
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
