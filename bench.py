@@ -186,7 +186,7 @@ def main():
             scale_path = SCALE_CORPUS_PATH
             repo = os.path.dirname(os.path.abspath(__file__))
             res = {}
-            for m, reps in (("local[2]", "2"), ("local[8]", "3"),
+            for m, reps in (("local[2]", "3"), ("local[8]", "5"),
                             ("local[32]", "3")):
                 p = subprocess.run(
                     [sys.executable, "scripts/encode_job.py", "--master", m,

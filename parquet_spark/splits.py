@@ -63,8 +63,12 @@ def _split_df(spark: SparkSession, splits: list[dict],
               n_tasks: int | None = None) -> DataFrame:
     n_tasks = min(n_tasks or spark.sparkContext.defaultParallelism,
                   max(1, len(splits)))
+    # round-robin, NOT hash-repartition on split_id: hashing n ids into
+    # n tasks collides (birthday bound) and leaves some tasks 3-4 splits
+    # while others idle; round-robin is exactly even, and chunk identity
+    # (part_id = split_id) never depends on task placement
     return spark.createDataFrame(splits, schema=SPLIT_DDL) \
-        .repartition(n_tasks, "split_id")
+        .repartition(n_tasks)
 
 
 def _normalize_schema(schema: pa.Schema) -> pa.Schema:
