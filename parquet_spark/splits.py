@@ -31,7 +31,7 @@ from typing import Iterator
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from .engine import (DEFAULT_ROWS_PER_CHUNK, ENCODED_DDL,
                      _chunk_rows_to_batch, encode_chunk)
