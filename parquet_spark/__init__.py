@@ -33,3 +33,30 @@ def tune_malloc_for_workers() -> None:
     pp = _os.environ.get("PYTHONPATH", "")
     if pkg_root not in pp.split(_os.pathsep):
         _os.environ["PYTHONPATH"] = (pkg_root + _os.pathsep + pp) if pp else pkg_root
+
+
+# Lazy public API (keeps `import parquet_spark` light — pyspark loads
+# only when an operator is first touched).
+_EXPORTS = {
+    "encode_table": "engine", "decode_table": "engine",
+    "encoding_stats": "engine", "prune_chunks": "engine",
+    "write_encoded": "manifest", "read_decoded": "manifest",
+    "read_encoded": "manifest", "compact_table": "manifest",
+    "route_encoded": "manifest", "lineage_df": "manifest",
+    "EncodedTable": "manifest",
+    "encode_splits": "splits", "write_encoded_splits": "splits",
+    "list_splits": "splits",
+    "encode_stream": "streaming", "streaming_dedup": "streaming",
+    "windowed_ingest_stats": "streaming", "file_stream": "streaming",
+    "verify_roundtrip": "verify",
+    "gen_corpus": "corpus",
+    "merge_tables": "merge",
+}
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+        mod = importlib.import_module(f".{_EXPORTS[name]}", __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
