@@ -172,3 +172,15 @@ def test_encode_deterministic_under_input_partitioning(spark):
 
     assert digests(df) == digests(df.repartition(13)) \
         == digests(df.coalesce(1))
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("rpc", [7, 100, 10000])
+def test_chunk_size_sweep_same_logical_rows(spark, rpc):
+    """Reference row-group-boundary sweep (FragmentTests.cs:177-219)
+    through the Spark path: any rows_per_chunk yields identical data."""
+    from parquet_spark.corpus import gen_corpus
+    df = gen_corpus(spark, 300, seed=8, parts=2)
+    dec = decode_table(encode_table(df, key=["url"], n_parts=2,
+                                    rows_per_chunk=rpc))
+    verify_roundtrip(df, dec, key=["url"], digest_col="text")
