@@ -8,9 +8,10 @@ Public API (pure pyarrow/numpy; no Spark imports — runs inside Arrow UDFs):
 The payload is self-describing given the column's Arrow type (which the
 chunk stores once in its serialized schema). Layout:
 
-    <B block_flag> body                      block_flag 0 = raw
-    block_flag 1 -> <Q raw_len> zstd(body)   per-chunk block compression
+    <B block_flag> <I crc32> body                    block_flag 0 = raw
+    block_flag 1 -> <I crc32> <Q raw_len> zstd(body) block compression
     body = <B codec_id> <Q n> <B has_validity> [validity bits] codec-body
+    (crc32 is of the uncompressed body; verified on every decode)
 
 Codec ids: 1 PLAIN (Arrow IPC, universal fallback), 2 INT (bit-faithful
 int64 view -> FOR/DELTA/RLE int stream), 3 BOOL (bit-packed), 4 STR_PLAIN
@@ -29,6 +30,7 @@ bit-identically (north-rule contract, BASELINE.json:6).
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -59,6 +61,12 @@ _INT_TYPES = {pa.int8(), pa.int16(), pa.int32(), pa.int64(),
 # ---------------------------------------------------------------- helpers
 
 def _block_wrap(body: bytes) -> bytes:
+    """Wrap a codec body: optional zstd block compression + CRC32.
+
+    Layout: <B flag> <I crc32-of-body> [<Q raw_len>] payload.  The CRC
+    is verified on every unwrap, so a corrupted chunk payload fails
+    loudly instead of decoding to silently wrong data."""
+    crc = struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF)
     if len(body) > 64:
         # for big buffers, probe a 64 KiB slice first: skip the full
         # compress when the data is incompressible (e.g. random binary)
@@ -66,19 +74,25 @@ def _block_wrap(body: bytes) -> bytes:
             mid = len(body) // 2
             probe = _ZSTD.compress(body[mid:mid + (1 << 16)])
             if len(probe) > 0.97 * (1 << 16):
-                return b"\x00" + body
+                return b"".join((b"\x00", crc, body))
         codec = _ZSTD_HI if len(body) <= _HI_MAX_BYTES else _ZSTD
         comp = codec.compress(body).to_pybytes()
-        if len(comp) + 9 < len(body):
-            return b"\x01" + struct.pack("<Q", len(body)) + comp
-    return b"\x00" + body
+        if len(comp) + 13 < len(body):
+            return b"".join((b"\x01", crc,
+                             struct.pack("<Q", len(body)), comp))
+    return b"".join((b"\x00", crc, body))
 
 
 def _block_unwrap(payload: bytes) -> bytes:
+    (crc,) = struct.unpack_from("<I", payload, 1)
     if payload[0] == 1:
-        (raw_len,) = struct.unpack_from("<Q", payload, 1)
-        return _ZSTD.decompress(payload[9:], raw_len).to_pybytes()
-    return payload[1:]
+        (raw_len,) = struct.unpack_from("<Q", payload, 5)
+        body = _ZSTD.decompress(payload[13:], raw_len).to_pybytes()
+    else:
+        body = payload[5:]
+    if zlib.crc32(body) & 0xFFFFFFFF != crc:
+        raise ValueError("chunk payload CRC mismatch: corrupted data")
+    return body
 
 
 def _validity_header(arr: pa.Array, codec_id: int) -> tuple[bytes, pa.Array]:

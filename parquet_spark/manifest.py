@@ -17,6 +17,11 @@ same atomicity):
 
 Data files for partitions not referenced by CURRENT are invisible —
 exactly the crash-consistency the reference gets from its tmp files.
+
+Single-writer assumption (same as the reference's one-listener model):
+concurrent commits to one table are last-writer-wins on CURRENT; a
+compare-and-swap on the CURRENT file (or a real Iceberg catalog) is the
+drop-in upgrade for multi-writer deployments.
 """
 
 from __future__ import annotations

@@ -274,3 +274,13 @@ def test_column_timestamp_tz_roundtrip():
     arr = pa.array([0, 1_700_000_000_000_000, None],
                    type=pa.timestamp("us", tz="UTC"))
     col_roundtrip(arr)
+
+
+def test_corrupted_payload_fails_loudly():
+    arr = pa.array([f"value-{i}" for i in range(500)], type=pa.string())
+    name, payload = encode_column(arr)
+    # flip one byte in the body region -> CRC must catch it
+    b = bytearray(payload)
+    b[-3] ^= 0xFF
+    with pytest.raises(Exception):
+        decode_column(bytes(b), pa.string())
