@@ -92,6 +92,28 @@ def with_row_id(df: DataFrame, order_key: list[str]) -> DataFrame:
               .withColumn("row_id", F.monotonically_increasing_id()))
 
 
+ID_COLUMNS = ["result_name", "guid", "parent", "step_id"]
+
+
+def with_hierarchy(df: DataFrame, result_name: str,
+                   guid_cols: list[str], parent_guid: str | None = None,
+                   step_id: str | None = None) -> DataFrame:
+    """O20: the reference's run-tree row identity (fixed columns
+    ResultName/Guid/Parent/StepId, /root/reference/Parquet.Core/
+    ParquetFile.cs:58-104, Doc/Schema/1.0.0.md:13-16) as plain columns.
+
+    `guid` is a deterministic digest of the row's natural key columns
+    (stable across reruns, unlike java UUIDs); `parent` links to the
+    emitting scope's guid; recursion is unnecessary — the tree is
+    reconstructed by a self-join on (parent = guid)."""
+    guid = F.md5(F.concat_ws("\x1f", F.lit(result_name),
+                             *[F.col(c).cast("string") for c in guid_cols]))
+    return (df.withColumn("result_name", F.lit(result_name))
+              .withColumn("guid", guid)
+              .withColumn("parent", F.lit(parent_guid).cast("string"))
+              .withColumn("step_id", F.lit(step_id).cast("string")))
+
+
 _SUPPORTED_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float",
                        "double", "decimal", "string", "binary", "boolean",
                        "timestamp", "date", "array", "void")

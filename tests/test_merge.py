@@ -3,6 +3,7 @@
 ParquetFileTests.cs:134-172 merge; Doc/Schema/1.0.0.md:31-32 row order)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from parquet_spark.merge import (find_unique_name, merge_tables,
                                  stringify_unsupported, with_row_id)
@@ -74,3 +75,24 @@ def test_stringify_unsupported(spark):
     out = stringify_unsupported(df)
     kinds = dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)
     assert kinds == {"m": "string", "x": "int"}
+
+
+@pytest.mark.spark
+def test_hierarchy_rows_reconstruct_tree(spark):
+    from parquet_spark.merge import merge_tables, with_hierarchy
+    plan = spark.createDataFrame([("run1",)], ["plan_name"])
+    plan_rows = with_hierarchy(plan, "Plan", ["plan_name"])
+    root_guid = plan_rows.head().guid
+    steps = spark.createDataFrame([("s1", 1), ("s2", 2)], ["step", "k"])
+    step_rows = with_hierarchy(steps, "Step", ["step"],
+                               parent_guid=root_guid)
+    merged, _ = merge_tables([plan_rows, step_rows])
+    # children resolve to the root through (parent = guid)
+    kids = (merged.alias("c").join(merged.alias("p"),
+                                   F.col("c.parent") == F.col("p.guid"))
+            .select(F.col("c.result_name"), F.col("p.result_name")
+                    .alias("parent_kind")).collect())
+    assert {(r[0], r.parent_kind) for r in kids} == {("Step", "Plan")}
+    # guids deterministic across re-emission (re-run overwrite story)
+    again = with_hierarchy(plan, "Plan", ["plan_name"]).head().guid
+    assert again == root_guid
