@@ -35,7 +35,8 @@ ENCODED_DDL = ("part_id bigint, chunk_id bigint, n_rows bigint, "
                "schema_ipc binary, names array<string>, "
                "codecs array<string>, payloads array<binary>, "
                "bytes_in array<bigint>, bytes_out array<bigint>, "
-               "key_name string, key_min string, key_max string")
+               "key_name string, key_min string, key_max string, "
+               "key_min_num bigint, key_max_num bigint")
 
 DEFAULT_ROWS_PER_CHUNK = 10_000  # reference RowGroupSize default (Options.cs:8)
 
@@ -66,22 +67,31 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
         payloads.append(payload)
         b_in.append(arr.nbytes)
         b_out.append(len(payload))
-    # zone map on the sort key (string keys only: string ordering is the
-    # one Spark filters share) — enables chunk pruning without decode
-    key_name = key_min = key_max = None
+    # zone map on the sort key — enables chunk pruning without decode.
+    # String keys record string min/max; int/timestamp keys record int64
+    # (timestamps as epoch-us), so both range-filter types can prune.
+    key_name = key_min = key_max = key_min_num = key_max_num = None
     if zone_key is not None and batch.num_rows:
         idx = batch.schema.get_field_index(zone_key)
-        if idx >= 0 and pa.types.is_string(batch.schema.field(idx).type):
-            mm = pc.min_max(batch.column(idx))
-            key_name = zone_key
-            key_min = mm["min"].as_py()
-            key_max = mm["max"].as_py()
+        if idx >= 0:
+            t = batch.schema.field(idx).type
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                mm = pc.min_max(batch.column(idx))
+                key_name = zone_key
+                key_min = mm["min"].as_py()
+                key_max = mm["max"].as_py()
+            elif pa.types.is_integer(t) or pa.types.is_timestamp(t):
+                mm = pc.min_max(batch.column(idx).cast(pa.int64()))
+                key_name = zone_key
+                key_min_num = mm["min"].as_py()
+                key_max_num = mm["max"].as_py()
     return {
         "part_id": part_id, "chunk_id": chunk_id, "n_rows": batch.num_rows,
         "schema_ipc": batch.schema.serialize().to_pybytes(),
         "names": names, "codecs": codecs, "payloads": payloads,
         "bytes_in": b_in, "bytes_out": b_out,
         "key_name": key_name, "key_min": key_min, "key_max": key_max,
+        "key_min_num": key_min_num, "key_max_num": key_max_num,
     }
 
 
@@ -112,6 +122,8 @@ def _chunk_rows_to_batch(chunks: list[dict]) -> pa.RecordBatch:
         pa.field("key_name", pa.string()),
         pa.field("key_min", pa.string()),
         pa.field("key_max", pa.string()),
+        pa.field("key_min_num", pa.int64()),
+        pa.field("key_max_num", pa.int64()),
     ]))
 
 
@@ -207,17 +219,22 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
     return enc_df.mapInArrow(decoder, spark_schema)
 
 
-def prune_chunks(enc_df: DataFrame, lo: str | None = None,
-                 hi: str | None = None) -> DataFrame:
+def prune_chunks(enc_df: DataFrame, lo=None, hi=None) -> DataFrame:
     """Zone-map chunk pruning: keep only chunks whose sort-key [min,max]
     range can contain values in [lo, hi].  Runs as a plain filter on the
     chunk-row metadata — pruned chunks are never decompressed (the
-    partition-pruning analog for the encoded format)."""
+    partition-pruning analog for the encoded format).
+
+    String bounds prune via the string zone map; int bounds (python int,
+    or anything castable — timestamps as epoch-us) via the numeric one."""
     out = enc_df
+    numeric = isinstance(lo, int) or isinstance(hi, int)
+    cmin = F.col("key_min_num") if numeric else F.col("key_min")
+    cmax = F.col("key_max_num") if numeric else F.col("key_max")
     if lo is not None:
-        out = out.where(F.col("key_max").isNull() | (F.col("key_max") >= lo))
+        out = out.where(cmax.isNull() | (cmax >= F.lit(lo)))
     if hi is not None:
-        out = out.where(F.col("key_min").isNull() | (F.col("key_min") <= hi))
+        out = out.where(cmin.isNull() | (cmin <= F.lit(hi)))
     return out
 
 

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from parquet_spark.corpus import gen_batch, gen_corpus
 from parquet_spark.engine import (decode_chunk, decode_table, encode_chunk,
-                                  encode_table, encoding_stats)
+                                  encode_table, encoding_stats, prune_chunks)
 from parquet_spark.verify import verify_roundtrip
 
 
@@ -184,3 +184,20 @@ def test_chunk_size_sweep_same_logical_rows(spark, rpc):
     dec = decode_table(encode_table(df, key=["url"], n_parts=2,
                                     rows_per_chunk=rpc))
     verify_roundtrip(df, dec, key=["url"], digest_col="text")
+
+
+@pytest.mark.spark
+def test_numeric_zone_map_pruning(spark):
+    """Int sort key -> numeric zone maps; id-range scans skip chunks."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    enc = encode_table(docs, key=["doc_id"], n_parts=2,
+                       rows_per_chunk=50).cache()
+    n_all = enc.count()
+    assert enc.where(F.col("key_min_num").isNotNull()).count() == n_all
+    pruned = prune_chunks(enc, 100, 180)
+    assert 0 < pruned.count() < n_all
+    got = decode_table(pruned).where(F.col("doc_id").between(100, 180))
+    want = docs.where(F.col("doc_id").between(100, 180))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    enc.unpersist()
