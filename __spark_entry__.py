@@ -346,6 +346,27 @@ def q_zone_prune(spark, sf_dir):
     return out
 
 
+def q_zone_prune_ts(spark, sf_dir):
+    """Numeric zone maps: encode events by ts, prune an epoch-us range
+    (rows-only; engine-internal)."""
+    from parquet_spark.engine import decode_table, encode_table, prune_chunks
+    ev = _t(spark, sf_dir, "events")
+    enc = encode_table(ev, key=["ts"], n_parts=4, rows_per_chunk=500).cache()
+    b = enc.agg(F.min("key_min_num"), F.max("key_max_num")).head()
+    lo = int(b[0] + (b[1] - b[0]) * 0.4)
+    hi = int(b[0] + (b[1] - b[0]) * 0.6)
+    pruned = prune_chunks(enc, lo, hi)
+    n = (decode_table(pruned)
+         .where(F.expr("timestampdiff(MICROSECOND, "
+                       "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+                .between(lo, hi)).count())
+    out = spark.createDataFrame(
+        [(enc.count(), pruned.count(), n)],
+        "n_chunks long, n_chunks_pruned long, n_rows long")
+    enc.unpersist()
+    return out
+
+
 def q_roundtrip_documents(spark, sf_dir):
     from parquet_spark.engine import decode_table, encode_table, encoding_stats
     from parquet_spark.verify import verify_roundtrip
@@ -403,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "schema_evolution": q_schema_evolution,
         "zone_prune": q_zone_prune,
+        "zone_prune_ts": q_zone_prune_ts,
         "splits_lineage": q_splits_lineage,
         "roundtrip_documents": q_roundtrip_documents,
         "corpus_encode": q_corpus_encode,
