@@ -114,3 +114,23 @@ def test_sorted_timestamps_get_delta_advantage(spark, corpus_path):
     # better than url-hash-scrambled chunks (margin grows with chunk
     # size; this fixture's chunks are only ~1k rows)
     assert splits_b < 0.8 * hash_b
+
+
+@pytest.mark.spark
+def test_compact_splits_table(spark, corpus_path):
+    """Scan-stage tables compact like layout tables (O10/O11 merge)."""
+    import tempfile
+
+    from parquet_spark.manifest import (EncodedTable, compact_table,
+                                        read_decoded)
+    from parquet_spark.splits import write_encoded_splits
+    from parquet_spark.verify import verify_roundtrip
+    df = spark.read.parquet(corpus_path)
+    tbl = tempfile.mkdtemp(prefix="splits_compact_")
+    write_encoded_splits(spark, corpus_path, tbl)
+    n_before = len(EncodedTable(tbl).data_files())
+    assert n_before >= 3
+    compact_table(spark, tbl, target_parts=1)
+    assert len(EncodedTable(tbl).data_files()) == 1
+    verify_roundtrip(df, read_decoded(spark, tbl),
+                     key=["url"], digest_col="text")
