@@ -8,7 +8,12 @@ text analysis), each checked against DuckDB at sf0.01.
 Cross-engine determinism rules used throughout:
   * hashing: md5 only (identical hex in Spark and DuckDB);
   * float aggregation: values are rounded then cast to DECIMAL before
-    SUM so results are order-independent;
+    SUM so results are order-independent; the DECIMAL sum is then cast
+    to DOUBLE on BOTH sides (Spark widens decimal sums to a different
+    precision than DuckDB, so the decimal types would hash-differ);
+  * integer SUMs: always CAST(SUM(x) AS BIGINT) in the DuckDB oracle —
+    DuckDB returns HUGEINT (decimal128 in Arrow) for SUM(BIGINT), which
+    hash-mismatches Spark's BIGINT even when values are equal;
   * ratios: computed from integer sums, divided once, rounded.
 """
 
@@ -109,7 +114,7 @@ def q_explode_pad(spark, sf_dir):
         F.count(F.lit(1)).alias("n_cells"),
         F.sum("pos").alias("sum_pos"),
         F.sum(F.round(F.col("val").cast("double"), 3)
-              .cast("decimal(20,3)")).alias("sum_val"))
+              .cast("decimal(20,3)")).cast("double").alias("sum_val"))
 
 
 def q_scalar_broadcast(spark, sf_dir):
@@ -163,13 +168,14 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_lsh_pairs(spark, sf_dir):
+    """Returns the actual candidate (doc_a, doc_b) pairs — the full
+    output of the band-bucket self-join, not just a count."""
     from parquet_spark.textops.dedup import (lsh_candidate_pairs,
                                              minhash_signatures)
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     sig = minhash_signatures(d, n_hashes=4)
     pairs = lsh_candidate_pairs(sig, n_hashes=4, band_size=2)
-    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"),
-                     F.count(F.lit(1)).alias("n_pairs2")).select("n_pairs")
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -180,7 +186,8 @@ def q_ngram_jaccard(spark, sf_dir):
                                 n_hashes=4, band_size=2)
     j = ngram_jaccard(d, pairs)
     return j.agg(F.count(F.lit(1)).alias("n_pairs"),
-                 F.sum(F.col("jaccard").cast("decimal(10,4)")).alias("sum_jaccard"),
+                 F.sum(F.col("jaccard").cast("decimal(10,4)"))
+                 .cast("double").alias("sum_jaccard"),
                  F.sum(F.when(F.col("jaccard") >= 0.8, 1).otherwise(0))
                  .alias("n_near_dups"))
 
@@ -211,13 +218,15 @@ def q_ann_buckets(spark, sf_dir):
 
 
 def q_ivf_clusters(spark, sf_dir):
-    """IVF coarse-quantizer facet (rows-only: centroids need a Lloyd
-    round, not SQL-expressible): deterministic cluster sizes."""
-    from parquet_spark.textops.similarity import ivf_assign, ivf_centroids
+    """IVF coarse quantizer, oracle-checkable: seeds are the 8 vectors
+    with the smallest md5(vec_id) (SQL-expressible, unlike xxhash
+    seeding), assignment is argmin of 6dp-rounded L2 distance with
+    cluster-id tie-break — DuckDB reproduces the exact partition."""
+    from parquet_spark.textops.similarity import ivf_assign, ivf_seeds_md5
     em = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.expr("transform(embedding, x -> cast(x as double))"))
-    cents = ivf_centroids(em, n_clusters=8, seed=42)
-    return (ivf_assign(em, cents).groupBy("cluster")
+    cents = ivf_seeds_md5(em, n_clusters=8)
+    return (ivf_assign(em, cents, round_dp=6).groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_vecs")).orderBy("cluster"))
 
 
@@ -295,11 +304,45 @@ def q_media_metadata(spark, sf_dir):
                  F.countDistinct("sha256").alias("n_unique"))
 
 
-# ------------------------------------------------- rows-only (non-SQL ops)
+# ------------------------------------- engine facets with DuckDB oracles
+#
+# The encode->decode path itself gets SQL oracles by decoding back into
+# aggregates DuckDB can recompute from the raw parquet: if any byte of
+# any column were lost or altered, the digests/sums below would differ.
+
+_EPOCH_US = ("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+             "{col})")
+
+# Common-Crawl-style corpus derived deterministically from `documents`
+# (north-rule input shape: url, warc_ts, html, text, lang) — expressible
+# identically in Spark and DuckDB so the oracle can reproduce it.
+_CORPUS_SQL = """
+    SELECT 'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/'
+               || md5(CAST(doc_id AS VARCHAR)) AS url,
+           TIMESTAMP '2013-07-01 00:00:00' + to_seconds(doc_id % 86400) AS warc_ts,
+           encode('<html>' || text || '</html>') AS html,
+           text, lang, doc_id, n_chars
+    FROM documents"""
+
+
+def _derived_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("https://host"), F.pmod("doc_id", F.lit(50)).cast("string"),
+                 F.lit(".example.com/"),
+                 F.md5(F.col("doc_id").cast("string"))).alias("url"),
+        F.expr("timestampadd(SECOND, cast(doc_id % 86400 as int), "
+               "TIMESTAMP_NTZ'2013-07-01 00:00:00')").alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html>"), F.col("text"), F.lit("</html>")),
+                 "utf-8").alias("html"),
+        "text", "lang", "doc_id", "n_chars")
+
 
 def q_schema_evolution(spark, sf_dir):
     """O6/O7/O8/O10: union frames with a type collision; return the final
-    physical schema + Mappings entries (rows-only: DDL not SQL-checkable)."""
+    physical schema + Mappings entries.  Oracle: golden VALUES rows (the
+    reference pins schema/Mappings with inline goldens the same way,
+    Parquet.Tests/FragmentTests.cs:254-313)."""
     from parquet_spark.merge import merge_tables
     o = _t(spark, sf_dir, "orders")
     a = o.select("o_orderkey", F.col("o_totalprice").alias("price"))
@@ -313,88 +356,147 @@ def q_schema_evolution(spark, sf_dir):
 
 
 def q_splits_lineage(spark, sf_dir):
-    """Scan-stage encode lineage facet (O1/O11/O19, splits mode)."""
+    """Scan-stage encode -> commit -> cold re-open -> decode (O1/O11/O19,
+    splits mode).  The returned aggregates are recomputed by DuckDB over
+    the raw parquet: equality proves the splits-written table decodes to
+    exactly the input."""
     import tempfile
 
+    from parquet_spark.manifest import read_decoded
     from parquet_spark.splits import write_encoded_splits
-    snap = write_encoded_splits(
-        spark, f"{sf_dir}/documents.parquet",
-        tempfile.mkdtemp(prefix="entry_splits_"))
-    rows = [(int(pid), p["n_chunks"], p["n_rows"], p["codecs"])
-            for pid, p in snap["parts"].items()]
-    return spark.createDataFrame(
-        sorted(rows), "part_id int, n_chunks long, n_rows long, codecs string")
+    path = tempfile.mkdtemp(prefix="entry_splits_")
+    snap = write_encoded_splits(spark, f"{sf_dir}/documents.parquet", path)
+    for p in snap["parts"].values():
+        assert p["n_chunks"] >= 1 and p["bytes_out"] > 0, p  # lineage sanity
+    dec = read_decoded(spark, path)
+    return dec.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("n_texts"),
+        F.countDistinct("lang").alias("n_langs"))
 
 
 def q_zone_prune(spark, sf_dir):
-    """Zone-map chunk pruning facet (O16 scan-side predicate pushdown):
-    how many chunks survive a url-range predicate, and that the pruned
-    decode equals the full filter (rows-only; engine-internal)."""
-    from parquet_spark.corpus import gen_corpus
+    """String zone maps (O16 scan-side predicate pushdown): encode the
+    derived web corpus range-keyed by url, prune a url range, decode only
+    surviving chunks, apply the residual filter.  Oracle: the same
+    aggregates over the same predicate computed by DuckDB on raw data —
+    equality proves pruning dropped no matching rows."""
     from parquet_spark.engine import decode_table, encode_table, prune_chunks
-    df = gen_corpus(spark, 2000, seed=42, parts=2)
-    enc = encode_table(df, key=["url"], n_parts=4, rows_per_chunk=250).cache()
-    lo, hi = "https://host1", "https://host3zz"
-    pruned = prune_chunks(enc, lo, hi)
-    n_match = (decode_table(pruned)
-               .where((F.col("url") >= lo) & (F.col("url") <= hi)).count())
-    out = spark.createDataFrame(
-        [(enc.count(), pruned.count(), n_match,
-          df.where((F.col("url") >= lo) & (F.col("url") <= hi)).count())],
-        "n_chunks long, n_chunks_pruned long, n_rows_decoded long, n_rows_expected long")
+    df = _derived_corpus(spark, sf_dir).select("url", "doc_id", "text")
+    enc = encode_table(df, key=["url"], n_parts=4, rows_per_chunk=50).cache()
+    lo, hi = "https://host1", "https://host3"
+    pruned = prune_chunks(enc, lo, hi, column="url")
+    n_all, n_kept = enc.count(), pruned.count()
+    assert 0 < n_kept < n_all, (n_kept, n_all)  # pruning actually bites
+    out = (decode_table(pruned)
+           .where((F.col("url") >= lo) & (F.col("url") <= hi))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(F.md5("url")).alias("n_urls"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.countDistinct(F.md5("text")).alias("n_texts")))
+    out = out.cache()
+    out.count()
     enc.unpersist()
     return out
 
 
 def q_zone_prune_ts(spark, sf_dir):
-    """Numeric zone maps: encode events by ts, prune an epoch-us range
-    (rows-only; engine-internal)."""
+    """Numeric zone maps: encode events ts-keyed, prune an epoch-us range
+    derived from the data bounds (same arithmetic in the oracle), decode
+    survivors, residual-filter, aggregate."""
     from parquet_spark.engine import decode_table, encode_table, prune_chunks
     ev = _t(spark, sf_dir, "events")
     enc = encode_table(ev, key=["ts"], n_parts=4, rows_per_chunk=500).cache()
     b = enc.agg(F.min("key_min_num"), F.max("key_max_num")).head()
-    lo = int(b[0] + (b[1] - b[0]) * 0.4)
-    hi = int(b[0] + (b[1] - b[0]) * 0.6)
-    pruned = prune_chunks(enc, lo, hi)
-    n = (decode_table(pruned)
-         .where(F.expr("timestampdiff(MICROSECOND, "
-                       "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
-                .between(lo, hi)).count())
-    out = spark.createDataFrame(
-        [(enc.count(), pruned.count(), n)],
-        "n_chunks long, n_chunks_pruned long, n_rows long")
+    lo = b[0] + int((b[1] - b[0]) * 0.4)
+    hi = b[0] + int((b[1] - b[0]) * 0.6)
+    pruned = prune_chunks(enc, lo, hi, column="ts")
+    n_all, n_kept = enc.count(), pruned.count()
+    assert 0 < n_kept < n_all, (n_kept, n_all)
+    us = F.expr(_EPOCH_US.format(col="ts"))
+    out = (decode_table(pruned).where(us.between(lo, hi))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum("event_id").alias("sum_ids"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.min(us).alias("min_us"), F.max(us).alias("max_us")))
+    out = out.cache()
+    out.count()
     enc.unpersist()
     return out
 
 
 def q_roundtrip_documents(spark, sf_dir):
-    from parquet_spark.engine import decode_table, encode_table, encoding_stats
+    """Flagship O1/O16: encode documents, verify bit-identity, decode, and
+    return aggregates DuckDB recomputes over the raw parquet — the
+    round-trip itself is the thing the oracle certifies."""
+    from parquet_spark.engine import decode_table, encode_table
     from parquet_spark.verify import verify_roundtrip
     df = _t(spark, sf_dir, "documents")
     enc = encode_table(df, key=["doc_id"], n_parts=4).cache()
-    verify_roundtrip(df, decode_table(enc))
-    return (encoding_stats(enc).select("column", "codec", "rows")
-            .orderBy("column"))
+    dec = decode_table(enc)
+    verify_roundtrip(df, dec)
+    out = dec.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("n_texts"),
+        F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"),
+        F.countDistinct("lang").alias("n_langs"))
+    out = out.cache()
+    out.count()
+    enc.unpersist()
+    return out
+
+
+def q_codec_selection(spark, sf_dir):
+    """Per-column codec auto-selection on documents (O12-O15).  Oracle:
+    golden VALUES rows — the selector's choices on this table are
+    deterministic (dict for low-cardinality lang/source, int for the id
+    columns, FSST for text)."""
+    from parquet_spark.engine import encode_table, encoding_stats
+    df = _t(spark, sf_dir, "documents")
+    enc = encode_table(df, key=["doc_id"], n_parts=4)
+    return (encoding_stats(enc).select("column", "codec")
+            .distinct().orderBy("column"))
 
 
 def q_corpus_encode(spark, sf_dir):
-    from parquet_spark.corpus import gen_corpus
-    from parquet_spark.engine import decode_table, encode_table, encoding_stats
+    """North-rule corpus shape (url, warc_ts, html, text, lang) derived
+    deterministically from documents; encode url-hash-keyed, verify
+    bit-identical round-trip, return decoded aggregates the oracle
+    recomputes from its own derivation of the same corpus."""
+    from parquet_spark.engine import decode_table, encode_table
     from parquet_spark.verify import verify_roundtrip
-    df = gen_corpus(spark, 4000, seed=42, parts=4)
+    df = _derived_corpus(spark, sf_dir)
     enc = encode_table(df, key=["url"], n_parts=4).cache()
-    verify_roundtrip(df, decode_table(enc), key=["url"], digest_col="text")
-    return (encoding_stats(enc).select("column", "codec", "rows")
-            .orderBy("column"))
+    dec = decode_table(enc)
+    verify_roundtrip(df, dec, key=["url"], digest_col="text")
+    us = F.expr(_EPOCH_US.format(col="warc_ts"))
+    out = dec.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.md5("url")).alias("n_urls"),
+        F.sum(F.octet_length("html")).alias("html_bytes"),
+        F.countDistinct(F.md5("text")).alias("n_texts"),
+        F.min(us).alias("min_us"), F.max(us).alias("max_us"))
+    out = out.cache()
+    out.count()
+    enc.unpersist()
+    return out
 
 
 def q_media_features(spark, sf_dir):
-    from parquet_spark.textops.multimodal import extract_features
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "blob", F.col("text").cast("binary"))
-    feats = extract_features(d, "doc_id", "blob", fake=True)
-    return (feats.where(F.col("media_id") < 16)
-            .select("media_id", "n_bytes", "decoder").orderBy("media_id"))
+    """REAL image decode (pure-numpy PPM parser, no stub): deterministic
+    P6 blobs are synthesized per doc, parsed, and per-channel means
+    computed — the oracle recomputes the means from the closed-form pixel
+    pattern."""
+    from parquet_spark.textops.multimodal import image_features, synth_ppm_df
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 16) \
+        .select("doc_id")
+    blobs = synth_ppm_df(d, "doc_id", width=4, height=4)
+    feats = image_features(blobs, "media_id", "blob")
+    return (feats.select("media_id", "width", "height",
+                         "mean_r", "mean_g", "mean_b")
+            .orderBy("media_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -427,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_prune_ts": q_zone_prune_ts,
         "splits_lineage": q_splits_lineage,
         "roundtrip_documents": q_roundtrip_documents,
+        "codec_selection": q_codec_selection,
         "corpus_encode": q_corpus_encode,
         "media_features": q_media_features,
     }
@@ -489,7 +592,8 @@ def oracle_sql() -> dict[str, str]:
                                               ORDER BY doc_id) AS prev
                        FROM documents)
             SELECT chunk, COUNT(*) AS n_rows,
-                   SUM(CASE WHEN prev IS DISTINCT FROM lang THEN 1 ELSE 0 END) AS n_runs,
+                   CAST(SUM(CASE WHEN prev IS DISTINCT FROM lang THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_runs,
                    ROUND(COUNT(*) * 1.0 / SUM(CASE WHEN prev IS DISTINCT FROM lang
                                               THEN 1 ELSE 0 END), 4) AS mean_run_len
             FROM o GROUP BY chunk ORDER BY chunk""",
@@ -511,8 +615,9 @@ def oracle_sql() -> dict[str, str]:
             WITH ex AS (SELECT vec_id,
                                generate_subscripts(embedding, 1) - 1 AS pos,
                                unnest(embedding) AS val FROM embeddings)
-            SELECT COUNT(*) AS n_cells, SUM(pos) AS sum_pos,
-                   SUM(CAST(ROUND(CAST(val AS DOUBLE), 3) AS DECIMAL(20,3))) AS sum_val
+            SELECT COUNT(*) AS n_cells, CAST(SUM(pos) AS BIGINT) AS sum_pos,
+                   CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE), 3) AS DECIMAL(20,3)))
+                        AS DOUBLE) AS sum_val
             FROM ex""",
         "scalar_broadcast": """
             SELECT r.r_name AS region_name, COUNT(*) AS n_nations
@@ -520,13 +625,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r.r_name ORDER BY region_name""",
         "chunk_partition_stats": """
             SELECT doc_id % 8 AS part_id, COUNT(*) AS n_rows,
-                   COUNT(DISTINCT lang) AS n_langs, SUM(n_chars) AS sum_chars
+                   COUNT(DISTINCT lang) AS n_langs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1 ORDER BY part_id""",
         "global_dict_lang": """
             WITH d AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS dict_id
                        FROM (SELECT DISTINCT lang AS value FROM documents
                              WHERE lang IS NOT NULL))
-            SELECT d.dict_id AS lang_id, COUNT(*) AS n
+            SELECT CAST(d.dict_id AS INTEGER) AS lang_id, COUNT(*) AS n
             FROM documents t JOIN d ON t.lang = d.value
             GROUP BY d.dict_id ORDER BY lang_id""",
         "salted_counts_source": """
@@ -535,8 +641,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             WITH g AS (SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id,
                               COUNT(*) AS n_dups FROM documents GROUP BY 1)
-            SELECT COUNT(*) AS n_groups, SUM(n_dups) AS n_docs,
-                   SUM(CASE WHEN n_dups > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+            SELECT COUNT(*) AS n_groups, CAST(SUM(n_dups) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN n_dups > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_groups
             FROM g""",
         "minhash_signatures": _minhash_sql("doc_id < 32") + " ORDER BY doc_id",
         "lsh_pairs": f"""
@@ -545,10 +652,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
               UNION ALL
               SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig)
-            SELECT COUNT(*) AS n_pairs FROM (
-              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-              FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-              WHERE a.doc_id < b.doc_id)""",
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+            WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""",
         "ngram_jaccard": f"""
             WITH sig AS ({_minhash_sql("doc_id < 200")}),
             bands AS (
@@ -574,8 +680,9 @@ def oracle_sql() -> dict[str, str]:
                   JOIN sizes sa ON sa.doc = i.doc_a
                   JOIN sizes sb ON sb.doc = i.doc_b)
             SELECT COUNT(*) AS n_pairs,
-                   SUM(CAST(jaccard AS DECIMAL(10,4))) AS sum_jaccard,
-                   SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS n_near_dups
+                   CAST(SUM(CAST(jaccard AS DECIMAL(10,4))) AS DOUBLE) AS sum_jaccard,
+                   CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_near_dups
             FROM j""",
         "simhash": _simhash_sql("doc_id < 64"),
         "cosine_topk": """
@@ -592,7 +699,8 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                                                ORDER BY cos DESC, vec_id ASC) AS rank
                   FROM s)
-            SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 3
+            SELECT q_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 3
             ORDER BY q_id, rank""",
         "ann_buckets": f"""
             SELECT bucket, COUNT(*) AS n_vecs FROM (
@@ -600,8 +708,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bucket ORDER BY bucket""",
         "token_counts": """
             SELECT COUNT(*) AS n_docs,
-                   SUM(len(string_split(text, ' '))) AS ws_tokens,
-                   SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS re_tokens
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                        AS BIGINT) AS re_tokens
             FROM documents""",
         "quality_by_source": f"""
             WITH per AS (
@@ -611,9 +720,11 @@ def oracle_sql() -> dict[str, str]:
                      length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
                      length(text) AS n_chars
               FROM documents)
-            SELECT source, COUNT(*) AS n_docs, SUM(n_words) AS sum_words,
-                   SUM(stop_hits) AS sum_stop_hits, SUM(n_punct) AS sum_punct,
-                   SUM(n_chars) AS sum_chars,
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS sum_words,
+                   CAST(SUM(stop_hits) AS BIGINT) AS sum_stop_hits,
+                   CAST(SUM(n_punct) AS BIGINT) AS sum_punct,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    ROUND(SUM(stop_hits) * 1.0 / SUM(n_words), 6) AS stopword_ratio
             FROM per GROUP BY source ORDER BY source""",
         "lang_id": f"""
@@ -631,7 +742,7 @@ def oracle_sql() -> dict[str, str]:
                          (a, b) -> (a * 31 + b) % 1000000007) AS fp
                        FROM documents)
             SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct,
-                   SUM(fp) AS sum_fp FROM h""",
+                   CAST(SUM(fp) AS BIGINT) AS sum_fp FROM h""",
         "fingerprint": """
             SELECT COUNT(*) AS n_docs,
                    COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -639,9 +750,92 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "media_metadata": """
             SELECT COUNT(*) AS n_media,
-                   SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+                   CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
                    COUNT(DISTINCT text) AS n_unique
             FROM documents""",
-        # roundtrip_documents / corpus_encode / media_features: engine-internal
-        # (encode->decode->verify, FSST, mapInPandas stub) — rows-only checks.
+        "schema_evolution": """
+            SELECT * FROM (VALUES
+              ('o_orderkey', 'bigint', ''),
+              ('origin', 'string', ''),
+              ('price/double', 'double', 'price'),
+              ('price/string', 'string', 'price'),
+              ('row_id', 'bigint', '')) AS t("column", "type", "logical_name")
+            ORDER BY "column" """,
+        "splits_lineage": """
+            SELECT COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(DISTINCT md5(text)) AS n_texts,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM documents""",
+        "zone_prune": f"""
+            WITH corpus AS ({_CORPUS_SQL})
+            SELECT COUNT(*) AS n_rows, COUNT(DISTINCT md5(url)) AS n_urls,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   COUNT(DISTINCT md5(text)) AS n_texts
+            FROM corpus
+            WHERE url >= 'https://host1' AND url <= 'https://host3'""",
+        "zone_prune_ts": """
+            WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
+            b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+            r AS (SELECT e.* FROM e, b
+                  WHERE us BETWEEN mn + CAST((mx - mn) * 0.4 AS BIGINT)
+                                AND mn + CAST((mx - mn) * 0.6 AS BIGINT))
+            SELECT COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   CAST(MIN(us) AS BIGINT) AS min_us,
+                   CAST(MAX(us) AS BIGINT) AS max_us
+            FROM r""",
+        "roundtrip_documents": """
+            SELECT COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(DISTINCT md5(text)) AS n_texts,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM documents""",
+        "codec_selection": """
+            SELECT * FROM (VALUES
+              ('doc_id', 'int'), ('lang', 'dict'), ('n_chars', 'int'),
+              ('source', 'dict'), ('text', 'str_plain'))
+              AS t("column", "codec") ORDER BY "column" """,
+        "corpus_encode": f"""
+            WITH corpus AS ({_CORPUS_SQL})
+            SELECT COUNT(*) AS n_rows, COUNT(DISTINCT md5(url)) AS n_urls,
+                   CAST(SUM(octet_length(html)) AS BIGINT) AS html_bytes,
+                   COUNT(DISTINCT md5(text)) AS n_texts,
+                   CAST(MIN(epoch_us(warc_ts)) AS BIGINT) AS min_us,
+                   CAST(MAX(epoch_us(warc_ts)) AS BIGINT) AS max_us
+            FROM corpus""",
+        "ivf_clusters": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            seeds AS (SELECT v AS sv,
+                             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                                vec_id) - 1 AS cid
+                      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                      LIMIT 8),
+            d AS (SELECT e.vec_id, s.cid,
+                         ROUND(list_reduce(
+                             list_prepend(CAST(0 AS DOUBLE),
+                                 list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i]))),
+                             (a, b) -> a + b), 6) AS dist
+                  FROM e CROSS JOIN seeds s),
+            a AS (SELECT vec_id, cid,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY dist, cid) AS rn
+                  FROM d)
+            SELECT CAST(cid AS INTEGER) AS cluster, COUNT(*) AS n_vecs
+            FROM a WHERE rn = 1
+            GROUP BY cid ORDER BY cluster""",
+        "media_features": """
+            SELECT doc_id AS media_id, 4 AS width, 4 AS height,
+                   list_sum(list_transform(range(0, 16),
+                       j -> CAST((doc_id * 16 + j * 3) % 256 AS DOUBLE))) / 16
+                       AS mean_r,
+                   list_sum(list_transform(range(0, 16),
+                       j -> CAST((doc_id * 16 + j * 3 + 1) % 256 AS DOUBLE))) / 16
+                       AS mean_g,
+                   list_sum(list_transform(range(0, 16),
+                       j -> CAST((doc_id * 16 + j * 3 + 2) % 256 AS DOUBLE))) / 16
+                       AS mean_b
+            FROM documents WHERE doc_id < 16 ORDER BY media_id""",
     }

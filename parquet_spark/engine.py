@@ -219,16 +219,51 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
     return enc_df.mapInArrow(decoder, spark_schema)
 
 
-def prune_chunks(enc_df: DataFrame, lo=None, hi=None) -> DataFrame:
+def _is_numeric_bound(v) -> bool:
+    """True for int-family bounds (python/numpy ints, NOT bool) — these
+    prune via the numeric zone map (timestamps as epoch-us int64)."""
+    import numbers
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        raise TypeError("boolean is not a valid zone-prune bound")
+    return isinstance(v, numbers.Integral) or isinstance(v, np.datetime64)
+
+
+def _as_num_bound(v) -> int:
+    if isinstance(v, np.datetime64):
+        return int(v.astype("datetime64[us]").astype(np.int64))
+    return int(v)
+
+
+def prune_chunks(enc_df: DataFrame, lo=None, hi=None,
+                 column: str | None = None) -> DataFrame:
     """Zone-map chunk pruning: keep only chunks whose sort-key [min,max]
     range can contain values in [lo, hi].  Runs as a plain filter on the
     chunk-row metadata — pruned chunks are never decompressed (the
     partition-pruning analog for the encoded format).
 
-    String bounds prune via the string zone map; int bounds (python int,
-    or anything castable — timestamps as epoch-us) via the numeric one."""
+    `column` names the column the bounds refer to; it is validated
+    against the stored zone-map key (`key_name`) so bounds meant for a
+    different column can never silently prune by the wrong ranges.  With
+    column=None the (single) stored key is used unchecked — legacy mode.
+
+    String bounds prune via the string zone map; integer bounds (python
+    or numpy ints — timestamps as epoch-us, np.datetime64 accepted;
+    bool rejected) via the numeric one."""
+    if column is not None:
+        keys = [r[0] for r in
+                enc_df.select("key_name").where(
+                    F.col("key_name").isNotNull()).distinct().collect()]
+        if keys and column not in keys:
+            raise KeyError(
+                f"no zone map for column {column!r}; zone-mapped: {keys} "
+                "(re-encode with this column as the sort key, or use "
+                "prune_chunks_pred with multi-column zones)")
+    numeric = ((lo is not None and _is_numeric_bound(lo))
+               or (hi is not None and _is_numeric_bound(hi)))
+    if numeric:
+        lo = _as_num_bound(lo) if lo is not None else None
+        hi = _as_num_bound(hi) if hi is not None else None
     out = enc_df
-    numeric = isinstance(lo, int) or isinstance(hi, int)
     cmin = F.col("key_min_num") if numeric else F.col("key_min")
     cmax = F.col("key_max_num") if numeric else F.col("key_max")
     if lo is not None:

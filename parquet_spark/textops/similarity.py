@@ -93,17 +93,36 @@ def ivf_centroids(emb: DataFrame, n_clusters: int = 16,
     return [[round(v, 6) for v in c] for c in cents]
 
 
+def ivf_seeds_md5(emb: DataFrame, n_clusters: int = 16,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[list[float]]:
+    """Oracle-friendly deterministic seeding: the n_clusters vectors with
+    the smallest md5(cast(id as string)), cluster id = md5 rank.  Unlike
+    the xxhash seeding in ivf_centroids, md5 exists in DuckDB too, so an
+    external SQL oracle can reproduce the seed set exactly."""
+    rows = (emb.select(F.col(vec_col).alias("v"),
+                       F.md5(F.col(id_col).cast("string")).alias("h"),
+                       F.col(id_col).alias("i"))
+            .orderBy("h", "i").limit(n_clusters).collect())
+    return [[float(x) for x in r.v] for r in rows]
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding", out_col: str = "cluster",
-               nprobe: int = 1) -> DataFrame:
+               nprobe: int = 1, round_dp: int | None = None) -> DataFrame:
     """Nearest-centroid id(s) via a pure-expression argmin over the
     broadcast centroid literals.  nprobe > 1 explodes each row into its
-    nprobe closest clusters (query-side fan-out)."""
-    dists = [F.struct(
-        F.expr(f"aggregate(zip_with({vec_col}, {_centroid_lit(c)}, "
-               f"(x, y) -> (x - y) * (x - y)), 0D, (s, v) -> s + v)")
-        .alias("d"), F.lit(i).alias("i"))
-        for i, c in enumerate(centroids)]
+    nprobe closest clusters (query-side fan-out).  round_dp rounds the
+    squared distance before the argmin (with the cluster-id tie-break
+    this makes the assignment reproducible across engines that may sum
+    the fold in a different float order)."""
+    def dist_expr(c):
+        d = F.expr(f"aggregate(zip_with({vec_col}, {_centroid_lit(c)}, "
+                   f"(x, y) -> (x - y) * (x - y)), 0D, (s, v) -> s + v)")
+        return F.round(d, round_dp) if round_dp is not None else d
+
+    dists = [F.struct(dist_expr(c).alias("d"), F.lit(i).alias("i"))
+             for i, c in enumerate(centroids)]
     arr = F.array_sort(F.array(*dists))
     if nprobe <= 1:
         return df.withColumn(out_col, arr[0].getField("i"))

@@ -13,17 +13,25 @@ ONLY = sys.argv[1:] if len(sys.argv) > 1 else None
 
 
 def norm_cell(v):
+    """TYPED canonical cell: type-name + exact repr.  Mirrors the driver's
+    strict value hash — a DuckDB HUGEINT/DECIMAL and a Spark BIGINT/DOUBLE
+    must NOT compare equal even when numerically identical (that is
+    exactly the mismatch that cost 9 facets in round 1)."""
     import datetime
     import decimal
-    if isinstance(v, decimal.Decimal):
-        return f"{v:.6f}"
-    if isinstance(v, float):
-        return f"{v:.6f}"
-    if isinstance(v, datetime.datetime):
-        return v.isoformat()
     if isinstance(v, bool):
-        return str(bool(v))
-    return str(v)
+        return f"bool:{v}"
+    if isinstance(v, int):
+        return f"int:{v}"
+    if isinstance(v, float):
+        return f"float:{v!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"bytes:{bytes(v).hex()}"
+    return f"{type(v).__name__}:{v}"
 
 
 def normalize(rows, cols):
@@ -62,8 +70,9 @@ def main():
             continue
         try:
             sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            stbl = sdf.toArrow()
+            scols = stbl.column_names
+            srows = [tuple(r.values()) for r in stbl.to_pylist()]
         except Exception:
             results[name] = "SPARK_FAIL"
             print(f"=== {name}: SPARK FAIL")
@@ -74,24 +83,33 @@ def main():
             print(f"=== {name}: rows-only, {len(srows)} rows, cols={scols}")
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            dtbl = con.sql(oracles[name]).arrow()
+            dcols = dtbl.column_names
+            drows = [tuple(r.values()) for r in dtbl.to_pylist()]
         except Exception:
             results[name] = "DUCK_FAIL"
             print(f"=== {name}: DUCKDB FAIL")
             traceback.print_exc()
             continue
         ok_cols = sorted(scols) == sorted(dcols)
+        # exact Arrow type compare per (sorted) column — the driver's hash
+        # is type-sensitive, so a decimal128 vs int64 diff must fail here
+        stypes = {c: str(stbl.schema.field(c).type) for c in scols}
+        dtypes = {c: str(dtbl.schema.field(c).type) for c in dcols}
+        ok_types = ok_cols and stypes == dtypes
         sn, dn = normalize(srows, scols), normalize(drows, dcols)
         ok_vals = sn == dn
-        status = "OK" if (ok_cols and ok_vals and len(srows) == len(drows)) \
-            else "MISMATCH"
+        status = "OK" if (ok_cols and ok_types and ok_vals
+                          and len(srows) == len(drows)) else "MISMATCH"
         results[name] = status
         print(f"=== {name}: {status} (spark {len(srows)} rows, duck {len(drows)} rows)")
         if status != "OK":
             if not ok_cols:
                 print(f"  cols spark={sorted(scols)} duck={sorted(dcols)}")
+            elif not ok_types:
+                for c in sorted(scols):
+                    if stypes[c] != dtypes[c]:
+                        print(f"  type diff {c}: spark={stypes[c]} duck={dtypes[c]}")
             for i, (a, b) in enumerate(zip(sn, dn)):
                 if a != b:
                     print(f"  first diff row {i}:\n   spark={a}\n   duck ={b}")

@@ -201,3 +201,31 @@ def test_numeric_zone_map_pruning(spark):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     enc.unpersist()
+
+
+@pytest.mark.spark
+def test_prune_chunks_validates_column_and_bound_types(spark):
+    """ADVICE fix: bounds for a non-zone column must raise, not silently
+    prune by the wrong column's ranges; bool bounds rejected; numpy ints
+    and datetime64 bounds hit the numeric zone map."""
+    import numpy as np
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    enc = encode_table(docs, key=["doc_id"], n_parts=2,
+                       rows_per_chunk=50).cache()
+    with pytest.raises(KeyError):
+        prune_chunks(enc, 10, 20, column="lang")
+    with pytest.raises(TypeError):
+        prune_chunks(enc, True, None)
+    n_all = enc.count()
+    a = prune_chunks(enc, np.int64(100), np.int64(180), column="doc_id")
+    b = prune_chunks(enc, 100, 180, column="doc_id")
+    assert a.count() == b.count() < n_all
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    enc2 = encode_table(ev, key=["ts"], n_parts=2, rows_per_chunk=100).cache()
+    bounds = enc2.agg(F.min("key_min_num"), F.max("key_max_num")).head()
+    mid = bounds[0] + (bounds[1] - bounds[0]) // 2
+    c = prune_chunks(enc2, np.datetime64(int(bounds[0]), "us"),
+                     np.datetime64(int(mid), "us"), column="ts")
+    assert 0 < c.count() < enc2.count()
+    enc.unpersist()
+    enc2.unpersist()

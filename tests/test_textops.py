@@ -234,3 +234,20 @@ def test_resize_and_frame_sampling_stubs(spark):
     assert sorted(by_id[0]) == [0, 2, 4]       # 5 frames, every 2nd
     assert 1 not in by_id                      # null blob skipped
     assert sorted(by_id[2]) == [0]
+
+
+@pytest.mark.spark
+def test_ivf_seeds_md5_deterministic_and_assign_rounding(spark, vecs):
+    from parquet_spark.textops.similarity import ivf_assign, ivf_seeds_md5
+    em = vecs.withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))"))
+    s1 = ivf_seeds_md5(em, n_clusters=4)
+    s2 = ivf_seeds_md5(em.repartition(7), n_clusters=4)
+    assert s1 == s2 and len(s1) == 4
+    a = ivf_assign(em, s1, round_dp=6)
+    counts = {r.cluster: r.n_vecs
+              for r in a.groupBy("cluster").agg(
+                  F.count(F.lit(1)).alias("n_vecs")).collect()}
+    assert sum(counts.values()) == em.count()
+    # every seed vector is distance 0 from its own centroid
+    assert len(counts) == 4
