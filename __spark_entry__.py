@@ -426,6 +426,37 @@ def q_zone_prune_ts(spark, sf_dir):
     return out
 
 
+def q_zone_prune_multi(spark, sf_dir):
+    """Composite-predicate pruning (multi-column zone maps): a url-range
+    AND doc_id-range predicate must prune at least as hard as either
+    single bound, and the pruned decode must equal the full filter —
+    verified by DuckDB recomputing the aggregates under the same
+    two-column predicate."""
+    from parquet_spark.engine import (decode_table, encode_table,
+                                      prune_chunks_pred)
+    df = _derived_corpus(spark, sf_dir).select("url", "doc_id", "text")
+    enc = encode_table(df, key=["url"], n_parts=4, rows_per_chunk=50).cache()
+    lo, hi = "https://host1", "https://host3"
+    id_lo, id_hi = 100, 400
+    n_all = enc.count()
+    n_url = prune_chunks_pred(enc, [("url", lo, hi)]).count()
+    n_id = prune_chunks_pred(enc, [("doc_id", id_lo, id_hi)]).count()
+    both = prune_chunks_pred(enc, [("url", lo, hi), ("doc_id", id_lo, id_hi)])
+    assert 0 < both.count() <= min(n_url, n_id) < n_all, \
+        (both.count(), n_url, n_id, n_all)
+    out = (decode_table(both)
+           .where((F.col("url") >= lo) & (F.col("url") <= hi)
+                  & F.col("doc_id").between(id_lo, id_hi))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(F.md5("url")).alias("n_urls"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.countDistinct(F.md5("text")).alias("n_texts")))
+    out = out.cache()
+    out.count()
+    enc.unpersist()
+    return out
+
+
 def q_roundtrip_documents(spark, sf_dir):
     """Flagship O1/O16: encode documents, verify bit-identity, decode, and
     return aggregates DuckDB recomputes over the raw parquet — the
@@ -527,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "zone_prune": q_zone_prune,
         "zone_prune_ts": q_zone_prune_ts,
+        "zone_prune_multi": q_zone_prune_multi,
         "splits_lineage": q_splits_lineage,
         "roundtrip_documents": q_roundtrip_documents,
         "codec_selection": q_codec_selection,
@@ -773,6 +805,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT md5(text)) AS n_texts
             FROM corpus
             WHERE url >= 'https://host1' AND url <= 'https://host3'""",
+        "zone_prune_multi": f"""
+            WITH corpus AS ({_CORPUS_SQL})
+            SELECT COUNT(*) AS n_rows, COUNT(DISTINCT md5(url)) AS n_urls,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   COUNT(DISTINCT md5(text)) AS n_texts
+            FROM corpus
+            WHERE url >= 'https://host1' AND url <= 'https://host3'
+              AND doc_id BETWEEN 100 AND 400""",
         "zone_prune_ts": """
             WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
             b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),

@@ -36,7 +36,10 @@ ENCODED_DDL = ("part_id bigint, chunk_id bigint, n_rows bigint, "
                "codecs array<string>, payloads array<binary>, "
                "bytes_in array<bigint>, bytes_out array<bigint>, "
                "key_name string, key_min string, key_max string, "
-               "key_min_num bigint, key_max_num bigint")
+               "key_min_num bigint, key_max_num bigint, "
+               "zone_cols array<string>, "
+               "zone_min_str array<string>, zone_max_str array<string>, "
+               "zone_min_num array<bigint>, zone_max_num array<bigint>")
 
 DEFAULT_ROWS_PER_CHUNK = 10_000  # reference RowGroupSize default (Options.cs:8)
 
@@ -67,24 +70,45 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
         payloads.append(payload)
         b_in.append(arr.nbytes)
         b_out.append(len(payload))
-    # zone map on the sort key — enables chunk pruning without decode.
-    # String keys record string min/max; int/timestamp keys record int64
-    # (timestamps as epoch-us), so both range-filter types can prune.
+    # Zone maps — enable chunk pruning without decode.  The sort key's
+    # [min,max] lands in the dedicated key_* fields (fast single-range
+    # path); every OTHER string/int/timestamp column gets an entry in the
+    # zone_* arrays so composite predicates (AND/OR over several
+    # columns) can prune too.  String zones record string min/max;
+    # int/timestamp zones record int64 (timestamps as epoch-us).
     key_name = key_min = key_max = key_min_num = key_max_num = None
-    if zone_key is not None and batch.num_rows:
-        idx = batch.schema.get_field_index(zone_key)
-        if idx >= 0:
-            t = batch.schema.field(idx).type
-            if pa.types.is_string(t) or pa.types.is_large_string(t):
-                mm = pc.min_max(batch.column(idx))
+    z_cols: list[str] = []
+    z_min_s: list[str | None] = []
+    z_max_s: list[str | None] = []
+    z_min_n: list[int | None] = []
+    z_max_n: list[int | None] = []
+    if batch.num_rows:
+        for i, field in enumerate(batch.schema):
+            t = field.type
+            is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+            is_num = pa.types.is_integer(t) or pa.types.is_timestamp(t)
+            if not (is_str or is_num):
+                continue
+            col = batch.column(i)
+            if col.null_count == len(col):
+                continue
+            if is_str:
+                mm = pc.min_max(col)
+                lo_s, hi_s = mm["min"].as_py(), mm["max"].as_py()
+                lo_n = hi_n = None
+            else:
+                mm = pc.min_max(col.cast(pa.int64()))
+                lo_n, hi_n = mm["min"].as_py(), mm["max"].as_py()
+                lo_s = hi_s = None
+            if field.name == zone_key:
                 key_name = zone_key
-                key_min = mm["min"].as_py()
-                key_max = mm["max"].as_py()
-            elif pa.types.is_integer(t) or pa.types.is_timestamp(t):
-                mm = pc.min_max(batch.column(idx).cast(pa.int64()))
-                key_name = zone_key
-                key_min_num = mm["min"].as_py()
-                key_max_num = mm["max"].as_py()
+                key_min, key_max = lo_s, hi_s
+                key_min_num, key_max_num = lo_n, hi_n
+            z_cols.append(field.name)
+            z_min_s.append(lo_s)
+            z_max_s.append(hi_s)
+            z_min_n.append(lo_n)
+            z_max_n.append(hi_n)
     return {
         "part_id": part_id, "chunk_id": chunk_id, "n_rows": batch.num_rows,
         "schema_ipc": batch.schema.serialize().to_pybytes(),
@@ -92,6 +116,8 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
         "bytes_in": b_in, "bytes_out": b_out,
         "key_name": key_name, "key_min": key_min, "key_max": key_max,
         "key_min_num": key_min_num, "key_max_num": key_max_num,
+        "zone_cols": z_cols, "zone_min_str": z_min_s, "zone_max_str": z_max_s,
+        "zone_min_num": z_min_n, "zone_max_num": z_max_n,
     }
 
 
@@ -124,6 +150,11 @@ def _chunk_rows_to_batch(chunks: list[dict]) -> pa.RecordBatch:
         pa.field("key_max", pa.string()),
         pa.field("key_min_num", pa.int64()),
         pa.field("key_max_num", pa.int64()),
+        pa.field("zone_cols", pa.list_(pa.string())),
+        pa.field("zone_min_str", pa.list_(pa.string())),
+        pa.field("zone_max_str", pa.list_(pa.string())),
+        pa.field("zone_min_num", pa.list_(pa.int64())),
+        pa.field("zone_max_num", pa.list_(pa.int64())),
     ]))
 
 
@@ -150,13 +181,36 @@ def partition_for_encode(df: DataFrame, key: list[str] | None = None,
     return out, key
 
 
+def _rebatch(batches: Iterator[pa.RecordBatch],
+             n: int) -> Iterator[pa.RecordBatch]:
+    """Re-slice an Arrow batch stream into exactly-n-row batches (the
+    row-group size knob).  Worker-side and session-conf-free: chunk
+    boundaries no longer depend on spark.sql.execution.arrow.
+    maxRecordsPerBatch, so encode_table never mutates session state and
+    chunk layout is identical under any Arrow batch configuration."""
+    buf: list[pa.RecordBatch] = []
+    have = 0
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        buf.append(b)
+        have += b.num_rows
+        while have >= n:
+            tbl = pa.Table.from_batches(buf)
+            head = tbl.slice(0, n).combine_chunks()
+            yield head.to_batches()[0]
+            rest = tbl.slice(n)
+            have = rest.num_rows
+            buf = rest.to_batches() if have else []
+    if have:
+        tail = pa.Table.from_batches(buf).combine_chunks()
+        yield tail.to_batches()[0]
+
+
 def encode_table(df: DataFrame, key: list[str] | None = None,
                  n_parts: int | None = None, codec: str = "auto",
                  rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK) -> DataFrame:
     """Encode a DataFrame into column-chunk rows (one row per chunk)."""
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(rows_per_chunk))
     dfp, key = partition_for_encode(df, key, n_parts)
     zone_key = key[0]
 
@@ -166,9 +220,10 @@ def encode_table(df: DataFrame, key: list[str] | None = None,
         pid = ctx.partitionId() if ctx is not None else 0
         plan: dict[str, dict] = {}  # per-partition codec + symbol-table memo
         cid = 0
-        for batch in batches:
-            # one Arrow batch (maxRecordsPerBatch = the row-group knob)
-            # is one chunk; the partition is the fragment (SURVEY §1.5)
+        for batch in _rebatch(batches, rows_per_chunk):
+            # one rebatched slice (= the row-group knob, reference
+            # default 10,000, Options.cs:8) is one chunk; the partition
+            # is the fragment (SURVEY §1.5)
             chunk = encode_chunk(batch, pid, cid, codec,
                                  plan if codec == "auto" else None,
                                  zone_key=zone_key)
@@ -205,16 +260,25 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
 
     def decoder(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            d = batch.to_pylist()
-            for row in d:
-                names, payloads = row["names"], row["payloads"]
+            # index the Arrow buffers directly: payload bytes are viewed
+            # (BinaryScalar.as_buffer -> zero-copy memoryview), never
+            # round-tripped through python `bytes` objects — to_pylist
+            # here would copy every compressed payload once per chunk
+            ipc_col = batch.column(batch.schema.get_field_index("schema_ipc"))
+            names_col = batch.column(batch.schema.get_field_index("names"))
+            pay_col = batch.column(batch.schema.get_field_index("payloads"))
+            for i in range(batch.num_rows):
+                names = names_col[i].as_py()
+                pays = pay_col[i].values
+                payloads = [memoryview(pays[j].as_buffer())
+                            for j in range(len(pays))]
                 if want is not None:
                     keep = {n: p for n, p in zip(names, payloads)
                             if n in want}
                     names = list(want)
                     payloads = [keep[n] for n in want]
-                yield decode_chunk(row["schema_ipc"], names, payloads,
-                                   columns=want)
+                yield decode_chunk(memoryview(ipc_col[i].as_buffer()),
+                                   names, payloads, columns=want)
 
     return enc_df.mapInArrow(decoder, spark_schema)
 
@@ -271,6 +335,58 @@ def prune_chunks(enc_df: DataFrame, lo=None, hi=None,
     if hi is not None:
         out = out.where(cmin.isNull() | (cmin <= F.lit(hi)))
     return out
+
+
+def _zone_keep_cond(col: str, lo, hi):
+    """Chunk-keep condition for one (col, lo, hi) range against the
+    multi-column zone arrays.  Conservative: chunks with no zone entry
+    for `col` (absent, all-null, or untracked type) are always kept."""
+    numeric = ((lo is not None and _is_numeric_bound(lo))
+               or (hi is not None and _is_numeric_bound(hi)))
+    idx = F.array_position(F.col("zone_cols"), col).cast("int")
+    mn_a, mx_a = (("zone_min_num", "zone_max_num") if numeric
+                  else ("zone_min_str", "zone_max_str"))
+    cmin = F.try_element_at(F.col(mn_a), idx)
+    cmax = F.try_element_at(F.col(mx_a), idx)
+    cond = F.lit(True)
+    if lo is not None:
+        lo = _as_num_bound(lo) if numeric else lo
+        cond = cond & (cmax.isNull() | (cmax >= F.lit(lo)))
+    if hi is not None:
+        hi = _as_num_bound(hi) if numeric else hi
+        cond = cond & (cmin.isNull() | (cmin <= F.lit(hi)))
+    return (idx.isNull() | (idx == 0)) | cond
+
+
+def prune_chunks_pred(enc_df: DataFrame,
+                      pred: list[tuple] | dict) -> DataFrame:
+    """Composite-predicate chunk pruning over the multi-column zone maps.
+
+    `pred` is either an AND-list of (column, lo, hi) ranges, or
+    {"any": [and_list, ...]} for a disjunction of conjunctions — the
+    normal form a predicate->prune compiler bottoms out in.  A chunk is
+    kept iff its zone ranges could satisfy the predicate; bounds may be
+    None for half-open ranges.  Pure metadata filter (codegen, no
+    decode), so it composes with prune_chunks and column pruning.
+
+        prune_chunks_pred(enc, [("url", lo, hi), ("doc_id", 0, 99)])
+        prune_chunks_pred(enc, {"any": [[("lang", "de", "de")],
+                                        [("doc_id", 500, None)]]})
+    """
+    def and_cond(terms):
+        cond = F.lit(True)
+        for col, lo, hi in terms:
+            cond = cond & _zone_keep_cond(col, lo, hi)
+        return cond
+
+    if isinstance(pred, dict):
+        branches = pred["any"]
+        cond = F.lit(False)
+        for terms in branches:
+            cond = cond | and_cond(terms)
+    else:
+        cond = and_cond(pred)
+    return enc_df.where(cond)
 
 
 def encoding_stats(enc_df: DataFrame) -> DataFrame:

@@ -45,6 +45,14 @@ LINEAGE_DDL = ("part_id bigint, file string, n_chunks bigint, n_rows bigint, "
                "bytes_in bigint, bytes_out bigint, wall_ms double, "
                "codecs string")
 
+# Snapshot manifest format version.  v1: round-1 snapshots (no version
+# field, no layout fingerprint).  v2 adds format_version, a layout
+# fingerprint that gates resume, and optional mappings metadata.  Data
+# files are forward-compatible (v1 block payloads still decode), so
+# readers accept both; writers always stamp the current version.
+FORMAT_VERSION = 2
+_SUPPORTED_VERSIONS = (1, 2)
+
 
 class EncodedTable:
     """Driver-side handle to a committed encoded table."""
@@ -61,7 +69,14 @@ class EncodedTable:
         with open(cur) as f:
             name = f.read().strip()
         with open(os.path.join(self.snap_dir, name)) as f:
-            return json.load(f)
+            snap = json.load(f)
+        ver = snap.get("format_version", 1)
+        if ver not in _SUPPORTED_VERSIONS:
+            raise ValueError(
+                f"table {self.path} was written with manifest format "
+                f"version {ver}; this build supports {_SUPPORTED_VERSIONS} "
+                "— upgrade the library to read it")
+        return snap
 
     def committed_parts(self) -> dict[str, dict]:
         snap = self.current_snapshot()
@@ -81,6 +96,7 @@ class EncodedTable:
         sid = (parent["snapshot_id"] + 1) if parent else 0
         snap = {
             "snapshot_id": sid,
+            "format_version": FORMAT_VERSION,
             "parent_id": parent["snapshot_id"] if parent else None,
             "committed_at": time.time(),
             "schema_ipc_b64": base64.b64encode(schema_ipc).decode()
@@ -102,13 +118,62 @@ class EncodedTable:
     def data_files(self) -> list[str]:
         return [p["file"] for p in self.committed_parts().values()]
 
+    def meta(self) -> dict:
+        snap = self.current_snapshot()
+        return snap.get("meta", {}) if snap else {}
+
+    def mappings(self) -> dict[str, str]:
+        """Physical->logical column names from type-collision splits
+        (reference: the `Mappings` JSON in file custom metadata,
+        /root/reference/Parquet.Core/Fragment.cs:117-125,
+        Doc/Schema/1.0.0.md:8).  Persisted in the snapshot so a cold
+        reader of a merged table can recover logical names."""
+        return self.meta().get("mappings", {})
+
+
+def _layout_of(snap: dict | None) -> dict | None:
+    """The resume-identity fingerprint of a committed snapshot: which
+    writer mode produced the part-id namespace and with what key."""
+    if snap is None:
+        return None
+    meta = snap.get("meta", {})
+    if "layout" in meta:
+        return meta["layout"]
+    # legacy v1 snapshots: reconstruct what we can from the old meta
+    if meta.get("mode") == "splits":
+        return {"mode": "splits", "rows_per_chunk": meta.get("rows_per_chunk")}
+    if "compacted_from" in meta:
+        return {"mode": "compacted"}
+    if "key" in meta:
+        return {"mode": "hash", "key": meta.get("key"),
+                "n_parts": meta.get("n_parts"),
+                "rows_per_chunk": meta.get("rows_per_chunk")}
+    return None
+
+
+def _check_resume_layout(snap: dict | None, want: dict, table_path: str):
+    """Refuse to resume onto a snapshot whose part-id namespace was
+    produced by a different writer mode/key — resuming across layouts
+    silently skips or duplicates rows (the part ids mean different
+    things).  Compaction also renumbers ids, so compacted tables are
+    terminal for resume."""
+    have = _layout_of(snap)
+    if have is None:
+        return
+    if have.get("mode") == "compacted" or have != want:
+        raise ValueError(
+            f"cannot resume onto {table_path}: committed layout {have} != "
+            f"requested {want}; part ids are not comparable across layouts "
+            "(write to a fresh table, or decode+re-encode)")
+
 
 def write_encoded(df: DataFrame, table_path: str,
                   key: list[str] | None = None, n_parts: int | None = None,
                   codec: str = "auto",
                   rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
                   limit_parts: int | None = None,
-                  part_offset: int = 0) -> dict:
+                  part_offset: int = 0,
+                  mappings: dict[str, str] | None = None) -> dict:
     """Encode df into the table, committing a new snapshot. Resumable.
 
     Partitions already present in the CURRENT snapshot are skipped (the
@@ -118,16 +183,23 @@ def write_encoded(df: DataFrame, table_path: str,
     shifts this batch's part-id range (streaming: epoch k writes parts
     [k*n_parts, (k+1)*n_parts) — re-delivered epochs become no-ops, so
     the sink is exactly-once under Structured Streaming checkpointing).
-    """
+    Resume refuses a table whose committed layout (writer mode, key,
+    n_parts, chunk size) differs from this call — mismatched part-id
+    namespaces would silently skip or duplicate rows.
+
+    `mappings` persists physical->logical names from merge_tables'
+    type-collision renames into the snapshot (reference Mappings
+    metadata, Fragment.cs:117-125)."""
     spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(rows_per_chunk))
     table = EncodedTable(table_path)
     parent = table.current_snapshot()
     done = set(map(int, table.committed_parts().keys()))
 
     key = key or [df.columns[0]]
     n_parts = n_parts or spark.sparkContext.defaultParallelism
+    layout = {"mode": "hash", "key": key, "n_parts": n_parts,
+              "rows_per_chunk": rows_per_chunk}
+    _check_resume_layout(parent, layout, table_path)
     # resume needs a stable, FILTERABLE group id, so (unlike the plain
     # encode_table hot path) the group is an explicit column; range
     # placement keeps the group->task mapping ~1:1
@@ -149,8 +221,26 @@ def write_encoded(df: DataFrame, table_path: str,
     def writer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending: dict[int, dict] = {}
 
+        def drain(st: dict, pid: int, final: bool):
+            """Materialize full rows_per_chunk chunks from the buffer
+            (chunk size is a writer-side knob, independent of the Arrow
+            batch configuration); `final` flushes the tail too."""
+            while st["buffered"] >= rows_per_chunk or (final and st["buffered"]):
+                tbl = pa.Table.from_batches(st["buf"])
+                take = min(rows_per_chunk, st["buffered"])
+                head = tbl.slice(0, take).combine_chunks()
+                rest = tbl.slice(take)
+                st["buf"] = rest.to_batches() if rest.num_rows else []
+                st["buffered"] = rest.num_rows
+                st["chunks"].append(
+                    encode_chunk(head.to_batches()[0], pid,
+                                 len(st["chunks"]), codec,
+                                 st["plan"] if codec == "auto" else None,
+                                 zone_key=key[0]))
+
         def flush(pid: int) -> pa.RecordBatch:
             st = pending.pop(pid)
+            drain(st, pid, final=True)
             tbl = pa.Table.from_batches(
                 [_chunk_rows_to_batch(st["chunks"])])
             final = os.path.join(data_dir, f"part-{pid:05d}.parquet")
@@ -179,11 +269,11 @@ def write_encoded(df: DataFrame, table_path: str,
                 for done_pid in [p for p in pending if p < pid]:
                     yield flush(done_pid)
                 st = pending.setdefault(
-                    pid, {"chunks": [], "t0": time.monotonic()})
-                st["chunks"].append(
-                    encode_chunk(data.slice(lo, hi - lo), pid,
-                                 len(st["chunks"]), codec,
-                                 zone_key=key[0]))
+                    pid, {"chunks": [], "buf": [], "buffered": 0,
+                          "plan": {}, "t0": time.monotonic()})
+                st["buf"].append(data.slice(lo, hi - lo))
+                st["buffered"] += hi - lo
+                drain(st, pid, final=False)
         for pid in list(pending):
             yield flush(pid)
 
@@ -204,8 +294,12 @@ def write_encoded(df: DataFrame, table_path: str,
             "wall_ms": row.wall_ms, "codecs": row.codecs,
         }
     meta = {"key": key, "n_parts": n_parts, "codec": codec,
-            "rows_per_chunk": rows_per_chunk,
+            "rows_per_chunk": rows_per_chunk, "layout": layout,
             "new_parts": sorted(int(r.part_id) for r in lineage)}
+    if mappings is None and parent is not None:
+        mappings = (parent.get("meta") or {}).get("mappings")
+    if mappings:
+        meta["mappings"] = mappings
     return table.commit(parts, schema_ipc, parent, meta)
 
 
@@ -239,11 +333,19 @@ def compact_table(spark: SparkSession, table_path: str,
     /root/reference/Parquet.Core/ParquetFile.cs:106-125) as a table
     operation.  Chunk payloads are NOT re-encoded (streaming row-group
     merge, Fragment.cs:319-332: bounded memory, no decode); part ids are
-    renumbered and a new snapshot commits atomically."""
+    renumbered and a new snapshot commits atomically.
+
+    Crash-safety: compacted file names embed the NEW snapshot id, so a
+    commit never mutates a file referenced by any existing snapshot (a
+    crash between write and commit leaves the live snapshot untouched;
+    a re-run writes fresh files under the next id).  Old data files are
+    NOT deleted here — run `vacuum_table` separately once parent
+    snapshots are no longer needed."""
     table = EncodedTable(table_path)
     parent = table.current_snapshot()
     if parent is None:
         raise ValueError(f"no committed snapshot at {table_path}")
+    new_sid = parent["snapshot_id"] + 1
     enc = read_encoded(spark, table_path)
     data_dir = os.path.join(table_path, "data")
 
@@ -258,7 +360,8 @@ def compact_table(spark: SparkSession, table_path: str,
         if not rows:
             return
         tbl = pa.Table.from_batches(rows)
-        final = os.path.join(data_dir, f"compact-{pid:05d}.parquet")
+        final = os.path.join(data_dir,
+                             f"compact-{new_sid:06d}-{pid:05d}.parquet")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         pq.write_table(tbl, tmp, compression="none")
         os.replace(tmp, final)
@@ -280,17 +383,31 @@ def compact_table(spark: SparkSession, table_path: str,
         "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
         "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
         "wall_ms": r.wall_ms, "codecs": r.codecs} for r in lineage}
-    old_files = set(table.data_files())
-    snap = table.commit(parts, None, parent,
-                        meta={"compacted_from": parent["snapshot_id"],
-                              "target_parts": target_parts})
-    for f in old_files:  # only files no longer referenced
-        if f not in {p["file"] for p in parts.values()}:
-            try:
-                os.remove(f)
-            except OSError:
-                pass
-    return snap
+    meta = {"compacted_from": parent["snapshot_id"],
+            "target_parts": target_parts,
+            "layout": {"mode": "compacted"}}
+    if (parent.get("meta") or {}).get("mappings"):
+        meta["mappings"] = parent["meta"]["mappings"]
+    return table.commit(parts, None, parent, meta=meta)
+
+
+def vacuum_table(table_path: str) -> list[str]:
+    """Delete data files not referenced by the CURRENT snapshot.
+
+    Separate from compaction by design: deleting eagerly at commit time
+    would break time-travel to parent snapshots and, worse, a crash
+    window where CURRENT still points at a deleted file.  Returns the
+    removed paths."""
+    table = EncodedTable(table_path)
+    live = set(os.path.abspath(f) for f in table.data_files())
+    removed = []
+    data_dir = os.path.join(table_path, "data")
+    for name in sorted(os.listdir(data_dir)):
+        p = os.path.abspath(os.path.join(data_dir, name))
+        if p not in live and name.endswith(".parquet"):
+            os.remove(p)
+            removed.append(p)
+    return removed
 
 
 def read_encoded(spark: SparkSession, table_path: str) -> DataFrame:

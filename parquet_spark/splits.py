@@ -35,9 +35,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .engine import (DEFAULT_ROWS_PER_CHUNK, ENCODED_DDL,
                      _chunk_rows_to_batch, encode_chunk)
-from .manifest import LINEAGE_DDL, EncodedTable
+from .manifest import EncodedTable, _check_resume_layout
 
 SPLIT_DDL = "split_id bigint, file string, row_group int, n_rows bigint"
+
+# splits lineage carries the source (file, row_group) so resume identity
+# is CONTENT-based, not ordinal: directory growth/reordering between
+# runs can never make a part id silently point at different data
+SPLITS_LINEAGE_DDL = ("part_id bigint, file string, n_chunks bigint, "
+                      "n_rows bigint, bytes_in bigint, bytes_out bigint, "
+                      "wall_ms double, codecs string, "
+                      "src_file string, src_row_group bigint")
 
 
 def list_splits(input_path: str) -> list[dict]:
@@ -129,12 +137,35 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
                          limit_parts: int | None = None) -> dict:
     """Scan-side encode + worker-side part-file write + manifest commit.
 
-    part == split (one encoded file per input row group); resume skips
-    splits already committed, exactly like `manifest.write_encoded`."""
+    part == split (one encoded file per input row group).  Resume
+    identity is the stable (src_file, src_row_group) pair recorded in
+    each part's committed lineage — NOT the ordinal split id — so input
+    directories that grow (new files sorting before existing ones) or
+    re-enumerate differently between runs can never silently skip or
+    duplicate data; new splits get fresh part ids after the committed
+    maximum."""
     table = EncodedTable(table_path)
-    done = set(map(int, table.committed_parts().keys()))
-    splits = [s for s in list_splits(input_path)
-              if s["split_id"] not in done]
+    parent = table.current_snapshot()
+    layout = {"mode": "splits", "rows_per_chunk": rows_per_chunk}
+    _check_resume_layout(parent, layout, table_path)
+    committed = table.committed_parts()
+    done: dict[tuple[str, int], int] = {}
+    for pid, p in committed.items():
+        if "src_file" not in p:
+            raise ValueError(
+                f"cannot resume onto {table_path}: committed parts lack "
+                "src_file/src_row_group lineage (written by an older "
+                "build whose resume identity was the ordinal split id); "
+                "re-ingest into a fresh table")
+        done[(p["src_file"], int(p["src_row_group"]))] = int(pid)
+    next_pid = max((int(p) for p in committed), default=-1) + 1
+    splits = []
+    for s in list_splits(input_path):
+        if (s["file"], s["row_group"]) in done:
+            continue
+        s["split_id"] = next_pid
+        next_pid += 1
+        splits.append(s)
     if limit_parts is not None:
         splits = splits[:limit_parts]
     data_dir = os.path.join(table_path, "data")
@@ -161,11 +192,12 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
                     "bytes_out": int(sum(sum(c["bytes_out"]) for c in chunks)),
                     "wall_ms": (time.monotonic() - t0) * 1000.0,
                     "codecs": ",".join(codec_mix),
+                    "src_file": d["file"], "src_row_group": d["row_group"],
                 }])
 
     if splits:
         lineage = _split_df(spark, splits, n_tasks) \
-            .mapInArrow(writer, LINEAGE_DDL).collect()
+            .mapInArrow(writer, SPLITS_LINEAGE_DDL).collect()
     else:
         lineage = []
     schema_ipc = None
@@ -175,10 +207,11 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
     parts = {str(r.part_id): {
         "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
         "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
-        "wall_ms": r.wall_ms, "codecs": r.codecs} for r in lineage}
-    parent = table.current_snapshot()
-    all_parts = {**table.committed_parts(), **parts}
+        "wall_ms": r.wall_ms, "codecs": r.codecs,
+        "src_file": r.src_file, "src_row_group": r.src_row_group,
+    } for r in lineage}
+    all_parts = {**committed, **parts}
     return table.commit(all_parts, schema_ipc, parent, meta={
-        "mode": "splits", "input": input_path,
+        "mode": "splits", "input": input_path, "layout": layout,
         "codec": codec, "rows_per_chunk": rows_per_chunk,
         "new_parts": sorted(int(k) for k in parts)})

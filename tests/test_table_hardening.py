@@ -1,0 +1,188 @@
+"""Round-2 hardening: multi-column zone maps / composite pruning,
+Mappings persistence, compaction crash-safety + vacuum, and resume
+layout fingerprints.
+
+Reference parity: Mappings metadata mirrors
+/root/reference/Parquet.Core/Fragment.cs:117-125 (asserted in
+Parquet.Tests/FragmentTests.cs:254-313); atomic-finalize semantics
+mirror ParquetFile.cs:37-47,106-125.
+"""
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_spark.engine import (decode_table, encode_table, prune_chunks,
+                                  prune_chunks_pred)
+from parquet_spark.manifest import (EncodedTable, compact_table, read_decoded,
+                                    vacuum_table, write_encoded)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.mark.spark
+def test_composite_pruning_beats_single_column(spark):
+    """A two-column AND predicate must prune at least as hard as either
+    single bound, and the pruned decode must equal the full filter."""
+    from parquet_spark.corpus import gen_corpus
+    df = gen_corpus(spark, 2000, seed=42, parts=2)
+    enc = encode_table(df, key=["url"], n_parts=4, rows_per_chunk=100).cache()
+    lo, hi = "https://host1", "https://host4"
+    n_all = enc.count()
+    by_url = prune_chunks_pred(enc, [("url", lo, hi)]).count()
+    # warc_ts zone: numeric bounds over a mid-range window
+    b = enc.agg(F.min("key_min_num"), F.max("key_max_num")).head()
+    # url is the sort key; grab ts bounds from the multi-column zones
+    z = (enc.select(F.posexplode("zone_cols").alias("i", "c"),
+                    F.col("zone_min_num"), F.col("zone_max_num"))
+         .where(F.col("c") == "warc_ts")
+         .agg(F.min(F.try_element_at("zone_min_num",
+                                     (F.col("i") + 1).cast("int"))),
+              F.max(F.try_element_at("zone_max_num",
+                                     (F.col("i") + 1).cast("int")))).head())
+    t_lo = z[0] + (z[1] - z[0]) // 4
+    t_hi = z[0] + (z[1] - z[0]) // 2
+    by_ts = prune_chunks_pred(enc, [("warc_ts", t_lo, t_hi)]).count()
+    both = prune_chunks_pred(
+        enc, [("url", lo, hi), ("warc_ts", t_lo, t_hi)])
+    n_both = both.count()
+    assert n_both <= min(by_url, by_ts) < n_all
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00', warc_ts)")
+    want = df.where((F.col("url") >= lo) & (F.col("url") <= hi)
+                    & us.between(t_lo, t_hi))
+    got = decode_table(both).where(
+        (F.col("url") >= lo) & (F.col("url") <= hi) & us.between(t_lo, t_hi))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    enc.unpersist()
+
+
+@pytest.mark.spark
+def test_composite_pruning_or_branches(spark, docs):
+    enc = encode_table(docs, key=["doc_id"], n_parts=2,
+                       rows_per_chunk=50).cache()
+    n_all = enc.count()
+    pred = {"any": [[("doc_id", 0, 60)], [("doc_id", 400, None)]]}
+    kept = prune_chunks_pred(enc, pred)
+    assert 0 < kept.count() < n_all
+    got = decode_table(kept).where(
+        F.col("doc_id").between(0, 60) | (F.col("doc_id") >= 400))
+    want = docs.where(
+        F.col("doc_id").between(0, 60) | (F.col("doc_id") >= 400))
+    assert got.count() == want.count() > 0
+    enc.unpersist()
+
+
+@pytest.mark.spark
+def test_mappings_persist_and_recover_cold(spark, docs):
+    """Merge colliding frames, write with mappings, reopen the table cold
+    and recover physical->logical names (FragmentTests.cs:254-313)."""
+    from parquet_spark.merge import merge_tables
+    a = docs.select("doc_id", F.col("n_chars").alias("payload"))
+    b = docs.select("doc_id", F.col("lang").alias("payload"))
+    merged, mappings = merge_tables([a, b], order_key=["doc_id"])
+    assert mappings == {"payload/bigint": "payload",
+                        "payload/string": "payload"}
+    tbl = tempfile.mkdtemp(prefix="mappings_tbl_")
+    write_encoded(merged, tbl, key=["doc_id"], n_parts=2, mappings=mappings)
+    cold = EncodedTable(tbl)  # fresh handle, no shared state
+    assert cold.mappings() == mappings
+    dec = read_decoded(spark, tbl)
+    assert set(mappings) <= set(dec.columns)
+    # mappings survive a resume commit and a compaction
+    write_encoded(merged, tbl, key=["doc_id"], n_parts=2)
+    assert EncodedTable(tbl).mappings() == mappings
+    compact_table(spark, tbl, target_parts=1)
+    assert EncodedTable(tbl).mappings() == mappings
+
+
+@pytest.mark.spark
+def test_compaction_never_touches_live_files_and_vacuum(spark, docs):
+    tbl = tempfile.mkdtemp(prefix="compact_tbl_")
+    write_encoded(docs, tbl, key=["doc_id"], n_parts=4)
+    t = EncodedTable(tbl)
+    files_v0 = sorted(t.data_files())
+    mtimes = {f: os.path.getmtime(f) for f in files_v0}
+    compact_table(spark, tbl, target_parts=1)
+    # parent snapshot's files still exist, byte-identical (no rewrite)
+    for f in files_v0:
+        assert os.path.exists(f)
+        assert os.path.getmtime(f) == mtimes[f]
+    files_v1 = sorted(EncodedTable(tbl).data_files())
+    assert files_v1 != files_v0
+    assert all("compact-000001-" in os.path.basename(f) for f in files_v1)
+    # second compaction writes under the NEXT snapshot id — never mutates
+    # files referenced by the live snapshot
+    compact_table(spark, tbl, target_parts=2)
+    files_v2 = sorted(EncodedTable(tbl).data_files())
+    assert all("compact-000002-" in os.path.basename(f) for f in files_v2)
+    assert set(files_v1).isdisjoint(files_v2)
+    # vacuum is the separate, explicit deletion step
+    removed = vacuum_table(tbl)
+    assert set(removed) == {os.path.abspath(f) for f in files_v0 + files_v1}
+    live = glob.glob(os.path.join(tbl, "data", "*.parquet"))
+    assert sorted(os.path.abspath(f) for f in live) == [
+        os.path.abspath(f) for f in files_v2]
+    # decode still exact after compact+compact+vacuum
+    dec = read_decoded(spark, tbl)
+    assert dec.count() == docs.count()
+    assert dec.exceptAll(docs).count() == 0
+
+
+@pytest.mark.spark
+def test_resume_refuses_layout_mismatch_and_compacted(spark, docs):
+    tbl = tempfile.mkdtemp(prefix="layout_tbl_")
+    write_encoded(docs, tbl, key=["doc_id"], n_parts=2, limit_parts=1)
+    # different key / n_parts / chunk size -> part ids mean different data
+    with pytest.raises(ValueError, match="cannot resume"):
+        write_encoded(docs, tbl, key=["lang"], n_parts=2)
+    with pytest.raises(ValueError, match="cannot resume"):
+        write_encoded(docs, tbl, key=["doc_id"], n_parts=8)
+    with pytest.raises(ValueError, match="cannot resume"):
+        write_encoded(docs, tbl, key=["doc_id"], n_parts=2,
+                      rows_per_chunk=123)
+    # matching layout resumes fine
+    write_encoded(docs, tbl, key=["doc_id"], n_parts=2)
+    # compaction renumbers part ids -> any further resume must refuse
+    compact_table(spark, tbl, target_parts=1)
+    with pytest.raises(ValueError, match="cannot resume"):
+        write_encoded(docs, tbl, key=["doc_id"], n_parts=2)
+    from parquet_spark.splits import write_encoded_splits
+    with pytest.raises(ValueError, match="cannot resume"):
+        write_encoded_splits(
+            spark, "/root/testdata/sf0.001/documents.parquet", tbl)
+
+
+@pytest.mark.spark
+def test_splits_resume_is_content_keyed(spark):
+    """Growing the input directory between runs must not shift resume
+    identity: only genuinely new row groups are encoded."""
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.splits import write_encoded_splits
+    from parquet_spark.verify import verify_roundtrip
+    src = tempfile.mkdtemp(prefix="splits_src_")
+    d1 = gen_corpus(spark, 600, seed=5, parts=1)
+    d1.write.parquet(os.path.join(src, "m_first.parquet"))
+    tbl = tempfile.mkdtemp(prefix="splits_grow_tbl_")
+    s1 = write_encoded_splits(spark, src, tbl)
+    n1 = len(s1["parts"])
+    # a new file that sorts BEFORE the existing one (the ordinal-id trap)
+    d2 = gen_corpus(spark, 400, seed=6, parts=1) \
+        .withColumn("url", F.concat(F.lit("x"), F.col("url")))
+    d2.write.parquet(os.path.join(src, "a_second.parquet"))
+    s2 = write_encoded_splits(spark, src, tbl)
+    # old parts untouched, new parts appended with fresh ids
+    for pid, p in s1["parts"].items():
+        assert s2["parts"][pid] == p
+    assert len(s2["parts"]) > n1
+    assert min(int(i) for i in s2["meta"]["new_parts"]) >= n1
+    both = d1.unionByName(d2)
+    verify_roundtrip(both, read_decoded(spark, tbl), key=["url"],
+                     digest_col="text")
