@@ -6,12 +6,19 @@ Public API (pure pyarrow/numpy; no Spark imports — runs inside Arrow UDFs):
     decode_column(payload: bytes, typ: pa.DataType) -> pa.Array
 
 The payload is self-describing given the column's Arrow type (which the
-chunk stores once in its serialized schema). Layout:
+chunk stores once in its serialized schema). Block layout (v2):
 
-    <B block_flag> <I crc32> body                    block_flag 0 = raw
-    block_flag 1 -> <I crc32> <Q raw_len> zstd(body) block compression
+    <B 0xEC magic> <B block_codec> <I crc32> [<Q raw_len>] payload
+    block_codec 0 = raw (payload = body); 1 zstd, 2 snappy, 3 lz4,
+    4 gzip, 5 brotli (payload = compressed body, raw_len present)
     body = <B codec_id> <Q n> <B has_validity> [validity bits] codec-body
     (crc32 is of the uncompressed body; verified on every decode)
+
+    Legacy v1 blocks (first byte 0x00 raw / 0x01 zstd, no magic) are
+    still readable; any other leading byte fails with an explicit
+    format-version error instead of a misleading CRC mismatch.  The
+    reference exposes the same codec x level surface through Parquet.Net
+    (/root/reference/Parquet.Core/Options.cs:9-10, README.md:15-16).
 
 Codec ids: 1 PLAIN (Arrow IPC, universal fallback), 2 INT (bit-faithful
 int64 view -> FOR/DELTA/RLE int stream), 3 BOOL (bit-packed), 4 STR_PLAIN
@@ -50,6 +57,29 @@ _ZSTD_HI = pa.Codec("zstd", compression_level=9)
 _HI_MAX_BYTES = 8 << 20  # lightweight-encoded streams are small; spend
 #                          zstd-9 on them, keep level 3 for big raw bodies
 
+_BLOCK_MAGIC = 0xEC
+_BLOCK_NAMES = {1: "zstd", 2: "snappy", 3: "lz4", 4: "gzip", 5: "brotli"}
+_BLOCK_IDS = {v: k for k, v in _BLOCK_NAMES.items()}
+
+
+def block_codecs_available() -> list[str]:
+    """Block codecs usable in this build ("none"/"auto" always work)."""
+    return [n for n in _BLOCK_IDS if pa.Codec.is_available(n)]
+
+
+def _parse_block_codec(spec: str) -> tuple[int, "pa.Codec"]:
+    """'zstd', 'zstd:9', 'snappy', ... -> (codec_id, pyarrow Codec)."""
+    name, _, level = spec.partition(":")
+    if name not in _BLOCK_IDS:
+        raise ValueError(f"unknown block codec {spec!r}; "
+                         f"available: {sorted(_BLOCK_IDS)} + none/auto")
+    if not pa.Codec.is_available(name):
+        raise ValueError(f"block codec {name!r} not available in this "
+                         "pyarrow build")
+    if level:
+        return _BLOCK_IDS[name], pa.Codec(name, compression_level=int(level))
+    return _BLOCK_IDS[name], pa.Codec(name)  # snappy/lz4 have no levels
+
 DICT_MAX_DISTINCT_RATIO = 0.8  # reference: ParquetResultListener.cs:45
 _SAMPLE_VALUES = 512
 _SAMPLE_MAX_BYTES = 1 << 18
@@ -60,36 +90,72 @@ _INT_TYPES = {pa.int8(), pa.int16(), pa.int32(), pa.int64(),
 
 # ---------------------------------------------------------------- helpers
 
-def _block_wrap(body: bytes) -> bytes:
-    """Wrap a codec body: optional zstd block compression + CRC32.
+def _v2(block_id: int, crc: bytes, body_or_comp: bytes,
+        raw_len: int | None = None) -> bytes:
+    head = bytes((_BLOCK_MAGIC, block_id)) + crc
+    if raw_len is None:
+        return head + body_or_comp
+    return head + struct.pack("<Q", raw_len) + body_or_comp
 
-    Layout: <B flag> <I crc32-of-body> [<Q raw_len>] payload.  The CRC
-    is verified on every unwrap, so a corrupted chunk payload fails
-    loudly instead of decoding to silently wrong data."""
+
+def _block_wrap(body: bytes, block_codec: str = "auto") -> bytes:
+    """Wrap a codec body: pluggable block compression + CRC32.
+
+    `block_codec`: "auto" (adaptive zstd — level 9 for small lightweight
+    streams, 3 for big bodies, with an incompressibility probe that
+    skips the full compress on random data), "none", or an explicit
+    "name[:level]" from zstd/snappy/lz4/gzip/brotli.  The CRC is
+    verified on every unwrap, so a corrupted chunk payload fails loudly
+    instead of decoding to silently wrong data."""
     crc = struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF)
-    if len(body) > 64:
+    if block_codec == "none" or len(body) <= 64:
+        return _v2(0, crc, body)
+    if block_codec == "auto":
         # for big buffers, probe a 64 KiB slice first: skip the full
         # compress when the data is incompressible (e.g. random binary)
         if len(body) > (1 << 20):
             mid = len(body) // 2
             probe = _ZSTD.compress(body[mid:mid + (1 << 16)])
             if len(probe) > 0.97 * (1 << 16):
-                return b"".join((b"\x00", crc, body))
+                return _v2(0, crc, body)
         codec = _ZSTD_HI if len(body) <= _HI_MAX_BYTES else _ZSTD
-        comp = codec.compress(body).to_pybytes()
-        if len(comp) + 13 < len(body):
-            return b"".join((b"\x01", crc,
-                             struct.pack("<Q", len(body)), comp))
-    return b"".join((b"\x00", crc, body))
+        bid = _BLOCK_IDS["zstd"]
+    else:
+        bid, codec = _parse_block_codec(block_codec)
+    comp = codec.compress(body).to_pybytes()
+    if len(comp) + 14 < len(body):
+        return _v2(bid, crc, comp, raw_len=len(body))
+    return _v2(0, crc, body)
 
 
 def _block_unwrap(payload: bytes) -> bytes:
-    (crc,) = struct.unpack_from("<I", payload, 1)
-    if payload[0] == 1:
-        (raw_len,) = struct.unpack_from("<Q", payload, 5)
-        body = _ZSTD.decompress(payload[13:], raw_len).to_pybytes()
+    lead = payload[0]
+    if lead == _BLOCK_MAGIC:
+        bid = payload[1]
+        (crc,) = struct.unpack_from("<I", payload, 2)
+        if bid == 0:
+            body = payload[6:]
+        else:
+            name = _BLOCK_NAMES.get(bid)
+            if name is None:
+                raise ValueError(
+                    f"unknown block codec id {bid}: data written by a "
+                    "newer format version than this build supports")
+            (raw_len,) = struct.unpack_from("<Q", payload, 6)
+            body = pa.Codec(name).decompress(
+                payload[14:], raw_len).to_pybytes()
+    elif lead in (0, 1):  # legacy v1 (round-1 tables): raw / zstd
+        (crc,) = struct.unpack_from("<I", payload, 1)
+        if lead == 1:
+            (raw_len,) = struct.unpack_from("<Q", payload, 5)
+            body = _ZSTD.decompress(payload[13:], raw_len).to_pybytes()
+        else:
+            body = payload[5:]
     else:
-        body = payload[5:]
+        raise ValueError(
+            f"unrecognized block header byte {lead:#04x}: not a "
+            "parquet_spark chunk payload (or an incompatible format "
+            "version)")
     if zlib.crc32(body) & 0xFFFFFFFF != crc:
         raise ValueError("chunk payload CRC mismatch: corrupted data")
     return body
@@ -431,12 +497,16 @@ def _decode_body(body: bytes, t: pa.DataType) -> pa.Array:
 # ------------------------------------------------------------------ public
 
 def encode_column(arr: pa.Array, codec: str = "auto",
-                  ctx: dict | None = None) -> tuple[str, bytes]:
+                  ctx: dict | None = None,
+                  block_codec: str = "auto") -> tuple[str, bytes]:
     """Encode one column chunk. Returns (codec_name, payload).
 
     `ctx` is an optional per-partition, per-column scratch dict: the
     auto-selector's choice and the trained FSST symbol table are cached
-    there so later chunks of the same partition skip re-sampling."""
+    there so later chunks of the same partition skip re-sampling.
+    `block_codec` picks the outer block compression (O15 parity:
+    "auto" | "none" | "zstd[:lvl]" | "snappy" | "lz4" | "gzip[:lvl]" |
+    "brotli[:lvl]")."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     try:
@@ -445,7 +515,7 @@ def encode_column(arr: pa.Array, codec: str = "auto",
         if codec != "auto":
             raise
         body = _enc_plain(arr)  # universal fallback keeps every type working
-    return CODEC_NAMES[body[0]], _block_wrap(body)
+    return CODEC_NAMES[body[0]], _block_wrap(body, block_codec)
 
 
 def decode_column(payload: bytes, typ: pa.DataType) -> pa.Array:

@@ -50,12 +50,31 @@ def build_global_dict(df: DataFrame, col: str,
     if stats.n == 0 or stats.d > max_cardinality or stats.d / stats.n > 0.8:
         return None
     vals = df.where(F.col(col).isNotNull()).select(col).distinct()
-    # the dictionary is small (gated above): a single-partition window is
-    # the cheap, deterministic way to assign dense ids
-    w = Window.orderBy(col)
-    return (vals.coalesce(1)
-            .withColumn("dict_id", F.row_number().over(w) - 1)
-            .select("dict_id", F.col(col).alias("value")))
+    # Dense rank WITHOUT a single-partition sort: range-partition the
+    # distinct values (so partition p's values all precede p+1's), rank
+    # locally per partition, then add each partition's global offset
+    # (per-partition counts are metadata-sized).  At 1M+ cardinality
+    # this keeps every stage parallel; the old coalesce(1) window made
+    # the final rank a one-task sort.
+    n_parts = max(2, min(32, vals.sparkSession.sparkContext
+                         .defaultParallelism))
+    ranged = (vals.repartitionByRange(n_parts, col)
+              .withColumn("_p", F.spark_partition_id()))
+    counts = {r._p: r.c for r in
+              ranged.groupBy("_p").agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for p in sorted(offsets)
+                       for x in (p, offsets[p])]), F.col("_p"))
+    w = Window.partitionBy("_p").orderBy(col)
+    return (ranged.withColumn(
+                "dict_id", F.row_number().over(w) - 1 + off_expr)
+            .select(F.col("dict_id").cast("int").alias("dict_id"),
+                    F.col(col).alias("value")))
 
 
 def apply_global_dict(df: DataFrame, col: str, dict_df: DataFrame) -> DataFrame:

@@ -48,21 +48,23 @@ DEFAULT_ROWS_PER_CHUNK = 10_000  # reference RowGroupSize default (Options.cs:8)
 
 def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
                  codec: str = "auto", plan: dict[str, dict] | None = None,
-                 zone_key: str | None = None) -> dict:
+                 zone_key: str | None = None,
+                 block_codec: str = "auto") -> dict:
     """Encode one Arrow batch into a chunk row (pure, Spark-free).
 
     `plan` is the per-partition codec memo: the auto-selector and FSST
     trainer run on a partition's first chunk only, later chunks reuse
     the choice and symbol table (the "per-partition codec auto-selector"
     of the north rule without re-sampling every row group).  `zone_key`
-    names a string column to record a per-chunk [min,max] zone map for."""
+    names the sort-key column for the dedicated key_* zone fields;
+    `block_codec` picks the outer block compression (O15)."""
     names, codecs, payloads, b_in, b_out = [], [], [], [], []
     for i, field in enumerate(batch.schema):
         arr = batch.column(i)
         colctx = plan.setdefault(field.name, {}) if plan is not None else None
         cname, payload = encode_column(
             arr, colctx.get("codec", codec) if colctx is not None else codec,
-            ctx=colctx)
+            ctx=colctx, block_codec=block_codec)
         if colctx is not None and "codec" not in colctx:
             colctx["codec"] = cname
         names.append(field.name)
@@ -209,7 +211,8 @@ def _rebatch(batches: Iterator[pa.RecordBatch],
 
 def encode_table(df: DataFrame, key: list[str] | None = None,
                  n_parts: int | None = None, codec: str = "auto",
-                 rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK) -> DataFrame:
+                 rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
+                 block_codec: str = "auto") -> DataFrame:
     """Encode a DataFrame into column-chunk rows (one row per chunk)."""
     dfp, key = partition_for_encode(df, key, n_parts)
     zone_key = key[0]
@@ -226,7 +229,7 @@ def encode_table(df: DataFrame, key: list[str] | None = None,
             # is the fragment (SURVEY §1.5)
             chunk = encode_chunk(batch, pid, cid, codec,
                                  plan if codec == "auto" else None,
-                                 zone_key=zone_key)
+                                 zone_key=zone_key, block_codec=block_codec)
             cid += 1
             yield _chunk_rows_to_batch([chunk])
 
@@ -270,7 +273,9 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
             for i in range(batch.num_rows):
                 names = names_col[i].as_py()
                 pays = pay_col[i].values
-                payloads = [memoryview(pays[j].as_buffer())
+                # cast('B'): pa.Buffer's memoryview is signed char;
+                # byte-indexed header parsing needs unsigned
+                payloads = [memoryview(pays[j].as_buffer()).cast("B")
                             for j in range(len(pays))]
                 if want is not None:
                     keep = {n: p for n, p in zip(names, payloads)

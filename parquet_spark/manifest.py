@@ -173,7 +173,8 @@ def write_encoded(df: DataFrame, table_path: str,
                   rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
                   limit_parts: int | None = None,
                   part_offset: int = 0,
-                  mappings: dict[str, str] | None = None) -> dict:
+                  mappings: dict[str, str] | None = None,
+                  block_codec: str = "auto") -> dict:
     """Encode df into the table, committing a new snapshot. Resumable.
 
     Partitions already present in the CURRENT snapshot are skipped (the
@@ -236,7 +237,7 @@ def write_encoded(df: DataFrame, table_path: str,
                     encode_chunk(head.to_batches()[0], pid,
                                  len(st["chunks"]), codec,
                                  st["plan"] if codec == "auto" else None,
-                                 zone_key=key[0]))
+                                 zone_key=key[0], block_codec=block_codec))
 
         def flush(pid: int) -> pa.RecordBatch:
             st = pending.pop(pid)

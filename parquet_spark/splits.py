@@ -93,7 +93,8 @@ def _normalize_schema(schema: pa.Schema) -> pa.Schema:
 
 def _iter_chunks(batch_rows: list[dict], codec: str,
                  rows_per_chunk: int,
-                 zone_key: str | None = None) -> Iterator[dict]:
+                 zone_key: str | None = None,
+                 block_codec: str = "auto") -> Iterator[dict]:
     """Read each split and encode it chunk-by-chunk (runs in the worker)."""
     for d in batch_rows:
         pf = pq.ParquetFile(d["file"])
@@ -112,19 +113,21 @@ def _iter_chunks(batch_rows: list[dict], codec: str,
                 pa.RecordBatch.from_pylist([], schema=tbl.schema)
             yield encode_chunk(rb, d["split_id"], cid, codec,
                                plan if codec == "auto" else None,
-                               zone_key=zone_key)
+                               zone_key=zone_key, block_codec=block_codec)
             cid += 1
 
 
 def encode_splits(spark: SparkSession, input_path: str,
                   n_tasks: int | None = None, codec: str = "auto",
-                  rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK) -> DataFrame:
+                  rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
+                  block_codec: str = "auto") -> DataFrame:
     """Encoded chunk rows, produced scan-side (narrow; no raw shuffle)."""
     splits = list_splits(input_path)
 
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            for chunk in _iter_chunks(batch.to_pylist(), codec, rows_per_chunk):
+            for chunk in _iter_chunks(batch.to_pylist(), codec, rows_per_chunk,
+                                      block_codec=block_codec):
                 yield _chunk_rows_to_batch([chunk])
 
     return _split_df(spark, splits, n_tasks).mapInArrow(enc, ENCODED_DDL)
@@ -134,7 +137,8 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
                          table_path: str, n_tasks: int | None = None,
                          codec: str = "auto",
                          rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
-                         limit_parts: int | None = None) -> dict:
+                         limit_parts: int | None = None,
+                         block_codec: str = "auto") -> dict:
     """Scan-side encode + worker-side part-file write + manifest commit.
 
     part == split (one encoded file per input row group).  Resume
@@ -175,7 +179,8 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
         for batch in batches:
             for d in batch.to_pylist():
                 t0 = time.monotonic()
-                chunks = list(_iter_chunks([d], codec, rows_per_chunk))
+                chunks = list(_iter_chunks([d], codec, rows_per_chunk,
+                                           block_codec=block_codec))
                 tbl = pa.Table.from_batches(
                     [_chunk_rows_to_batch(chunks)])
                 final = os.path.join(data_dir,

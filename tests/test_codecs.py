@@ -247,8 +247,9 @@ def test_high_entropy_binary_goes_plain():
                       for _ in range(600)], type=pa.binary())
     name, payload = encode_column(blobs)
     assert name == "str_plain"
-    # incompressible: the zstd block wrap must have been skipped (flag 0)
-    assert payload[0] == 0
+    # incompressible: the zstd block wrap must have been skipped
+    # (v2 header: magic byte, then block codec id 0 = raw)
+    assert payload[0] == 0xEC and payload[1] == 0
 
 
 def test_column_decimal_roundtrip():
@@ -284,3 +285,70 @@ def test_corrupted_payload_fails_loudly():
     b[-3] ^= 0xFF
     with pytest.raises(Exception):
         decode_column(bytes(b), pa.string())
+
+
+# --------------------------------------------- block codec layer (O15)
+
+_BLOCK_SPECS = ["auto", "none", "zstd", "zstd:9", "snappy", "lz4",
+                "gzip", "brotli", "gzip:1"]
+
+
+@pytest.mark.parametrize("spec", _BLOCK_SPECS)
+def test_block_codec_roundtrip_all_codecs(spec):
+    from parquet_spark.codecs.column import block_codecs_available
+    name = spec.split(":")[0]
+    if name not in ("auto", "none") and name not in block_codecs_available():
+        pytest.skip(f"{name} unavailable")
+    texts = pa.array((["the quick brown fox jumps over the lazy dog "] * 40
+                      + [None, "", "tail"]))
+    ints = pa.array(RNG.integers(0, 1 << 40, 200), type=pa.int64())
+    for arr in (texts, ints):
+        cname, payload = encode_column(arr, block_codec=spec)
+        out = decode_column(payload, arr.type)
+        assert out.equals(arr), (spec, cname)
+
+
+def test_block_codec_compresses_repetitive_text():
+    """Explicit codecs must actually shrink a compressible body."""
+    arr = pa.array(["abcdefgh" * 8] * 500)
+    _, raw = encode_column(arr, codec="str_plain", block_codec="none")
+    for spec in ("zstd", "snappy", "lz4", "gzip"):
+        _, comp = encode_column(arr, codec="str_plain", block_codec=spec)
+        assert len(comp) < len(raw), spec
+
+
+def test_block_codec_unknown_and_unavailable():
+    arr = pa.array(["x"] * 100)
+    with pytest.raises(ValueError, match="unknown block codec"):
+        encode_column(arr, block_codec="lzo")
+
+
+def test_legacy_v1_blocks_still_decode():
+    """Round-1 tables used <B 0|1> headers (no magic byte) — keep them
+    readable; unknown leading bytes must fail with a format error, not
+    a misleading CRC mismatch."""
+    import struct
+    import zlib
+
+    from parquet_spark.codecs.column import (_ZSTD_HI, _block_unwrap,
+                                             _encode_body)
+    arr = pa.array(["legacy block " * 3] * 50)
+    body = _encode_body(arr, "str_plain")
+    crc = struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF)
+    v1_raw = b"\x00" + crc + body
+    comp = _ZSTD_HI.compress(body).to_pybytes()
+    v1_zstd = b"\x01" + crc + struct.pack("<Q", len(body)) + comp
+    for payload in (v1_raw, v1_zstd):
+        out = decode_column(payload, arr.type)
+        assert out.equals(arr)
+    with pytest.raises(ValueError, match="block header byte"):
+        _block_unwrap(b"\x7fgarbagegarbagegarbage")
+
+
+def test_block_crc_detects_corruption():
+    arr = pa.array(["payload integrity " * 4] * 64)
+    _, payload = encode_column(arr, block_codec="none")
+    bad = bytearray(payload)
+    bad[len(bad) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_column(bytes(bad), arr.type)
