@@ -238,6 +238,20 @@ def main():
                 extra["scaling"]["efficiency_1_to_4"],
                 extra["scaling"]["efficiency_2_to_8"],
                 extra["scaling"]["efficiency_8_to_32"])
+            # per-stage CPU evidence: summed per-task encode CPU seconds
+            # (from splits lineage) at each level.  Equal work at every
+            # level, so flat CPU + inflating wall time pins the high-N
+            # efficiency loss on host memory contention (hypervisor
+            # page-fault serialization), not on the engine — the
+            # complement to the efficiency ratios above.
+            cpu = {m: res[m].get("cpu_seconds") for m in res
+                   if res[m].get("cpu_seconds")}
+            if len(cpu) == len(res):
+                extra["scaling"]["cpu_seconds"] = cpu
+                extra["scaling"]["cpu_inflation_2_to_8"] = round(
+                    cpu["local[8]"] / cpu["local[2]"], 4)
+                extra["scaling"]["cpu_inflation_8_to_32"] = round(
+                    cpu["local[32]"] / cpu["local[8]"], 4)
         except Exception as e:  # bench must still emit its line
             extra["scaling_error"] = repr(e)[:200]
 

@@ -46,10 +46,12 @@ import pyarrow.compute as pc
 from . import fsst
 from .ints import decode_uint64, encode_uint64
 
-PLAIN, INT, BOOL, STR_PLAIN, STR_FSST, DICT, LIST = 1, 2, 3, 4, 5, 6, 7
+PLAIN, INT, BOOL, STR_PLAIN, STR_FSST, DICT, LIST, DEC128 = \
+    1, 2, 3, 4, 5, 6, 7, 8
 
 CODEC_NAMES = {PLAIN: "plain", INT: "int", BOOL: "bool", STR_PLAIN: "str_plain",
-               STR_FSST: "fsst", DICT: "dict", LIST: "list"}
+               STR_FSST: "fsst", DICT: "dict", LIST: "list",
+               DEC128: "dec128"}
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 _ZSTD = pa.Codec("zstd", compression_level=3)
@@ -380,6 +382,35 @@ def _dec_list(body: bytes, t: pa.DataType) -> pa.Array:
     return _scatter(lst.cast(t), n, valid)
 
 
+def _enc_dec128(arr: pa.Array) -> bytes:
+    """Decimal128 via FOR/DELTA/RLE over the unscaled int128, split into
+    two int64 lanes (little-endian low quad, then high quad).  The high
+    lane is 0/-1 sign fill for every decimal that fits 64 bits — pure
+    RLE — so typical money-scale columns cost barely more than int64.
+    (Reference type list includes decimal, Doc/Schema/1.0.0.md:20;
+    parquet's own encoding falls back to fixed-len plain.)"""
+    head, vals = _validity_header(arr, DEC128)
+    data = np.frombuffer(vals.buffers()[1], np.uint64,
+                         count=len(vals) * 2, offset=vals.offset * 16)
+    lo = np.ascontiguousarray(data[0::2])
+    hi = np.ascontiguousarray(data[1::2])
+    return head + _prefix_u32(encode_uint64(lo)) + encode_uint64(hi)
+
+
+def _dec_dec128(body: bytes, t: pa.DataType) -> pa.Array:
+    _, n, valid, off = _read_header(body)
+    lo_b, off = _read_u32_block(body, off)
+    lo = decode_uint64(lo_b)
+    hi = decode_uint64(body[off:])
+    data = np.empty(len(lo) * 2, dtype=np.uint64)
+    data[0::2] = lo
+    data[1::2] = hi
+    vals = pa.Array.from_buffers(
+        pa.decimal128(t.precision, t.scale), len(lo),
+        [None, pa.py_buffer(data.tobytes())])
+    return _scatter(vals, n, valid)
+
+
 # ------------------------------------------------------------- auto-select
 
 def _is_intfamily(t: pa.DataType) -> bool:
@@ -471,6 +502,8 @@ def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
             cid = STR_PLAIN
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         cid = LIST
+    elif pa.types.is_decimal128(t):
+        cid = DEC128
     else:
         cid = PLAIN
 
@@ -480,7 +513,8 @@ def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
             body = _enc_str_plain(arr)
         return body
     enc = {PLAIN: _enc_plain, INT: _enc_int, BOOL: _enc_bool,
-           STR_PLAIN: _enc_str_plain, DICT: _enc_dict, LIST: _enc_list}[cid]
+           STR_PLAIN: _enc_str_plain, DICT: _enc_dict, LIST: _enc_list,
+           DEC128: _enc_dec128}[cid]
     return enc(arr)
 
 
@@ -488,7 +522,7 @@ def _decode_body(body: bytes, t: pa.DataType) -> pa.Array:
     cid = body[0]
     dec = {PLAIN: lambda b: _dec_plain(b), INT: _dec_int, BOOL: _dec_bool,
            STR_PLAIN: _dec_str_plain, STR_FSST: _dec_fsst,
-           DICT: _dec_dict, LIST: _dec_list}
+           DICT: _dec_dict, LIST: _dec_list, DEC128: _dec_dec128}
     if cid == PLAIN:
         return _dec_plain(body)
     return dec[cid](body, t)

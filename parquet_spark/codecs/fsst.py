@@ -9,7 +9,7 @@ the symbol count.  (An earlier design applied one `bytes.replace` pass
 per symbol: O(symbols x buffer) memory traffic, which saturated DRAM
 bandwidth and destroyed multi-core scaling.)
 
-Two wire modes, chosen per buffer:
+Three wire modes, chosen per buffer:
 
   * mode 1 ("u8", the fast path): symbol codes are byte values that do
     NOT occur anywhere in the buffer (web text/urls typically leave
@@ -17,9 +17,16 @@ Two wire modes, chosen per buffer:
     output is a plain byte stream — about half the memory traffic of
     the generic path and the closest rendering of real FSST's 1-byte
     codes.  Requires >= _MIN_FREE free byte values.
+  * mode 2 ("u8e", escape mode): when the buffer uses (nearly) the full
+    alphabet but some byte values are RARE, the rarest values are
+    requisitioned as codes plus one escape byte: their occurrences are
+    pre-escaped as (esc, orig) pairs (real FSST's escape-code idea),
+    after which the whole u8 pipeline applies unchanged.  Decode
+    expands codes, then un-escapes.  Gated on the escape overhead
+    being < 1/32 of the buffer.
   * mode 0 ("u16", the generic path): codes 256..510 in uint16 domain,
     emitted as a low-byte plane plus a bit-packed high-bit plane.
-    Handles buffers that use the full byte alphabet.
+    Handles buffers where even escape overhead would be too high.
 
 Matching is a single gather through a lookup table; selection is a
 maximal non-overlapping match set computed with pure boolean passes
@@ -32,6 +39,9 @@ Payload layout (self-describing):
     <B mode>
     mode 1: <B n_rules> <Q n_codes> n_rules x (<B code><B left><B right>)
             raw byte stream
+    mode 2: <B esc> <B n_req> req-values <B n_rules> <Q n_codes>
+            rules as mode 1, raw stream (stream expands to the ESCAPED
+            bytes — literals remapped to safe values — then un-escapes)
     mode 0: <H n_rules> <Q n_codes> n_rules x (<H left><H right>)
             low-byte plane, bit-packed high-bit plane
 
@@ -151,6 +161,79 @@ def _train_u8(arr: np.ndarray, free: np.ndarray) -> list[tuple[int, int, int]]:
     return rules
 
 
+# --------------------------------------------------- escape ("u8e") mode
+
+_ESC_CANDIDATES = 97   # 1 escape byte + up to 96 code values
+_ESC_MAX_FRAC = 5      # escape overhead must be < len >> _ESC_MAX_FRAC
+
+
+def _escape_maps(esc: int, codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Literal remap tables for escape mode.
+
+    An escaped occurrence cannot be stored as its RAW byte (the raw
+    value may be a symbol code, which decode would wrongly expand; the
+    escape byte itself would fake a marker), so each requisitioned value
+    is stored as a distinct SAFE value — one that is neither a code nor
+    the escape byte.  96 codes + 1 esc leaves 159 safe values >= 97
+    requisitioned ones.  Returns (lit_map, lit_inv) 256-byte tables."""
+    req = np.concatenate(([esc], codes)).astype(np.int64)
+    safe = np.setdiff1d(np.arange(256), req)[: len(req)]
+    lit_map = np.arange(256, dtype=np.uint8)
+    lit_inv = np.arange(256, dtype=np.uint8)
+    lit_map[req] = safe.astype(np.uint8)
+    lit_inv[safe] = req.astype(np.uint8)
+    return lit_map, lit_inv
+
+
+def _escape_bytes(arr: np.ndarray, esc: int,
+                  codes: np.ndarray) -> np.ndarray:
+    """Replace every occurrence of a requisitioned byte value v with the
+    pair (esc, lit_map[v]).  After this pass, esc occurs ONLY as a
+    marker and code values not at all."""
+    lut = np.zeros(256, dtype=bool)
+    lut[esc] = True
+    lut[codes] = True
+    mask = lut[arr]
+    if not mask.any():
+        return arr
+    lit_map, _ = _escape_maps(esc, codes)
+    shift = np.cumsum(mask)
+    shift -= mask
+    pos = np.arange(len(arr), dtype=np.int64)
+    pos += shift
+    out = np.empty(len(arr) + int(mask.sum()), dtype=np.uint8)
+    out[pos] = arr
+    esc_pos = pos[mask]
+    out[esc_pos] = esc
+    out[esc_pos + 1] = lit_map[arr[mask]]
+    return out
+
+
+def _unescape_bytes(arr: np.ndarray, esc: int,
+                    codes: np.ndarray) -> np.ndarray:
+    """Inverse of _escape_bytes: every esc byte is a marker (literals
+    are remapped to safe values, so none collides with esc); drop the
+    markers and un-map the literal that follows each."""
+    markers = arr == esc
+    if not markers.any():
+        return arr
+    _, lit_inv = _escape_maps(esc, codes)
+    lit_pos = np.flatnonzero(markers) + 1
+    out = arr.copy()
+    out[lit_pos] = lit_inv[out[lit_pos]]
+    return out[~markers]
+
+
+def _pick_escape_set(hist: np.ndarray, n: int) -> tuple[int, np.ndarray, int]:
+    """The n rarest byte values -> (escape byte, code values, overhead).
+    The single rarest becomes the escape byte (it gets written once per
+    escaped occurrence of ANY requisitioned value, so it should be the
+    cheapest to free)."""
+    order = np.argsort(hist, kind="stable")[:n]
+    overhead = int(hist[order].sum())
+    return int(order[0]), order[1:].astype(np.uint8), overhead
+
+
 # --------------------------------------------------- u16 (generic) mode
 
 def _build_lut(rules: list[tuple[int, int]]) -> np.ndarray:
@@ -209,10 +292,15 @@ def _train_u16(arr: np.ndarray,
 def table_ok(buf: bytes, table) -> bool:
     """Can `table` be applied to `buf`?  u8-mode tables require their
     code bytes to be absent from the buffer (true when trained on it;
-    re-checked for cross-chunk reuse)."""
-    if not table or table["mode"] != "u8":
+    re-checked for cross-chunk reuse).  u8e tables apply to any buffer
+    (escaping frees the codes) but only cheaply when the requisitioned
+    values stay rare."""
+    if not table or table["mode"] == "u16":
         return True
     hist = np.bincount(np.frombuffer(buf, dtype=np.uint8), minlength=256)
+    if table["mode"] == "u8e":
+        used = np.concatenate(([table["esc"]], table["codes"]))
+        return int(hist[used].sum()) < (len(buf) >> _ESC_MAX_FRAC)
     return not any(hist[c] for c, _, _ in table["rules"])
 
 
@@ -227,6 +315,16 @@ def train(buf: bytes, max_symbols: int = MAX_SYMBOLS):
     if len(free) >= _MIN_FREE:
         rules = _train_u8(arr, free)
         return {"mode": "u8", "rules": rules} if rules else []
+    # full(ish) alphabet: requisition the rarest values as codes via the
+    # escape pre-pass, keeping the whole u8 pipeline (half the memory
+    # traffic of u16 and a 1-byte output stream)
+    esc, codes, overhead = _pick_escape_set(hist, _ESC_CANDIDATES)
+    if overhead < (len(arr) >> _ESC_MAX_FRAC):
+        escaped = _escape_bytes(arr, esc, codes)
+        rules = _train_u8(escaped, codes)
+        if rules:
+            return {"mode": "u8e", "esc": esc, "codes": codes,
+                    "rules": rules}
     rules = _train_u16(arr, max_symbols)
     return {"mode": "u16", "rules": rules} if rules else []
 
@@ -247,6 +345,18 @@ def _tiled(arr: np.ndarray, sub, prep) -> list[np.ndarray]:
 def encode(buf: bytes, table) -> bytes:
     """Apply the symbol table tile-by-tile; self-describing payload."""
     raw = np.frombuffer(buf, dtype=np.uint8)
+    if table and table["mode"] == "u8e":
+        esc, codes = table["esc"], table["codes"]
+        raw = _escape_bytes(raw, esc, codes)
+        rules = table["rules"]
+        lut8 = _luts_u8(rules)
+        outs = _tiled(raw, lambda a: _sub_u8(a, lut8), lambda s: s)
+        a = outs[0] if len(outs) == 1 else np.concatenate(outs)
+        head = (struct.pack("<BBB", 2, esc, len(codes))
+                + np.asarray(codes, dtype=np.uint8).tobytes()
+                + struct.pack("<BQ", len(rules), len(a)))
+        rules_b = b"".join(struct.pack("<BBB", c, l, r) for c, l, r in rules)
+        return head + rules_b + a.tobytes()
     if table and table["mode"] == "u8":
         rules = table["rules"]
         # safety: codes must be absent from this buffer (always true when
@@ -304,9 +414,16 @@ def _gather_decode(a: np.ndarray, exp: list[bytes]) -> bytes:
 
 def decode(payload: bytes) -> bytes:
     mode = payload[0]
-    if mode == 1:
-        n_rules, n_codes = struct.unpack_from("<BQ", payload, 1)
-        off = 10
+    if mode in (1, 2):
+        esc = codes = None
+        off = 1
+        if mode == 2:
+            esc = payload[1]
+            n_req = payload[2]
+            codes = np.frombuffer(payload, np.uint8, n_req, 3).copy()
+            off = 3 + n_req
+        n_rules, n_codes = struct.unpack_from("<BQ", payload, off)
+        off += 9
         exp = [bytes([i]) for i in range(256)]
         for i in range(n_rules):
             c, l, r = struct.unpack_from("<BBB", payload, off + 3 * i)
@@ -315,7 +432,12 @@ def decode(payload: bytes) -> bytes:
         if n_codes == 0:
             return b""
         a = np.frombuffer(payload, np.uint8, n_codes, off).astype(np.int32)
-        return _gather_decode(a, exp)
+        out = _gather_decode(a, exp)
+        if esc is not None:
+            arr = _unescape_bytes(np.frombuffer(out, dtype=np.uint8),
+                                  esc, codes)
+            out = arr.tobytes()
+        return out
 
     n_rules, n_codes = struct.unpack_from("<HQ", payload, 1)
     off = 11

@@ -394,6 +394,48 @@ def prune_chunks_pred(enc_df: DataFrame,
     return enc_df.where(cond)
 
 
+def read_row(enc_df: DataFrame, row_idx: int,
+             columns: list[str] | None = None) -> dict:
+    """Random access to one logical row by global index (reference
+    test-reader parity: Reader.ReadRow walks row groups maintaining a
+    (group, offset) cursor, /root/reference/Parquet.Tests/Reader.cs:
+    39-53).  Row order is (part_id, chunk_id, in-chunk position).
+
+    Driver-side and metadata-frugal: the chunk directory (part_id,
+    chunk_id, n_rows — a few ints per 10k rows) locates the single
+    chunk holding the row; only that chunk's requested columns are
+    fetched and decoded."""
+    directory = (enc_df.select("part_id", "chunk_id", "n_rows")
+                 .orderBy("part_id", "chunk_id").collect())
+    at = 0
+    target = None
+    for d in directory:
+        if at + d.n_rows > row_idx:
+            target = d
+            offset = row_idx - at
+            break
+        at += d.n_rows
+    if target is None:
+        raise IndexError(f"row {row_idx} out of range ({at} rows)")
+    sel = ["schema_ipc", "names", "payloads"]
+    row = (enc_df.where((F.col("part_id") == target.part_id)
+                        & (F.col("chunk_id") == target.chunk_id))
+           .select(*sel).head())
+    names, payloads = row.names, row.payloads
+    if columns is not None:
+        keep = {n: p for n, p in zip(names, payloads) if n in columns}
+        names, payloads = list(columns), [keep[c] for c in columns]
+    batch = decode_chunk(row.schema_ipc, names, payloads, columns=columns)
+    return {n: batch.column(i)[offset].as_py()
+            for i, n in enumerate(batch.schema.names)}
+
+
+def read_cell(enc_df: DataFrame, row_idx: int, column: str):
+    """Single-cell random access (Reader.ReadCell, Reader.cs:34-37):
+    only the one column's payload of the one chunk is decoded."""
+    return read_row(enc_df, row_idx, columns=[column])[column]
+
+
 def encoding_stats(enc_df: DataFrame) -> DataFrame:
     """Per-column codec + size stats (the lineage/metrics facet)."""
     z = enc_df.select(

@@ -44,7 +44,7 @@ SPLIT_DDL = "split_id bigint, file string, row_group int, n_rows bigint"
 # runs can never make a part id silently point at different data
 SPLITS_LINEAGE_DDL = ("part_id bigint, file string, n_chunks bigint, "
                       "n_rows bigint, bytes_in bigint, bytes_out bigint, "
-                      "wall_ms double, codecs string, "
+                      "wall_ms double, cpu_ms double, codecs string, "
                       "src_file string, src_row_group bigint")
 
 
@@ -179,6 +179,7 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
         for batch in batches:
             for d in batch.to_pylist():
                 t0 = time.monotonic()
+                c0 = time.process_time()
                 chunks = list(_iter_chunks([d], codec, rows_per_chunk,
                                            block_codec=block_codec))
                 tbl = pa.Table.from_batches(
@@ -196,6 +197,11 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
                     "bytes_in": int(sum(sum(c["bytes_in"]) for c in chunks)),
                     "bytes_out": int(sum(sum(c["bytes_out"]) for c in chunks)),
                     "wall_ms": (time.monotonic() - t0) * 1000.0,
+                    # task CPU seconds: the scaling-evidence probe — if
+                    # the summed per-task CPU stays flat as parallelism
+                    # rises while wall time inflates, the slowdown is
+                    # host memory contention, not the engine
+                    "cpu_ms": (time.process_time() - c0) * 1000.0,
                     "codecs": ",".join(codec_mix),
                     "src_file": d["file"], "src_row_group": d["row_group"],
                 }])
@@ -212,7 +218,7 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
     parts = {str(r.part_id): {
         "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
         "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
-        "wall_ms": r.wall_ms, "codecs": r.codecs,
+        "wall_ms": r.wall_ms, "cpu_ms": r.cpu_ms, "codecs": r.codecs,
         "src_file": r.src_file, "src_row_group": r.src_row_group,
     } for r in lineage}
     all_parts = {**committed, **parts}

@@ -78,7 +78,9 @@ def main():
             return type("R", (), {
                 "bin": sum(p["bytes_in"] for p in parts),
                 "bout": sum(p["bytes_out"] for p in parts),
-                "rows": sum(p["n_rows"] for p in parts)})
+                "rows": sum(p["n_rows"] for p in parts),
+                "cpu_s": round(sum(p.get("cpu_ms", 0) for p in parts)
+                               / 1000.0, 3)})
         finally:
             shutil.rmtree(tbl, ignore_errors=True)
 
@@ -94,12 +96,19 @@ def main():
         times.append(time.monotonic() - t0)
     dt = min(times)
 
-    print(json.dumps({"master": args.master, "mode": args.mode,
-                      "seconds": round(dt, 3),
-                      "all_seconds": [round(t, 3) for t in times],
-                      "rows": agg.rows, "bytes_in": agg.bin,
-                      "bytes_out": agg.bout,
-                      "gb_per_s": round(agg.bin / dt / 1e9, 4)}))
+    out = {"master": args.master, "mode": args.mode,
+           "seconds": round(dt, 3),
+           "all_seconds": [round(t, 3) for t in times],
+           "rows": agg.rows, "bytes_in": agg.bin,
+           "bytes_out": agg.bout,
+           "gb_per_s": round(agg.bin / dt / 1e9, 4)}
+    cpu_s = getattr(agg, "cpu_s", None)
+    if cpu_s:
+        # summed per-task CPU seconds (splits lineage): at equal work,
+        # flat cpu_seconds across parallelism levels + inflating wall
+        # time = host memory contention, not an engine scaling defect
+        out["cpu_seconds"] = cpu_s
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -216,12 +216,12 @@ def test_column_forced_codecs():
         col_roundtrip(arr, force=force)
 
 
-def test_column_decimal_falls_back_to_plain():
+def test_column_decimal_uses_lightweight_codec():
     import decimal
     arr = pa.array([decimal.Decimal("1.23"), None, decimal.Decimal("9.99")],
                    type=pa.decimal128(10, 2))
     name, _ = col_roundtrip(arr)
-    assert name == "plain"
+    assert name == "dec128"
 
 
 # ------------------------------------------------------ selector stats
@@ -352,3 +352,99 @@ def test_block_crc_detects_corruption():
     bad[len(bad) // 2] ^= 0xFF
     with pytest.raises(ValueError, match="CRC mismatch"):
         decode_column(bytes(bad), arr.type)
+
+
+# ------------------------------------------- FSST escape ("u8e") mode
+
+def test_fsst_escape_mode_roundtrip_full_alphabet():
+    """A buffer touching all 256 byte values used to force the u16 wire
+    mode; escape mode keeps 1-byte codes by requisitioning rare values."""
+    base = b"the quick brown fox jumps over the lazy dog " * 400
+    buf = base + bytes(range(256))  # every byte value occurs
+    table = fsst.train(buf)
+    assert table and table["mode"] == "u8e"
+    payload = fsst.encode(buf, table)
+    assert fsst.decode(payload) == buf
+    assert len(payload) < len(buf)  # symbols still bite
+
+
+def test_fsst_escape_roundtrip_adversarial_esc_runs():
+    """Escaped-escape pairs and runs of the escape byte must survive."""
+    base = b"abcabcabcabc " * 300
+    buf = base + bytes(range(256)) + bytes([0xFE] * 31) + base
+    table = fsst.train(buf)
+    if not table or table["mode"] != "u8e":
+        # ensure at least the escape helpers round-trip on this input
+        import numpy as np
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        hist = np.bincount(arr, minlength=256)
+        esc, codes, _ = fsst._pick_escape_set(hist, 33)
+        esc_arr = fsst._escape_bytes(arr, esc, codes)
+        assert fsst._unescape_bytes(esc_arr, esc, codes).tobytes() == buf
+        return
+    payload = fsst.encode(buf, table)
+    assert fsst.decode(payload) == buf
+
+
+def test_fsst_escape_helpers_property():
+    import numpy as np
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        arr = rng.integers(0, 256, 2000, dtype=np.uint8)
+        hist = np.bincount(arr, minlength=256)
+        esc, codes, _ = fsst._pick_escape_set(hist, 17)
+        out = fsst._unescape_bytes(
+            fsst._escape_bytes(arr, esc, codes), esc, codes)
+        assert np.array_equal(out, arr), trial
+
+
+def test_fsst_escape_table_reuse_gate():
+    """A u8e table must refuse (table_ok False) a buffer where its
+    requisitioned values are frequent — escaping it would blow up."""
+    base = b"hello world, hello web, hello corpus " * 300
+    buf = base + bytes(range(256))
+    table = fsst.train(buf)
+    if not table or table["mode"] != "u8e":
+        import pytest
+        pytest.skip("training picked another mode for this fixture")
+    import numpy as np
+    hostile = bytes(np.full(4096, table["esc"], dtype=np.uint8))
+    assert not fsst.table_ok(hostile, table)
+    assert fsst.table_ok(buf, table)
+
+
+# ------------------------------------------------ decimal128 lightweight
+
+@pytest.mark.parametrize("prec,scale", [(10, 2), (18, 6), (38, 10)])
+def test_decimal128_lightweight_roundtrip(prec, scale):
+    from decimal import Decimal
+    vals = [Decimal("1234.5"), None, Decimal("-0.001"),
+            Decimal("99999.99"), Decimal("0")]
+    arr = pa.array([None if v is None else v.quantize(
+        Decimal(1).scaleb(-scale)) for v in vals],
+        type=pa.decimal128(prec, scale))
+    name, payload = encode_column(arr)
+    assert name == "dec128"
+    out = decode_column(payload, arr.type)
+    assert out.equals(arr)
+
+
+def test_decimal128_money_column_compresses():
+    from decimal import Decimal
+    cents = [Decimal(i % 500) / 100 for i in range(5000)]
+    arr = pa.array(cents, type=pa.decimal128(12, 2))
+    name, payload = encode_column(arr, block_codec="none")
+    assert name == "dec128"
+    # 16 bytes/value raw; FOR over the low lane + RLE high lane must win big
+    assert len(payload) < 5000 * 16 / 4
+    assert decode_column(payload, arr.type).equals(arr)
+
+
+@pytest.mark.parametrize("n", BOUNDARY_SIZES)
+def test_decimal128_boundary_sizes(n):
+    from decimal import Decimal
+    arr = pa.array([Decimal(int(v)) / 1000 for v in
+                    RNG.integers(-10**12, 10**12, n)],
+                   type=pa.decimal128(30, 3))
+    _, payload = encode_column(arr)
+    assert decode_column(payload, arr.type).equals(arr)

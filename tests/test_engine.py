@@ -229,3 +229,26 @@ def test_prune_chunks_validates_column_and_bound_types(spark):
     assert 0 < c.count() < enc2.count()
     enc.unpersist()
     enc2.unpersist()
+
+
+@pytest.mark.spark
+def test_read_row_and_cell_random_access(spark):
+    """Reader.ReadRow/ReadCell parity (/root/reference/Parquet.Tests/
+    Reader.cs:34-59): random access by global row index across chunk
+    boundaries, cell access decoding only the one column."""
+    from parquet_spark.engine import read_cell, read_row
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    enc = encode_table(docs, key=["doc_id"], n_parts=2,
+                       rows_per_chunk=64).cache()
+    # logical order = (part_id, chunk_id, in-chunk) = sorted by key
+    # within each hash partition; reconstruct the same order to compare
+    expected = decode_table(enc).collect()
+    n = len(expected)
+    for idx in (0, 1, 63, 64, 65, n - 1):  # spans chunk boundaries
+        row = read_row(enc, idx)
+        want = expected[idx].asDict()
+        assert row == want, idx
+        assert read_cell(enc, idx, "text") == want["text"]
+    with pytest.raises(IndexError):
+        read_row(enc, n)
+    enc.unpersist()
