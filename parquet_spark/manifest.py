@@ -18,10 +18,12 @@ same atomicity):
 Data files for partitions not referenced by CURRENT are invisible —
 exactly the crash-consistency the reference gets from its tmp files.
 
-Single-writer assumption (same as the reference's one-listener model):
-concurrent commits to one table are last-writer-wins on CURRENT; a
-compare-and-swap on the CURRENT file (or a real Iceberg catalog) is the
-drop-in upgrade for multi-writer deployments.
+Multi-writer safety: `commit` is a compare-and-swap — under a lock file
+it re-reads CURRENT and refuses (ConcurrentCommitError) when another
+writer committed since this writer read its parent snapshot, exactly
+Iceberg's optimistic-concurrency protocol.  Callers retry by re-reading
+the new CURRENT and re-planning (for write_encoded that is simply
+calling it again: resume skips the parts the other writer landed).
 """
 
 from __future__ import annotations
@@ -52,6 +54,13 @@ LINEAGE_DDL = ("part_id bigint, file string, n_chunks bigint, n_rows bigint, "
 # readers accept both; writers always stamp the current version.
 FORMAT_VERSION = 2
 _SUPPORTED_VERSIONS = (1, 2)
+
+_LOCK_STALE_S = 300.0  # a crashed committer's lock is stolen after this
+
+
+class ConcurrentCommitError(RuntimeError):
+    """CURRENT moved between reading the parent snapshot and committing
+    — another writer won the race.  Re-read and retry."""
 
 
 class EncodedTable:
@@ -89,9 +98,44 @@ class EncodedTable:
         return pa.ipc.read_schema(
             pa.BufferReader(base64.b64decode(snap["schema_ipc_b64"])))
 
+    def _current_name(self) -> str | None:
+        cur = os.path.join(self.path, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return f.read().strip()
+
+    def _acquire_commit_lock(self) -> str:
+        """O_EXCL lock file; a lock older than _LOCK_STALE_S is presumed
+        crashed and stolen (best-effort — CAS below still protects the
+        snapshot chain even if two writers race the steal)."""
+        lock = os.path.join(self.path, "COMMIT_LOCK")
+        deadline = time.monotonic() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > _LOCK_STALE_S:
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock at {lock} held for >30s")
+                time.sleep(0.05)
+
     def commit(self, parts: dict[str, dict], schema_ipc: bytes | None,
                parent: dict | None, meta: dict | None = None) -> dict:
-        """Write snapshot json, then flip CURRENT atomically (commit point)."""
+        """Write snapshot json, then flip CURRENT atomically (commit
+        point).  Compare-and-swap: refuses with ConcurrentCommitError
+        when CURRENT no longer names `parent` (another writer committed
+        since this writer planned against it)."""
+        os.makedirs(self.path, exist_ok=True)
         os.makedirs(self.snap_dir, exist_ok=True)
         sid = (parent["snapshot_id"] + 1) if parent else 0
         snap = {
@@ -105,14 +149,31 @@ class EncodedTable:
             "parts": parts,
         }
         name = f"snap-{sid:06d}.json"
-        tmp = os.path.join(self.snap_dir, name + f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-        os.replace(tmp, os.path.join(self.snap_dir, name))
-        cur_tmp = os.path.join(self.path, f"CURRENT.tmp-{uuid.uuid4().hex}")
-        with open(cur_tmp, "w") as f:
-            f.write(name)
-        os.replace(cur_tmp, os.path.join(self.path, "CURRENT"))
+        lock = self._acquire_commit_lock()
+        try:
+            expected = (f"snap-{parent['snapshot_id']:06d}.json"
+                        if parent else None)
+            actual = self._current_name()
+            if actual != expected:
+                raise ConcurrentCommitError(
+                    f"CURRENT at {self.path} is {actual!r}, expected "
+                    f"{expected!r}: another writer committed; re-read "
+                    "and retry")
+            tmp = os.path.join(self.snap_dir,
+                               name + f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(snap, f)
+            os.replace(tmp, os.path.join(self.snap_dir, name))
+            cur_tmp = os.path.join(self.path,
+                                   f"CURRENT.tmp-{uuid.uuid4().hex}")
+            with open(cur_tmp, "w") as f:
+                f.write(name)
+            os.replace(cur_tmp, os.path.join(self.path, "CURRENT"))
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
         return snap
 
     def data_files(self) -> list[str]:
@@ -390,6 +451,85 @@ def compact_table(spark: SparkSession, table_path: str,
     if (parent.get("meta") or {}).get("mappings"):
         meta["mappings"] = parent["meta"]["mappings"]
     return table.commit(parts, None, parent, meta=meta)
+
+
+def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
+                   n_parts: int, by: str = "range") -> dict:
+    """Re-layout an encoded table by moving COMPRESSED chunk rows —
+    no decode, no re-encode.  At 100 TB this is the cheap ownership
+    change: the shuffle moves ~1/compression_ratio of the raw bytes and
+    burns no codec CPU; only the chunk-row metadata is examined.
+
+    by="range": chunks are range-partitioned on their zone-map key_min
+    (string or numeric), giving each new part a contiguous key span —
+    the layout that makes later range scans prune whole PARTS.
+    by="hash": chunks spread by hash of key_min (uniform ownership).
+    Chunks are never split, so part key-spans can overlap at chunk
+    granularity; zone maps stay exact per chunk, so pruning is
+    unaffected."""
+    src = EncodedTable(src_path)
+    parent_src = src.current_snapshot()
+    if parent_src is None:
+        raise ValueError(f"no committed snapshot at {src_path}")
+    enc = read_encoded(spark, src_path)
+    key_expr = F.coalesce(F.col("key_min"),
+                          F.col("key_min_num").cast("string"))
+    if by == "range":
+        dfp = (enc.withColumn("_k", key_expr)
+               .repartitionByRange(n_parts, "_k")
+               .sortWithinPartitions("_k").drop("_k"))
+    else:
+        dfp = enc.repartition(n_parts, F.xxhash64(key_expr))
+    data_dir = os.path.join(dst_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    def writer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        t0 = time.monotonic()
+        rows = [b for b in batches if b.num_rows]
+        if not rows:
+            return
+        tbl = pa.Table.from_batches(rows)
+        # renumber (part_id, chunk_id) into the new namespace
+        n = tbl.num_rows
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("part_id"), "part_id",
+            pa.array(np.full(n, pid, dtype=np.int64)))
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("chunk_id"), "chunk_id",
+            pa.array(np.arange(n, dtype=np.int64)))
+        final = os.path.join(data_dir, f"part-{pid:05d}.parquet")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(tbl, tmp, compression="none")
+        os.replace(tmp, final)
+        cmix = sorted({c for ch in tbl.column("codecs") for c in ch.as_py()})
+        yield pa.RecordBatch.from_pylist([{
+            "part_id": pid, "file": final, "n_chunks": n,
+            "n_rows": int(pa.compute.sum(tbl.column("n_rows")).as_py()),
+            "bytes_in": int(sum(sum(v.as_py()) for v in tbl.column("bytes_in"))),
+            "bytes_out": int(sum(sum(v.as_py()) for v in tbl.column("bytes_out"))),
+            "wall_ms": (time.monotonic() - t0) * 1000.0,
+            "codecs": ",".join(cmix),
+        }])
+
+    lineage = dfp.mapInArrow(writer, LINEAGE_DDL).collect()
+    parts = {str(r.part_id): {
+        "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
+        "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
+        "wall_ms": r.wall_ms, "codecs": r.codecs} for r in lineage}
+    dst = EncodedTable(dst_path)
+    meta = {"relocated_from": src_path,
+            "src_snapshot_id": parent_src["snapshot_id"],
+            "by": by, "layout": {"mode": "relocated", "by": by,
+                                 "n_parts": n_parts}}
+    if (parent_src.get("meta") or {}).get("mappings"):
+        meta["mappings"] = parent_src["meta"]["mappings"]
+    schema_ipc = None
+    if parent_src.get("schema_ipc_b64"):
+        schema_ipc = base64.b64decode(parent_src["schema_ipc_b64"])
+    return dst.commit(parts, schema_ipc, dst.current_snapshot(), meta=meta)
 
 
 def vacuum_table(table_path: str) -> list[str]:

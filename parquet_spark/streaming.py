@@ -48,39 +48,55 @@ def encode_stream(stream_df: DataFrame, table_path: str,
 
 
 def streaming_dedup(stream_df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
-    """Cross-batch exact dedup: emit each distinct text digest once,
-    ever — a custom stateful operator via applyInPandasWithState.
+                    id_col: str = "doc_id",
+                    ttl_ms: int | None = None) -> DataFrame:
+    """Cross-batch exact dedup: emit each distinct text digest once —
+    a custom stateful operator via applyInPandasWithState.
 
     State is one flag per digest group; a digest seen in any earlier
     micro-batch emits nothing.  Within a batch the lowest id wins (the
-    reference-style keeper rule, cf. textops.dedup.exact_dedup).  At
-    10^12 docs the state store shards by the digest hash across
-    executors; pair with a watermark/TTL timeout when the digest space
-    is unbounded."""
+    reference-style keeper rule, cf. textops.dedup.exact_dedup).
+
+    `ttl_ms` bounds the state store for unbounded digest spaces: a
+    digest idle for longer than the TTL is evicted (processing-time
+    timeout), after which a re-occurrence is emitted again — the
+    standard recall-vs-state trade of windowed dedup.  At 10^12 docs
+    the state store shards by digest hash across executors and the TTL
+    keeps each shard O(active window), not O(stream)."""
     from pyspark.sql import functions as SF
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = f"digest string, {id_col} long"
     state_schema = "seen int"
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+               else GroupStateTimeout.NoTimeout)
 
     def dedup_fn(key, pdfs, state):
         import pandas as pd
+        if ttl_ms and state.hasTimedOut:
+            state.remove()  # evicted: digest may be emitted again later
+            return
         best = None
         for pdf in pdfs:
             if len(pdf):
                 m = int(pdf[id_col].min())
                 best = m if best is None else min(best, m)
-        if state.exists or best is None:
+        seen = state.exists
+        if ttl_ms:
+            if not seen:
+                state.update((1,))
+            state.setTimeoutDuration(ttl_ms)  # slide the TTL on activity
+        elif not seen:
+            state.update((1,))
+        if seen or best is None:
             return
-        state.update((1,))
         yield pd.DataFrame({"digest": [key[0]], id_col: [best]})
 
     return (stream_df
             .withColumn("digest", SF.md5(SF.col(text_col)))
             .groupBy("digest")
             .applyInPandasWithState(dedup_fn, out_schema, state_schema,
-                                    "update", GroupStateTimeout.NoTimeout))
+                                    "update", timeout))
 
 
 def windowed_ingest_stats(stream_df: DataFrame, ts_col: str = "warc_ts",

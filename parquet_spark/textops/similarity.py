@@ -66,30 +66,99 @@ def _centroid_lit(c: list[float]) -> str:
     return "array(" + ",".join(f"{v}D" for v in c) + ")"
 
 
+def kmeanspp_seeds(emb: DataFrame, n_clusters: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: int = 42,
+                   oversample: int = 8) -> list[list[float]]:
+    """Deterministic k-means++-style seeding, distributed.
+
+    Classic k-means++ is sequential (one center per pass); this is the
+    k-means|| rendering (Bahmani et al., VLDB'12): ONE distance pass
+    over the corpus scores an oversampled deterministic candidate pool
+    (n_clusters*oversample smallest-xxhash vectors), then the pool —
+    driver-sized — is reduced with exact sequential k-means++ greedy
+    (each next seed maximizes distance to chosen seeds, weighted by how
+    much corpus mass the candidate represents).  Corpus never shuffles;
+    per-candidate aggregates are (pool_size)-sized."""
+    pool_rows = (emb.select(F.col(vec_col).alias("v"),
+                            F.xxhash64(F.col(id_col) + F.lit(seed))
+                            .alias("h"))
+                 .orderBy("h").limit(n_clusters * oversample).collect())
+    pool = [[float(x) for x in r.v] for r in pool_rows]
+    # weight of each candidate = corpus rows nearest to it (one pass)
+    w_rows = (ivf_assign(emb, pool, vec_col=vec_col, out_col="cand")
+              .groupBy("cand").agg(F.count(F.lit(1)).alias("w")).collect())
+    weights = {r.cand: r.w for r in w_rows}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    chosen = [0]  # smallest-hash candidate anchors the chain
+    while len(chosen) < min(n_clusters, len(pool)):
+        best_i, best_score = None, -1.0
+        for i in range(len(pool)):
+            if i in chosen:
+                continue
+            near = min(d2(pool[i], pool[j]) for j in chosen)
+            score = near * weights.get(i, 1)
+            if score > best_score or (score == best_score and
+                                      (best_i is None or i < best_i)):
+                best_i, best_score = i, score
+        chosen.append(best_i)
+    return [pool[i] for i in chosen]
+
+
 def ivf_centroids(emb: DataFrame, n_clusters: int = 16,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  lloyd_iters: int = 1, seed: int = 42) -> list[list[float]]:
-    """Deterministic IVF coarse centroids: seed by the n_clusters vectors
-    with the smallest xxhash64(id) (stable under repartitioning), then
-    refine with `lloyd_iters` rounds of expression-only Lloyd updates
-    (assign via broadcast argmin, mean via posexplode + groupBy — both
-    shuffle only (cluster, dim)-sized aggregates, never the corpus)."""
-    seeds = (emb.select(F.col(vec_col).alias("v"),
-                        F.xxhash64(F.col(id_col) + F.lit(seed)).alias("h"))
-             .orderBy("h").limit(n_clusters).collect())
-    cents = [[float(x) for x in r.v] for r in seeds]
-    for _ in range(lloyd_iters):
+                  lloyd_iters: int = 1, seed: int = 42,
+                  seeding: str = "hash",
+                  tol: float = 0.0,
+                  stats: dict | None = None) -> list[list[float]]:
+    """Deterministic IVF coarse centroids.
+
+    seeding="hash": the n_clusters vectors with the smallest
+    xxhash64(id) (stable under repartitioning); "kmeans++": the
+    k-means|| pool-and-greedy pass (better spread, ~2 extra passes).
+    Refined with up to `lloyd_iters` rounds of expression-only Lloyd
+    updates (assign via broadcast argmin, mean via posexplode + groupBy
+    — both shuffle only (cluster, dim)-sized aggregates, never the
+    corpus).  Stops early when max centroid movement^2 <= tol; pass a
+    `stats` dict to receive per-round movement + cluster sizes."""
+    if seeding == "kmeans++":
+        cents = kmeanspp_seeds(emb, n_clusters, id_col, vec_col, seed)
+    else:
+        seeds = (emb.select(F.col(vec_col).alias("v"),
+                            F.xxhash64(F.col(id_col) + F.lit(seed))
+                            .alias("h"))
+                 .orderBy("h").limit(n_clusters).collect())
+        cents = [[float(x) for x in r.v] for r in seeds]
+    if stats is not None:
+        stats.setdefault("rounds", [])
+    for it in range(lloyd_iters):
         assigned = ivf_assign(emb, cents, vec_col=vec_col)
         means = (assigned.select("cluster",
                                  F.posexplode(F.col(vec_col))
                                  .alias("pos", "x"))
-                 .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("cluster", "pos").agg(F.avg("x").alias("m"),
+                                                F.count(F.lit(1)).alias("n"))
                  .groupBy("cluster")
                  .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                      .alias("sm"))
+                      .alias("sm"), F.max("n").alias("n_vecs"))
                  .collect())
+        movement = 0.0
+        sizes = {}
         for r in means:
-            cents[r.cluster] = [float(s.m) for s in r.sm]
+            new = [float(s.m) for s in r.sm]
+            movement = max(movement,
+                           sum((a - b) * (a - b)
+                               for a, b in zip(new, cents[r.cluster])))
+            sizes[r.cluster] = r.n_vecs
+            cents[r.cluster] = new
+        if stats is not None:
+            stats["rounds"].append({"iter": it, "max_move_sq": movement,
+                                    "sizes": sizes})
+        if movement <= tol:
+            break
     return [[round(v, 6) for v in c] for c in cents]
 
 

@@ -129,3 +129,26 @@ def test_windowed_ingest_stats_with_watermark(spark):
     total = out.agg(F.sum("n_docs")).head()[0] or 0
     assert out.count() > 0
     assert total == 300
+
+
+@pytest.mark.spark
+def test_streaming_dedup_with_ttl_still_dedups_within_window(spark, tmp_path):
+    """TTL variant: behavior within the active window is identical to
+    the unbounded version (same digests, lowest id wins); the timeout
+    path only evicts idle state."""
+    import pandas as pd
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [5, 3, 9], "text": ["a", "a", "b"]}).to_parquet(
+        src / "b0.parquet")
+    from parquet_spark.streaming import file_stream, streaming_dedup
+    stream = file_stream(spark, str(src), "doc_id long, text string")
+    out = streaming_dedup(stream, ttl_ms=60_000)
+    q = (out.writeStream.format("memory").queryName("ttl_dedup")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.digest: r.doc_id
+            for r in spark.sql("select * from ttl_dedup").collect()}
+    assert len(rows) == 2 and sorted(rows.values()) == [3, 9]

@@ -186,3 +186,68 @@ def test_splits_resume_is_content_keyed(spark):
     both = d1.unionByName(d2)
     verify_roundtrip(both, read_decoded(spark, tbl), key=["url"],
                      digest_col="text")
+
+
+@pytest.mark.spark
+def test_commit_compare_and_swap(spark, docs):
+    """Optimistic concurrency: a commit planned against a stale parent
+    must refuse instead of silently clobbering the other writer."""
+    from parquet_spark.manifest import ConcurrentCommitError
+    tbl = tempfile.mkdtemp(prefix="cas_tbl_")
+    write_encoded(docs, tbl, key=["doc_id"], n_parts=2)
+    t = EncodedTable(tbl)
+    stale_parent = t.current_snapshot()
+    # writer B commits meanwhile
+    t.commit(dict(t.committed_parts()), None, stale_parent,
+             meta=t.meta())
+    # writer A still holds the old parent -> CAS must refuse
+    with pytest.raises(ConcurrentCommitError):
+        t.commit(dict(t.committed_parts()), None, stale_parent,
+                 meta=t.meta())
+    # retry after re-read succeeds
+    fresh = t.current_snapshot()
+    snap = t.commit(dict(t.committed_parts()), None, fresh, meta=t.meta())
+    assert snap["snapshot_id"] == fresh["snapshot_id"] + 1
+    # a create-from-scratch commit on a non-empty table also refuses
+    with pytest.raises(ConcurrentCommitError):
+        t.commit({}, None, None)
+    # lock file is always released
+    assert not os.path.exists(os.path.join(tbl, "COMMIT_LOCK"))
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("by", ["range", "hash"])
+def test_relocate_table_moves_compressed_chunks(spark, by):
+    """Re-layout by shuffling compressed chunk rows: decode equals the
+    original, payload bytes are byte-identical (no re-encode), and in
+    range mode whole-part pruning becomes possible."""
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.manifest import read_encoded, relocate_table
+    from parquet_spark.verify import verify_roundtrip
+    df = gen_corpus(spark, 1500, seed=13, parts=2)
+    src = tempfile.mkdtemp(prefix="reloc_src_")
+    dst = tempfile.mkdtemp(prefix=f"reloc_dst_{by}_")
+    write_encoded(df, src, key=["url"], n_parts=4, rows_per_chunk=100)
+    snap = relocate_table(spark, src, dst, n_parts=3, by=by)
+    assert len(snap["parts"]) <= 3
+    verify_roundtrip(df, read_decoded(spark, dst), key=["url"],
+                     digest_col="text")
+    # payloads moved, not re-encoded: identical multiset of chunk digests
+    dig = lambda p: sorted(  # noqa: E731
+        r[0] for r in read_encoded(spark, p).select(
+            F.md5(F.col("payloads").getItem(0))).collect())
+    assert dig(src) == dig(dst)
+    # relocated layout is terminal for resume (ids renumbered)
+    with pytest.raises(ValueError, match="cannot resume"):
+        write_encoded(df, dst, key=["url"], n_parts=3)
+    if by == "range":
+        # contiguous chunk placement: parts own non-overlapping ranges
+        # of chunk key_min (chunks are not split, so key_max tails may
+        # still overlap — documented chunk-granularity ownership)
+        spans = (read_encoded(spark, dst)
+                 .groupBy("part_id")
+                 .agg(F.min("key_min").alias("lo"),
+                      F.max("key_min").alias("hi"))
+                 .orderBy("lo").collect())
+        for a, b in zip(spans, spans[1:]):
+            assert a.hi <= b.lo, (a, b)

@@ -251,3 +251,29 @@ def test_ivf_seeds_md5_deterministic_and_assign_rounding(spark, vecs):
     assert sum(counts.values()) == em.count()
     # every seed vector is distance 0 from its own centroid
     assert len(counts) == 4
+
+
+@pytest.mark.spark
+def test_ivf_kmeanspp_and_lloyd_convergence(spark, vecs):
+    from parquet_spark.textops.similarity import ivf_centroids, ivf_topk
+    em = vecs.withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))"))
+    stats = {}
+    cents = ivf_centroids(em, n_clusters=4, lloyd_iters=4,
+                          seeding="kmeans++", tol=1e-9, stats=stats)
+    assert len(cents) == 4
+    # deterministic under repartitioning
+    cents2 = ivf_centroids(em.repartition(7), n_clusters=4, lloyd_iters=4,
+                           seeding="kmeans++", tol=1e-9)
+    assert cents == cents2
+    # Lloyd movement is monotonically shrinking (or stops early)
+    moves = [r["max_move_sq"] for r in stats["rounds"]]
+    assert len(moves) >= 1
+    assert all(b <= a * 1.5 + 1e-12 for a, b in zip(moves, moves[1:]))
+    # every corpus vector lands in a cluster and ivf_topk finds the
+    # planted near-duplicate direction (vec 100 = scaled copy of vec 0)
+    q = em.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    c = em.where(F.col("vec_id") != 0)
+    got = ivf_topk(c, q, cents, k=3, nprobe=2).collect()
+    assert any(r.vec_id == 100 and abs(r.cos - 1.0) < 1e-6 for r in got)
