@@ -530,6 +530,31 @@ def q_media_features(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode (pure-numpy RIFF/WAVE PCM parser): deterministic
+    16-bit PCM blobs are synthesized per doc, parsed, and RMS /
+    zero-crossing features computed — the oracle recomputes them from
+    the closed-form sample pattern (sample j = ((id*37 + j*129) % 2048)
+    - 1024; integer math, exact in doubles)."""
+    from pyspark.sql import functions as SF
+
+    from parquet_spark.textops.multimodal import audio_features, synth_wav
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "blob": [synth_wav(int(m)) for m in pdf["doc_id"]]})
+
+    d = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 12)
+         .select(F.col("doc_id").cast("long").alias("doc_id")))
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    feats = audio_features(blobs, "doc_id", "blob")
+    return (feats.withColumn("duration_s", SF.col("duration_s"))
+            .orderBy("media_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dict_gate": q_dict_gate,
@@ -564,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_selection": q_codec_selection,
         "corpus_encode": q_corpus_encode,
         "media_features": q_media_features,
+        "audio_features": q_audio_features,
     }
 
 
@@ -878,4 +904,18 @@ def oracle_sql() -> dict[str, str]:
                        j -> CAST((doc_id * 16 + j * 3 + 2) % 256 AS DOUBLE))) / 16
                        AS mean_b
             FROM documents WHERE doc_id < 16 ORDER BY media_id""",
+        "audio_features": """
+            WITH v AS (SELECT doc_id AS media_id,
+                              list_transform(range(0, 256),
+                                  j -> CAST(((doc_id * 37 + j * 129) % 2048)
+                                            - 1024 AS DOUBLE)) AS s
+                       FROM documents WHERE doc_id < 12)
+            SELECT media_id, 1 AS n_channels, 8000 AS sample_rate,
+                   CAST(256 AS BIGINT) AS n_samples,
+                   CAST(256 AS DOUBLE) / 8000 AS duration_s,
+                   sqrt(list_sum(list_transform(s, x -> x * x)) / 256) AS rms,
+                   CAST(len(list_filter(range(1, 256),
+                        j -> (s[j + 1] < 0) != (s[j] < 0))) AS BIGINT)
+                       AS zero_crossings
+            FROM v ORDER BY media_id""",
     }

@@ -138,12 +138,21 @@ RESIZED_DDL = "media_id bigint, width int, height int, thumb binary"
 FRAMES_DDL = "media_id bigint, frame_idx int, frame binary"
 
 
+def resize_pixels(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample, pure numpy (two index gathers)."""
+    h, w, _ = px.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return px[ys][:, xs]
+
+
 def resize_image(df: DataFrame, id_col: str, blob_col: str,
                  width: int = 32, height: int = 32,
-                 fake: bool = True) -> DataFrame:
-    """Thumbnail stub over mapInPandas: real impl would decode+resample;
-    the fake path emits a deterministic width*height byte grid derived
-    from the blob hash, so schema/batching/partitioning are real."""
+                 fake: bool = False) -> DataFrame:
+    """REAL thumbnailing over mapInPandas: decode PPM/BMP pixels with
+    numpy, nearest-neighbor resample, re-emit as a P6 PPM blob.
+    `fake=True` keeps the hash-derived stub for formats the container
+    can't decode (JPEG/PNG) while preserving schema/batch shape."""
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(blob_col).alias("blob"))
 
@@ -153,17 +162,113 @@ def resize_image(df: DataFrame, id_col: str, blob_col: str,
             for blob in pdf["blob"]:
                 if blob is None:
                     thumbs.append(None)
-                elif not fake:
-                    raise NotImplementedError("no image library in container")
-                else:
+                elif fake:
                     seed = hashlib.sha256(bytes(blob)).digest()
                     reps = (width * height) // len(seed) + 1
                     thumbs.append((seed * reps)[: width * height])
+                else:
+                    small = resize_pixels(decode_pixels(bytes(blob)),
+                                          width, height)
+                    thumbs.append(f"P6\n{width} {height}\n255\n".encode()
+                                  + small.tobytes())
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "width": width, "height": height,
                                 "thumb": thumbs})
 
     return src.mapInPandas(run, RESIZED_DDL)
+
+
+# -------------------------------------------------- audio (WAV/PCM, real)
+
+AUDIO_DDL = ("media_id bigint, n_channels int, sample_rate int, "
+             "n_samples bigint, duration_s double, rms double, "
+             "zero_crossings bigint")
+
+
+def parse_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM blob to (samples[frames, channels], rate)
+    with pure numpy.  Supports 8/16/32-bit integer PCM (format 1)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        size = int.from_bytes(blob[pos + 4:pos + 8], "little")
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits not in (8, 16, 32):
+        raise NotImplementedError(
+            f"WAV format {audio_fmt}/{bits}-bit needs an audio library")
+    dt = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    n = len(data) // (bits // 8) // n_ch * n_ch
+    samples = np.frombuffer(data, dt, n).reshape(-1, n_ch)
+    if bits == 8:  # 8-bit WAV is unsigned; center it
+        samples = samples.astype(np.int16) - 128
+    return samples, rate
+
+
+def synth_wav(media_id: int, n_samples: int = 256, rate: int = 8000,
+              n_channels: int = 1) -> bytes:
+    """Deterministic 16-bit PCM fixture: sample j = a seeded triangle."""
+    j = np.arange(n_samples * n_channels, dtype=np.int64)
+    vals = (((media_id * 37 + j * 129) % 2048) - 1024).astype(np.int16)
+    data = vals.tobytes()
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + n_channels.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * n_channels * 2).to_bytes(4, "little")
+           + (n_channels * 2).to_bytes(2, "little")
+           + (16).to_bytes(2, "little"))
+    data_ck = b"data" + len(data).to_bytes(4, "little") + data
+    body = b"WAVE" + fmt + data_ck
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def audio_features(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """REAL audio decode path: parse WAV/PCM with numpy, emit shape +
+    RMS + zero-crossing features (the audio analog of image_features)."""
+    src = df.select(F.col(id_col).alias("media_id"),
+                    F.col(blob_col).alias("blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "n_channels", "sample_rate",
+                                   "n_samples", "duration_s", "rms",
+                                   "zero_crossings")}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                if blob is None:
+                    continue
+                s, rate = parse_wav(bytes(blob))
+                mono = s.astype(np.float64).mean(axis=1)
+                out["media_id"].append(mid)
+                out["n_channels"].append(s.shape[1])
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(s.shape[0])
+                out["duration_s"].append(s.shape[0] / rate)
+                out["rms"].append(float(np.sqrt(np.mean(mono ** 2))))
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(np.diff(np.signbit(mono)))))
+            yield pd.DataFrame({
+                "media_id": pd.array(out["media_id"], dtype="int64"),
+                "n_channels": pd.array(out["n_channels"], dtype="int32"),
+                "sample_rate": pd.array(out["sample_rate"], dtype="int32"),
+                "n_samples": pd.array(out["n_samples"], dtype="int64"),
+                "duration_s": pd.array(out["duration_s"], dtype="float64"),
+                "rms": pd.array(out["rms"], dtype="float64"),
+                "zero_crossings": pd.array(out["zero_crossings"],
+                                           dtype="int64")})
+
+    return src.mapInPandas(run, AUDIO_DDL)
 
 
 def sample_frames(df: DataFrame, id_col: str, blob_col: str,

@@ -88,3 +88,57 @@ def test_image_features_spark_means_match_closed_form(spark):
             expect = float(((m * 16 + j * 3 + c) % 256).mean())
             assert getattr(r, name) == expect, (m, name)
         assert (r.width, r.height) == (4, 4)
+
+
+def test_resize_pixels_nearest_neighbor():
+    px = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    small = __import__("parquet_spark.textops.multimodal",
+                       fromlist=["resize_pixels"]).resize_pixels(px, 4, 3)
+    assert small.shape == (3, 4, 3)
+    assert np.array_equal(small[0, 0], px[0, 0])
+    assert np.array_equal(small[2, 3], px[4, 6])
+
+
+def test_resize_image_real_roundtrip(spark):
+    from parquet_spark.textops.multimodal import (parse_ppm, resize_image,
+                                                  synth_ppm_df)
+    ids = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    blobs = synth_ppm_df(ids, "doc_id", width=8, height=8)
+    rows = resize_image(blobs, "media_id", "blob", width=4,
+                        height=2).collect()
+    assert len(rows) == 4
+    for r in rows:
+        px = parse_ppm(bytes(r.thumb))
+        assert px.shape == (2, 4, 3)
+        # thumbnail pixels are gathered from the source pattern
+        src = parse_ppm(synth_ppm(int(r.media_id), 8, 8))
+        assert np.array_equal(px[0, 0], src[0, 0])
+
+
+def test_wav_parse_and_features(spark):
+    from parquet_spark.textops.multimodal import (audio_features, parse_wav,
+                                                  synth_wav)
+    blob = synth_wav(3, n_samples=500, rate=8000, n_channels=2)
+    s, rate = parse_wav(blob)
+    assert s.shape == (500, 2) and rate == 8000
+    # spark path over synthesized blobs
+    import pandas as pd
+    from pyspark.sql import functions as F
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2],
+                        "blob": [synth_wav(i) for i in range(3)]})
+    df = spark.createDataFrame(pdf)
+    rows = {r.media_id: r for r in
+            audio_features(df, "doc_id", "blob").collect()}
+    assert len(rows) == 3
+    for mid, r in rows.items():
+        s, rate = parse_wav(synth_wav(mid))
+        mono = s.astype(np.float64).mean(axis=1)
+        assert r.n_samples == 256 and r.sample_rate == 8000
+        assert abs(r.rms - float(np.sqrt(np.mean(mono ** 2)))) < 1e-9
+        assert r.duration_s == 256 / 8000
+
+
+def test_wav_rejects_non_pcm():
+    from parquet_spark.textops.multimodal import parse_wav
+    with pytest.raises(ValueError):
+        parse_wav(b"OggS" + b"\x00" * 64)

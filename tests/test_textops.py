@@ -223,7 +223,7 @@ def test_resize_and_frame_sampling_stubs(spark):
         [(0, bytearray(b"x" * 5000)), (1, None), (2, bytearray(b"y" * 100))],
         "media_id long, blob binary")
     th = {r.media_id: r for r in
-          resize_image(df, "media_id", "blob", 8, 8).collect()}
+          resize_image(df, "media_id", "blob", 8, 8, fake=True).collect()}
     assert len(th[0].thumb) == 64 and th[1].thumb is None
     assert th[0].thumb != th[2].thumb          # content-derived
     fr = sample_frames(df, "media_id", "blob",
