@@ -192,6 +192,17 @@ def q_ngram_jaccard(spark, sf_dir):
                  .alias("n_near_dups"))
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute-force correctness
+    baseline of the LSH-bucketed scale path): cos rounded to 4dp before
+    the threshold so both engines make identical keep decisions."""
+    from parquet_spark.textops.dedup import embedding_near_dups
+    em = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 120) \
+        .withColumn("embedding",
+                    F.expr("transform(embedding, x -> cast(x as double))"))
+    return embedding_near_dups(em, threshold=0.9).orderBy("id_a", "id_b")
+
+
 def q_simhash(spark, sf_dir):
     from parquet_spark.textops.dedup import simhash
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
@@ -570,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dups": q_embedding_near_dups,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
@@ -742,6 +754,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_near_dups
             FROM j""",
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings WHERE vec_id < 120),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS av, b.v AS bv
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+            s AS (SELECT id_a, id_b,
+                         ROUND(
+                           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                               list_transform(range(1, len(av) + 1),
+                                              i -> av[i] * bv[i])),
+                               (x, y) -> x + y)
+                           / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list_transform(range(1, len(av) + 1),
+                                                 i -> av[i] * av[i])),
+                                  (x, y) -> x + y))
+                              * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list_transform(range(1, len(bv) + 1),
+                                                 i -> bv[i] * bv[i])),
+                                  (x, y) -> x + y))), 4) AS cos
+                  FROM p)
+            SELECT id_a, id_b, cos FROM s WHERE cos >= 0.9
+            ORDER BY id_a, id_b""",
         "simhash": _simhash_sql("doc_id < 64"),
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS q_id,
