@@ -43,6 +43,36 @@ ENCODED_DDL = ("part_id bigint, chunk_id bigint, n_rows bigint, "
 
 DEFAULT_ROWS_PER_CHUNK = 10_000  # reference RowGroupSize default (Options.cs:8)
 
+_ZONE_STR_MAX = 64  # stored string zone bounds are truncated to this
+
+
+def _zone_lo(s: str | None) -> str | None:
+    """Conservative lower bound: a prefix is always <= the value."""
+    if s is None or len(s) <= _ZONE_STR_MAX:
+        return s
+    return s[:_ZONE_STR_MAX]
+
+
+def _zone_hi(s: str | None) -> str | None:
+    """Conservative upper bound for a truncated max: increment the last
+    character of the prefix so the bound is >= every string sharing it.
+    Without this, chunk rows would carry two FULL values (entire
+    documents for a text column) per string column — real bloat at
+    100 TB.  Only ASCII prefixes are incremented (Spark compares
+    UTF-8 bytes; incrementing non-ASCII code points can cross encoding
+    boundaries); rare non-ASCII-prefix values keep the exact max."""
+    if s is None or len(s) <= _ZONE_STR_MAX:
+        return s
+    p = s[:_ZONE_STR_MAX]
+    if not p.isascii():
+        return s
+    i = len(p) - 1
+    while i >= 0 and ord(p[i]) >= 0x7F:
+        i -= 1
+    if i < 0:
+        return None  # all-DEL prefix: no finite bound — disables pruning
+    return p[:i] + chr(ord(p[i]) + 1)
+
 
 # ------------------------------------------------------------ pure pieces
 
@@ -96,7 +126,8 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
                 continue
             if is_str:
                 mm = pc.min_max(col)
-                lo_s, hi_s = mm["min"].as_py(), mm["max"].as_py()
+                lo_s = _zone_lo(mm["min"].as_py())
+                hi_s = _zone_hi(mm["max"].as_py())
                 lo_n = hi_n = None
             else:
                 mm = pc.min_max(col.cast(pa.int64()))

@@ -252,3 +252,32 @@ def test_read_row_and_cell_random_access(spark):
     with pytest.raises(IndexError):
         read_row(enc, n)
     enc.unpersist()
+
+
+@pytest.mark.spark
+def test_string_zone_bounds_are_truncated_and_conservative(spark):
+    """Zone bounds for long string columns must be short (metadata, not
+    data: a text column would otherwise embed two full documents per
+    chunk row) while still pruning conservatively."""
+    from parquet_spark.engine import _ZONE_STR_MAX, prune_chunks_pred
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "k": [f"{i:04d}" for i in range(400)],
+        "body": [f"{chr(97 + (i * 7) % 26)}" + "x" * 500 + f"{i:04d}"
+                 for i in range(400)]})
+    df = spark.createDataFrame(pdf)
+    enc = encode_table(df, key=["k"], n_parts=2, rows_per_chunk=50).cache()
+    zl = (enc.select(F.explode("zone_cols").alias("c"), "zone_min_str",
+                     "zone_max_str")
+          .select(F.explode("zone_min_str").alias("v")).collect())
+    zh = enc.select(F.explode("zone_max_str").alias("v")).collect()
+    for r in list(zl) + list(zh):
+        assert r.v is None or len(r.v) <= _ZONE_STR_MAX + 1
+    # pruning on the long column stays exact under the residual filter
+    lo, hi = "d", "g"
+    kept = prune_chunks_pred(enc, [("body", lo, hi)])
+    got = decode_table(kept).where(F.col("body").between(lo, hi))
+    want = df.where(F.col("body").between(lo, hi))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    enc.unpersist()
