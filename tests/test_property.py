@@ -71,3 +71,51 @@ def test_column_low_cardinality_roundtrip(vals):
     arr = pa.array(vals, type=pa.string())
     name, payload = encode_column(arr)
     assert decode_column(payload, pa.string()).equals(arr)
+
+
+@settings(**SETTINGS)
+@given(st.binary(min_size=64, max_size=4096),
+       st.integers(min_value=0, max_value=255))
+def test_fsst_escape_mode_any_bytes(buf, filler):
+    """Force escape-mode consideration: append the full alphabet so no
+    byte value is free, plus a run of an arbitrary filler byte."""
+    buf = buf + bytes(range(256)) + bytes([filler] * 7)
+    table = fsst.train(buf)
+    assert fsst.decode(fsst.encode(buf, table)) == buf
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(st.none(),
+                          st.decimals(min_value=-10**20, max_value=10**20,
+                                      places=4, allow_nan=False,
+                                      allow_infinity=False)),
+                min_size=0, max_size=200))
+def test_column_decimal_roundtrip_any(vals):
+    arr = pa.array(vals, type=pa.decimal128(30, 4))
+    name, payload = encode_column(arr)
+    assert decode_column(payload, arr.type).equals(arr)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=40)),
+                min_size=0, max_size=120),
+       st.sampled_from(["auto", "none", "zstd", "snappy", "lz4",
+                        "gzip", "brotli"]))
+def test_column_roundtrip_every_block_codec(vals, spec):
+    from parquet_spark.codecs.column import block_codecs_available
+    if spec not in ("auto", "none") and spec not in block_codecs_available():
+        return
+    arr = pa.array(vals, type=pa.string())
+    name, payload = encode_column(arr, block_codec=spec)
+    assert decode_column(payload, pa.string()).equals(arr)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(st.none(),
+                          st.lists(st.integers(-2**31, 2**31 - 1),
+                                   max_size=20)),
+                min_size=0, max_size=100))
+def test_column_list_roundtrip_any(vals):
+    arr = pa.array(vals, type=pa.list_(pa.int64()))
+    name, payload = encode_column(arr)
+    assert decode_column(payload, arr.type).equals(arr)
