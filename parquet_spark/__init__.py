@@ -40,10 +40,13 @@ def tune_malloc_for_workers() -> None:
 _EXPORTS = {
     "encode_table": "engine", "decode_table": "engine",
     "encoding_stats": "engine", "prune_chunks": "engine",
+    "prune_chunks_pred": "engine", "scan_filtered": "engine",
+    "read_row": "engine", "read_cell": "engine",
     "write_encoded": "manifest", "read_decoded": "manifest",
     "read_encoded": "manifest", "compact_table": "manifest",
     "route_encoded": "manifest", "lineage_df": "manifest",
-    "EncodedTable": "manifest",
+    "vacuum_table": "manifest", "relocate_table": "manifest",
+    "EncodedTable": "manifest", "ConcurrentCommitError": "manifest",
     "encode_splits": "splits", "write_encoded_splits": "splits",
     "list_splits": "splits",
     "encode_stream": "streaming", "streaming_dedup": "streaming",

@@ -425,6 +425,48 @@ def prune_chunks_pred(enc_df: DataFrame,
     return enc_df.where(cond)
 
 
+def _residual_cond(dec: DataFrame, terms) -> "F.Column":
+    cond = F.lit(True)
+    types = {f.name: f.dataType.simpleString() for f in dec.schema.fields}
+    for col, lo, hi in terms:
+        if col not in types:
+            raise KeyError(f"predicate column {col!r} not in decoded "
+                           f"projection {sorted(types)}")
+        c = F.col(col)
+        numeric = ((lo is not None and _is_numeric_bound(lo))
+                   or (hi is not None and _is_numeric_bound(hi)))
+        if numeric and types[col].startswith("timestamp"):
+            # numeric bounds address timestamps as epoch-us int64 (the
+            # zone-map convention); compare in that domain
+            c = F.expr(f"timestampdiff(MICROSECOND, "
+                       f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})")
+        if lo is not None:
+            cond = cond & (c >= F.lit(_as_num_bound(lo) if numeric else lo))
+        if hi is not None:
+            cond = cond & (c <= F.lit(_as_num_bound(hi) if numeric else hi))
+    return cond
+
+
+def scan_filtered(enc_df: DataFrame, pred: list[tuple] | dict,
+                  columns: list[str] | None = None,
+                  schema: pa.Schema | None = None) -> DataFrame:
+    """Predicate-pushdown scan over the encoded format in one call:
+    zone-map chunk pruning (prune_chunks_pred) + decode of surviving
+    chunks + the exact residual filter — the encoded analog of a
+    parquet scan with PushedFilters.  `pred` uses prune_chunks_pred's
+    shape: an AND-list of (column, lo, hi), or {"any": [and_list, ...]}.
+    With `columns`, every predicate column must be in the projection."""
+    kept = prune_chunks_pred(enc_df, pred)
+    dec = decode_table(kept, schema=schema, columns=columns)
+    if isinstance(pred, dict):
+        cond = F.lit(False)
+        for terms in pred["any"]:
+            cond = cond | _residual_cond(dec, terms)
+    else:
+        cond = _residual_cond(dec, pred)
+    return dec.where(cond)
+
+
 def read_row(enc_df: DataFrame, row_idx: int,
              columns: list[str] | None = None) -> dict:
     """Random access to one logical row by global index (reference

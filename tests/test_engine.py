@@ -281,3 +281,41 @@ def test_string_zone_bounds_are_truncated_and_conservative(spark):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     enc.unpersist()
+
+
+@pytest.mark.spark
+def test_scan_filtered_one_call_pushdown(spark):
+    """scan_filtered = prune + decode + residual in one call; equals the
+    full filter over raw data for AND, OR, and timestamp predicates."""
+    from parquet_spark.engine import scan_filtered
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    enc = encode_table(docs, key=["doc_id"], n_parts=2,
+                       rows_per_chunk=50).cache()
+    got = scan_filtered(enc, [("doc_id", 100, 180)])
+    want = docs.where(F.col("doc_id").between(100, 180))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    got_or = scan_filtered(enc, {"any": [[("doc_id", 0, 40)],
+                                         [("doc_id", 450, None)]]})
+    want_or = docs.where(F.col("doc_id").between(0, 40)
+                         | (F.col("doc_id") >= 450))
+    assert got_or.count() == want_or.count() > 0
+    # projection must contain predicate columns
+    with pytest.raises(KeyError):
+        scan_filtered(enc, [("doc_id", 0, 10)], columns=["text"]).count()
+    cols = scan_filtered(enc, [("doc_id", 0, 99)],
+                         columns=["doc_id", "lang"])
+    assert cols.columns == ["doc_id", "lang"]
+    assert cols.count() == docs.where(F.col("doc_id") <= 99).count()
+    enc.unpersist()
+    # timestamp predicate in epoch-us domain
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    enc2 = encode_table(ev, key=["ts"], n_parts=2, rows_per_chunk=100).cache()
+    b = enc2.agg(F.min("key_min_num"), F.max("key_max_num")).head()
+    lo, hi = b[0], b[0] + (b[1] - b[0]) // 3
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    got_ts = scan_filtered(enc2, [("ts", lo, hi)])
+    want_ts = ev.where(us.between(lo, hi))
+    assert got_ts.count() == want_ts.count() > 0
+    enc2.unpersist()
