@@ -34,6 +34,9 @@ def main():
                     help="timed repetitions; the minimum is reported "
                          "(this host's page-fault serialization makes "
                          "single timings noisy)")
+    ap.add_argument("--block-codec", default="auto",
+                    help="outer block compression: auto|none|zstd[:lvl]|"
+                         "snappy|lz4|gzip[:lvl]|brotli[:lvl]")
     ap.add_argument("--mode", choices=("hash", "splits"), default="hash",
                     help="hash: url-hash layout shuffle + encode (layout-"
                          "controlled table); splits: scan-stage encode + "
@@ -63,7 +66,8 @@ def main():
     df.count()  # warm the file listing/footers before timing
 
     def run_hash():
-        enc = encode_table(df, key=[args.key], n_parts=args.parts)
+        enc = encode_table(df, key=[args.key], n_parts=args.parts,
+                           block_codec=args.block_codec)
         return enc.select(
             F.sum(F.expr("aggregate(bytes_in, 0L, (s, v) -> s + v)")).alias("bin"),
             F.sum(F.expr("aggregate(bytes_out, 0L, (s, v) -> s + v)")).alias("bout"),
@@ -73,7 +77,8 @@ def main():
         tbl = tempfile.mkdtemp(prefix="enc_splits_")
         try:
             snap = write_encoded_splits(spark, args.input, tbl,
-                                        n_tasks=args.parts)
+                                        n_tasks=args.parts,
+                                        block_codec=args.block_codec)
             parts = snap["parts"].values()
             return type("R", (), {
                 "bin": sum(p["bytes_in"] for p in parts),
