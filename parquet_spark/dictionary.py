@@ -58,8 +58,14 @@ def build_global_dict(df: DataFrame, col: str,
     # the final rank a one-task sort.
     n_parts = max(2, min(32, vals.sparkSession.sparkContext
                          .defaultParallelism))
+    # localCheckpoint PINS the partitioning: repartitionByRange samples
+    # boundaries per execution, so without materialization the counts
+    # job and the ranking job can see DIFFERENT partition boundaries —
+    # offsets then misalign and ids come out duplicated/gapped
+    # (observed live at 300k distinct values before this fix)
     ranged = (vals.repartitionByRange(n_parts, col)
-              .withColumn("_p", F.spark_partition_id()))
+              .withColumn("_p", F.spark_partition_id())
+              .localCheckpoint(eager=True))
     counts = {r._p: r.c for r in
               ranged.groupBy("_p").agg(F.count(F.lit(1)).alias("c"))
               .collect()}

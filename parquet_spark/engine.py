@@ -76,10 +76,14 @@ def _zone_hi(s: str | None) -> str | None:
 
 # ------------------------------------------------------------ pure pieces
 
+_ZONE_AUTO_MAX_AVG_LEN = 256  # auto mode skips fat string columns
+
+
 def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
                  codec: str = "auto", plan: dict[str, dict] | None = None,
                  zone_key: str | None = None,
-                 block_codec: str = "auto") -> dict:
+                 block_codec: str = "auto",
+                 zone_cols: list[str] | None = None) -> dict:
     """Encode one Arrow batch into a chunk row (pure, Spark-free).
 
     `plan` is the per-partition codec memo: the auto-selector and FSST
@@ -87,7 +91,12 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
     the choice and symbol table (the "per-partition codec auto-selector"
     of the north rule without re-sampling every row group).  `zone_key`
     names the sort-key column for the dedicated key_* zone fields;
-    `block_codec` picks the outer block compression (O15)."""
+    `block_codec` picks the outer block compression (O15).  `zone_cols`
+    explicitly selects the columns to zone-map; None = auto (the sort
+    key, every numeric/timestamp column, and string columns whose mean
+    value length is <= 256 bytes — a min/max pass over multi-KB
+    text/html bodies would cost real encode time for bounds no
+    realistic predicate ranges over)."""
     names, codecs, payloads, b_in, b_out = [], [], [], [], []
     for i, field in enumerate(batch.schema):
         arr = batch.column(i)
@@ -124,6 +133,12 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
             col = batch.column(i)
             if col.null_count == len(col):
                 continue
+            if zone_cols is not None:
+                if field.name not in zone_cols and field.name != zone_key:
+                    continue
+            elif (is_str and field.name != zone_key
+                  and col.nbytes > _ZONE_AUTO_MAX_AVG_LEN * len(col)):
+                continue  # fat text/html body: not worth a min/max pass
             if is_str:
                 mm = pc.min_max(col)
                 lo_s = _zone_lo(mm["min"].as_py())
@@ -214,6 +229,27 @@ def partition_for_encode(df: DataFrame, key: list[str] | None = None,
     return out, key
 
 
+def take_full_batches(buf: list[pa.RecordBatch], buffered: int, n: int,
+                      final: bool) -> tuple[list[pa.RecordBatch],
+                                            list[pa.RecordBatch], int]:
+    """Slice exactly-n-row batches off an accumulated batch list.
+
+    Returns (full_batches, remaining_buf, remaining_count).  The single
+    source of truth for the rows_per_chunk invariant — used by the
+    streaming _rebatch here and by write_encoded's per-partition drain
+    (one implementation, one set of edge cases)."""
+    out: list[pa.RecordBatch] = []
+    while buffered >= n or (final and buffered):
+        tbl = pa.Table.from_batches(buf)
+        take = min(n, buffered)
+        head = tbl.slice(0, take).combine_chunks()
+        out.append(head.to_batches()[0])
+        rest = tbl.slice(take)
+        buffered = rest.num_rows
+        buf = rest.to_batches() if buffered else []
+    return out, buf, buffered
+
+
 def _rebatch(batches: Iterator[pa.RecordBatch],
              n: int) -> Iterator[pa.RecordBatch]:
     """Re-slice an Arrow batch stream into exactly-n-row batches (the
@@ -228,22 +264,18 @@ def _rebatch(batches: Iterator[pa.RecordBatch],
             continue
         buf.append(b)
         have += b.num_rows
-        while have >= n:
-            tbl = pa.Table.from_batches(buf)
-            head = tbl.slice(0, n).combine_chunks()
-            yield head.to_batches()[0]
-            rest = tbl.slice(n)
-            have = rest.num_rows
-            buf = rest.to_batches() if have else []
+        full, buf, have = take_full_batches(buf, have, n, final=False)
+        yield from full
     if have:
-        tail = pa.Table.from_batches(buf).combine_chunks()
-        yield tail.to_batches()[0]
+        full, _, _ = take_full_batches(buf, have, n, final=True)
+        yield from full
 
 
 def encode_table(df: DataFrame, key: list[str] | None = None,
                  n_parts: int | None = None, codec: str = "auto",
                  rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
-                 block_codec: str = "auto") -> DataFrame:
+                 block_codec: str = "auto",
+                 zone_cols: list[str] | None = None) -> DataFrame:
     """Encode a DataFrame into column-chunk rows (one row per chunk)."""
     dfp, key = partition_for_encode(df, key, n_parts)
     zone_key = key[0]
@@ -260,7 +292,8 @@ def encode_table(df: DataFrame, key: list[str] | None = None,
             # is the fragment (SURVEY §1.5)
             chunk = encode_chunk(batch, pid, cid, codec,
                                  plan if codec == "auto" else None,
-                                 zone_key=zone_key, block_codec=block_codec)
+                                 zone_key=zone_key, block_codec=block_codec,
+                                 zone_cols=zone_cols)
             cid += 1
             yield _chunk_rows_to_batch([chunk])
 
@@ -437,9 +470,15 @@ def _residual_cond(dec: DataFrame, terms) -> "F.Column":
                    or (hi is not None and _is_numeric_bound(hi)))
         if numeric and types[col].startswith("timestamp"):
             # numeric bounds address timestamps as epoch-us int64 (the
-            # zone-map convention); compare in that domain
-            c = F.expr(f"timestampdiff(MICROSECOND, "
-                       f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})")
+            # zone-map convention = the Arrow int64 cast, i.e. UTC
+            # micros).  TIMESTAMP (LTZ) must use unix_micros — the NTZ
+            # timestampdiff formula shifts by the session timezone and
+            # would drop/keep the wrong rows under a non-UTC session.
+            if types[col] == "timestamp":
+                c = F.unix_micros(F.col(col))
+            else:  # timestamp_ntz: wall-clock == UTC micros by definition
+                c = F.expr(f"timestampdiff(MICROSECOND, "
+                           f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})")
         if lo is not None:
             cond = cond & (c >= F.lit(_as_num_bound(lo) if numeric else lo))
         if hi is not None:
@@ -478,6 +517,8 @@ def read_row(enc_df: DataFrame, row_idx: int,
     chunk_id, n_rows — a few ints per 10k rows) locates the single
     chunk holding the row; only that chunk's requested columns are
     fetched and decoded."""
+    if row_idx < 0:
+        raise IndexError(f"row index must be >= 0, got {row_idx}")
     directory = (enc_df.select("part_id", "chunk_id", "n_rows")
                  .orderBy("part_id", "chunk_id").collect())
     at = 0

@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .engine import (DEFAULT_ROWS_PER_CHUNK, _chunk_rows_to_batch,
-                     decode_table, encode_chunk)
+                     decode_table, encode_chunk, take_full_batches)
 
 LINEAGE_DDL = ("part_id bigint, file string, n_chunks bigint, n_rows bigint, "
                "bytes_in bigint, bytes_out bigint, wall_ms double, "
@@ -279,6 +279,12 @@ def write_encoded(df: DataFrame, table_path: str,
     data_dir = os.path.join(table_path, "data")
     os.makedirs(data_dir, exist_ok=True)
     schema_holder: list[bytes] = []
+    # unique per write attempt: concurrent writers to one table must not
+    # share file names, or the loser of the CAS race can have already
+    # os.replace'd bytes under a name the WINNER's snapshot references
+    # (Iceberg's optimistic concurrency likewise requires unique data
+    # file names; the CAS on CURRENT alone cannot protect shared paths)
+    token = uuid.uuid4().hex[:12]
 
     def writer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending: dict[int, dict] = {}
@@ -287,16 +293,11 @@ def write_encoded(df: DataFrame, table_path: str,
             """Materialize full rows_per_chunk chunks from the buffer
             (chunk size is a writer-side knob, independent of the Arrow
             batch configuration); `final` flushes the tail too."""
-            while st["buffered"] >= rows_per_chunk or (final and st["buffered"]):
-                tbl = pa.Table.from_batches(st["buf"])
-                take = min(rows_per_chunk, st["buffered"])
-                head = tbl.slice(0, take).combine_chunks()
-                rest = tbl.slice(take)
-                st["buf"] = rest.to_batches() if rest.num_rows else []
-                st["buffered"] = rest.num_rows
+            full, st["buf"], st["buffered"] = take_full_batches(
+                st["buf"], st["buffered"], rows_per_chunk, final)
+            for head in full:
                 st["chunks"].append(
-                    encode_chunk(head.to_batches()[0], pid,
-                                 len(st["chunks"]), codec,
+                    encode_chunk(head, pid, len(st["chunks"]), codec,
                                  st["plan"] if codec == "auto" else None,
                                  zone_key=key[0], block_codec=block_codec))
 
@@ -305,7 +306,8 @@ def write_encoded(df: DataFrame, table_path: str,
             drain(st, pid, final=True)
             tbl = pa.Table.from_batches(
                 [_chunk_rows_to_batch(st["chunks"])])
-            final = os.path.join(data_dir, f"part-{pid:05d}.parquet")
+            final = os.path.join(data_dir,
+                                 f"part-{pid:05d}-{token}.parquet")
             tmp = final + f".tmp-{uuid.uuid4().hex}"
             pq.write_table(tbl, tmp, compression="none")  # payloads pre-compressed
             os.replace(tmp, final)
@@ -472,16 +474,21 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
     if parent_src is None:
         raise ValueError(f"no committed snapshot at {src_path}")
     enc = read_encoded(spark, src_path)
-    key_expr = F.coalesce(F.col("key_min"),
-                          F.col("key_min_num").cast("string"))
     if by == "range":
-        dfp = (enc.withColumn("_k", key_expr)
-               .repartitionByRange(n_parts, "_k")
-               .sortWithinPartitions("_k").drop("_k"))
+        # typed range partitioning: numeric keys order on the int64 zone
+        # value (a string cast would sort '10' < '2' and break part
+        # contiguity for timestamp/int-keyed tables); string keys on the
+        # string zone.  One of the two is NULL per table — NULLS FIRST
+        # on the unused column is harmless.
+        dfp = (enc.repartitionByRange(n_parts, "key_min_num", "key_min")
+               .sortWithinPartitions("key_min_num", "key_min"))
     else:
-        dfp = enc.repartition(n_parts, F.xxhash64(key_expr))
+        dfp = enc.repartition(
+            n_parts, F.xxhash64(F.coalesce(
+                F.col("key_min"), F.col("key_min_num").cast("string"))))
     data_dir = os.path.join(dst_path, "data")
     os.makedirs(data_dir, exist_ok=True)
+    token = uuid.uuid4().hex[:12]
 
     def writer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -500,7 +507,8 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
         tbl = tbl.set_column(
             tbl.schema.get_field_index("chunk_id"), "chunk_id",
             pa.array(np.arange(n, dtype=np.int64)))
-        final = os.path.join(data_dir, f"part-{pid:05d}.parquet")
+        final = os.path.join(data_dir,
+                             f"part-{pid:05d}-{token}.parquet")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         pq.write_table(tbl, tmp, compression="none")
         os.replace(tmp, final)
@@ -532,22 +540,32 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
     return dst.commit(parts, schema_ipc, dst.current_snapshot(), meta=meta)
 
 
-def vacuum_table(table_path: str) -> list[str]:
+def vacuum_table(table_path: str, grace_s: float = 3600.0) -> list[str]:
     """Delete data files not referenced by the CURRENT snapshot.
 
     Separate from compaction by design: deleting eagerly at commit time
     would break time-travel to parent snapshots and, worse, a crash
-    window where CURRENT still points at a deleted file.  Returns the
-    removed paths."""
+    window where CURRENT still points at a deleted file.  `grace_s`
+    protects IN-FLIGHT writers: their part files exist before their
+    commit, so anything younger than the grace window is spared even if
+    unreferenced (same idea as Iceberg's orphan-file min age).  Returns
+    the removed paths."""
     table = EncodedTable(table_path)
     live = set(os.path.abspath(f) for f in table.data_files())
     removed = []
+    cutoff = time.time() - grace_s
     data_dir = os.path.join(table_path, "data")
     for name in sorted(os.listdir(data_dir)):
         p = os.path.abspath(os.path.join(data_dir, name))
-        if p not in live and name.endswith(".parquet"):
+        if p in live or not name.endswith(".parquet"):
+            continue
+        try:
+            if os.path.getmtime(p) > cutoff:
+                continue  # possibly an in-flight writer's file
             os.remove(p)
-            removed.append(p)
+        except OSError:
+            continue
+        removed.append(p)
     return removed
 
 

@@ -174,6 +174,9 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
         splits = splits[:limit_parts]
     data_dir = os.path.join(table_path, "data")
     os.makedirs(data_dir, exist_ok=True)
+    # unique per write attempt: concurrent writers must never share file
+    # names (the CAS on CURRENT protects the snapshot chain, not paths)
+    token = uuid.uuid4().hex[:12]
 
     def writer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -184,8 +187,8 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
                                            block_codec=block_codec))
                 tbl = pa.Table.from_batches(
                     [_chunk_rows_to_batch(chunks)])
-                final = os.path.join(data_dir,
-                                     f"part-{d['split_id']:05d}.parquet")
+                final = os.path.join(
+                    data_dir, f"part-{d['split_id']:05d}-{token}.parquet")
                 tmp = final + f".tmp-{uuid.uuid4().hex}"
                 pq.write_table(tbl, tmp, compression="none")
                 os.replace(tmp, final)

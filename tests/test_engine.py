@@ -266,7 +266,12 @@ def test_string_zone_bounds_are_truncated_and_conservative(spark):
         "body": [f"{chr(97 + (i * 7) % 26)}" + "x" * 500 + f"{i:04d}"
                  for i in range(400)]})
     df = spark.createDataFrame(pdf)
-    enc = encode_table(df, key=["k"], n_parts=2, rows_per_chunk=50).cache()
+    # body is a fat column: auto mode would skip it (cost heuristic), so
+    # zone-map it explicitly to exercise the truncation
+    enc = encode_table(df, key=["k"], n_parts=2, rows_per_chunk=50,
+                       zone_cols=["k", "body"]).cache()
+    assert (enc.select(F.explode("zone_cols").alias("c"))
+            .where(F.col("c") == "body").count()) > 0
     zl = (enc.select(F.explode("zone_cols").alias("c"), "zone_min_str",
                      "zone_max_str")
           .select(F.explode("zone_min_str").alias("v")).collect())

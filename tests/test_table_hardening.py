@@ -124,8 +124,10 @@ def test_compaction_never_touches_live_files_and_vacuum(spark, docs):
     files_v2 = sorted(EncodedTable(tbl).data_files())
     assert all("compact-000002-" in os.path.basename(f) for f in files_v2)
     assert set(files_v1).isdisjoint(files_v2)
-    # vacuum is the separate, explicit deletion step
-    removed = vacuum_table(tbl)
+    # vacuum is the separate, explicit deletion step (grace_s=0 because
+    # the files are seconds old; default spares in-flight writers' files)
+    assert vacuum_table(tbl) == []  # default grace spares young files
+    removed = vacuum_table(tbl, grace_s=0)
     assert set(removed) == {os.path.abspath(f) for f in files_v0 + files_v1}
     live = glob.glob(os.path.join(tbl, "data", "*.parquet"))
     assert sorted(os.path.abspath(f) for f in live) == [
@@ -251,3 +253,64 @@ def test_relocate_table_moves_compressed_chunks(spark, by):
                  .orderBy("lo").collect())
         for a, b in zip(spans, spans[1:]):
             assert a.hi <= b.lo, (a, b)
+
+
+@pytest.mark.spark
+def test_global_dict_ids_dense_at_high_cardinality(spark):
+    """Regression: without pinning the range partitioning, the counts
+    job and the ranking job could see different sampled boundaries and
+    emit duplicated/gapped dict ids (observed live at 300k distinct)."""
+    from parquet_spark.dictionary import build_global_dict
+    df = (spark.range(0, 60_000)
+          .select(F.md5(F.col("id").cast("string")).alias("v"),
+                  F.lit(1).alias("pad")))  # pad -> distinct ratio 1.0 on v?
+    # duplicate each value once so the 0.8 uniqueness gate passes
+    df = df.unionByName(df)
+    d = build_global_dict(df, "v")
+    rows = d.collect()
+    ids = sorted(r.dict_id for r in rows)
+    assert ids == list(range(60_000))
+    assert len({r.value for r in rows}) == 60_000
+
+
+@pytest.mark.spark
+def test_scan_filtered_timestamp_correct_under_non_utc_session(spark):
+    """Regression: the residual filter on TIMESTAMP (LTZ) columns must
+    compare in UTC epoch-us (the zone-map domain) regardless of the
+    session timezone."""
+    from parquet_spark.engine import encode_table, scan_filtered
+    # events.ts is TIMESTAMP_NTZ in the testdata; build an LTZ variant
+    # under the UTC session so the instant equals the NTZ wall clock
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    enc = encode_table(ev, key=["ts"], n_parts=2, rows_per_chunk=200).cache()
+    b = enc.agg(F.min("key_min_num"), F.max("key_max_num")).head()
+    lo, hi = b[0], b[0] + (b[1] - b[0]) // 4
+    want = ev.where(F.unix_micros(F.col("ts")).between(lo, hi)).count()
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        got = scan_filtered(enc, [("ts", lo, hi)]).count()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got == want > 0
+    enc.unpersist()
+
+
+@pytest.mark.spark
+def test_writers_use_unique_data_file_names(spark, docs):
+    """Two write attempts against one table must never share data file
+    paths — the CAS on CURRENT cannot protect clobbered bytes."""
+    import re
+    tbl = tempfile.mkdtemp(prefix="uniq_tbl_")
+    write_encoded(docs, tbl, key=["doc_id"], n_parts=2, limit_parts=1)
+    first = set(EncodedTable(tbl).data_files())
+    write_encoded(docs, tbl, key=["doc_id"], n_parts=2)
+    second = set(EncodedTable(tbl).data_files())
+    assert first <= second  # resume kept the committed file untouched
+    names = [os.path.basename(f) for f in second]
+    assert all(re.match(r"part-\d{5}-[0-9a-f]{12}\.parquet$", n)
+               for n in names), names
+    # the two attempts used different tokens
+    tokens = {n.split("-")[2].split(".")[0] for n in names}
+    assert len(tokens) == 2
