@@ -54,8 +54,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        n_hashes: int = N_MINHASH) -> DataFrame:
-    """Per-doc MinHash signature: h_j = min(md5(j || shingle))."""
-    sh = _exploded_shingles(df, text_col, id_col).distinct()
+    """Per-doc MinHash signature: h_j = min(md5(j || shingle)).
+
+    No distinct() before the aggregation: min() is duplicate-insensitive,
+    so deduplicating shingles first would add a full extra shuffle of
+    the shingle set for an identical result — the partial min() combines
+    map-side and only (doc_id, n_hashes mins) cross the wire."""
+    sh = _exploded_shingles(df, text_col, id_col)
     aggs = [F.min(F.md5(F.concat(F.lit(str(j)), F.col("sh"))))
             .alias(f"h{j}") for j in range(n_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
