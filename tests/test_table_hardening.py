@@ -314,3 +314,42 @@ def test_writers_use_unique_data_file_names(spark, docs):
     # the two attempts used different tokens
     tokens = {n.split("-")[2].split(".")[0] for n in names}
     assert len(tokens) == 2
+
+
+@pytest.mark.spark
+def test_two_concurrent_writers_converge_via_cas_retry(spark, docs):
+    """Iceberg-style optimistic concurrency end-to-end: two writer
+    threads append disjoint part-id ranges to one table; commit races
+    resolve by ConcurrentCommitError + retry (write_encoded re-reads
+    CURRENT and resumes), and the final snapshot contains both ranges
+    with no loss or duplication."""
+    import threading
+    import time as _t
+
+    from parquet_spark.manifest import ConcurrentCommitError
+    tbl = tempfile.mkdtemp(prefix="cas_race_tbl_")
+    errors = []
+
+    def writer(offset):
+        for _ in range(8):
+            try:
+                write_encoded(docs, tbl, key=["doc_id"], n_parts=2,
+                              part_offset=offset)
+                return
+            except ConcurrentCommitError:
+                _t.sleep(0.05)  # re-read CURRENT and retry
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+        errors.append(RuntimeError(f"writer {offset} never converged"))
+
+    t1 = threading.Thread(target=writer, args=(0,))
+    t2 = threading.Thread(target=writer, args=(2,))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors, errors
+    snap = EncodedTable(tbl).current_snapshot()
+    assert sorted(int(p) for p in snap["parts"]) == [0, 1, 2, 3]
+    dec = read_decoded(spark, tbl)
+    # both ranges carry one full copy of docs
+    assert dec.count() == 2 * docs.count()
+    assert dec.exceptAll(docs.unionByName(docs)).count() == 0
