@@ -494,10 +494,12 @@ def q_codec_selection(spark, sf_dir):
     """Per-column codec auto-selection on documents (O12-O15).  Oracle:
     golden VALUES rows — the selector's choices on this table are
     deterministic (dict for low-cardinality lang/source, int for the id
-    columns, FSST for text)."""
+    columns).  rows_per_chunk is pinned so the selector sees the same
+    per-chunk shape at any sf (codec choice is size-dependent by
+    design: the auto-selector trial-encodes a sample per chunk)."""
     from parquet_spark.engine import encode_table, encoding_stats
-    df = _t(spark, sf_dir, "documents")
-    enc = encode_table(df, key=["doc_id"], n_parts=4)
+    df = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    enc = encode_table(df, key=["doc_id"], n_parts=4, rows_per_chunk=125)
     return (encoding_stats(enc).select("column", "codec")
             .distinct().orderBy("column"))
 
