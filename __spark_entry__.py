@@ -543,6 +543,55 @@ def q_media_features(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """O18 streaming surface: cross-batch exact dedup as a stateful
+    Structured Streaming operator (applyInPandasWithState) over a file
+    stream of the documents table, availableNow-triggered.  The emitted
+    (digest, keeper) set is recomputed by DuckDB with a plain GROUP BY
+    — the streaming state machinery must agree with the batch answer."""
+    import tempfile
+    import uuid
+
+    from parquet_spark.streaming import file_stream, streaming_dedup
+    stream = file_stream(
+        spark, f"{sf_dir}/documents.parquet",
+        "doc_id long, text string, lang string, source string, n_chars long")
+    name = "sdedup_" + uuid.uuid4().hex[:8]
+    q = (streaming_dedup(stream).writeStream
+         .format("memory").queryName(name).outputMode("update")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="sdck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.sql(
+        f"SELECT COUNT(*) AS n_emitted, "
+        f"COUNT(DISTINCT digest) AS n_digests, "
+        f"CAST(SUM(doc_id) AS LONG) AS sum_keepers FROM {name}")
+
+
+def q_route_encoded(spark, sf_dir):
+    """O17 per-type routing (the reference's file-per-result-type macro
+    path): one encoded table per lang value; decode every route and
+    return per-route aggregates DuckDB recomputes with GROUP BY lang —
+    proving routing splits, encodes, and round-trips each subset
+    exactly."""
+    import tempfile
+
+    from parquet_spark.manifest import read_decoded, route_encoded
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    base = tempfile.mkdtemp(prefix="entry_routes_")
+    snaps = route_encoded(d, "lang", base, key=["doc_id"], n_parts=2)
+    rows = []
+    for lang in sorted(snaps):
+        dec = read_decoded(spark, f"{base}/lang={lang}")
+        agg = dec.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("n_chars").alias("sc"),
+                      F.countDistinct(F.md5("text")).alias("nt")).head()
+        rows.append((lang, agg.n, agg.sc, agg.nt))
+    return spark.createDataFrame(
+        rows, "lang string, n_docs long, sum_chars long, n_texts long") \
+        .orderBy("lang")
+
+
 def q_audio_features(spark, sf_dir):
     """REAL audio decode (pure-numpy RIFF/WAVE PCM parser): deterministic
     16-bit PCM blobs are synthesized per doc, parsed, and RMS /
@@ -604,6 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_encode": q_corpus_encode,
         "media_features": q_media_features,
         "audio_features": q_audio_features,
+        "route_encoded": q_route_encoded,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -941,6 +992,18 @@ def oracle_sql() -> dict[str, str]:
                        j -> CAST((doc_id * 16 + j * 3 + 2) % 256 AS DOUBLE))) / 16
                        AS mean_b
             FROM documents WHERE doc_id < 16 ORDER BY media_id""",
+        "streaming_dedup": """
+            WITH g AS (SELECT md5(text) AS dg, MIN(doc_id) AS keeper
+                       FROM documents GROUP BY 1)
+            SELECT COUNT(*) AS n_emitted, COUNT(DISTINCT dg) AS n_digests,
+                   CAST(SUM(keeper) AS BIGINT) AS sum_keepers
+            FROM g""",
+        "route_encoded": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(DISTINCT md5(text)) AS n_texts
+            FROM documents WHERE doc_id < 200
+            GROUP BY lang ORDER BY lang""",
         "audio_features": """
             WITH v AS (SELECT doc_id AS media_id,
                               list_transform(range(0, 256),
