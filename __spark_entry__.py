@@ -543,6 +543,18 @@ def q_media_features(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def q_hierarchy_rows(spark, sf_dir):
+    """O20 run-tree row identity: deterministic md5 guids over natural
+    keys with parent links (the reference's ResultName/Guid/Parent/
+    StepId columns) — DuckDB recomputes the exact guid strings."""
+    from parquet_spark.merge import with_hierarchy
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    h = with_hierarchy(n, "nation_result", ["n_nationkey"],
+                       parent_guid="plan-root", step_id="s1")
+    return (h.select("n_nationkey", "result_name", "guid", "parent",
+                     "step_id").orderBy("n_nationkey"))
+
+
 def q_streaming_dedup(spark, sf_dir):
     """O18 streaming surface: cross-batch exact dedup as a stateful
     Structured Streaming operator (applyInPandasWithState) over a file
@@ -655,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "route_encoded": q_route_encoded,
         "streaming_dedup": q_streaming_dedup,
+        "hierarchy_rows": q_hierarchy_rows,
     }
 
 
@@ -992,6 +1005,12 @@ def oracle_sql() -> dict[str, str]:
                        j -> CAST((doc_id * 16 + j * 3 + 2) % 256 AS DOUBLE))) / 16
                        AS mean_b
             FROM documents WHERE doc_id < 16 ORDER BY media_id""",
+        "hierarchy_rows": """
+            SELECT n_nationkey, 'nation_result' AS result_name,
+                   md5('nation_result' || chr(31)
+                       || CAST(n_nationkey AS VARCHAR)) AS guid,
+                   'plan-root' AS parent, 's1' AS step_id
+            FROM nation ORDER BY n_nationkey""",
         "streaming_dedup": """
             WITH g AS (SELECT md5(text) AS dg, MIN(doc_id) AS keeper
                        FROM documents GROUP BY 1)
