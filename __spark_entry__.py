@@ -944,8 +944,11 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
             b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
             r AS (SELECT e.* FROM e, b
-                  WHERE us BETWEEN mn + CAST((mx - mn) * 0.4 AS BIGINT)
-                                AND mn + CAST((mx - mn) * 0.6 AS BIGINT))
+                  -- FLOOR matches the Spark facet's Python int() exactly
+                  -- (spans are positive); a bare CAST would round half
+                  -- away from zero and shift the bound by 1us
+                  WHERE us BETWEEN mn + CAST(FLOOR((mx - mn) * 0.4) AS BIGINT)
+                                AND mn + CAST(FLOOR((mx - mn) * 0.6) AS BIGINT))
             SELECT COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS sum_ids,
                    COUNT(DISTINCT user_id) AS n_users,
                    CAST(MIN(us) AS BIGINT) AS min_us,

@@ -100,6 +100,16 @@ def _v2(block_id: int, crc: bytes, body_or_comp: bytes,
     return head + struct.pack("<Q", raw_len) + body_or_comp
 
 
+def validate_block_codec(spec: str) -> None:
+    """Eagerly validate a block-codec spec ("auto"/"none"/"name[:level]").
+
+    Called by every encode entry point BEFORE any Spark job launches so
+    a typo'd spec ('lzo', 'zstd:x') fails immediately — not mid-job once
+    some chunk's body finally exceeds the small-body threshold."""
+    if spec not in ("auto", "none"):
+        _parse_block_codec(spec)
+
+
 def _block_wrap(body: bytes, block_codec: str = "auto") -> bytes:
     """Wrap a codec body: pluggable block compression + CRC32.
 
@@ -109,6 +119,9 @@ def _block_wrap(body: bytes, block_codec: str = "auto") -> bytes:
     "name[:level]" from zstd/snappy/lz4/gzip/brotli.  The CRC is
     verified on every unwrap, so a corrupted chunk payload fails loudly
     instead of decoding to silently wrong data."""
+    explicit = (None if block_codec in ("auto", "none")
+                else _parse_block_codec(block_codec))  # validate even for
+    #                                                    small bodies
     crc = struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF)
     if block_codec == "none" or len(body) <= 64:
         return _v2(0, crc, body)
@@ -123,7 +136,7 @@ def _block_wrap(body: bytes, block_codec: str = "auto") -> bytes:
         codec = _ZSTD_HI if len(body) <= _HI_MAX_BYTES else _ZSTD
         bid = _BLOCK_IDS["zstd"]
     else:
-        bid, codec = _parse_block_codec(block_codec)
+        bid, codec = explicit
     comp = codec.compress(body).to_pybytes()
     if len(comp) + 14 < len(body):
         return _v2(bid, crc, comp, raw_len=len(body))

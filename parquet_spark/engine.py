@@ -277,6 +277,8 @@ def encode_table(df: DataFrame, key: list[str] | None = None,
                  block_codec: str = "auto",
                  zone_cols: list[str] | None = None) -> DataFrame:
     """Encode a DataFrame into column-chunk rows (one row per chunk)."""
+    from .codecs.column import validate_block_codec
+    validate_block_codec(block_codec)  # typos fail before the job launches
     dfp, key = partition_for_encode(df, key, n_parts)
     zone_key = key[0]
 
@@ -354,10 +356,20 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
 
 def _is_numeric_bound(v) -> bool:
     """True for int-family bounds (python/numpy ints, NOT bool) — these
-    prune via the numeric zone map (timestamps as epoch-us int64)."""
+    prune via the numeric zone map (timestamps as epoch-us int64).
+
+    Floats are rejected rather than silently classified as strings: a
+    float bound on a numeric-keyed table would compare against the NULL
+    string zones and disable pruning entirely.  Callers with float
+    epoch values must cast (floor the lo bound, ceil the hi bound)."""
     import numbers
     if isinstance(v, bool) or isinstance(v, np.bool_):
         raise TypeError("boolean is not a valid zone-prune bound")
+    if isinstance(v, float) or isinstance(v, np.floating):
+        raise TypeError(
+            f"float zone-prune bound {v!r} is ambiguous (would silently "
+            "disable pruning); pass an int — floor(lo) / ceil(hi), "
+            "timestamps as epoch-us int64 or np.datetime64")
     return isinstance(v, numbers.Integral) or isinstance(v, np.datetime64)
 
 

@@ -40,8 +40,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .engine import (DEFAULT_ROWS_PER_CHUNK, _chunk_rows_to_batch,
-                     decode_table, encode_chunk, take_full_batches)
+from .engine import (DEFAULT_ROWS_PER_CHUNK, ENCODED_DDL,
+                     _chunk_rows_to_batch, decode_table, encode_chunk,
+                     take_full_batches)
 
 LINEAGE_DDL = ("part_id bigint, file string, n_chunks bigint, n_rows bigint, "
                "bytes_in bigint, bytes_out bigint, wall_ms double, "
@@ -63,22 +64,183 @@ class ConcurrentCommitError(RuntimeError):
     — another writer won the race.  Re-read and retry."""
 
 
-class EncodedTable:
-    """Driver-side handle to a committed encoded table."""
+class CommitBackend:
+    """Atomic commit primitive for the snapshot chain — the ONE piece
+    of the table layer that must change per storage system.
 
-    def __init__(self, path: str):
+    Contract an implementation must guarantee:
+
+      * ``current()`` -> name of the live snapshot, or None.
+      * ``read(name)`` -> the committed snapshot JSON string.
+      * ``commit(name, payload, expected)`` atomically: verify the live
+        pointer equals ``expected``, persist ``payload`` under ``name``,
+        flip the pointer to ``name``.  All-or-nothing; on a pointer
+        mismatch raise ConcurrentCommitError having changed nothing.
+        Two racing commits with the same ``expected`` => exactly one
+        wins, the other raises (optimistic concurrency, Iceberg-style).
+
+    Implementations:
+      * PosixCommitBackend (default): lock file + O_EXCL + atomic
+        rename — single node or a coherent shared filesystem.
+      * An object store (where rename is not atomic) implements
+        ``commit`` as a conditional PUT on the pointer object (S3
+        ``If-Match`` on the ETag / ``If-None-Match: *`` for the first
+        commit; GCS ``x-goog-if-generation-match``) or a catalog CAS
+        (Iceberg REST / Glue optimistic locking).  No lock object is
+        needed and there is no stolen-lock window at all: the
+        conditional PUT IS the compare-and-swap.
+    """
+
+    def current(self) -> str | None:
+        raise NotImplementedError
+
+    def read(self, name: str) -> str:
+        raise NotImplementedError
+
+    def commit(self, name: str, payload: str,
+               expected: str | None) -> None:
+        raise NotImplementedError
+
+
+class PosixCommitBackend(CommitBackend):
+    """Lock-file + rename backend for POSIX filesystems.
+
+    Crash-recovery steals locks older than ``lock_stale_s`` — but
+    atomically, via ``os.rename`` to a unique name, so two waiters can
+    never both "remove" the lock and both enter the critical section
+    (the race a naive unlink-steal has: the second unlink removes the
+    FIRST stealer's freshly created lock).  Exactly one concurrent
+    stealer's rename succeeds; the loser's raises and it re-queues.
+
+    Residual hazard on POSIX only: an owner that stalls longer than the
+    stale window mid-commit can have its lock legitimately stolen.  The
+    owner therefore RE-VERIFIES ownership (uuid token in the lock file)
+    immediately before the pointer flip and aborts with
+    ConcurrentCommitError if the lock is no longer its own."""
+
+    def __init__(self, path: str, lock_stale_s: float = _LOCK_STALE_S):
         self.path = path
-        self.data_dir = os.path.join(path, "data")
         self.snap_dir = os.path.join(path, "snapshots")
+        self._stale_s = lock_stale_s
 
-    def current_snapshot(self) -> dict | None:
+    # -- reads
+    def current(self) -> str | None:
         cur = os.path.join(self.path, "CURRENT")
         if not os.path.exists(cur):
             return None
         with open(cur) as f:
-            name = f.read().strip()
+            return f.read().strip()
+
+    def read(self, name: str) -> str:
         with open(os.path.join(self.snap_dir, name)) as f:
-            snap = json.load(f)
+            return f.read()
+
+    # -- lock internals
+    def _lock(self) -> str:
+        return os.path.join(self.path, "COMMIT_LOCK")
+
+    def _acquire(self) -> str:
+        """Create the lock file with O_EXCL; returns the ownership
+        token written into it."""
+        lock = self._lock()
+        token = uuid.uuid4().hex
+        deadline = time.monotonic() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{token} {os.getpid()} {time.time()}".encode())
+                os.close(fd)
+                return token
+            except FileExistsError:
+                try:
+                    st = os.stat(lock)
+                except OSError:
+                    continue  # released between open and stat: retry now
+                if time.time() - st.st_mtime > self._stale_s:
+                    # presumed-crashed owner: steal ATOMICALLY by rename
+                    # to a unique name — of N racing stealers exactly one
+                    # rename succeeds, so exactly one proceeds to retry
+                    # the O_EXCL create (the old unlink-steal let a
+                    # second stealer unlink the first's fresh lock)
+                    grave = lock + f".stale-{uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock, grave)
+                    except OSError:
+                        continue  # another stealer won the rename
+                    try:
+                        os.remove(grave)
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock at {lock} held for >30s")
+                time.sleep(0.05)
+
+    def _owns(self, token: str) -> bool:
+        try:
+            with open(self._lock()) as f:
+                return f.read().split(" ", 1)[0] == token
+        except OSError:
+            return False
+
+    def _release(self, token: str) -> None:
+        if self._owns(token):  # never remove a lock stolen from us
+            try:
+                os.remove(self._lock())
+            except OSError:
+                pass
+
+    # -- the commit point
+    def commit(self, name: str, payload: str,
+               expected: str | None) -> None:
+        os.makedirs(self.snap_dir, exist_ok=True)
+        token = self._acquire()
+        try:
+            actual = self.current()
+            if actual != expected:
+                raise ConcurrentCommitError(
+                    f"CURRENT at {self.path} is {actual!r}, expected "
+                    f"{expected!r}: another writer committed; re-read "
+                    "and retry")
+            tmp = os.path.join(self.snap_dir,
+                               name + f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, os.path.join(self.snap_dir, name))
+            cur_tmp = os.path.join(self.path,
+                                   f"CURRENT.tmp-{uuid.uuid4().hex}")
+            with open(cur_tmp, "w") as f:
+                f.write(name)
+            # pre-flip ownership re-verify: if this writer stalled past
+            # the stale window its lock may have been stolen and another
+            # commit may be in flight — abort rather than clobber
+            if not self._owns(token):
+                try:
+                    os.remove(cur_tmp)
+                except OSError:
+                    pass
+                raise ConcurrentCommitError(
+                    f"commit lock at {self.path} was stolen (writer "
+                    "stalled past the stale window); re-read and retry")
+            os.replace(cur_tmp, os.path.join(self.path, "CURRENT"))
+        finally:
+            self._release(token)
+
+
+class EncodedTable:
+    """Driver-side handle to a committed encoded table."""
+
+    def __init__(self, path: str, backend: CommitBackend | None = None):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.snap_dir = os.path.join(path, "snapshots")
+        self.backend = backend or PosixCommitBackend(path)
+
+    def current_snapshot(self) -> dict | None:
+        name = self.backend.current()
+        if name is None:
+            return None
+        snap = json.loads(self.backend.read(name))
         ver = snap.get("format_version", 1)
         if ver not in _SUPPORTED_VERSIONS:
             raise ValueError(
@@ -99,44 +261,16 @@ class EncodedTable:
             pa.BufferReader(base64.b64decode(snap["schema_ipc_b64"])))
 
     def _current_name(self) -> str | None:
-        cur = os.path.join(self.path, "CURRENT")
-        if not os.path.exists(cur):
-            return None
-        with open(cur) as f:
-            return f.read().strip()
-
-    def _acquire_commit_lock(self) -> str:
-        """O_EXCL lock file; a lock older than _LOCK_STALE_S is presumed
-        crashed and stolen (best-effort — CAS below still protects the
-        snapshot chain even if two writers race the steal)."""
-        lock = os.path.join(self.path, "COMMIT_LOCK")
-        deadline = time.monotonic() + 30.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
-                os.close(fd)
-                return lock
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > _LOCK_STALE_S:
-                        os.remove(lock)
-                        continue
-                except OSError:
-                    continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"commit lock at {lock} held for >30s")
-                time.sleep(0.05)
+        return self.backend.current()
 
     def commit(self, parts: dict[str, dict], schema_ipc: bytes | None,
                parent: dict | None, meta: dict | None = None) -> dict:
         """Write snapshot json, then flip CURRENT atomically (commit
-        point).  Compare-and-swap: refuses with ConcurrentCommitError
-        when CURRENT no longer names `parent` (another writer committed
-        since this writer planned against it)."""
+        point).  Compare-and-swap through the pluggable CommitBackend:
+        refuses with ConcurrentCommitError when CURRENT no longer names
+        `parent` (another writer committed since this writer planned
+        against it)."""
         os.makedirs(self.path, exist_ok=True)
-        os.makedirs(self.snap_dir, exist_ok=True)
         sid = (parent["snapshot_id"] + 1) if parent else 0
         snap = {
             "snapshot_id": sid,
@@ -149,31 +283,9 @@ class EncodedTable:
             "parts": parts,
         }
         name = f"snap-{sid:06d}.json"
-        lock = self._acquire_commit_lock()
-        try:
-            expected = (f"snap-{parent['snapshot_id']:06d}.json"
-                        if parent else None)
-            actual = self._current_name()
-            if actual != expected:
-                raise ConcurrentCommitError(
-                    f"CURRENT at {self.path} is {actual!r}, expected "
-                    f"{expected!r}: another writer committed; re-read "
-                    "and retry")
-            tmp = os.path.join(self.snap_dir,
-                               name + f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "w") as f:
-                json.dump(snap, f)
-            os.replace(tmp, os.path.join(self.snap_dir, name))
-            cur_tmp = os.path.join(self.path,
-                                   f"CURRENT.tmp-{uuid.uuid4().hex}")
-            with open(cur_tmp, "w") as f:
-                f.write(name)
-            os.replace(cur_tmp, os.path.join(self.path, "CURRENT"))
-        finally:
-            try:
-                os.remove(lock)
-            except OSError:
-                pass
+        expected = (f"snap-{parent['snapshot_id']:06d}.json"
+                    if parent else None)
+        self.backend.commit(name, json.dumps(snap), expected)
         return snap
 
     def data_files(self) -> list[str]:
@@ -252,6 +364,8 @@ def write_encoded(df: DataFrame, table_path: str,
     `mappings` persists physical->logical names from merge_tables'
     type-collision renames into the snapshot (reference Mappings
     metadata, Fragment.cs:117-125)."""
+    from .codecs.column import validate_block_codec
+    validate_block_codec(block_codec)
     spark = df.sparkSession
     table = EncodedTable(table_path)
     parent = table.current_snapshot()
@@ -570,11 +684,18 @@ def vacuum_table(table_path: str, grace_s: float = 3600.0) -> list[str]:
 
 
 def read_encoded(spark: SparkSession, table_path: str) -> DataFrame:
-    """Chunk rows of the CURRENT snapshot (uncommitted files invisible)."""
+    """Chunk rows of the CURRENT snapshot (uncommitted files invisible).
+
+    Read with the chunk-row schema pinned explicitly: a resumed legacy
+    table can mix v1 (fewer-column) and v2 part files, and an unpinned
+    read takes ONE footer's schema — which file wins would decide
+    whether the zone_* columns exist.  Pinning makes v1/v2 coexistence
+    deterministic (absent columns read as null, which every zone
+    consumer already treats as "keep the chunk")."""
     files = EncodedTable(table_path).data_files()
     if not files:
         raise ValueError(f"no committed snapshot at {table_path}")
-    return spark.read.parquet(*files)
+    return spark.read.schema(ENCODED_DDL).parquet(*files)
 
 
 def read_decoded(spark: SparkSession, table_path: str,

@@ -122,6 +122,8 @@ def encode_splits(spark: SparkSession, input_path: str,
                   rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
                   block_codec: str = "auto") -> DataFrame:
     """Encoded chunk rows, produced scan-side (narrow; no raw shuffle)."""
+    from .codecs.column import validate_block_codec
+    validate_block_codec(block_codec)
     splits = list_splits(input_path)
 
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -148,6 +150,8 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
     re-enumerate differently between runs can never silently skip or
     duplicate data; new splits get fresh part ids after the committed
     maximum."""
+    from .codecs.column import validate_block_codec
+    validate_block_codec(block_codec)
     table = EncodedTable(table_path)
     parent = table.current_snapshot()
     layout = {"mode": "splits", "rows_per_chunk": rows_per_chunk}

@@ -1,0 +1,216 @@
+"""CommitBackend: the pluggable atomic-commit primitive.
+
+The snapshot chain's only storage-specific piece is the compare-and-swap
+on CURRENT.  These tests drive it through the interface (so an
+object-store backend is a drop-in), and pin the two lock hazards the
+posix implementation must not have:
+
+  * the unlink-steal race (two waiters both decide a lock is stale,
+    both remove it, both enter the critical section — the second
+    remove deletes the FIRST stealer's fresh lock);
+  * a stalled owner committing after its lock was legitimately stolen.
+
+No Spark needed — commit() is pure driver-side code.
+"""
+
+import json
+import os
+import tempfile
+import threading
+import time
+
+import pytest
+
+from parquet_spark.manifest import (CommitBackend, ConcurrentCommitError,
+                                    EncodedTable, PosixCommitBackend)
+
+
+def _mk_table():
+    return tempfile.mkdtemp(prefix="cb_tbl_")
+
+
+def test_commit_and_read_through_backend():
+    path = _mk_table()
+    t = EncodedTable(path)
+    snap = t.commit({"0": {"file": "f", "n_rows": 1}}, None, None)
+    assert snap["snapshot_id"] == 0
+    assert t.backend.current() == "snap-000000.json"
+    got = json.loads(t.backend.read("snap-000000.json"))
+    assert got["parts"]["0"]["n_rows"] == 1
+
+
+def test_stale_lock_steal_is_atomic_under_contention():
+    """N threads race a commit with the same parent while a STALE lock
+    blocks the path: exactly one commit wins, the rest raise
+    ConcurrentCommitError, and CURRENT names a snapshot whose file
+    content matches (no half-commit, no clobber)."""
+    path = _mk_table()
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, "COMMIT_LOCK")
+    with open(lock, "w") as f:
+        f.write("deadbeef 0 0")
+    os.utime(lock, (time.time() - 10_000, time.time() - 10_000))
+
+    results, errors = [], []
+    barrier = threading.Barrier(8)
+
+    def attempt(i):
+        t = EncodedTable(path)
+        barrier.wait()
+        try:
+            t.commit({"0": {"writer": i}}, None, None)
+            results.append(i)
+        except ConcurrentCommitError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(60)
+    assert not errors, errors
+    assert len(results) == 1, results  # exactly one winner
+    t = EncodedTable(path)
+    snap = t.current_snapshot()
+    assert snap["snapshot_id"] == 0
+    assert snap["parts"]["0"]["writer"] == results[0]
+    assert not os.path.exists(lock)  # released
+    # no stale-steal debris left behind
+    assert not [n for n in os.listdir(path) if n.startswith("COMMIT_LOCK.")]
+
+
+def test_concurrent_chained_commits_never_lose_an_update():
+    """Writers repeatedly CAS-retry against a moving CURRENT; every
+    successful commit's parent must be the previous snapshot (a lost
+    update would fork the chain)."""
+    path = _mk_table()
+    t0 = EncodedTable(path)
+    t0.commit({}, None, None)
+    n_ok = []
+
+    def writer(wid):
+        t = EncodedTable(path)
+        done = 0
+        while done < 5:
+            parent = t.current_snapshot()
+            parts = dict(parent["parts"])
+            parts[f"w{wid}-{done}"] = {"writer": wid}
+            try:
+                t.commit(parts, None, parent, meta=parent.get("meta"))
+                done += 1
+            except ConcurrentCommitError:
+                time.sleep(0.002)
+        n_ok.append(done)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(120)
+    assert sum(n_ok) == 20
+    final = EncodedTable(path).current_snapshot()
+    assert final["snapshot_id"] == 20  # 1 root + 20 chained commits
+    assert len(final["parts"]) == 20   # nothing lost
+    # chain integrity: every snapshot's parent exists and precedes it
+    snaps = sorted(os.listdir(os.path.join(path, "snapshots")))
+    assert len(snaps) == 21
+
+
+def test_stalled_owner_aborts_after_lock_stolen():
+    """An owner whose lock was stolen (stale window elapsed mid-commit)
+    must abort at the pre-flip ownership check, not clobber."""
+    path = _mk_table()
+    os.makedirs(path, exist_ok=True)
+    b1 = PosixCommitBackend(path, lock_stale_s=0.1)
+    token1 = b1._acquire()
+    assert b1._owns(token1)
+    time.sleep(0.15)  # b1 "stalls" past the stale window
+    b2 = PosixCommitBackend(path, lock_stale_s=0.1)
+    token2 = b2._acquire()  # legitimately steals
+    assert b2._owns(token2)
+    assert not b1._owns(token1)
+    b1._release(token1)  # must NOT remove b2's lock
+    assert b2._owns(token2)
+    b2._release(token2)
+    assert not os.path.exists(os.path.join(path, "COMMIT_LOCK"))
+
+
+class _MemBackend(CommitBackend):
+    """Models an object-store/catalog backend: conditional-PUT CAS, no
+    lock object, nothing on the local filesystem."""
+
+    def __init__(self):
+        self._snaps: dict[str, str] = {}
+        self._current: str | None = None
+        self._mu = threading.Lock()
+
+    def current(self):
+        return self._current
+
+    def read(self, name):
+        return self._snaps[name]
+
+    def commit(self, name, payload, expected):
+        with self._mu:  # the store's conditional PUT
+            if self._current != expected:
+                raise ConcurrentCommitError(
+                    f"pointer is {self._current!r}, expected {expected!r}")
+            self._snaps[name] = payload
+            self._current = name
+
+
+def test_encoded_table_runs_on_a_pluggable_backend():
+    """EncodedTable must route every read and the commit point through
+    the backend — proven by a memory backend leaving no CURRENT or
+    snapshots/ files on disk."""
+    path = _mk_table()
+    mem = _MemBackend()
+    t = EncodedTable(path, backend=mem)
+    s0 = t.commit({"0": {"n_rows": 5}}, None, None)
+    s1 = t.commit({"0": {"n_rows": 5}, "1": {"n_rows": 7}}, None, s0)
+    assert s1["parent_id"] == 0
+    assert t.current_snapshot()["snapshot_id"] == 1
+    assert t.committed_parts()["1"]["n_rows"] == 7
+    with pytest.raises(ConcurrentCommitError):
+        t.commit({}, None, s0)  # stale parent refused by the store CAS
+    assert not os.path.exists(os.path.join(path, "CURRENT"))
+    assert not os.path.exists(os.path.join(path, "snapshots"))
+
+
+def test_block_codec_spec_validated_eagerly():
+    """A typo'd block codec must fail at the entry point, not mid-job
+    once some chunk exceeds the small-body threshold."""
+    import pyarrow as pa
+
+    from parquet_spark.codecs.column import (encode_column,
+                                             validate_block_codec)
+    with pytest.raises(ValueError, match="unknown block codec"):
+        validate_block_codec("lzo")
+    with pytest.raises(ValueError):
+        validate_block_codec("zstd:notanint")
+    # even a tiny chunk (body <= 64 B, would have been raw) validates
+    with pytest.raises(ValueError, match="unknown block codec"):
+        encode_column(pa.array([1, 2]), block_codec="lzo")
+    validate_block_codec("auto")
+    validate_block_codec("none")
+    validate_block_codec("zstd:9")
+
+
+def test_float_zone_bounds_rejected():
+    """Float bounds would silently disable pruning (classified as string
+    bounds against NULL string zones) — they must raise instead."""
+    import numpy as np
+
+    from parquet_spark.engine import _is_numeric_bound
+    with pytest.raises(TypeError, match="float"):
+        _is_numeric_bound(1.5)
+    with pytest.raises(TypeError, match="float"):
+        _is_numeric_bound(np.float64(2.0))
+    with pytest.raises(TypeError, match="boolean"):
+        _is_numeric_bound(True)
+    assert _is_numeric_bound(3)
+    assert _is_numeric_bound(np.int64(3))
+    assert _is_numeric_bound(np.datetime64("2020-01-01"))
+    assert not _is_numeric_bound("abc")
