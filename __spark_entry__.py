@@ -164,7 +164,9 @@ def q_exact_dedup(spark, sf_dir):
 def q_minhash_signatures(spark, sf_dir):
     from parquet_spark.textops.dedup import minhash_signatures
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 32)
-    return minhash_signatures(d, n_hashes=4).orderBy("doc_id")
+    # md5 mode: DuckDB reproduces the exact hex signatures (the engine
+    # default is xxhash64 int64 — HashAggregate + 8-byte wire keys)
+    return minhash_signatures(d, n_hashes=4, hash_fn="md5").orderBy("doc_id")
 
 
 def q_lsh_pairs(spark, sf_dir):
@@ -173,7 +175,7 @@ def q_lsh_pairs(spark, sf_dir):
     from parquet_spark.textops.dedup import (lsh_candidate_pairs,
                                              minhash_signatures)
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    sig = minhash_signatures(d, n_hashes=4)
+    sig = minhash_signatures(d, n_hashes=4, hash_fn="md5")
     pairs = lsh_candidate_pairs(sig, n_hashes=4, band_size=2)
     return pairs.orderBy("doc_a", "doc_b")
 
@@ -182,7 +184,8 @@ def q_ngram_jaccard(spark, sf_dir):
     from parquet_spark.textops.dedup import (lsh_candidate_pairs,
                                              minhash_signatures, ngram_jaccard)
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    pairs = lsh_candidate_pairs(minhash_signatures(d, n_hashes=4),
+    pairs = lsh_candidate_pairs(minhash_signatures(d, n_hashes=4,
+                                                   hash_fn="md5"),
                                 n_hashes=4, band_size=2)
     j = ngram_jaccard(d, pairs)
     return j.agg(F.count(F.lit(1)).alias("n_pairs"),
@@ -195,12 +198,17 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (brute-force correctness
     baseline of the LSH-bucketed scale path): cos rounded to 4dp before
-    the threshold so both engines make identical keep decisions."""
+    the threshold so both engines make identical keep decisions.
+
+    Threshold 0.32 is calibrated to the synthetic embeddings (max
+    pairwise cos ~0.40 at every sf) so ~30 pairs actually flow through
+    the dot/norm/round/threshold path — a 0.9 threshold would certify
+    only the empty set."""
     from parquet_spark.textops.dedup import embedding_near_dups
     em = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 120) \
         .withColumn("embedding",
                     F.expr("transform(embedding, x -> cast(x as double))"))
-    return embedding_near_dups(em, threshold=0.9).orderBy("id_a", "id_b")
+    return embedding_near_dups(em, threshold=0.32).orderBy("id_a", "id_b")
 
 
 def q_simhash(spark, sf_dir):
@@ -557,16 +565,27 @@ def q_hierarchy_rows(spark, sf_dir):
 
 def q_streaming_dedup(spark, sf_dir):
     """O18 streaming surface: cross-batch exact dedup as a stateful
-    Structured Streaming operator (applyInPandasWithState) over a file
-    stream of the documents table, availableNow-triggered.  The emitted
-    (digest, keeper) set is recomputed by DuckDB with a plain GROUP BY
-    — the streaming state machinery must agree with the batch answer."""
+    Structured Streaming operator (applyInPandasWithState) over a
+    GENUINELY multi-batch file stream — the input is re-laid-out into 3
+    parquet files and consumed one file per trigger, so the state
+    machinery must carry seen-digests ACROSS micro-batches (a
+    single-batch run would never exercise the cross-batch path).
+
+    The oracle checks only batch-order-insensitive facts: each distinct
+    digest is emitted exactly once, and the emitted digest SET matches
+    DuckDB's (via count + a bit_xor checksum of the digests).  Keeper
+    ids are deliberately not oracled: streaming's keeper is first-seen,
+    which depends on batch order, while batch SQL's is the global min."""
     import tempfile
     import uuid
 
     from parquet_spark.streaming import file_stream, streaming_dedup
+    src = tempfile.mkdtemp(prefix="sdedup_src_")
+    (_t(spark, sf_dir, "documents")
+     .select("doc_id", "text", "lang", "source", "n_chars")
+     .repartition(3).write.mode("overwrite").parquet(src))
     stream = file_stream(
-        spark, f"{sf_dir}/documents.parquet",
+        spark, src,
         "doc_id long, text string, lang string, source string, n_chars long")
     name = "sdedup_" + uuid.uuid4().hex[:8]
     q = (streaming_dedup(stream).writeStream
@@ -574,10 +593,15 @@ def q_streaming_dedup(spark, sf_dir):
          .option("checkpointLocation", tempfile.mkdtemp(prefix="sdck_"))
          .trigger(availableNow=True).start())
     q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress
+                     if p["numInputRows"] and p["numInputRows"] > 0])
+    assert n_batches >= 2, f"stream ran in {n_batches} micro-batch(es); " \
+        "the cross-batch dedup path was not exercised"
     return spark.sql(
         f"SELECT COUNT(*) AS n_emitted, "
         f"COUNT(DISTINCT digest) AS n_digests, "
-        f"CAST(SUM(doc_id) AS LONG) AS sum_keepers FROM {name}")
+        f"BIT_XOR(CAST(CONV(SUBSTRING(digest, 1, 15), 16, 10) AS BIGINT)) "
+        f"AS digest_xor FROM {name}")
 
 
 def q_route_encoded(spark, sf_dir):
@@ -841,7 +865,7 @@ def oracle_sql() -> dict[str, str]:
                                                  i -> bv[i] * bv[i])),
                                   (x, y) -> x + y))), 4) AS cos
                   FROM p)
-            SELECT id_a, id_b, cos FROM s WHERE cos >= 0.9
+            SELECT id_a, id_b, cos FROM s WHERE cos >= 0.32
             ORDER BY id_a, id_b""",
         "simhash": _simhash_sql("doc_id < 64"),
         "cosine_topk": """
@@ -1015,10 +1039,10 @@ def oracle_sql() -> dict[str, str]:
                    'plan-root' AS parent, 's1' AS step_id
             FROM nation ORDER BY n_nationkey""",
         "streaming_dedup": """
-            WITH g AS (SELECT md5(text) AS dg, MIN(doc_id) AS keeper
-                       FROM documents GROUP BY 1)
+            WITH g AS (SELECT DISTINCT md5(text) AS dg FROM documents)
             SELECT COUNT(*) AS n_emitted, COUNT(DISTINCT dg) AS n_digests,
-                   CAST(SUM(keeper) AS BIGINT) AS sum_keepers
+                   BIT_XOR(CAST(('0x' || substr(dg, 1, 15)) AS BIGINT))
+                       AS digest_xor
             FROM g""",
         "route_encoded": """
             SELECT lang, COUNT(*) AS n_docs,

@@ -53,27 +53,53 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       n_hashes: int = N_MINHASH) -> DataFrame:
-    """Per-doc MinHash signature: h_j = min(md5(j || shingle)).
+                       n_hashes: int = N_MINHASH,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """Per-doc MinHash signature: h_j = min(hash(j || shingle)).
+
+    `hash_fn` picks the hash family:
+      * "xxhash64" (default, the engine path): int64 signatures.  The
+        min() aggregate over fixed-width longs compiles to a
+        HashAggregate and each signature is 8 bytes on the wire — a
+        min() over md5 STRINGS falls back to SortAggregate (per-
+        partition sort of the exploded shingle stream) and ships 32-hex
+        keys, ~4x the shuffle bytes.  This is the 100 TB path.
+      * "md5": hex-string signatures, bit-identical to DuckDB's md5 —
+        used only by the oracle-checked facets (bounded to a few
+        hundred docs), where cross-engine reproducibility matters more
+        than throughput.
 
     No distinct() before the aggregation: min() is duplicate-insensitive,
     so deduplicating shingles first would add a full extra shuffle of
     the shingle set for an identical result — the partial min() combines
     map-side and only (doc_id, n_hashes mins) cross the wire."""
     sh = _exploded_shingles(df, text_col, id_col)
-    aggs = [F.min(F.md5(F.concat(F.lit(str(j)), F.col("sh"))))
-            .alias(f"h{j}") for j in range(n_hashes)]
+    if hash_fn == "xxhash64":
+        aggs = [F.min(F.xxhash64(F.concat(F.lit(str(j)), F.col("sh"))))
+                .alias(f"h{j}") for j in range(n_hashes)]
+    elif hash_fn == "md5":
+        aggs = [F.min(F.md5(F.concat(F.lit(str(j)), F.col("sh"))))
+                .alias(f"h{j}") for j in range(n_hashes)]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}: xxhash64|md5")
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
                         n_hashes: int = N_MINHASH,
                         band_size: int = BAND_SIZE) -> DataFrame:
-    """Docs sharing any band of the signature -> candidate near-dup pairs."""
+    """Docs sharing any band of the signature -> candidate near-dup pairs.
+
+    Band keys adapt to the signature type: int64 signatures (xxhash64
+    mode) band via xxhash64 over the band's columns — the self-join key
+    stays a fixed-width long; md5 signatures keep the md5 concat key
+    (oracle-reproducible)."""
+    is_long = dict(sig.dtypes).get("h0") == "bigint"
     bands = []
     for b in range(0, n_hashes, band_size):
-        key = F.md5(F.concat_ws("|", *[F.col(f"h{j}")
-                                       for j in range(b, b + band_size)]))
+        cols = [F.col(f"h{j}") for j in range(b, b + band_size)]
+        key = F.xxhash64(*cols) if is_long else \
+            F.md5(F.concat_ws("|", *cols))
         bands.append(sig.select(F.col(id_col).alias("doc"),
                                 F.lit(b).alias("band"), key.alias("bkey")))
     all_bands = bands[0]
