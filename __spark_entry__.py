@@ -476,6 +476,32 @@ def q_zone_prune_multi(spark, sf_dir):
     return out
 
 
+def q_in_prune(spark, sf_dir):
+    """IN-list predicate pushdown (O16 breadth): a sparse doc_id
+    IN-list over a doc_id-keyed table must prune per VALUE (each id
+    keeps at most one chunk per part — a min/max span of the list would
+    keep every chunk between the ids), and the pruned scan + residual
+    must return exactly the rows DuckDB finds with WHERE doc_id IN."""
+    from parquet_spark.engine import (encode_table, prune_chunks_pred,
+                                      scan_filtered)
+    d = _t(spark, sf_dir, "documents")
+    enc = encode_table(d, key=["doc_id"], n_parts=4,
+                       rows_per_chunk=125).cache()
+    ids = [3, 250, 444]
+    n_all = enc.count()
+    n_kept = prune_chunks_pred(enc, [("doc_id", "in", ids)]).count()
+    assert 0 < n_kept < n_all, (n_kept, n_all)  # pruning actually bites
+    out = (scan_filtered(enc, [("doc_id", "in", ids)])
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.countDistinct(F.md5("text")).alias("n_texts")))
+    out = out.cache()
+    out.count()
+    enc.unpersist()
+    return out
+
+
 def q_roundtrip_documents(spark, sf_dir):
     """Flagship O1/O16: encode documents, verify bit-identity, decode, and
     return aggregates DuckDB recomputes over the raw parquet — the
@@ -683,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_prune": q_zone_prune,
         "zone_prune_ts": q_zone_prune_ts,
         "zone_prune_multi": q_zone_prune_multi,
+        "in_prune": q_in_prune,
         "splits_lineage": q_splits_lineage,
         "roundtrip_documents": q_roundtrip_documents,
         "codec_selection": q_codec_selection,
@@ -964,6 +991,11 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus
             WHERE url >= 'https://host1' AND url <= 'https://host3'
               AND doc_id BETWEEN 100 AND 400""",
+        "in_prune": """
+            SELECT COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(DISTINCT md5(text)) AS n_texts
+            FROM documents WHERE doc_id IN (3, 250, 444)""",
         "zone_prune_ts": """
             WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
             b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),

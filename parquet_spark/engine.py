@@ -418,6 +418,35 @@ def prune_chunks(enc_df: DataFrame, lo=None, hi=None,
     return out
 
 
+def _norm_term(term: tuple) -> tuple:
+    """Normalize a predicate term to ("range", col, lo, hi) or
+    ("in", col, values).
+
+    Accepted shapes:
+      (col, lo, hi)        inclusive range; None = half-open
+      (col, "=", v)        equality (a point range that also prunes)
+      (col, "in", [v...])  IN-list (prunes per VALUE, not by the list's
+                           min/max span — sparse lists skip mid-chunks)
+
+    The markers "=" / "in" are reserved: a genuine string range whose
+    lo bound is literally "=" or "in" must be written as two terms or
+    with an explicit hi (e.g. (col, "=", None) is a range)."""
+    col, a, b = term
+    if a == "=" and not isinstance(b, (list, tuple, set)) and b is not None:
+        return ("in", col, [b])
+    if a == "in":
+        vals = list(b) if isinstance(b, (list, tuple, set)) else None
+        if not vals:
+            raise ValueError(f"IN-list for {col!r} must be a non-empty "
+                             "list/tuple/set")
+        kinds = {_is_numeric_bound(v) for v in vals}
+        if len(kinds) > 1:
+            raise TypeError(f"IN-list for {col!r} mixes numeric and "
+                            "string values")
+        return ("in", col, vals)
+    return ("range", col, a, b)
+
+
 def _zone_keep_cond(col: str, lo, hi):
     """Chunk-keep condition for one (col, lo, hi) range against the
     multi-column zone arrays.  Conservative: chunks with no zone entry
@@ -439,25 +468,46 @@ def _zone_keep_cond(col: str, lo, hi):
     return (idx.isNull() | (idx == 0)) | cond
 
 
+def _zone_keep_term(term: tuple):
+    """Chunk-keep condition for one normalized predicate term."""
+    t = _norm_term(term)
+    if t[0] == "range":
+        _, col, lo, hi = t
+        return _zone_keep_cond(col, lo, hi)
+    _, col, vals = t
+    # IN prunes per value: the chunk survives iff SOME value could be
+    # inside its zone range — sparse lists skip chunks a min/max span
+    # of the list would have kept
+    cond = F.lit(False)
+    for v in vals:
+        cond = cond | _zone_keep_cond(col, v, v)
+    return cond
+
+
 def prune_chunks_pred(enc_df: DataFrame,
                       pred: list[tuple] | dict) -> DataFrame:
     """Composite-predicate chunk pruning over the multi-column zone maps.
 
-    `pred` is either an AND-list of (column, lo, hi) ranges, or
-    {"any": [and_list, ...]} for a disjunction of conjunctions — the
-    normal form a predicate->prune compiler bottoms out in.  A chunk is
-    kept iff its zone ranges could satisfy the predicate; bounds may be
-    None for half-open ranges.  Pure metadata filter (codegen, no
-    decode), so it composes with prune_chunks and column pruning.
+    `pred` is either an AND-list of terms, or {"any": [and_list, ...]}
+    for a disjunction of conjunctions — the normal form a
+    predicate->prune compiler bottoms out in.  Term shapes (see
+    _norm_term): (col, lo, hi) inclusive range (None = half-open),
+    (col, "=", v) equality, (col, "in", [v...]) IN-list — the IN form
+    prunes per VALUE, so a sparse list skips chunks between its values.
+    A chunk is kept iff its zone ranges could satisfy the predicate.
+    Pure metadata filter (codegen, no decode), so it composes with
+    prune_chunks and column pruning.
 
         prune_chunks_pred(enc, [("url", lo, hi), ("doc_id", 0, 99)])
+        prune_chunks_pred(enc, [("lang", "=", "de")])
+        prune_chunks_pred(enc, [("doc_id", "in", [5, 900, 44000])])
         prune_chunks_pred(enc, {"any": [[("lang", "de", "de")],
                                         [("doc_id", 500, None)]]})
     """
     def and_cond(terms):
         cond = F.lit(True)
-        for col, lo, hi in terms:
-            cond = cond & _zone_keep_cond(col, lo, hi)
+        for term in terms:
+            cond = cond & _zone_keep_term(term)
         return cond
 
     if isinstance(pred, dict):
@@ -470,27 +520,40 @@ def prune_chunks_pred(enc_df: DataFrame,
     return enc_df.where(cond)
 
 
+def _residual_col(col: str, types: dict[str, str], numeric: bool):
+    """The comparison column for a residual term: timestamps addressed
+    with numeric (epoch-us) bounds compare in UTC micros.  TIMESTAMP
+    (LTZ) must use unix_micros — the NTZ timestampdiff formula shifts
+    by the session timezone and would drop/keep the wrong rows under a
+    non-UTC session; TIMESTAMP_NTZ wall-clock == UTC micros by
+    definition."""
+    if col not in types:
+        raise KeyError(f"predicate column {col!r} not in decoded "
+                       f"projection {sorted(types)}")
+    if numeric and types[col].startswith("timestamp"):
+        if types[col] == "timestamp":
+            return F.unix_micros(F.col(col))
+        return F.expr(f"timestampdiff(MICROSECOND, "
+                      f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})")
+    return F.col(col)
+
+
 def _residual_cond(dec: DataFrame, terms) -> "F.Column":
     cond = F.lit(True)
     types = {f.name: f.dataType.simpleString() for f in dec.schema.fields}
-    for col, lo, hi in terms:
-        if col not in types:
-            raise KeyError(f"predicate column {col!r} not in decoded "
-                           f"projection {sorted(types)}")
-        c = F.col(col)
+    for term in terms:
+        t = _norm_term(term)
+        if t[0] == "in":
+            _, col, vals = t
+            numeric = _is_numeric_bound(vals[0])
+            c = _residual_col(col, types, numeric)
+            vals = [_as_num_bound(v) for v in vals] if numeric else vals
+            cond = cond & c.isin(vals)
+            continue
+        _, col, lo, hi = t
         numeric = ((lo is not None and _is_numeric_bound(lo))
                    or (hi is not None and _is_numeric_bound(hi)))
-        if numeric and types[col].startswith("timestamp"):
-            # numeric bounds address timestamps as epoch-us int64 (the
-            # zone-map convention = the Arrow int64 cast, i.e. UTC
-            # micros).  TIMESTAMP (LTZ) must use unix_micros — the NTZ
-            # timestampdiff formula shifts by the session timezone and
-            # would drop/keep the wrong rows under a non-UTC session.
-            if types[col] == "timestamp":
-                c = F.unix_micros(F.col(col))
-            else:  # timestamp_ntz: wall-clock == UTC micros by definition
-                c = F.expr(f"timestampdiff(MICROSECOND, "
-                           f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})")
+        c = _residual_col(col, types, numeric)
         if lo is not None:
             cond = cond & (c >= F.lit(_as_num_bound(lo) if numeric else lo))
         if hi is not None:
@@ -505,7 +568,8 @@ def scan_filtered(enc_df: DataFrame, pred: list[tuple] | dict,
     zone-map chunk pruning (prune_chunks_pred) + decode of surviving
     chunks + the exact residual filter — the encoded analog of a
     parquet scan with PushedFilters.  `pred` uses prune_chunks_pred's
-    shape: an AND-list of (column, lo, hi), or {"any": [and_list, ...]}.
+    shape: an AND-list of terms — (col, lo, hi) range, (col, "=", v)
+    equality, (col, "in", [v...]) — or {"any": [and_list, ...]}.
     With `columns`, every predicate column must be in the projection."""
     kept = prune_chunks_pred(enc_df, pred)
     dec = decode_table(kept, schema=schema, columns=columns)
@@ -525,27 +589,41 @@ def read_row(enc_df: DataFrame, row_idx: int,
     (group, offset) cursor, /root/reference/Parquet.Tests/Reader.cs:
     39-53).  Row order is (part_id, chunk_id, in-chunk position).
 
-    Driver-side and metadata-frugal: the chunk directory (part_id,
-    chunk_id, n_rows — a few ints per 10k rows) locates the single
-    chunk holding the row; only that chunk's requested columns are
-    fetched and decoded."""
+    Driver-frugal at ANY table size: the driver collects one row per
+    PART (per-part row totals — thousands of rows for a 100 B-row
+    table), picks the owning part, and the within-part chunk cursor is
+    a window cumulative-sum computed Spark-side over that part's chunk
+    metadata; only the single located chunk's payload row ever reaches
+    the driver.  (The previous design collected the full chunk
+    directory — one driver row per 10k table rows.)"""
     if row_idx < 0:
         raise IndexError(f"row index must be >= 0, got {row_idx}")
-    directory = (enc_df.select("part_id", "chunk_id", "n_rows")
-                 .orderBy("part_id", "chunk_id").collect())
+    from pyspark.sql import Window
+    part_totals = (enc_df.groupBy("part_id")
+                   .agg(F.sum("n_rows").alias("part_rows"))
+                   .orderBy("part_id").collect())
     at = 0
-    target = None
-    for d in directory:
-        if at + d.n_rows > row_idx:
-            target = d
-            offset = row_idx - at
+    pid = None
+    for p in part_totals:
+        if at + p.part_rows > row_idx:
+            pid = p.part_id
+            part_off = row_idx - at
             break
-        at += d.n_rows
-    if target is None:
+        at += p.part_rows
+    if pid is None:
         raise IndexError(f"row {row_idx} out of range ({at} rows)")
+    w = (Window.partitionBy("part_id").orderBy("chunk_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cursor = (enc_df.where(F.col("part_id") == pid)
+              .select("chunk_id", "n_rows",
+                      F.sum("n_rows").over(w).alias("end"))
+              .where((F.col("end") > part_off)
+                     & (F.col("end") - F.col("n_rows") <= part_off))
+              .head())
+    offset = part_off - (cursor.end - cursor.n_rows)
     sel = ["schema_ipc", "names", "payloads"]
-    row = (enc_df.where((F.col("part_id") == target.part_id)
-                        & (F.col("chunk_id") == target.chunk_id))
+    row = (enc_df.where((F.col("part_id") == pid)
+                        & (F.col("chunk_id") == cursor.chunk_id))
            .select(*sel).head())
     names, payloads = row.names, row.payloads
     if columns is not None:

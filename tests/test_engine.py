@@ -324,3 +324,81 @@ def test_scan_filtered_one_call_pushdown(spark):
     want_ts = ev.where(us.between(lo, hi))
     assert got_ts.count() == want_ts.count() > 0
     enc2.unpersist()
+
+
+@pytest.mark.spark
+def test_eq_and_in_predicates_prune_and_filter(spark):
+    """(col, "=", v) and (col, "in", [...]) terms: per-value pruning
+    (a sparse IN-list keeps fewer chunks than its min/max span) and
+    exact residual semantics, incl. string equality and timestamps."""
+    from parquet_spark.engine import prune_chunks_pred, scan_filtered
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    enc = encode_table(docs, key=["doc_id"], n_parts=2,
+                       rows_per_chunk=50).cache()
+    n_all = enc.count()
+    # equality: exactly the rows with that id
+    got = scan_filtered(enc, [("doc_id", "=", 123)])
+    want = docs.where(F.col("doc_id") == 123)
+    assert got.count() == want.count() == 1
+    assert got.exceptAll(want).count() == 0
+    assert prune_chunks_pred(enc, [("doc_id", "=", 123)]).count() < n_all
+    # sparse IN-list: prunes per value, not by the span
+    ids = [3, 250, 444]
+    kept_in = prune_chunks_pred(enc, [("doc_id", "in", ids)]).count()
+    kept_span = prune_chunks_pred(enc, [("doc_id", 3, 444)]).count()
+    assert 0 < kept_in < kept_span < n_all, (kept_in, kept_span, n_all)
+    got_in = scan_filtered(enc, [("doc_id", "in", ids)])
+    want_in = docs.where(F.col("doc_id").isin(ids))
+    assert got_in.count() == want_in.count() == 3
+    assert got_in.exceptAll(want_in).count() == 0
+    # string equality composes with ranges in one AND-list
+    got_s = scan_filtered(enc, [("lang", "=", "de"), ("doc_id", 0, 200)])
+    want_s = docs.where((F.col("lang") == "de") & F.col("doc_id").between(0, 200))
+    assert got_s.count() == want_s.count() > 0
+    # malformed IN-lists fail loudly
+    with pytest.raises(ValueError, match="non-empty"):
+        prune_chunks_pred(enc, [("doc_id", "in", [])])
+    with pytest.raises(TypeError, match="mixes"):
+        prune_chunks_pred(enc, [("doc_id", "in", [1, "a"])])
+    enc.unpersist()
+    # timestamp equality in epoch-us domain
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    enc2 = encode_table(ev, key=["ts"], n_parts=2, rows_per_chunk=100).cache()
+    some_us = enc2.agg(F.min("key_min_num")).head()[0]
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    got_ts = scan_filtered(enc2, [("ts", "in", [some_us])])
+    want_ts = ev.where(us == some_us)
+    assert got_ts.count() == want_ts.count() > 0
+    enc2.unpersist()
+
+
+@pytest.mark.spark
+def test_read_row_cursor_is_driver_frugal(spark):
+    """The within-part chunk cursor must be computed Spark-side: the
+    driver sees one row per part plus the single located chunk — never
+    the whole chunk directory (O(table/10k) rows at 100 B rows)."""
+    from unittest.mock import patch
+
+    from parquet_spark.engine import read_row
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    enc = encode_table(docs, key=["doc_id"], n_parts=4,
+                       rows_per_chunk=32).cache()
+    n_parts = enc.select("part_id").distinct().count()
+    n_chunks = enc.count()
+    assert n_chunks > n_parts  # the directory is genuinely bigger
+    DataFrame = type(enc)  # the concrete (classic) DataFrame class
+    collected = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    with patch.object(DataFrame, "collect", spy):
+        row = read_row(enc, 100)
+    assert row == decode_table(enc).collect()[100].asDict()
+    # every driver-side materialization is parts-sized, not chunks-sized
+    assert collected and all(n <= n_parts for n in collected), collected
+    enc.unpersist()
