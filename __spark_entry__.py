@@ -476,6 +476,37 @@ def q_zone_prune_multi(spark, sf_dir):
     return out
 
 
+def q_global_dict_roundtrip(spark, sf_dir):
+    """Global dictionary wired through the ENCODED FORMAT (O12 at table
+    scope): write documents with lang as global-dict int ids, prove the
+    stored schema really is int, decode back (ids -> strings restored
+    from the snapshot-persisted dictionary), and return per-id counts —
+    DuckDB recomputes the dense-rank dictionary and the same counts
+    from raw data, so id assignment, persistence, and restoration are
+    all certified."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from parquet_spark.manifest import (EncodedTable, read_decoded,
+                                        write_encoded)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = tempfile.mkdtemp(prefix="entry_gdict_")
+    write_encoded(d, path, key=["doc_id"], n_parts=4,
+                  global_dict_cols=["lang"])
+    t = EncodedTable(path)
+    assert pa.types.is_integer(t.schema().field("lang").type), \
+        "lang must be STORED as global-dict int ids"
+    vals = t.meta()["global_dicts"]["lang"]
+    dec = read_decoded(spark, path)
+    assert dec.exceptAll(d).count() == 0 and dec.count() == d.count()
+    mapping = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "lang_id int, lang string")
+    return (dec.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+            .join(mapping, "lang").select("lang_id", "lang", "n")
+            .orderBy("lang_id"))
+
+
 def q_in_prune(spark, sf_dir):
     """IN-list predicate pushdown (O16 breadth): a sparse doc_id
     IN-list over a doc_id-keyed table must prune per VALUE (each id
@@ -710,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_prune_ts": q_zone_prune_ts,
         "zone_prune_multi": q_zone_prune_multi,
         "in_prune": q_in_prune,
+        "global_dict_roundtrip": q_global_dict_roundtrip,
         "splits_lineage": q_splits_lineage,
         "roundtrip_documents": q_roundtrip_documents,
         "codec_selection": q_codec_selection,
@@ -991,6 +1023,15 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus
             WHERE url >= 'https://host1' AND url <= 'https://host3'
               AND doc_id BETWEEN 100 AND 400""",
+        "global_dict_roundtrip": """
+            WITH d AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1
+                              AS dict_id
+                       FROM (SELECT DISTINCT lang AS value FROM documents
+                             WHERE lang IS NOT NULL))
+            SELECT CAST(d.dict_id AS INTEGER) AS lang_id, t.lang,
+                   COUNT(*) AS n
+            FROM documents t JOIN d ON t.lang = d.value
+            GROUP BY 1, 2 ORDER BY lang_id""",
         "in_prune": """
             SELECT COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -41,8 +41,8 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .engine import (DEFAULT_ROWS_PER_CHUNK, ENCODED_DDL,
-                     _chunk_rows_to_batch, decode_table, encode_chunk,
-                     take_full_batches)
+                     _chunk_rows_to_batch, decode_chunk, decode_table,
+                     encode_chunk, take_full_batches)
 
 LINEAGE_DDL = ("part_id bigint, file string, n_chunks bigint, n_rows bigint, "
                "bytes_in bigint, bytes_out bigint, wall_ms double, "
@@ -340,6 +340,9 @@ def _check_resume_layout(snap: dict | None, want: dict, table_path: str):
             "(write to a fresh table, or decode+re-encode)")
 
 
+_GDICT_MAX_META = 65_536  # a global dict lives in the snapshot manifest
+
+
 def write_encoded(df: DataFrame, table_path: str,
                   key: list[str] | None = None, n_parts: int | None = None,
                   codec: str = "auto",
@@ -347,7 +350,8 @@ def write_encoded(df: DataFrame, table_path: str,
                   limit_parts: int | None = None,
                   part_offset: int = 0,
                   mappings: dict[str, str] | None = None,
-                  block_codec: str = "auto") -> dict:
+                  block_codec: str = "auto",
+                  global_dict_cols: list[str] | None = None) -> dict:
     """Encode df into the table, committing a new snapshot. Resumable.
 
     Partitions already present in the CURRENT snapshot are skipped (the
@@ -363,7 +367,19 @@ def write_encoded(df: DataFrame, table_path: str,
 
     `mappings` persists physical->logical names from merge_tables'
     type-collision renames into the snapshot (reference Mappings
-    metadata, Fragment.cs:117-125)."""
+    metadata, Fragment.cs:117-125).
+
+    `global_dict_cols` stores the named columns as GLOBAL-dictionary
+    int ids inside the encoded chunks: one table-wide dense dictionary
+    per column (reference 0.8-uniqueness gate at table scope,
+    ParquetResultListener.cs:45), persisted in the snapshot meta and
+    transparently restored to strings by `read_decoded`.  The value
+    list lives in the manifest, so cardinality is capped at 65536 —
+    bigger dictionaries belong to the standalone dictionary API.  The
+    application join is an explicit broadcast (the big side never
+    shuffles); on RESUME the committed dictionary is reused and new
+    values it lacks fail loudly (silently null-ing them would lose
+    data)."""
     from .codecs.column import validate_block_codec
     validate_block_codec(block_codec)
     spark = df.sparkSession
@@ -375,7 +391,45 @@ def write_encoded(df: DataFrame, table_path: str,
     n_parts = n_parts or spark.sparkContext.defaultParallelism
     layout = {"mode": "hash", "key": key, "n_parts": n_parts,
               "rows_per_chunk": rows_per_chunk}
+    if global_dict_cols:
+        layout["global_dict_cols"] = sorted(global_dict_cols)
     _check_resume_layout(parent, layout, table_path)
+
+    global_dicts: dict[str, list] = {}
+    if global_dict_cols:
+        from .dictionary import apply_global_dict, build_global_dict
+        committed_dicts = ((parent.get("meta") or {})
+                           .get("global_dicts") or {}) if parent else {}
+        orig_cols = list(df.columns)
+        for c in global_dict_cols:
+            if c in committed_dicts:
+                # resume: ids must stay consistent with committed chunks
+                vals = committed_dicts[c]
+                gd = spark.createDataFrame(
+                    [(i, v) for i, v in enumerate(vals)],
+                    "dict_id int, value string")
+                missing = (df.select(F.col(c).alias("value")).where(
+                    F.col("value").isNotNull()).distinct()
+                    .join(gd, "value", "left_anti").count())
+                if missing:
+                    raise ValueError(
+                        f"resume with global_dict_cols: column {c!r} has "
+                        f"{missing} values absent from the committed "
+                        "dictionary; decode + re-encode into a fresh "
+                        "table (ids are frozen at first commit)")
+            else:
+                gd = build_global_dict(df, c,
+                                       max_cardinality=_GDICT_MAX_META)
+                if gd is None:
+                    raise ValueError(
+                        f"column {c!r} fails the global-dict gate "
+                        "(uniqueness ratio > 0.8, empty, or cardinality "
+                        f"> {_GDICT_MAX_META})")
+                vals = [r.value for r in gd.orderBy("dict_id").collect()]
+            global_dicts[c] = vals
+            df = (apply_global_dict(df, c, gd)
+                  .withColumnRenamed(c + "_id", c))
+        df = df.select(*orig_cols)  # ids sit in the original column slots
     # resume needs a stable, FILTERABLE group id, so (unlike the plain
     # encode_table hot path) the group is an explicit column; range
     # placement keeps the group->task mapping ~1:1
@@ -478,6 +532,10 @@ def write_encoded(df: DataFrame, table_path: str,
         mappings = (parent.get("meta") or {}).get("mappings")
     if mappings:
         meta["mappings"] = mappings
+    if global_dicts:
+        meta["global_dicts"] = global_dicts
+    elif parent is not None and (parent.get("meta") or {}).get("global_dicts"):
+        meta["global_dicts"] = parent["meta"]["global_dicts"]
     return table.commit(parts, schema_ipc, parent, meta)
 
 
@@ -504,14 +562,71 @@ def route_encoded(df: DataFrame, route_col: str, base_path: str,
     return out
 
 
+def _rechunk_part(tbl: pa.Table, rows_per_chunk: int, pid: int) -> pa.Table:
+    """Re-chunk one compacted part: runs of consecutive UNDER-SIZED
+    chunks (n_rows < rows_per_chunk) are decoded, concatenated, and
+    re-encoded into full-size chunks; full chunks pass through with
+    their payloads untouched (still compressed).  This is the payload-
+    level half of the reference's row-group-rewriting merge
+    (/root/reference/Parquet.Core/Fragment.cs:319-332): without it,
+    many tiny chunks keep their per-chunk header + zone-map overhead
+    forever.  Row order is preserved (runs are consecutive); chunk ids
+    are renumbered into the output part's namespace.  Decode memory is
+    bounded: a run is flushed once it buffers 4x rows_per_chunk."""
+    out: list[dict] = []
+    buf: list[dict] = []
+    buffered = 0
+    plan: dict[str, dict] = {}  # one codec memo per output part
+
+    def flush():
+        nonlocal buf, buffered
+        if not buf:
+            return
+        if len(buf) == 1:
+            out.append(buf[0])  # nothing to merge: move compressed
+        else:
+            batches = [decode_chunk(c["schema_ipc"], c["names"],
+                                    c["payloads"]) for c in buf]
+            merged = pa.Table.from_batches(batches)
+            for lo in range(0, merged.num_rows, rows_per_chunk):
+                sl = merged.slice(lo, rows_per_chunk).combine_chunks()
+                out.append(encode_chunk(
+                    sl.to_batches()[0], pid, 0, "auto", plan,
+                    zone_key=buf[0]["key_name"]))
+        buf, buffered = [], 0
+
+    for row in tbl.to_pylist():
+        if row["n_rows"] >= rows_per_chunk:
+            flush()
+            out.append(row)
+            continue
+        if buf and row["schema_ipc"] != buf[0]["schema_ipc"]:
+            flush()  # never merge across schema boundaries
+        buf.append(row)
+        buffered += row["n_rows"]
+        if buffered >= rows_per_chunk * 4:
+            flush()
+    flush()
+    for i, c in enumerate(out):  # renumber into the output namespace
+        c["part_id"] = pid
+        c["chunk_id"] = i
+    return pa.Table.from_batches([_chunk_rows_to_batch(out)])
+
+
 def compact_table(spark: SparkSession, table_path: str,
-                  target_parts: int = 1) -> dict:
+                  target_parts: int = 1, rechunk: bool = False) -> dict:
     """Merge all committed part files into `target_parts` larger ones —
     the reference's final fragment merge (O10/O11, ParquetFile.Dispose,
     /root/reference/Parquet.Core/ParquetFile.cs:106-125) as a table
-    operation.  Chunk payloads are NOT re-encoded (streaming row-group
-    merge, Fragment.cs:319-332: bounded memory, no decode); part ids are
-    renumbered and a new snapshot commits atomically.
+    operation.  By default chunk payloads are NOT re-encoded (streaming
+    row-group merge, Fragment.cs:319-332: bounded memory, no decode);
+    part ids are renumbered and a new snapshot commits atomically.
+
+    `rechunk=True` additionally merges runs of under-sized chunks by
+    decode + re-encode (full chunks still move compressed), using the
+    parent snapshot's rows_per_chunk as the target — the cure for
+    fragmented tables (streaming epochs, many tiny resume increments)
+    whose per-chunk overhead and zone rows would otherwise persist.
 
     Crash-safety: compacted file names embed the NEW snapshot id, so a
     commit never mutates a file referenced by any existing snapshot (a
@@ -524,6 +639,8 @@ def compact_table(spark: SparkSession, table_path: str,
     if parent is None:
         raise ValueError(f"no committed snapshot at {table_path}")
     new_sid = parent["snapshot_id"] + 1
+    rows_per_chunk = ((parent.get("meta") or {}).get("rows_per_chunk")
+                      or DEFAULT_ROWS_PER_CHUNK)
     enc = read_encoded(spark, table_path)
     data_dir = os.path.join(table_path, "data")
 
@@ -538,6 +655,8 @@ def compact_table(spark: SparkSession, table_path: str,
         if not rows:
             return
         tbl = pa.Table.from_batches(rows)
+        if rechunk:
+            tbl = _rechunk_part(tbl, rows_per_chunk, pid)
         final = os.path.join(data_dir,
                              f"compact-{new_sid:06d}-{pid:05d}.parquet")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
@@ -562,10 +681,12 @@ def compact_table(spark: SparkSession, table_path: str,
         "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
         "wall_ms": r.wall_ms, "codecs": r.codecs} for r in lineage}
     meta = {"compacted_from": parent["snapshot_id"],
-            "target_parts": target_parts,
+            "target_parts": target_parts, "rechunk": rechunk,
+            "rows_per_chunk": rows_per_chunk,
             "layout": {"mode": "compacted"}}
-    if (parent.get("meta") or {}).get("mappings"):
-        meta["mappings"] = parent["meta"]["mappings"]
+    for carry in ("mappings", "global_dicts"):
+        if (parent.get("meta") or {}).get(carry):
+            meta[carry] = parent["meta"][carry]
     return table.commit(parts, None, parent, meta=meta)
 
 
@@ -646,8 +767,9 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
             "src_snapshot_id": parent_src["snapshot_id"],
             "by": by, "layout": {"mode": "relocated", "by": by,
                                  "n_parts": n_parts}}
-    if (parent_src.get("meta") or {}).get("mappings"):
-        meta["mappings"] = parent_src["meta"]["mappings"]
+    for carry in ("mappings", "global_dicts"):
+        if (parent_src.get("meta") or {}).get(carry):
+            meta[carry] = parent_src["meta"][carry]
     schema_ipc = None
     if parent_src.get("schema_ipc_b64"):
         schema_ipc = base64.b64decode(parent_src["schema_ipc_b64"])
@@ -700,8 +822,23 @@ def read_encoded(spark: SparkSession, table_path: str) -> DataFrame:
 
 def read_decoded(spark: SparkSession, table_path: str,
                  columns: list[str] | None = None) -> DataFrame:
-    return decode_table(read_encoded(spark, table_path),
-                        EncodedTable(table_path).schema(), columns=columns)
+    """Decoded rows of the CURRENT snapshot.  Columns written with
+    `global_dict_cols` are transparently restored from int ids to their
+    values via the dictionary persisted in the snapshot meta (a literal
+    array lookup — codegen, no join, no shuffle)."""
+    table = EncodedTable(table_path)
+    dec = decode_table(read_encoded(spark, table_path),
+                       table.schema(), columns=columns)
+    for c, vals in (table.meta().get("global_dicts") or {}).items():
+        if columns is not None and c not in columns:
+            continue
+        arr = F.array(*[F.lit(v) for v in vals])
+        # explicit null guard: Spark 4.1's element_at resolves a NULL
+        # index to the LAST element instead of NULL (observed on plain
+        # DataFrames too), which would resurrect null ids as values
+        dec = dec.withColumn(c, F.when(F.col(c).isNotNull(),
+                                       F.element_at(arr, F.col(c) + 1)))
+    return dec
 
 
 def lineage_df(spark: SparkSession, table_path: str) -> DataFrame:

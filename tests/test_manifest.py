@@ -127,3 +127,108 @@ def test_compact_table_roundtrip(spark):
     assert snap["meta"]["compacted_from"] == 0
     dec = read_decoded(spark, tbl)
     verify_roundtrip(df, dec, key=["url"], digest_col="text")
+
+
+@pytest.mark.spark
+def test_compact_rechunk_merges_small_chunks(spark):
+    """rechunk=True: a fragmented table (every chunk under-sized)
+    compacts into full-size chunks — n_chunks drops, zone maps are
+    rebuilt for merged chunks, and the decode is bit-identical.
+    Reference parity: the merge REWRITES row groups
+    (/root/reference/Parquet.Core/Fragment.cs:319-332), it does not
+    concatenate fragments."""
+    import tempfile
+
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.manifest import (EncodedTable, compact_table,
+                                        read_decoded, read_encoded,
+                                        write_encoded)
+    from parquet_spark.verify import verify_roundtrip
+    df = gen_corpus(spark, 600, seed=11, parts=4)
+    tbl = tempfile.mkdtemp(prefix="rechunk_tbl_")
+    # 8 parts x ~75 rows against a 200-row chunk target: every chunk is
+    # under-sized, the fragmentation rechunk exists to fix
+    write_encoded(df, tbl, key=["url"], n_parts=8, rows_per_chunk=200)
+    n_before = read_encoded(spark, tbl).count()
+    assert n_before >= 8
+    snap = compact_table(spark, tbl, target_parts=1, rechunk=True)
+    enc_after = read_encoded(spark, tbl)
+    n_after = enc_after.count()
+    assert n_after < n_before, (n_before, n_after)
+    # merged chunks are full-size except the tail
+    sizes = sorted(r.n_rows for r in enc_after.select("n_rows").collect())
+    assert sizes[-1] == 200 and sum(sizes) == 600
+    # chunk ids renumbered into the output part's namespace
+    ids = [r.chunk_id for r in
+           enc_after.orderBy("chunk_id").select("chunk_id").collect()]
+    assert ids == list(range(n_after))
+    verify_roundtrip(df, read_decoded(spark, tbl), key=["url"],
+                     digest_col="text")
+    assert snap["meta"]["rechunk"] is True
+    # full chunks pass through compressed: compact a healthy table and
+    # payloads must be byte-identical
+    tbl2 = tempfile.mkdtemp(prefix="rechunk_full_")
+    write_encoded(df, tbl2, key=["url"], n_parts=2, rows_per_chunk=100)
+    dig = lambda p: sorted(  # noqa: E731
+        r[0] for r in read_encoded(spark, p).where(F.col("n_rows") == 100)
+        .select(F.md5(F.col("payloads").getItem(0))).collect())
+    before_dig = dig(tbl2)
+    compact_table(spark, tbl2, target_parts=1, rechunk=True)
+    assert dig(tbl2) == before_dig
+    verify_roundtrip(df, read_decoded(spark, tbl2), key=["url"],
+                     digest_col="text")
+
+
+@pytest.mark.spark
+def test_global_dict_cols_through_encoded_format(spark):
+    """write_encoded(global_dict_cols=['lang']): chunks store int ids,
+    the dictionary lives in the snapshot, read_decoded restores
+    strings bit-identically (incl. nulls), the dict survives
+    compaction, and resume with unseen values fails loudly."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.manifest import (EncodedTable, compact_table,
+                                        read_decoded, write_encoded)
+    df = gen_corpus(spark, 500, seed=23, parts=4) \
+        .select("url", "lang", "text")  # lang has nulls at any seed
+    assert df.where(F.col("lang").isNull()).count() > 0
+    tbl = tempfile.mkdtemp(prefix="gdict_tbl_")
+    write_encoded(df, tbl, key=["url"], n_parts=4,
+                  global_dict_cols=["lang"])
+    t = EncodedTable(tbl)
+    assert pa.types.is_integer(t.schema().field("lang").type)
+    vals = t.meta()["global_dicts"]["lang"]
+    assert vals == sorted(vals) and len(vals) == \
+        df.where(F.col("lang").isNotNull()).select("lang").distinct().count()
+    dec = read_decoded(spark, tbl)
+    assert dec.count() == df.count()
+    assert dec.exceptAll(df).count() == 0  # nulls + values restored
+    # column projection still restores
+    langs = read_decoded(spark, tbl, columns=["lang"])
+    assert langs.schema["lang"].dataType.simpleString() == "string"
+    # survives compaction (incl. rechunk decode+re-encode of int ids)
+    compact_table(spark, tbl, target_parts=1, rechunk=True)
+    dec2 = read_decoded(spark, tbl)
+    assert dec2.exceptAll(df).count() == 0
+    # resume reusing the committed dict: same values fine...
+    write_encoded(df, tbl2 := tempfile.mkdtemp(prefix="gdict2_"),
+                  key=["url"], n_parts=2, limit_parts=1,
+                  global_dict_cols=["lang"])
+    write_encoded(df, tbl2, key=["url"], n_parts=2,
+                  global_dict_cols=["lang"])
+    assert read_decoded(spark, tbl2).exceptAll(df).count() == 0
+    # ...but unseen values must fail loudly, not silently null out
+    df_new = df.withColumn("lang", F.coalesce(F.col("lang"), F.lit("zz")))
+    with pytest.raises(ValueError, match="absent from the committed"):
+        write_encoded(df_new, tbl2, key=["url"], n_parts=2,
+                      global_dict_cols=["lang"])
+    # layout gate: resuming WITHOUT the dict config refuses too
+    with pytest.raises(ValueError, match="cannot resume"):
+        write_encoded(df, tbl2, key=["url"], n_parts=2)
+    # ungated column refuses (url is unique)
+    with pytest.raises(ValueError, match="gate"):
+        write_encoded(df, tempfile.mkdtemp(prefix="gdict3_"),
+                      key=["url"], n_parts=2, global_dict_cols=["url"])
