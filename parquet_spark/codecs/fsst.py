@@ -2,10 +2,11 @@
 
 Boncz/Neumann/Leis-style idea (VLDB'20 "FSST: Fast Random Access String
 Compression"): replace frequent substrings (symbols of 2..8 bytes) with
-1-byte codes.  The symbol table is built by iterated pair merging
-(2 -> 4 -> 8 byte symbols over three rounds), so training and encoding
-are a BOUNDED number of numpy passes over the buffer — independent of
-the symbol count.  (An earlier design applied one `bytes.replace` pass
+1-byte codes.  The symbol table is built by iterated pair merging over
+ROUNDS rounds (symbol length caps at 8 bytes; candidate ranking by
+count or paper-style gain — see the measured configuration note at the
+constants below), so training and encoding are a BOUNDED number of
+numpy passes over the buffer — independent of the symbol count.  (An earlier design applied one `bytes.replace` pass
 per symbol: O(symbols x buffer) memory traffic, which saturated DRAM
 bandwidth and destroyed multi-core scaling.)
 
@@ -58,9 +59,33 @@ import struct
 import numpy as np
 
 MAX_SYMBOLS = 255          # generic mode: codes 256..510
-ROUNDS = 3                 # pair merges: symbol lengths up to 8
+# Training configuration — chosen by MEASUREMENT against this engine's
+# real storage metric (chunk payload size AFTER the v2 zstd block
+# layer), not by the paper's raw-FSST objective.  Both the
+# paper-faithful refinements were implemented and benched on the web
+# corpus (8k docs, 1.5 MB chunks, zstd-9 outer block):
+#
+#   ranking       rounds  budget           raw FSST   final (post-zstd)
+#   gain          5       (64,64,48,40,39) 5.21 MB    1.678 MB
+#   gain          4       (96,64,48,47)    5.17 MB    1.678 MB
+#   count         3       (96,80,79)       5.27 MB    1.646 MB   (old)
+#   count         4       (192,32,16,15)   —          1.516 MB
+#   count         2       (240,15)         —          1.398 MB   (this)
+#   count         1       (255,)           —          1.354 MB
+#
+# Finding: gain ranking (count x bytes-saved) and deep merge rounds DO
+# minimize the raw FSST stream (paper-faithful, best when the payload
+# ships uncompressed), but under an outer zstd block the shallow,
+# digram-heavy table wins end-to-end — long symbols hide exactly the
+# redundancy zstd's window models better, while 2-byte codes halve the
+# stream zstd still sees.  Defaults take the shallow config with a
+# small second round (hedge for buffers whose redundancy is local);
+# RANK/"ROUNDS"/_ROUND_BUDGET stay module knobs, and RANK="gain" keeps
+# the paper ranking available for block_codec="none" deployments.
+ROUNDS = 2
 SAMPLE_BYTES = 1 << 18     # train on at most 256 KiB
-_ROUND_BUDGET = (96, 80, 79)
+_ROUND_BUDGET = (240, 15)
+RANK = "count"             # candidate ranking: "count" | "gain"
 MIN_PAIR_COUNT = 16        # a pair must appear this often in the sample
 _MIN_FREE = 32             # min free byte values for the u8 fast path
 _MAX_SYM_LEN = 8           # FSST symbol length cap
@@ -141,7 +166,13 @@ def _train_u8(arr: np.ndarray, free: np.ndarray) -> list[tuple[int, int, int]]:
         cand = np.flatnonzero(counts >= min_count)
         if len(cand) == 0:
             break
-        order = np.argsort(counts[cand])[::-1]
+        if RANK == "gain":
+            # paper gain ranking: bytes saved = count x (len(l)+len(r)-1)
+            score = counts[cand] * (lengths[cand >> 8]
+                                    + lengths[cand & 0xFF] - 1)
+        else:
+            score = counts[cand]
+        order = np.argsort(score)[::-1]
         added = 0
         for k in cand[order]:
             left, right = int(k) >> 8, int(k) & 0xFF
@@ -271,6 +302,7 @@ def _train_u16(arr: np.ndarray,
     sample = arr[:SAMPLE_BYTES].astype(np.uint16)
     min_count = max(MIN_PAIR_COUNT, len(sample) >> 14)
     rules: list[tuple[int, int]] = []
+    lengths = np.ones(256 + max_symbols, dtype=np.int64)
     for rnd in range(ROUNDS):
         if len(sample) < 2 or len(rules) >= max_symbols:
             break
@@ -280,9 +312,19 @@ def _train_u16(arr: np.ndarray,
         cand = np.flatnonzero(counts >= min_count)
         if len(cand) == 0:
             break
-        order = np.argsort(counts[cand])[::-1][:budget]
-        rules.extend((int(k) >> _KEY_BITS, int(k) & ((1 << _KEY_BITS) - 1))
-                     for k in cand[order])
+        lens = (lengths[cand >> _KEY_BITS]
+                + lengths[cand & ((1 << _KEY_BITS) - 1)])
+        ok = lens <= _MAX_SYM_LEN  # enforce the FSST symbol-length cap
+        cand, lens = cand[ok], lens[ok]
+        if len(cand) == 0:
+            break
+        score = counts[cand] * (lens - 1) if RANK == "gain" else counts[cand]
+        order = np.argsort(score)[::-1][:budget]
+        for k in cand[order]:
+            left = int(k) >> _KEY_BITS
+            right = int(k) & ((1 << _KEY_BITS) - 1)
+            rules.append((left, right))
+            lengths[256 + len(rules) - 1] = lengths[left] + lengths[right]
         sample = _substitute(sample, _build_lut(rules))
     return rules
 
