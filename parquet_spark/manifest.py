@@ -542,16 +542,30 @@ def write_encoded(df: DataFrame, table_path: str,
 def route_encoded(df: DataFrame, route_col: str, base_path: str,
                   key: list[str] | None = None, n_parts: int | None = None,
                   codec: str = "auto",
-                  rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK) -> dict[str, dict]:
+                  rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
+                  max_routes: int = 64) -> dict[str, dict]:
     """One encoded table per distinct `route_col` value (O17: the
     reference's file-per-result-type macro path,
     /root/reference/Parquet/ParquetResultListener.cs:119-144 — "best
     performance" per its README because each route avoids the merge).
 
-    Routes are assumed low-cardinality (result types); each route is a
-    filtered single-pass write whose parquet scan prunes by the route
-    predicate.  Returns {route_value: snapshot}."""
+    Routes MUST be low-cardinality (result types): the implementation
+    runs one filtered pass of the input per route, which is the right
+    trade at result-type cardinality (each pass's parquet scan prunes
+    on the route predicate) and exactly the wrong one at thousands of
+    routes.  `max_routes` (default 64, the guard for that misuse)
+    fails loudly with the alternative: encode once with the route
+    column as a leading sort key and rely on zone-map pruning, or
+    df.write.partitionBy for a raw-parquet layout.  Returns
+    {route_value: snapshot}."""
     routes = [r[0] for r in df.select(route_col).distinct().collect()]
+    if len(routes) > max_routes:
+        raise ValueError(
+            f"route_encoded on {route_col!r} found {len(routes)} distinct "
+            f"routes (max_routes={max_routes}); each route costs one "
+            "filtered pass over the input. For high-cardinality routing "
+            "encode ONE table keyed on the route column (zone maps prune "
+            "per-route scans), or raise max_routes deliberately.")
     out = {}
     for val in sorted(routes, key=str):
         sub = df.where(F.col(route_col).eqNullSafe(F.lit(val)))
