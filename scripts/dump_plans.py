@@ -72,14 +72,28 @@ def main():
         decode_table(prune_chunks_pred(
             enc, [("doc_id", 0, 100), ("n_chars", 0, 100000)])))
 
+    from parquet_spark.engine import scan_filtered
+    add("IN-list predicate pushdown (scan_filtered)",
+        "A sparse IN-list compiles to per-VALUE zone checks in one "
+        "codegen Filter on chunk metadata (chunks between the listed "
+        "values are skipped), then the residual isin() after the "
+        "decoder — the encoded analog of parquet PushedFilters for "
+        "IN.",
+        scan_filtered(enc, [("doc_id", "in", [3, 250, 444])]))
+
     add("Exact dedup (hash groupBy on md5 digest)",
         "partial_count before the exchange = map-side combine; the "
         "shuffle carries one row per distinct digest per partition.",
         exact_dedup(docs))
 
-    add("MinHash signatures",
-        "explode + distinct + groupBy min() — all codegen expressions, "
-        "no UDFs; HashAggregate(keys=[doc_id], functions=[min(...)]).",
+    add("MinHash signatures (engine path: int64 xxhash64)",
+        "explode + groupBy min() over int64 hashes — all codegen, no "
+        "UDFs, and the min() over fixed-width longs compiles to "
+        "HashAggregate with map-side partial mins (the earlier md5-"
+        "string variant fell back to SortAggregate: a per-partition "
+        "sort of the exploded shingle stream, and 32-hex-char keys on "
+        "the wire ~4x the shuffle bytes).  The md5 mode survives only "
+        "in the DuckDB-checked facets.",
         minhash_signatures(docs.limit(500), n_hashes=2))
 
     add("Cosine top-k (broadcast the small query side)",
@@ -89,6 +103,19 @@ def main():
                     emb.where(F.col("vec_id") < 3)
                     .select(F.col("vec_id").alias("q_id"), "embedding"),
                     k=3))
+
+    import tempfile
+
+    from parquet_spark.manifest import read_decoded, write_encoded
+    gtbl = tempfile.mkdtemp(prefix="plans_gdict_")
+    write_encoded(docs.select("doc_id", "lang"), gtbl, key=["doc_id"],
+                  n_parts=2, global_dict_cols=["lang"])
+    add("Global-dict restore on read (no join)",
+        "Columns stored as global-dict int ids are restored by a "
+        "LITERAL array lookup inside the projection — pure codegen, no "
+        "broadcast, no shuffle; the dictionary rides in the plan, not "
+        "in the data.",
+        read_decoded(spark, gtbl))
 
     out = ["# PLANS — physical-plan evidence",
            "",
