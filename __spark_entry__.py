@@ -211,6 +211,22 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(em, threshold=0.32).orderBy("id_a", "id_b")
 
 
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """The SCALE path for embedding near-dups: sign-LSH bucketing turns
+    the all-pairs problem into bucket-local self-joins (O(sum b_i^2)).
+    DuckDB recomputes the buckets from the same deterministic
+    hyperplanes and the same 4dp cosine threshold, certifying both the
+    bucketing and the in-bucket cosine math."""
+    from parquet_spark.textops.dedup import embedding_near_dups_lsh
+    from parquet_spark.textops.similarity import hyperplanes
+    em = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 120) \
+        .withColumn("embedding",
+                    F.expr("transform(embedding, x -> cast(x as double))"))
+    planes = hyperplanes(64, n_planes=4, seed=42)
+    return embedding_near_dups_lsh(em, planes, threshold=0.32) \
+        .orderBy("id_a", "id_b")
+
+
 def q_simhash(spark, sf_dir):
     from parquet_spark.textops.dedup import simhash
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
@@ -726,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
@@ -787,6 +804,9 @@ def oracle_sql() -> dict[str, str]:
     planes = _planes_sql()
     bucket_expr = " + ".join(
         f"(CASE WHEN list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    bucket_v = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) > 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes))
     lang_scores = " UNION ALL ".join(
         f"SELECT doc_id, '{lang}' AS cand, len(list_filter(string_split(text, ' '), "
@@ -909,6 +929,32 @@ def oracle_sql() -> dict[str, str]:
                        FROM embeddings WHERE vec_id < 120),
             p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS av, b.v AS bv
                   FROM e a JOIN e b ON a.vec_id < b.vec_id),
+            s AS (SELECT id_a, id_b,
+                         ROUND(
+                           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                               list_transform(range(1, len(av) + 1),
+                                              i -> av[i] * bv[i])),
+                               (x, y) -> x + y)
+                           / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list_transform(range(1, len(av) + 1),
+                                                 i -> av[i] * av[i])),
+                                  (x, y) -> x + y))
+                              * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list_transform(range(1, len(bv) + 1),
+                                                 i -> bv[i] * bv[i])),
+                                  (x, y) -> x + y))), 4) AS cos
+                  FROM p)
+            SELECT id_a, id_b, cos FROM s WHERE cos >= 0.32
+            ORDER BY id_a, id_b""",
+        "embedding_near_dups_lsh": f"""
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings WHERE vec_id < 120),
+            b AS (SELECT vec_id, v, CAST({bucket_v} AS INT) AS bucket FROM e),
+            p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                         a.v AS av, b2.v AS bv
+                  FROM b a JOIN b b2
+                    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
             s AS (SELECT id_a, id_b,
                          ROUND(
                            list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -159,17 +159,53 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return v.select(id_col, sig.cast("bigint").alias("simhash"))
 
 
+_COS_AB = ("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, "
+           "(s, v) -> s + v)")
+
+
+def _cos_pair_cols():
+    dot = F.expr(_COS_AB)
+    na = F.sqrt(F.expr("aggregate(va, 0D, (s, v) -> s + v * v)"))
+    nb = F.sqrt(F.expr("aggregate(vb, 0D, (s, v) -> s + v * v)"))
+    return F.round(dot / (na * nb), 4)
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.98,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
-    """Cosine near-duplicate pairs among embeddings (brute-force O(n^2);
-    the scale path buckets by LSH sign bits first — see similarity.py)."""
+    """Cosine near-duplicate pairs among embeddings — the brute-force
+    O(n^2) CORRECTNESS BASELINE (use embedding_near_dups_lsh at scale)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (s, v) -> s + v)")
-    na = F.sqrt(F.expr("aggregate(va, 0D, (s, v) -> s + v * v)"))
-    nb = F.sqrt(F.expr("aggregate(vb, 0D, (s, v) -> s + v * v)"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
-             .withColumn("cos", F.round(dot / (na * nb), 4))
+             .withColumn("cos", _cos_pair_cols())
+             .where(F.col("cos") >= threshold)
+             .select("id_a", "id_b", "cos"))
+
+
+def embedding_near_dups_lsh(emb: DataFrame, planes,
+                            threshold: float = 0.98,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """The 100 TB near-dup path: candidate pairs form only WITHIN a
+    sign-LSH bucket, so the self-join key is the bucket id and the
+    pair problem shrinks from O(n^2) to O(sum bucket_i^2) — at 10^9
+    vectors with 2^20 buckets that is ~10^6-row bucket joins instead
+    of a 10^18-pair cross product.  Recall trades with n_planes: two
+    vectors land in one bucket iff no hyperplane separates them
+    (probability (1 - theta/pi)^n_planes), so near-identical pairs are
+    kept with high probability and the miss rate is tunable; run with
+    several independent plane seeds and union for higher recall.
+    Exactness WITHIN the candidate set matches the brute-force
+    baseline (same 4dp-rounded cosine + threshold)."""
+    from .similarity import lsh_bucket
+    b = lsh_bucket(emb, planes, vec_col=vec_col)
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                 "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                 "bucket")
+    return (a.join(c, "bucket")
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", _cos_pair_cols())
              .where(F.col("cos") >= threshold)
              .select("id_a", "id_b", "cos"))

@@ -277,3 +277,32 @@ def test_ivf_kmeanspp_and_lloyd_convergence(spark, vecs):
     c = em.where(F.col("vec_id") != 0)
     got = ivf_topk(c, q, cents, k=3, nprobe=2).collect()
     assert any(r.vec_id == 100 and abs(r.cos - 1.0) < 1e-6 for r in got)
+
+
+@pytest.mark.spark
+def test_embedding_near_dups_lsh_subset_of_bruteforce(spark, vecs):
+    """The LSH-bucketed scale path must agree with the brute-force
+    baseline on every pair it emits, and emit exactly the baseline
+    pairs whose endpoints share a bucket (no in-bucket pair lost)."""
+    from pyspark.sql import functions as F
+
+    from parquet_spark.textops.dedup import (embedding_near_dups,
+                                             embedding_near_dups_lsh)
+    from parquet_spark.textops.similarity import hyperplanes, lsh_bucket
+    emb = vecs.withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))"))
+    planes = hyperplanes(16, n_planes=3, seed=7)  # match the vec dim
+    thr = 0.25
+    brute = {(r.id_a, r.id_b): r.cos
+             for r in embedding_near_dups(emb, threshold=thr).collect()}
+    fast = {(r.id_a, r.id_b): r.cos
+            for r in embedding_near_dups_lsh(emb, planes,
+                                             threshold=thr).collect()}
+    assert fast, "LSH path emitted no pairs (vacuous test)"
+    # every fast pair is a brute pair with the identical cosine
+    for k, v in fast.items():
+        assert k in brute and brute[k] == v, k
+    # completeness within buckets: a brute pair sharing a bucket is kept
+    buckets = {r.vec_id: r.bucket for r in lsh_bucket(emb, planes).collect()}
+    expected = {k for k in brute if buckets[k[0]] == buckets[k[1]]}
+    assert set(fast) == expected
