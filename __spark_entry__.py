@@ -265,6 +265,64 @@ def q_ivf_clusters(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_vecs")).orderBy("cluster"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k search (the inverted-file read path):
+    md5-seeded centroids, 6dp-rounded assignment with cluster-id
+    tie-break, queries probe their nprobe=2 nearest lists.  DuckDB
+    reproduces the seeds, both assignments, the probe fan-out, and the
+    in-list cosine ranking — certifying the whole ANN search, not just
+    the coarse quantizer."""
+    from parquet_spark.textops.similarity import ivf_seeds_md5, ivf_topk
+    em = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))"))
+    cents = ivf_seeds_md5(em, n_clusters=8)
+    corpus = em.where(F.col("vec_id") >= 4)
+    queries = em.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    return ivf_topk(corpus, queries, cents, k=3, nprobe=2,
+                    round_dp=6).orderBy("q_id", "rank")
+
+
+def q_streaming_window_stats(spark, sf_dir):
+    """Watermarked event-time windowed aggregation as a STREAM over a
+    multi-file copy of the derived corpus (>=2 micro-batches, one file
+    per trigger): per (hour-window, lang) doc counts and text bytes,
+    emitted in complete mode so every window is visible.  DuckDB
+    recomputes the same windows with date_trunc — the streaming window
+    assignment, watermark plumbing, and incremental aggregation must
+    converge to the batch answer."""
+    import tempfile
+    import uuid
+
+    from parquet_spark.streaming import file_stream, windowed_ingest_stats
+    src = tempfile.mkdtemp(prefix="swin_src_")
+    # tz-proofing: event time travels as epoch-us BIGINT and becomes an
+    # LTZ timestamp via timestamp_micros (watermarks require LTZ; the
+    # construction and the unix_micros readback below are both
+    # session-timezone-free)
+    (_derived_corpus(spark, sf_dir)
+     .select("url", F.expr(_EPOCH_US.format(col="warc_ts")).alias("ts_us"),
+             "text", "lang")
+     .repartition(3).write.mode("overwrite").parquet(src))
+    stream = file_stream(
+        spark, src,
+        "url string, ts_us bigint, text string, lang string") \
+        .withColumn("warc_ts", F.timestamp_micros(F.col("ts_us")))
+    name = "swin_" + uuid.uuid4().hex[:8]
+    q = (windowed_ingest_stats(stream, ts_col="warc_ts", window="1 hour",
+                               watermark="2 hours").writeStream
+         .format("memory").queryName(name).outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="swinck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress
+                     if p["numInputRows"] and p["numInputRows"] > 0])
+    assert n_batches >= 2, f"stream ran in {n_batches} micro-batch(es)"
+    return spark.sql(
+        f"SELECT unix_micros(window_start) AS window_us, lang, n_docs, "
+        f"text_bytes FROM {name} ORDER BY window_us, lang")
+
+
 def q_token_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.agg(
@@ -747,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
         "ivf_clusters": q_ivf_clusters,
+        "ivf_topk": q_ivf_topk,
+        "streaming_window_stats": q_streaming_window_stats,
         "token_counts": q_token_counts,
         "quality_by_source": q_quality_by_source,
         "lang_id": q_lang_id,
@@ -1139,6 +1199,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(cid AS INTEGER) AS cluster, COUNT(*) AS n_vecs
             FROM a WHERE rn = 1
             GROUP BY cid ORDER BY cluster""",
+        "ivf_topk": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            seeds AS (SELECT v AS sv,
+                             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                                vec_id) - 1 AS cid
+                      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                      LIMIT 8),
+            d AS (SELECT e.vec_id, s.cid,
+                         ROUND(list_reduce(
+                             list_prepend(CAST(0 AS DOUBLE),
+                                 list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i]))),
+                             (a, b) -> a + b), 6) AS dist
+                  FROM e CROSS JOIN seeds s),
+            corp AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, cid) AS rn
+                       FROM d WHERE vec_id >= 4) WHERE rn = 1),
+            qprobe AS (SELECT vec_id AS q_id, cid FROM (
+                         SELECT vec_id, cid,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                   ORDER BY dist, cid) AS rn
+                         FROM d WHERE vec_id < 4) WHERE rn <= 2),
+            pairs AS (SELECT DISTINCT q.q_id, c.vec_id
+                      FROM qprobe q JOIN corp c ON q.cid = c.cid),
+            s AS (SELECT p.q_id, p.vec_id,
+                         ROUND(list_dot_product(qe.v, ce.v) /
+                               (sqrt(list_dot_product(qe.v, qe.v)) *
+                                sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos
+                  FROM pairs p
+                  JOIN e qe ON qe.vec_id = p.q_id
+                  JOIN e ce ON ce.vec_id = p.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                               ORDER BY cos DESC,
+                                                        vec_id ASC) AS rank
+                  FROM s)
+            SELECT q_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
+        "streaming_window_stats": f"""
+            WITH corpus AS ({_CORPUS_SQL})
+            SELECT CAST(epoch_us(date_trunc('hour', warc_ts)) AS BIGINT)
+                       AS window_us,
+                   lang, COUNT(*) AS n_docs,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                       AS text_bytes
+            FROM corpus GROUP BY 1, 2 ORDER BY window_us, lang""",
         "media_features": """
             SELECT doc_id AS media_id, 4 AS width, 4 AS height,
                    list_sum(list_transform(range(0, 16),

@@ -203,15 +203,19 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
 def ivf_topk(corpus: DataFrame, queries: DataFrame,
              centroids: list[list[float]], k: int = 5, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "q_id") -> DataFrame:
+             qid_col: str = "q_id",
+             round_dp: int | None = None) -> DataFrame:
     """IVF approximate top-k: corpus partitioned by nearest centroid
     once (the inverted file); each query scores only its nprobe probe
     lists.  The join key is the cluster id, so the corpus side shuffles
-    by cluster — at 10^12 rows that is the bucketed-layout read path."""
+    by cluster — at 10^12 rows that is the bucketed-layout read path.
+    `round_dp` rounds assignment distances before the argmin (cluster-
+    id tie-break) so an external engine reproduces the exact probe
+    sets."""
     c = ivf_assign(corpus.select(F.col(id_col), F.col(vec_col).alias("cv")),
-                   centroids, "cv")
+                   centroids, "cv", round_dp=round_dp)
     q = ivf_assign(queries.select(F.col(qid_col), F.col(vec_col).alias("qv")),
-                   centroids, "qv", nprobe=nprobe)
+                   centroids, "qv", nprobe=nprobe, round_dp=round_dp)
     scored = (c.join(F.broadcast(q), "cluster")
               .withColumn("cos", F.round(_dot("qv", "cv") /
                                          (_norm("qv") * _norm("cv")), 6)))
