@@ -607,6 +607,69 @@ def q_in_prune(spark, sf_dir):
     return out
 
 
+def q_compact_rechunk(spark, sf_dir):
+    """O10/O11 lifecycle through the ORACLE: write documents
+    fragmented (every chunk under-sized), compact with rechunk (runs of
+    small chunks decoded + re-encoded to full size), assert the chunk
+    count really dropped, then decode THROUGH the compacted snapshot —
+    DuckDB recomputes the aggregates from raw parquet, so the
+    decode+re-encode merge provably loses/alters nothing."""
+    import tempfile
+
+    from parquet_spark.manifest import (compact_table, read_decoded,
+                                        read_encoded, write_encoded)
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="entry_rechunk_")
+    # 8 parts vs a chunk target bigger than any part -> all chunks small
+    n = d.count()
+    write_encoded(d, path, key=["doc_id"], n_parts=8,
+                  rows_per_chunk=max(200, int(n // 3)))
+    n_before = read_encoded(spark, path).count()
+    compact_table(spark, path, target_parts=1, rechunk=True)
+    n_after = read_encoded(spark, path).count()
+    assert n_after < n_before, (n_before, n_after)  # rechunk really merged
+    dec = read_decoded(spark, path)
+    out = dec.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("n_texts"),
+        F.sum("doc_id").alias("sum_ids"))
+    out = out.cache()
+    out.count()
+    return out
+
+
+def q_relocate_range(spark, sf_dir):
+    """Chunk-level relocation (compressed chunk rows move, no decode):
+    hash-layout corpus -> range layout on url, then a pruned ranged
+    scan over the RELOCATED table.  DuckDB recomputes the same range
+    aggregates from its own corpus derivation — relocation must
+    preserve every chunk payload and keep zone maps prune-exact."""
+    import tempfile
+
+    from parquet_spark.engine import decode_table, prune_chunks
+    from parquet_spark.manifest import read_encoded, relocate_table, write_encoded
+    df = _derived_corpus(spark, sf_dir).select("url", "doc_id", "text")
+    src = tempfile.mkdtemp(prefix="entry_reloc_src_")
+    dst = tempfile.mkdtemp(prefix="entry_reloc_dst_")
+    write_encoded(df, src, key=["url"], n_parts=4, rows_per_chunk=50)
+    relocate_table(spark, src, dst, n_parts=3, by="range")
+    enc = read_encoded(spark, dst)
+    lo, hi = "https://host1", "https://host3"
+    pruned = prune_chunks(enc, lo, hi, column="url")
+    n_all, n_kept = enc.count(), pruned.count()
+    assert 0 < n_kept < n_all, (n_kept, n_all)  # pruning still bites
+    out = (decode_table(pruned)
+           .where((F.col("url") >= lo) & (F.col("url") <= hi))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(F.md5("url")).alias("n_urls"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.countDistinct(F.md5("text")).alias("n_texts")))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_roundtrip_documents(spark, sf_dir):
     """Flagship O1/O16: encode documents, verify bit-identity, decode, and
     return aggregates DuckDB recomputes over the raw parquet — the
@@ -820,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_prune": q_in_prune,
         "global_dict_roundtrip": q_global_dict_roundtrip,
         "splits_lineage": q_splits_lineage,
+        "compact_rechunk": q_compact_rechunk,
+        "relocate_range": q_relocate_range,
         "roundtrip_documents": q_roundtrip_documents,
         "codec_selection": q_codec_selection,
         "corpus_encode": q_corpus_encode,
@@ -1157,6 +1222,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(us) AS BIGINT) AS min_us,
                    CAST(MAX(us) AS BIGINT) AS max_us
             FROM r""",
+        "compact_rechunk": """
+            SELECT COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(DISTINCT md5(text)) AS n_texts,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM documents""",
+        "relocate_range": f"""
+            WITH corpus AS ({_CORPUS_SQL})
+            SELECT COUNT(*) AS n_rows, COUNT(DISTINCT md5(url)) AS n_urls,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   COUNT(DISTINCT md5(text)) AS n_texts
+            FROM corpus
+            WHERE url >= 'https://host1' AND url <= 'https://host3'""",
         "roundtrip_documents": """
             SELECT COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    COUNT(DISTINCT md5(text)) AS n_texts,
