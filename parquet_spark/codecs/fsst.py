@@ -447,7 +447,12 @@ def encode(buf: bytes, table, hist: np.ndarray | None = None) -> bytes:
 
 
 def _gather_decode(a: np.ndarray, exp: list[bytes]) -> bytes:
-    """Expand a code stream through the symbol table (tiled gather)."""
+    """Expand a code stream through the symbol table (tiled gather).
+
+    (A fixed-width (n, L)-matrix gather + boolean-mask compress was
+    prototyped for the shallow default tables and measured SLOWER than
+    this repeat/cumsum path — 2D advanced indexing costs more than the
+    output-sized repeat temporaries — so the generic path stays.)"""
     lengths32 = np.array([len(e) for e in exp], dtype=np.int32)
     starts = np.zeros(len(exp) + 1, dtype=np.int32)
     np.cumsum(lengths32, out=starts[1:])
