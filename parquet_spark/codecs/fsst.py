@@ -86,6 +86,15 @@ ROUNDS = 2
 SAMPLE_BYTES = 1 << 18     # train on at most 256 KiB
 _ROUND_BUDGET = (240, 15)
 RANK = "count"             # candidate ranking: "count" | "gain"
+
+
+def _round_budget(rnd: int) -> int:
+    """Per-round symbol budget; rounds beyond the tuple reuse its last
+    entry so ROUNDS and _ROUND_BUDGET stay independently settable knobs
+    (ROUNDS=5 with the default 2-tuple must not IndexError)."""
+    return _ROUND_BUDGET[min(rnd, len(_ROUND_BUDGET) - 1)]
+
+
 MIN_PAIR_COUNT = 16        # a pair must appear this often in the sample
 _MIN_FREE = 32             # min free byte values for the u8 fast path
 _MAX_SYM_LEN = 8           # FSST symbol length cap
@@ -158,7 +167,7 @@ def _train_u8(arr: np.ndarray, free: np.ndarray) -> list[tuple[int, int, int]]:
     for rnd in range(ROUNDS):
         if len(sample) < 2 or len(rules) >= len(free):
             break
-        budget = min(_ROUND_BUDGET[rnd], len(free) - len(rules))
+        budget = min(_round_budget(rnd), len(free) - len(rules))
         key = sample[:-1].astype(np.uint16)
         key <<= np.uint16(8)
         key |= sample[1:]
@@ -306,7 +315,7 @@ def _train_u16(arr: np.ndarray,
     for rnd in range(ROUNDS):
         if len(sample) < 2 or len(rules) >= max_symbols:
             break
-        budget = min(_ROUND_BUDGET[rnd], max_symbols - len(rules))
+        budget = min(_round_budget(rnd), max_symbols - len(rules))
         key = (sample[:-1].astype(np.int32) << _KEY_BITS) | sample[1:]
         counts = np.bincount(key, minlength=_LUT_SIZE)
         cand = np.flatnonzero(counts >= min_count)

@@ -206,22 +206,31 @@ class PosixCommitBackend(CommitBackend):
                                name + f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
                 f.write(payload)
-            os.replace(tmp, os.path.join(self.snap_dir, name))
-            cur_tmp = os.path.join(self.path,
-                                   f"CURRENT.tmp-{uuid.uuid4().hex}")
-            with open(cur_tmp, "w") as f:
-                f.write(name)
-            # pre-flip ownership re-verify: if this writer stalled past
-            # the stale window its lock may have been stolen and another
-            # commit may be in flight — abort rather than clobber
-            if not self._owns(token):
+            # ownership re-verify BEFORE the snapshot-file replace: two
+            # racing commits with the same parent target the SAME
+            # deterministic snap-NNNNNN.json name, so a stalled owner
+            # whose lock was stolen must not overwrite the winner's
+            # committed snapshot content (the pointer-flip check alone
+            # would leave CURRENT naming a file whose content the loser
+            # just clobbered)
+            def _abort(clean: str):
                 try:
-                    os.remove(cur_tmp)
+                    os.remove(clean)
                 except OSError:
                     pass
                 raise ConcurrentCommitError(
                     f"commit lock at {self.path} was stolen (writer "
                     "stalled past the stale window); re-read and retry")
+            if not self._owns(token):
+                _abort(tmp)
+            os.replace(tmp, os.path.join(self.snap_dir, name))
+            cur_tmp = os.path.join(self.path,
+                                   f"CURRENT.tmp-{uuid.uuid4().hex}")
+            with open(cur_tmp, "w") as f:
+                f.write(name)
+            # ...and again before the pointer flip
+            if not self._owns(token):
+                _abort(cur_tmp)
             os.replace(cur_tmp, os.path.join(self.path, "CURRENT"))
         finally:
             self._release(token)
@@ -341,6 +350,8 @@ def _check_resume_layout(snap: dict | None, want: dict, table_path: str):
 
 
 _GDICT_MAX_META = 65_536  # a global dict lives in the snapshot manifest
+_GDICT_LITERAL_MAX = 1024  # restore via literal array up to here; bigger
+#                            dictionaries restore via a broadcast join
 
 
 def write_encoded(df: DataFrame, table_path: str,
@@ -351,7 +362,8 @@ def write_encoded(df: DataFrame, table_path: str,
                   part_offset: int = 0,
                   mappings: dict[str, str] | None = None,
                   block_codec: str = "auto",
-                  global_dict_cols: list[str] | None = None) -> dict:
+                  global_dict_cols: list[str] | None = None,
+                  backend: CommitBackend | None = None) -> dict:
     """Encode df into the table, committing a new snapshot. Resumable.
 
     Partitions already present in the CURRENT snapshot are skipped (the
@@ -383,7 +395,7 @@ def write_encoded(df: DataFrame, table_path: str,
     from .codecs.column import validate_block_codec
     validate_block_codec(block_codec)
     spark = df.sparkSession
-    table = EncodedTable(table_path)
+    table = EncodedTable(table_path, backend=backend)
     parent = table.current_snapshot()
     done = set(map(int, table.committed_parts().keys()))
 
@@ -526,6 +538,7 @@ def write_encoded(df: DataFrame, table_path: str,
             "wall_ms": row.wall_ms, "codecs": row.codecs,
         }
     meta = {"key": key, "n_parts": n_parts, "codec": codec,
+            "block_codec": block_codec,
             "rows_per_chunk": rows_per_chunk, "layout": layout,
             "new_parts": sorted(int(r.part_id) for r in lineage)}
     if mappings is None and parent is not None:
@@ -543,7 +556,8 @@ def route_encoded(df: DataFrame, route_col: str, base_path: str,
                   key: list[str] | None = None, n_parts: int | None = None,
                   codec: str = "auto",
                   rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
-                  max_routes: int = 64) -> dict[str, dict]:
+                  max_routes: int = 64,
+                  backend_factory=None) -> dict[str, dict]:
     """One encoded table per distinct `route_col` value (O17: the
     reference's file-per-result-type macro path,
     /root/reference/Parquet/ParquetResultListener.cs:119-144 — "best
@@ -570,13 +584,16 @@ def route_encoded(df: DataFrame, route_col: str, base_path: str,
     for val in sorted(routes, key=str):
         sub = df.where(F.col(route_col).eqNullSafe(F.lit(val)))
         path = os.path.join(base_path, f"{route_col}={val}")
-        out[str(val)] = write_encoded(sub, path, key=key, n_parts=n_parts,
-                                      codec=codec,
-                                      rows_per_chunk=rows_per_chunk)
+        out[str(val)] = write_encoded(
+            sub, path, key=key, n_parts=n_parts, codec=codec,
+            rows_per_chunk=rows_per_chunk,
+            backend=backend_factory(path) if backend_factory else None)
     return out
 
 
-def _rechunk_part(tbl: pa.Table, rows_per_chunk: int, pid: int) -> pa.Table:
+def _rechunk_part(tbl: pa.Table, rows_per_chunk: int, pid: int,
+                  codec: str = "auto",
+                  block_codec: str = "auto") -> pa.Table:
     """Re-chunk one compacted part: runs of consecutive UNDER-SIZED
     chunks (n_rows < rows_per_chunk) are decoded, concatenated, and
     re-encoded into full-size chunks; full chunks pass through with
@@ -605,8 +622,9 @@ def _rechunk_part(tbl: pa.Table, rows_per_chunk: int, pid: int) -> pa.Table:
             for lo in range(0, merged.num_rows, rows_per_chunk):
                 sl = merged.slice(lo, rows_per_chunk).combine_chunks()
                 out.append(encode_chunk(
-                    sl.to_batches()[0], pid, 0, "auto", plan,
-                    zone_key=buf[0]["key_name"]))
+                    sl.to_batches()[0], pid, 0, codec,
+                    plan if codec == "auto" else None,
+                    zone_key=buf[0]["key_name"], block_codec=block_codec))
         buf, buffered = [], 0
 
     for row in tbl.to_pylist():
@@ -628,7 +646,8 @@ def _rechunk_part(tbl: pa.Table, rows_per_chunk: int, pid: int) -> pa.Table:
 
 
 def compact_table(spark: SparkSession, table_path: str,
-                  target_parts: int = 1, rechunk: bool = False) -> dict:
+                  target_parts: int = 1, rechunk: bool = False,
+                  backend: CommitBackend | None = None) -> dict:
     """Merge all committed part files into `target_parts` larger ones —
     the reference's final fragment merge (O10/O11, ParquetFile.Dispose,
     /root/reference/Parquet.Core/ParquetFile.cs:106-125) as a table
@@ -648,13 +667,18 @@ def compact_table(spark: SparkSession, table_path: str,
     a re-run writes fresh files under the next id).  Old data files are
     NOT deleted here — run `vacuum_table` separately once parent
     snapshots are no longer needed."""
-    table = EncodedTable(table_path)
+    table = EncodedTable(table_path, backend=backend)
     parent = table.current_snapshot()
     if parent is None:
         raise ValueError(f"no committed snapshot at {table_path}")
     new_sid = parent["snapshot_id"] + 1
-    rows_per_chunk = ((parent.get("meta") or {}).get("rows_per_chunk")
-                      or DEFAULT_ROWS_PER_CHUNK)
+    pmeta = parent.get("meta") or {}
+    rows_per_chunk = pmeta.get("rows_per_chunk") or DEFAULT_ROWS_PER_CHUNK
+    # rechunk re-encodes under the table's COMMITTED encoding policy —
+    # a table written codec="dict" or block_codec="none" must not have
+    # its rewritten chunks silently auto-selected / zstd-wrapped
+    codec = pmeta.get("codec") or "auto"
+    block_codec = pmeta.get("block_codec") or "auto"
     enc = read_encoded(spark, table_path)
     data_dir = os.path.join(table_path, "data")
 
@@ -670,7 +694,8 @@ def compact_table(spark: SparkSession, table_path: str,
             return
         tbl = pa.Table.from_batches(rows)
         if rechunk:
-            tbl = _rechunk_part(tbl, rows_per_chunk, pid)
+            tbl = _rechunk_part(tbl, rows_per_chunk, pid,
+                                codec=codec, block_codec=block_codec)
         final = os.path.join(data_dir,
                              f"compact-{new_sid:06d}-{pid:05d}.parquet")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
@@ -705,7 +730,9 @@ def compact_table(spark: SparkSession, table_path: str,
 
 
 def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
-                   n_parts: int, by: str = "range") -> dict:
+                   n_parts: int, by: str = "range",
+                   src_backend: CommitBackend | None = None,
+                   dst_backend: CommitBackend | None = None) -> dict:
     """Re-layout an encoded table by moving COMPRESSED chunk rows —
     no decode, no re-encode.  At 100 TB this is the cheap ownership
     change: the shuffle moves ~1/compression_ratio of the raw bytes and
@@ -718,7 +745,7 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
     Chunks are never split, so part key-spans can overlap at chunk
     granularity; zone maps stay exact per chunk, so pruning is
     unaffected."""
-    src = EncodedTable(src_path)
+    src = EncodedTable(src_path, backend=src_backend)
     parent_src = src.current_snapshot()
     if parent_src is None:
         raise ValueError(f"no committed snapshot at {src_path}")
@@ -776,7 +803,7 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
         "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
         "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
         "wall_ms": r.wall_ms, "codecs": r.codecs} for r in lineage}
-    dst = EncodedTable(dst_path)
+    dst = EncodedTable(dst_path, backend=dst_backend)
     meta = {"relocated_from": src_path,
             "src_snapshot_id": parent_src["snapshot_id"],
             "by": by, "layout": {"mode": "relocated", "by": by,
@@ -790,7 +817,8 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
     return dst.commit(parts, schema_ipc, dst.current_snapshot(), meta=meta)
 
 
-def vacuum_table(table_path: str, grace_s: float = 3600.0) -> list[str]:
+def vacuum_table(table_path: str, grace_s: float = 3600.0,
+                 backend: CommitBackend | None = None) -> list[str]:
     """Delete data files not referenced by the CURRENT snapshot.
 
     Separate from compaction by design: deleting eagerly at commit time
@@ -800,7 +828,7 @@ def vacuum_table(table_path: str, grace_s: float = 3600.0) -> list[str]:
     commit, so anything younger than the grace window is spared even if
     unreferenced (same idea as Iceberg's orphan-file min age).  Returns
     the removed paths."""
-    table = EncodedTable(table_path)
+    table = EncodedTable(table_path, backend=backend)
     live = set(os.path.abspath(f) for f in table.data_files())
     removed = []
     cutoff = time.time() - grace_s
@@ -819,7 +847,8 @@ def vacuum_table(table_path: str, grace_s: float = 3600.0) -> list[str]:
     return removed
 
 
-def read_encoded(spark: SparkSession, table_path: str) -> DataFrame:
+def read_encoded(spark: SparkSession, table_path: str,
+                 backend: CommitBackend | None = None) -> DataFrame:
     """Chunk rows of the CURRENT snapshot (uncommitted files invisible).
 
     Read with the chunk-row schema pinned explicitly: a resumed legacy
@@ -828,36 +857,50 @@ def read_encoded(spark: SparkSession, table_path: str) -> DataFrame:
     whether the zone_* columns exist.  Pinning makes v1/v2 coexistence
     deterministic (absent columns read as null, which every zone
     consumer already treats as "keep the chunk")."""
-    files = EncodedTable(table_path).data_files()
+    files = EncodedTable(table_path, backend=backend).data_files()
     if not files:
         raise ValueError(f"no committed snapshot at {table_path}")
     return spark.read.schema(ENCODED_DDL).parquet(*files)
 
 
 def read_decoded(spark: SparkSession, table_path: str,
-                 columns: list[str] | None = None) -> DataFrame:
+                 columns: list[str] | None = None,
+                 backend: CommitBackend | None = None) -> DataFrame:
     """Decoded rows of the CURRENT snapshot.  Columns written with
     `global_dict_cols` are transparently restored from int ids to their
     values via the dictionary persisted in the snapshot meta (a literal
     array lookup — codegen, no join, no shuffle)."""
-    table = EncodedTable(table_path)
-    dec = decode_table(read_encoded(spark, table_path),
+    table = EncodedTable(table_path, backend=backend)
+    dec = decode_table(read_encoded(spark, table_path, backend=backend),
                        table.schema(), columns=columns)
     for c, vals in (table.meta().get("global_dicts") or {}).items():
         if columns is not None and c not in columns:
             continue
-        arr = F.array(*[F.lit(v) for v in vals])
-        # explicit null guard: Spark 4.1's element_at resolves a NULL
-        # index to the LAST element instead of NULL (observed on plain
-        # DataFrames too), which would resurrect null ids as values
-        dec = dec.withColumn(c, F.when(F.col(c).isNotNull(),
-                                       F.element_at(arr, F.col(c) + 1)))
+        if len(vals) <= _GDICT_LITERAL_MAX:
+            arr = F.array(*[F.lit(v) for v in vals])
+            # explicit null guard: Spark 4.1's element_at resolves a
+            # NULL index to the LAST element instead of NULL (observed
+            # on plain DataFrames too), which would resurrect null ids
+            dec = dec.withColumn(c, F.when(F.col(c).isNotNull(),
+                                           F.element_at(arr, F.col(c) + 1)))
+        else:
+            # big dictionaries restore via a broadcast join: a literal
+            # array with tens of thousands of children would blow the
+            # codegen method-size limit and bloat every serialized plan
+            cols = dec.columns
+            d = F.broadcast(spark.createDataFrame(
+                [(i, v) for i, v in enumerate(vals)],
+                f"`{c}` int, `__gdict_val` string"))
+            dec = (dec.join(d, on=c, how="left").drop(c)
+                   .withColumnRenamed("__gdict_val", c)
+                   .select(*cols))
     return dec
 
 
-def lineage_df(spark: SparkSession, table_path: str) -> DataFrame:
+def lineage_df(spark: SparkSession, table_path: str,
+               backend: CommitBackend | None = None) -> DataFrame:
     """Per-partition lineage rows of the CURRENT snapshot as a DataFrame."""
-    snap = EncodedTable(table_path).current_snapshot()
+    snap = EncodedTable(table_path, backend=backend).current_snapshot()
     if snap is None:
         raise ValueError(f"no committed snapshot at {table_path}")
     rows = [{"part_id": int(pid), "snapshot_id": snap["snapshot_id"], **info}

@@ -140,7 +140,8 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
                          codec: str = "auto",
                          rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
                          limit_parts: int | None = None,
-                         block_codec: str = "auto") -> dict:
+                         block_codec: str = "auto",
+                         backend=None) -> dict:
     """Scan-side encode + worker-side part-file write + manifest commit.
 
     part == split (one encoded file per input row group).  Resume
@@ -152,7 +153,7 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
     maximum."""
     from .codecs.column import validate_block_codec
     validate_block_codec(block_codec)
-    table = EncodedTable(table_path)
+    table = EncodedTable(table_path, backend=backend)
     parent = table.current_snapshot()
     layout = {"mode": "splits", "rows_per_chunk": rows_per_chunk}
     _check_resume_layout(parent, layout, table_path)
@@ -231,5 +232,6 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
     all_parts = {**committed, **parts}
     return table.commit(all_parts, schema_ipc, parent, meta={
         "mode": "splits", "input": input_path, "layout": layout,
-        "codec": codec, "rows_per_chunk": rows_per_chunk,
+        "codec": codec, "block_codec": block_codec,
+        "rows_per_chunk": rows_per_chunk,
         "new_parts": sorted(int(k) for k in parts)})

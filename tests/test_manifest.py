@@ -232,3 +232,74 @@ def test_global_dict_cols_through_encoded_format(spark):
     with pytest.raises(ValueError, match="gate"):
         write_encoded(df, tempfile.mkdtemp(prefix="gdict3_"),
                       key=["url"], n_parts=2, global_dict_cols=["url"])
+
+
+@pytest.mark.spark
+def test_write_and_read_through_injected_backend(spark):
+    """The CommitBackend is plumbed through the public entry points:
+    with an in-memory (object-store-style) backend, a full
+    write -> resume -> read cycle never creates CURRENT or snapshots/
+    on the filesystem — every commit and read routes via the backend."""
+    import os
+    import tempfile
+    import threading
+
+    from parquet_spark.manifest import (CommitBackend,
+                                        ConcurrentCommitError,
+                                        read_decoded, write_encoded)
+
+    class Mem(CommitBackend):
+        def __init__(self):
+            self.snaps, self.cur = {}, None
+            self.mu = threading.Lock()
+
+        def current(self):
+            return self.cur
+
+        def read(self, name):
+            return self.snaps[name]
+
+        def commit(self, name, payload, expected):
+            with self.mu:
+                if self.cur != expected:
+                    raise ConcurrentCommitError("pointer moved")
+                self.snaps[name] = payload
+                self.cur = name
+
+    mem = Mem()
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    tbl = tempfile.mkdtemp(prefix="membk_tbl_")
+    write_encoded(docs, tbl, key=["doc_id"], n_parts=2, limit_parts=1,
+                  backend=mem)
+    write_encoded(docs, tbl, key=["doc_id"], n_parts=2, backend=mem)
+    assert mem.cur == "snap-000001.json"  # resume chained on the backend
+    assert not os.path.exists(os.path.join(tbl, "CURRENT"))
+    assert not os.path.exists(os.path.join(tbl, "snapshots"))
+    dec = read_decoded(spark, tbl, backend=mem)
+    assert dec.count() == docs.count()
+    assert dec.exceptAll(docs).count() == 0
+
+
+@pytest.mark.spark
+def test_rechunk_honors_committed_encoding_policy(spark):
+    """compact_table(rechunk=True) must re-encode merged chunks under
+    the table's COMMITTED codec/block_codec, not the auto defaults."""
+    import tempfile
+
+    from parquet_spark.manifest import (compact_table, read_decoded,
+                                        read_encoded, write_encoded)
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    tbl = tempfile.mkdtemp(prefix="policy_tbl_")
+    n = docs.count()
+    write_encoded(docs, tbl, key=["doc_id"], n_parts=8,
+                  rows_per_chunk=n, codec="plain", block_codec="none")
+    compact_table(spark, tbl, target_parts=1, rechunk=True)
+    enc = read_encoded(spark, tbl)
+    codecs = {c for r in enc.select("codecs").collect() for c in r.codecs}
+    assert codecs == {"plain"}, codecs  # not auto-selected to dict/int
+    # block layer: payloads stayed unwrapped (raw v2 header, id 0)
+    heads = [bytes(r[0][:2]) for r in
+             enc.select(F.col("payloads").getItem(0)).collect()]
+    assert all(h[0] == 0xEC and h[1] == 0 for h in heads), heads
+    dec = read_decoded(spark, tbl)
+    assert dec.exceptAll(docs).count() == 0
