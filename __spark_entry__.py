@@ -354,6 +354,33 @@ def q_quality_by_source(spark, sf_dir):
             .orderBy("source"))
 
 
+def q_quality_filter(spark, sf_dir):
+    """C4-style prose gate over documents: per-rule rejection counts +
+    kept-set aggregates, all recomputed by DuckDB under the identical
+    thresholds (ratios rounded to 4dp before comparison on both
+    engines so the keep decisions are bit-identical)."""
+    from parquet_spark.textops.textstats import quality_filter
+    d = quality_filter(_t(spark, sf_dir, "documents"))
+    as_int = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        as_int("ok_words").alias("n_ok_words"),
+        as_int("ok_punct").alias("n_ok_punct"),
+        as_int("ok_stopwords").alias("n_ok_stopwords"),
+        as_int("ok_word_len").alias("n_ok_word_len"),
+        as_int("keep").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_words"))
+              .otherwise(0)).alias("kept_words"))
+
+
+def q_top_vocabulary(spark, sf_dir):
+    """Corpus top-k vocabulary with a deterministic (count desc, word
+    asc) tie-break — DuckDB recomputes the exact ranked list."""
+    from parquet_spark.textops.textstats import top_vocabulary
+    return top_vocabulary(_t(spark, sf_dir, "documents"), k=50) \
+        .orderBy("rank")
+
+
 def q_lang_id(spark, sf_dir):
     from pyspark.sql import Window
     d = _t(spark, sf_dir, "documents")
@@ -873,6 +900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_by_source": q_quality_by_source,
         "lang_id": q_lang_id,
+        "quality_filter": q_quality_filter,
+        "top_vocabulary": q_top_vocabulary,
         "rolling_fp": q_rolling_fp,
         "fingerprint": q_fingerprint,
         "media_metadata": q_media_metadata,
@@ -1140,6 +1169,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    ROUND(SUM(stop_hits) * 1.0 / SUM(n_words), 6) AS stopword_ratio
             FROM per GROUP BY source ORDER BY source""",
+        "quality_filter": f"""
+            WITH per AS (
+              SELECT length(text) AS n_chars,
+                     len(string_split(text, ' ')) AS n_words,
+                     len(list_filter(string_split(text, ' '),
+                         w -> w IN ({', '.join(repr(s) for s in STOP_EN)})))
+                         AS stop_hits,
+                     length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                         AS n_punct
+              FROM documents),
+            r AS (SELECT n_words,
+                         ROUND((n_chars - n_words + 1) * 1.0 / n_words, 4)
+                             AS mean_word_len,
+                         ROUND(stop_hits * 1.0 / n_words, 4) AS stopword_ratio,
+                         ROUND(n_punct * 1.0 / n_chars, 4) AS punct_ratio
+                  FROM per),
+            f AS (SELECT n_words,
+                         n_words >= 16 AS ok_words,
+                         punct_ratio <= 0.1 AS ok_punct,
+                         stopword_ratio >= 0.01 AS ok_stopwords,
+                         mean_word_len BETWEEN 2.0 AND 12.0 AS ok_word_len
+                  FROM r)
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN ok_words THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_ok_words,
+                   CAST(SUM(CASE WHEN ok_punct THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_ok_punct,
+                   CAST(SUM(CASE WHEN ok_stopwords THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok_stopwords,
+                   CAST(SUM(CASE WHEN ok_word_len THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok_word_len,
+                   CAST(SUM(CASE WHEN ok_words AND ok_punct AND ok_stopwords
+                                      AND ok_word_len THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN ok_words AND ok_punct AND ok_stopwords
+                                      AND ok_word_len THEN n_words ELSE 0 END)
+                        AS BIGINT) AS kept_words
+            FROM f""",
+        "top_vocabulary": """
+            WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+                       FROM documents),
+            c AS (SELECT word, COUNT(*) AS n FROM w WHERE word <> ''
+                  GROUP BY word),
+            r AS (SELECT word, n,
+                         ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS rank
+                  FROM c)
+            SELECT CAST(rank AS INTEGER) AS rank, word, n
+            FROM r WHERE rank <= 50 ORDER BY rank""",
         "lang_id": f"""
             WITH scored AS ({lang_scores}),
             w AS (SELECT doc_id, cand,

@@ -84,3 +84,51 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", ""),
         r" +", " "))
     return df.withColumn("fp", F.md5(norm))
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_words: int = 16, max_punct_ratio: float = 0.1,
+                   min_stopword_ratio: float = 0.01,
+                   min_mean_word_len: float = 2.0,
+                   max_mean_word_len: float = 12.0) -> DataFrame:
+    """C4-style document quality gate: keep documents that look like
+    prose (enough words, sane punctuation density, at least some
+    stopwords, plausible mean word length).  Pure codegen expressions —
+    at 100 TB this runs inside the scan stage with zero shuffle, which
+    is why training-data pipelines put this filter FIRST (it typically
+    drops 30-60% of crawl text before any expensive dedup/embedding).
+    Emits per-rule booleans plus the combined `keep`, so rejection
+    reasons are aggregable for pipeline monitoring."""
+    scored = quality_score(df, text_col)
+    checks = {
+        "ok_words": F.col("n_words") >= min_words,
+        "ok_punct": F.col("punct_ratio") <= max_punct_ratio,
+        "ok_stopwords": F.col("stopword_ratio") >= min_stopword_ratio,
+        "ok_word_len": F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len),
+    }
+    out = scored
+    keep = F.lit(True)
+    for name, cond in checks.items():
+        out = out.withColumn(name, cond)
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+def top_vocabulary(df: DataFrame, text_col: str = "text",
+                   k: int = 100, lowercase: bool = True) -> DataFrame:
+    """Corpus-wide top-k word frequencies (the vocabulary-building
+    staple).  explode -> hash-groupBy count (map-side partial combine,
+    one shuffle of (word, count) pairs) -> rank with a deterministic
+    (count desc, word asc) tie-break so the cut is reproducible.  The
+    final top-k is a WindowGroupLimit over a single ordering — at any
+    corpus size only distinct-word rows shuffle, never documents."""
+    from pyspark.sql import Window
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = (df.select(F.explode(F.split(t, " ")).alias("word"))
+             .where(F.col("word") != ""))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("rank", "word", "n"))

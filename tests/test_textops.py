@@ -306,3 +306,37 @@ def test_embedding_near_dups_lsh_subset_of_bruteforce(spark, vecs):
     buckets = {r.vec_id: r.bucket for r in lsh_bucket(emb, planes).collect()}
     expected = {k for k in brute if buckets[k[0]] == buckets[k[1]]}
     assert set(fast) == expected
+
+
+@pytest.mark.spark
+def test_quality_filter_rules_and_keep(spark):
+    """Each rule fires independently and `keep` is their conjunction;
+    obvious junk is dropped, obvious prose is kept."""
+    from pyspark.sql import functions as F
+
+    from parquet_spark.textops.textstats import quality_filter
+    rows = [
+        (0, "the quick brown fox and the lazy dog is in that house for "
+            "a very long time of the day and it is good that for now"),
+        (1, "short text"),                      # too few words
+        (2, "!!! ??? ;;; " * 20),               # punctuation soup
+        (3, " ".join("zq" + str(i) for i in range(40))),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert got[0].keep
+    assert not got[1].ok_words and not got[1].keep
+    assert not got[2].ok_punct and not got[2].keep
+    assert not got[3].ok_stopwords and not got[3].keep
+
+
+@pytest.mark.spark
+def test_top_vocabulary_deterministic_ranking(spark):
+    from parquet_spark.textops.textstats import top_vocabulary
+    df = spark.createDataFrame(
+        [(0, "b a a c b a"), (1, "c b  d")], "doc_id int, text string")
+    out = [(r.rank, r.word, r.n) for r in
+           top_vocabulary(df, k=10).orderBy("rank").collect()]
+    # a:3 b:3 c:2 d:1 — ties broken word-asc; empty token (double
+    # space) excluded
+    assert out == [(1, "a", 3), (2, "b", 3), (3, "c", 2), (4, "d", 1)]
