@@ -381,6 +381,40 @@ def q_top_vocabulary(spark, sf_dir):
         .orderBy("rank")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (duplicate-line fraction, top-
+    word fraction, duplicate-word fraction) — DuckDB recomputes all
+    three from the same split/distinct/count algebra, 4dp-rounded
+    before aggregation so the sums are bit-identical."""
+    from parquet_spark.textops.textstats import repetition_stats
+    d = repetition_stats(_t(spark, sf_dir, "documents")
+                         .where(F.col("doc_id") < 500))
+    dec = lambda c: F.sum(F.col(c).cast("decimal(12,4)")) \
+        .cast("double").alias("sum_" + c)  # noqa: E731
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dec("dup_line_frac"), dec("top_word_frac"), dec("dup_word_frac"),
+        F.sum(F.when(F.col("top_word_frac") > 0.1, 1).otherwise(0))
+        .alias("n_degenerate"))
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video-blob frame-sampling plumbing (fixed-size frames, every
+    k-th kept): deterministic text-derived blobs make every frame
+    boundary and byte count closed-form, so DuckDB recomputes the
+    sampled frame set exactly — certifying the fan-out arithmetic of
+    the mapInPandas sampler."""
+    from parquet_spark.textops.multimodal import sample_frames
+    d = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+         .select("doc_id", F.encode("text", "utf-8").alias("blob")))
+    fr = sample_frames(d, "doc_id", "blob", frame_bytes=64, every_k=3)
+    return fr.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("media_id").alias("n_media"),
+        F.sum(F.octet_length("frame")).alias("frame_bytes"),
+        F.sum("frame_idx").alias("sum_idx"))
+
+
 def q_lang_id(spark, sf_dir):
     from pyspark.sql import Window
     d = _t(spark, sf_dir, "documents")
@@ -902,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_filter": q_quality_filter,
         "top_vocabulary": q_top_vocabulary,
+        "repetition_stats": q_repetition_stats,
+        "frame_sample": q_frame_sample,
         "rolling_fp": q_rolling_fp,
         "fingerprint": q_fingerprint,
         "media_metadata": q_media_metadata,
@@ -1207,6 +1243,42 @@ def oracle_sql() -> dict[str, str]:
                                       AND ok_word_len THEN n_words ELSE 0 END)
                         AS BIGINT) AS kept_words
             FROM f""",
+        "repetition_stats": """
+            WITH per AS (
+              SELECT string_split(text, chr(10)) AS lines,
+                     string_split(lower(text), ' ') AS words
+              FROM documents WHERE doc_id < 500),
+            r AS (SELECT
+                    ROUND((len(lines) - len(list_distinct(lines))) * 1.0
+                          / len(lines), 4) AS dup_line_frac,
+                    ROUND(list_max(list_transform(list_distinct(words),
+                            w -> len(list_filter(words, x -> x = w)))) * 1.0
+                          / len(words), 4) AS top_word_frac,
+                    ROUND((len(words) - len(list_distinct(words))) * 1.0
+                          / len(words), 4) AS dup_word_frac
+                  FROM per)
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(dup_line_frac AS DECIMAL(12,4))) AS DOUBLE)
+                       AS sum_dup_line_frac,
+                   CAST(SUM(CAST(top_word_frac AS DECIMAL(12,4))) AS DOUBLE)
+                       AS sum_top_word_frac,
+                   CAST(SUM(CAST(dup_word_frac AS DECIMAL(12,4))) AS DOUBLE)
+                       AS sum_dup_word_frac,
+                   CAST(SUM(CASE WHEN top_word_frac > 0.1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_degenerate
+            FROM r""",
+        "frame_sample": """
+            WITH d AS (SELECT doc_id,
+                              octet_length(encode(text)) AS L
+                       FROM documents WHERE doc_id < 200),
+            f AS (SELECT doc_id, unnest(range(0,
+                         CAST(ceil(L / 64.0) AS INT))) AS i, L FROM d),
+            k AS (SELECT doc_id, i, LEAST(64, L - i * 64) AS fb
+                  FROM f WHERE i % 3 = 0)
+            SELECT COUNT(*) AS n_frames, COUNT(DISTINCT doc_id) AS n_media,
+                   CAST(SUM(fb) AS BIGINT) AS frame_bytes,
+                   CAST(SUM(i) AS BIGINT) AS sum_idx
+            FROM k""",
         "top_vocabulary": """
             WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
                        FROM documents),

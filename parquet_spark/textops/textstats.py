@@ -132,3 +132,37 @@ def top_vocabulary(df: DataFrame, text_col: str = "text",
     return (counts.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("rank", "word", "n"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText-style repetition signals, pure codegen:
+
+      * dup_line_frac — fraction of lines that are exact duplicates of
+        an earlier line (boilerplate/nav-menu detector);
+      * top_word_frac — fraction of (lowercased) word occurrences taken
+        by the single most frequent word (degenerate-text detector);
+      * dup_word_frac — fraction of word occurrences beyond each word's
+        first (overall lexical repetition).
+
+    All three are per-document array expressions (aggregate/filter over
+    split products) — no shuffle, no UDF, so at 100 TB they run inside
+    the scan stage alongside quality_filter."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_dist_lines = F.size(F.array_distinct(lines))
+    words = F.split(F.lower(t), " ")
+    n_words = F.size(words)
+    n_dist_words = F.size(F.array_distinct(words))
+    # count of the most frequent word: for each DISTINCT word, count its
+    # occurrences; take the max.  distinct-first keeps the transform
+    # O(distinct x words) instead of O(words^2).
+    top_count = F.array_max(F.transform(
+        F.array_distinct(words),
+        lambda w: F.size(F.filter(words, lambda x: x == w))))
+    return (df
+            .withColumn("dup_line_frac", F.round(
+                (n_lines - n_dist_lines) / n_lines, 4))
+            .withColumn("top_word_frac", F.round(top_count / n_words, 4))
+            .withColumn("dup_word_frac", F.round(
+                (n_words - n_dist_words) / n_words, 4)))

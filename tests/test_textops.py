@@ -340,3 +340,20 @@ def test_top_vocabulary_deterministic_ranking(spark):
     # a:3 b:3 c:2 d:1 — ties broken word-asc; empty token (double
     # space) excluded
     assert out == [(1, "a", 3), (2, "b", 3), (3, "c", 2), (4, "d", 1)]
+
+
+@pytest.mark.spark
+def test_repetition_stats_detects_boilerplate(spark):
+    from parquet_spark.textops.textstats import repetition_stats
+    rows = [
+        (0, "nav menu\nnav menu\nnav menu\ncontent line"),  # dup lines
+        (1, "spam spam spam spam spam ham"),                # one word dominates
+        (2, "all words here are fully distinct tokens"),    # clean prose
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[0].dup_line_frac == 0.5          # 2 of 4 lines are repeats
+    assert got[1].top_word_frac == round(5 / 6, 4)
+    assert got[1].dup_word_frac == round(4 / 6, 4)
+    assert got[2].dup_line_frac == 0.0
+    assert got[2].dup_word_frac == 0.0
