@@ -330,19 +330,31 @@ def _dec_str_plain(body: bytes, t: pa.DataType) -> pa.Array:
 def _enc_fsst(arr: pa.Array, table=None, ctx: dict | None = None) -> bytes | None:
     head, vals = _validity_header(arr, STR_FSST)
     data, lengths = _bytes_and_lengths(vals)
-    # ONE histogram pass shared by reuse-validation, training, and the
-    # u8-mode encode safety check — these each did their own full-buffer
-    # bincount before (profiled: the redundant pass was the single
-    # largest steady-state encode cost on text columns)
-    hist = fsst.byte_hist(data) if len(data) >= 64 else None
+    # LAZILY computed histogram, shared by reuse-validation, training,
+    # and the u8-mode encode safety check — these each did their own
+    # full-buffer bincount before (profiled: the redundant pass was the
+    # largest steady-state encode cost on text columns).  Lazy because
+    # the u16 steady state needs NO histogram at all (table_ok is
+    # trivially true and the u16 encode never reads one).
+    hist = None
+
+    def get_hist():
+        nonlocal hist
+        if hist is None and len(data) >= 64:
+            hist = fsst.byte_hist(data)
+        return hist
+
     if table is None and ctx is not None:
         # per-partition symbol-table reuse: train on the first chunk,
         # apply to the rest (re-validated; u8 codes must stay free)
         cached = ctx.get("fsst_table")
-        if cached is not None and fsst.table_ok(data, cached, hist=hist):
-            table = cached
+        if cached is not None:
+            if cached["mode"] == "u16":
+                table = cached  # u16 applies to any buffer, no check
+            elif fsst.table_ok(data, cached, hist=get_hist()):
+                table = cached
     if table is None:
-        table = fsst.train(data, hist=hist)
+        table = fsst.train(data, hist=get_hist())
         if ctx is not None and table:
             ctx["fsst_table"] = table
     if not table:

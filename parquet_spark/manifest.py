@@ -206,31 +206,28 @@ class PosixCommitBackend(CommitBackend):
                                name + f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
                 f.write(payload)
-            # ownership re-verify BEFORE the snapshot-file replace: two
-            # racing commits with the same parent target the SAME
-            # deterministic snap-NNNNNN.json name, so a stalled owner
-            # whose lock was stolen must not overwrite the winner's
-            # committed snapshot content (the pointer-flip check alone
-            # would leave CURRENT naming a file whose content the loser
-            # just clobbered)
-            def _abort(clean: str):
-                try:
-                    os.remove(clean)
-                except OSError:
-                    pass
-                raise ConcurrentCommitError(
-                    f"commit lock at {self.path} was stolen (writer "
-                    "stalled past the stale window); re-read and retry")
-            if not self._owns(token):
-                _abort(tmp)
+            # Snapshot names are unique per attempt (EncodedTable.commit
+            # appends a random token), so even a stalled loser's replace
+            # below can only create an ORPHAN file — never overwrite a
+            # winner's committed snapshot.  The ownership re-verify
+            # before the pointer flip is what keeps a stolen-lock loser
+            # from flipping CURRENT itself; a stall in the microseconds
+            # between the check and the replace remains the documented
+            # POSIX residual (object-store backends have none: the
+            # conditional PUT is the whole CAS).
             os.replace(tmp, os.path.join(self.snap_dir, name))
             cur_tmp = os.path.join(self.path,
                                    f"CURRENT.tmp-{uuid.uuid4().hex}")
             with open(cur_tmp, "w") as f:
                 f.write(name)
-            # ...and again before the pointer flip
             if not self._owns(token):
-                _abort(cur_tmp)
+                try:
+                    os.remove(cur_tmp)
+                except OSError:
+                    pass
+                raise ConcurrentCommitError(
+                    f"commit lock at {self.path} was stolen (writer "
+                    "stalled past the stale window); re-read and retry")
             os.replace(cur_tmp, os.path.join(self.path, "CURRENT"))
         finally:
             self._release(token)
@@ -250,6 +247,10 @@ class EncodedTable:
         if name is None:
             return None
         snap = json.loads(self.backend.read(name))
+        # the ACTUAL stored name rides along (underscore key, never
+        # serialized) so a later commit can CAS against it — snapshot
+        # file names are unique per attempt, not derivable from the id
+        snap["_snap_name"] = name
         ver = snap.get("format_version", 1)
         if ver not in _SUPPORTED_VERSIONS:
             raise ValueError(
@@ -278,7 +279,15 @@ class EncodedTable:
         point).  Compare-and-swap through the pluggable CommitBackend:
         refuses with ConcurrentCommitError when CURRENT no longer names
         `parent` (another writer committed since this writer planned
-        against it)."""
+        against it).
+
+        Snapshot file names are UNIQUE PER ATTEMPT (snapshot id + a
+        random token): two racing commits with the same parent can
+        never write the same file, so even a pathologically stalled
+        loser can only leave an orphan json behind — it cannot
+        overwrite the winner's committed snapshot content (the same
+        rationale as unique data-file names; the CAS identity is
+        carried solely by the CURRENT pointer's value)."""
         os.makedirs(self.path, exist_ok=True)
         sid = (parent["snapshot_id"] + 1) if parent else 0
         snap = {
@@ -291,10 +300,17 @@ class EncodedTable:
             "meta": meta or {},
             "parts": parts,
         }
-        name = f"snap-{sid:06d}.json"
-        expected = (f"snap-{parent['snapshot_id']:06d}.json"
-                    if parent else None)
+        name = f"snap-{sid:06d}-{uuid.uuid4().hex[:8]}.json"
+        if parent is None:
+            expected = None
+        else:
+            # parent carries its actual stored name; legacy snapshots
+            # (read by an older build or hand-constructed) fall back to
+            # the old deterministic naming
+            expected = parent.get("_snap_name") or \
+                f"snap-{parent['snapshot_id']:06d}.json"
         self.backend.commit(name, json.dumps(snap), expected)
+        snap["_snap_name"] = name  # chained commits CAS against this
         return snap
 
     def data_files(self) -> list[str]:
@@ -722,6 +738,9 @@ def compact_table(spark: SparkSession, table_path: str,
     meta = {"compacted_from": parent["snapshot_id"],
             "target_parts": target_parts, "rechunk": rechunk,
             "rows_per_chunk": rows_per_chunk,
+            # the committed encoding policy survives every lifecycle
+            # step — a LATER rechunk must still honor it
+            "codec": codec, "block_codec": block_codec,
             "layout": {"mode": "compacted"}}
     for carry in ("mappings", "global_dicts"):
         if (parent.get("meta") or {}).get(carry):
@@ -808,7 +827,10 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
             "src_snapshot_id": parent_src["snapshot_id"],
             "by": by, "layout": {"mode": "relocated", "by": by,
                                  "n_parts": n_parts}}
-    for carry in ("mappings", "global_dicts"):
+    # encoding policy + chunk size survive relocation (a later rechunk
+    # compaction of the destination must honor the source's policy)
+    for carry in ("mappings", "global_dicts", "codec", "block_codec",
+                  "rows_per_chunk"):
         if (parent_src.get("meta") or {}).get(carry):
             meta[carry] = parent_src["meta"][carry]
     schema_ipc = None

@@ -159,15 +159,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return v.select(id_col, sig.cast("bigint").alias("simhash"))
 
 
-_COS_AB = ("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, "
-           "(s, v) -> s + v)")
-
-
 def _cos_pair_cols():
-    dot = F.expr(_COS_AB)
-    na = F.sqrt(F.expr("aggregate(va, 0D, (s, v) -> s + v * v)"))
-    nb = F.sqrt(F.expr("aggregate(vb, 0D, (s, v) -> s + v * v)"))
-    return F.round(dot / (na * nb), 4)
+    """4dp-rounded cosine over the (va, vb) pair columns — built on
+    similarity's shared _dot/_norm so every cosine in the engine
+    (top-k, IVF, both near-dup paths) folds identically."""
+    from .similarity import _dot, _norm
+    return F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 4)
 
 
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.98,

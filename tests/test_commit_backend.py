@@ -34,9 +34,12 @@ def test_commit_and_read_through_backend():
     t = EncodedTable(path)
     snap = t.commit({"0": {"file": "f", "n_rows": 1}}, None, None)
     assert snap["snapshot_id"] == 0
-    assert t.backend.current() == "snap-000000.json"
-    got = json.loads(t.backend.read("snap-000000.json"))
+    cur = t.backend.current()
+    assert cur.startswith("snap-000000-")  # unique per-attempt name
+    assert cur == snap["_snap_name"]
+    got = json.loads(t.backend.read(cur))
     assert got["parts"]["0"]["n_rows"] == 1
+    assert "_snap_name" not in got  # never serialized
 
 
 def test_stale_lock_steal_is_atomic_under_contention():

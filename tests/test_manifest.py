@@ -87,7 +87,12 @@ def test_snapshot_chain(spark, tmp_path):
     t = EncodedTable(path)
     snap = t.current_snapshot()
     assert snap["snapshot_id"] == 1 and snap["parent_id"] == 0
-    with open(os.path.join(t.snap_dir, "snap-000000.json")) as f:
+    # parent snapshot still on disk (names are unique per attempt:
+    # snap-<id>-<token>.json) and carries exactly the first commit
+    parents = [n for n in os.listdir(t.snap_dir)
+               if n.startswith("snap-000000-") and n.endswith(".json")]
+    assert len(parents) == 1
+    with open(os.path.join(t.snap_dir, parents[0])) as f:
         assert len(json.load(f)["parts"]) == 1
 
 
@@ -272,7 +277,7 @@ def test_write_and_read_through_injected_backend(spark):
     write_encoded(docs, tbl, key=["doc_id"], n_parts=2, limit_parts=1,
                   backend=mem)
     write_encoded(docs, tbl, key=["doc_id"], n_parts=2, backend=mem)
-    assert mem.cur == "snap-000001.json"  # resume chained on the backend
+    assert mem.cur.startswith("snap-000001-")  # resume chained on backend
     assert not os.path.exists(os.path.join(tbl, "CURRENT"))
     assert not os.path.exists(os.path.join(tbl, "snapshots"))
     dec = read_decoded(spark, tbl, backend=mem)
@@ -302,4 +307,38 @@ def test_rechunk_honors_committed_encoding_policy(spark):
              enc.select(F.col("payloads").getItem(0)).collect()]
     assert all(h[0] == 0xEC and h[1] == 0 for h in heads), heads
     dec = read_decoded(spark, tbl)
+    assert dec.exceptAll(docs).count() == 0
+
+
+@pytest.mark.spark
+def test_encoding_policy_survives_lifecycle_chain(spark):
+    """The committed codec/block_codec (and chunk size) must survive
+    EVERY lifecycle step: write -> relocate -> compact -> rechunk
+    still re-encodes plain+raw, one step at a time."""
+    import tempfile
+
+    from parquet_spark.manifest import (EncodedTable, compact_table,
+                                        read_decoded, read_encoded,
+                                        relocate_table, write_encoded)
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    src = tempfile.mkdtemp(prefix="chain_src_")
+    dst = tempfile.mkdtemp(prefix="chain_dst_")
+    n = docs.count()
+    write_encoded(docs, src, key=["doc_id"], n_parts=8, rows_per_chunk=n,
+                  codec="plain", block_codec="none")
+    relocate_table(spark, src, dst, n_parts=4)
+    m = EncodedTable(dst).meta()
+    assert m["codec"] == "plain" and m["block_codec"] == "none"
+    assert m["rows_per_chunk"] == n
+    compact_table(spark, dst, target_parts=2)  # plain compact first...
+    m2 = EncodedTable(dst).meta()
+    assert m2["codec"] == "plain" and m2["block_codec"] == "none"
+    compact_table(spark, dst, target_parts=1, rechunk=True)  # ...then rechunk
+    enc = read_encoded(spark, dst)
+    codecs = {c for r in enc.select("codecs").collect() for c in r.codecs}
+    assert codecs == {"plain"}, codecs
+    heads = [bytes(r[0][:2]) for r in
+             enc.select(F.col("payloads").getItem(0)).collect()]
+    assert all(h[0] == 0xEC and h[1] == 0 for h in heads)
+    dec = read_decoded(spark, dst)
     assert dec.exceptAll(docs).count() == 0
