@@ -402,3 +402,83 @@ def test_read_row_cursor_is_driver_frugal(spark):
     # every driver-side materialization is parts-sized, not chunks-sized
     assert collected and all(n <= n_parts for n in collected), collected
     enc.unpersist()
+
+
+@pytest.mark.spark
+def test_pruning_never_drops_matching_rows_randomized(spark):
+    """Conservativeness sweep: for 30 seeded-random predicates (ranges,
+    half-open ranges, equality, IN-lists, AND/OR combos) over a table
+    with skewed ints, strings, and nulls, scan_filtered must equal the
+    raw filter exactly — a zone map may keep too much, never too
+    little."""
+    import random
+
+    import pandas as pd
+
+    from parquet_spark.engine import scan_filtered
+    rng = random.Random(1234)
+    n = 600
+    pdf = pd.DataFrame({
+        "k": range(n),
+        "num": [rng.choice([None, rng.randint(-50, 50),
+                            rng.randint(1000, 1100)]) for _ in range(n)],
+        "s": [rng.choice([None, "", "aa", "ab", "zz",
+                          f"v{rng.randint(0, 30):03d}"]) for _ in range(n)],
+    })
+    df = spark.createDataFrame(pdf).withColumn(
+        "num", F.col("num").cast("long"))
+    enc = encode_table(df, key=["k"], n_parts=3, rows_per_chunk=40,
+                       zone_cols=["k", "num", "s"]).cache()
+    enc.count()
+
+    def rand_term():
+        kind = rng.choice(["num_range", "s_range", "num_eq", "s_eq",
+                           "num_in", "k_range"])
+        if kind == "num_range":
+            lo = rng.choice([None, rng.randint(-60, 60)])
+            hi = rng.choice([None, rng.randint(-60, 1200)])
+            return ("num", lo, hi)
+        if kind == "s_range":
+            lo = rng.choice([None, "", "a", "v005", "v02"])
+            hi = rng.choice([None, "ac", "v015", "zz"])
+            return ("s", lo, hi)
+        if kind == "num_eq":
+            return ("num", "=", rng.randint(-50, 50))
+        if kind == "s_eq":
+            return ("s", "=", rng.choice(["aa", "v003", "zz", "nope"]))
+        if kind == "num_in":
+            return ("num", "in",
+                    [rng.randint(-50, 1100) for _ in range(3)])
+        lo = rng.randint(0, n)
+        return ("k", lo, lo + rng.randint(0, 100))
+
+    def raw_cond(term):
+        col, a, b = term
+        c = F.col(col)
+        if a == "=" and not isinstance(b, list):
+            return c == b
+        if a == "in":
+            return c.isin(b)
+        cond = F.lit(True)
+        if a is not None:
+            cond = cond & (c >= a)
+        if b is not None:
+            cond = cond & (c <= b)
+        return cond
+
+    for trial in range(30):
+        if trial % 3 == 2:  # OR-of-ANDs form
+            branches = [[rand_term()] for _ in range(2)]
+            pred = {"any": branches}
+            cond = raw_cond(branches[0][0]) | raw_cond(branches[1][0])
+        else:
+            terms = [rand_term() for _ in range(rng.randint(1, 2))]
+            pred = terms
+            cond = raw_cond(terms[0])
+            for t in terms[1:]:
+                cond = cond & raw_cond(t)
+        got = scan_filtered(enc, pred)
+        want = df.where(cond)
+        assert got.count() == want.count(), (trial, pred)
+        assert got.exceptAll(want).count() == 0, (trial, pred)
+    enc.unpersist()
