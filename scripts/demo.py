@@ -68,6 +68,29 @@ def main():
     rep = verify_roundtrip(df, read_decoded(spark, tbl),
                            key=["url"], digest_col="text")
     print("   ", rep)
+
+    print("6) global-dict table (lang stored as int ids) ...")
+    from parquet_spark.manifest import EncodedTable, write_encoded
+    gtbl = os.path.join(work, "gdict_table")
+    write_encoded(df.select("url", "lang"), gtbl, key=["url"], n_parts=4,
+                  global_dict_cols=["lang"])
+    t = EncodedTable(gtbl)
+    print(f"   stored type: {t.schema().field('lang').type}; dictionary "
+          f"({len(t.meta()['global_dicts']['lang'])} values) lives in the "
+          "snapshot; read_decoded restores strings transparently")
+
+    print("7) rechunking compaction of a fragmented table ...")
+    from parquet_spark.manifest import compact_table, read_encoded
+    frag = os.path.join(work, "frag_table")
+    write_encoded(df, frag, key=["url"], n_parts=8,
+                  rows_per_chunk=max(1000, n_docs))  # every chunk small
+    before = read_encoded(spark, frag).count()
+    compact_table(spark, frag, target_parts=1, rechunk=True)
+    after = read_encoded(spark, frag).count()
+    print(f"   {before} under-sized chunks -> {after} full-size chunks; "
+          "round-trip stays bit-identical")
+    verify_roundtrip(df, read_decoded(spark, frag), key=["url"],
+                     digest_col="text")
     print("done.")
     spark.stop()
 
