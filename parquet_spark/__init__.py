@@ -47,6 +47,7 @@ _EXPORTS = {
     "route_encoded": "manifest", "lineage_df": "manifest",
     "vacuum_table": "manifest", "relocate_table": "manifest",
     "EncodedTable": "manifest", "ConcurrentCommitError": "manifest",
+    "CommitBackend": "manifest", "PosixCommitBackend": "manifest",
     "encode_splits": "splits", "write_encoded_splits": "splits",
     "list_splits": "splits",
     "encode_stream": "streaming", "streaming_dedup": "streaming",
@@ -54,6 +55,17 @@ _EXPORTS = {
     "verify_roundtrip": "verify",
     "gen_corpus": "corpus",
     "merge_tables": "merge",
+    "exact_dedup": "textops.dedup", "minhash_signatures": "textops.dedup",
+    "lsh_candidate_pairs": "textops.dedup", "ngram_jaccard": "textops.dedup",
+    "simhash": "textops.dedup", "embedding_near_dups": "textops.dedup",
+    "embedding_near_dups_lsh": "textops.dedup",
+    "cosine_topk": "textops.similarity", "ann_topk": "textops.similarity",
+    "ivf_topk": "textops.similarity", "ivf_centroids": "textops.similarity",
+    "quality_filter": "textops.textstats",
+    "quality_score": "textops.textstats",
+    "repetition_stats": "textops.textstats",
+    "top_vocabulary": "textops.textstats",
+    "lang_id": "textops.textstats",
 }
 
 
