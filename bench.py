@@ -275,6 +275,14 @@ def main():
                     redo += [("local[4]", "2")]
                 if (t("local[2]") / t("local[8]")) / 4 < 0.8:
                     redo += [("local[8]", "2")]
+                # symmetric guard: a step way ABOVE the known pipeline-
+                # overlap superlinearity (~1.1-1.2) means the single-rep
+                # SLOW anchor itself caught a stall — re-measure it so
+                # the reported efficiency is not flattered either
+                if (t("local[1]") / t("local[4]")) / 4 > 1.3:
+                    redo += [("local[1]", "1")]
+                if (t("local[2]") / t("local[8]")) / 4 > 1.3:
+                    redo += [("local[2]", "1")]
                 if cpu("local[8]") and cpu("local[32]") and \
                         cpu("local[32]") > 1.8 * cpu("local[8]"):
                     redo += [("local[8]", "2"), ("local[32]", "2")]
