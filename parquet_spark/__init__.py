@@ -43,6 +43,7 @@ _EXPORTS = {
     "prune_chunks_pred": "engine", "scan_filtered": "engine",
     "read_row": "engine", "read_cell": "engine",
     "write_encoded": "manifest", "read_decoded": "manifest",
+    "scan_table": "manifest",
     "read_encoded": "manifest", "compact_table": "manifest",
     "route_encoded": "manifest", "lineage_df": "manifest",
     "vacuum_table": "manifest", "relocate_table": "manifest",

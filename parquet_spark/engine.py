@@ -429,21 +429,36 @@ def _norm_term(term: tuple) -> tuple:
                            min/max span — sparse lists skip mid-chunks)
 
     The markers "=" / "in" are reserved: a genuine string range whose
-    lo bound is literally "=" or "in" must be written as two terms or
-    with an explicit hi (e.g. (col, "=", None) is a range)."""
+    lo bound is literally "=" or "in" is not expressible with the tuple
+    sugar — filter it on the decoded frame instead.  NULL values fail
+    loudly: (col, "=", None) raises (zone maps track no null counts, so
+    IS NULL can never prune — silently treating it as a string range
+    with lo "=" returned unrelated rows), and NULLs inside an IN-list
+    are dropped (SQL: NULL never matches IN)."""
     col, a, b = term
-    if a == "=" and not isinstance(b, (list, tuple, set)) and b is not None:
+    if a == "=" and not isinstance(b, (list, tuple, set)):
+        if b is None:
+            raise TypeError(
+                f"({col!r}, '=', None): equality to NULL cannot prune "
+                "(zone maps track no null counts) and IS NULL is not a "
+                "range — filter nulls on the decoded frame with "
+                ".where(col.isNull()) instead")
         return ("in", col, [b])
     if a == "in":
         vals = list(b) if isinstance(b, (list, tuple, set)) else None
         if not vals:
             raise ValueError(f"IN-list for {col!r} must be a non-empty "
                              "list/tuple/set")
-        kinds = {_is_numeric_bound(v) for v in vals}
+        nn = [v for v in vals if v is not None]
+        if not nn:
+            raise ValueError(
+                f"IN-list for {col!r} contains only NULLs; NULL never "
+                "matches IN — filter with .where(col.isNull()) instead")
+        kinds = {_is_numeric_bound(v) for v in nn}
         if len(kinds) > 1:
             raise TypeError(f"IN-list for {col!r} mixes numeric and "
                             "string values")
-        return ("in", col, vals)
+        return ("in", col, nn)
     return ("range", col, a, b)
 
 
@@ -477,11 +492,22 @@ def _zone_keep_term(term: tuple):
     _, col, vals = t
     # IN prunes per value: the chunk survives iff SOME value could be
     # inside its zone range — sparse lists skip chunks a min/max span
-    # of the list would have kept
-    cond = F.lit(False)
-    for v in vals:
-        cond = cond | _zone_keep_cond(col, v, v)
-    return cond
+    # of the list would have kept.  The zone lookup (array_position +
+    # element_at) is hoisted ONCE per term via a higher-order exists()
+    # over a literal value array: the old per-value OR expansion grew
+    # the Filter expression (and re-searched zone_cols) O(K) per term.
+    numeric = _is_numeric_bound(vals[0])
+    idx = F.array_position(F.col("zone_cols"), col).cast("int")
+    mn_a, mx_a = (("zone_min_num", "zone_max_num") if numeric
+                  else ("zone_min_str", "zone_max_str"))
+    cmin = F.try_element_at(F.col(mn_a), idx)
+    cmax = F.try_element_at(F.col(mx_a), idx)
+    if numeric:
+        vals = [_as_num_bound(v) for v in vals]
+    varr = F.array(*[F.lit(v) for v in vals])
+    vcond = F.exists(varr, lambda v: (cmax.isNull() | (cmax >= v))
+                     & (cmin.isNull() | (cmin <= v)))
+    return (idx.isNull() | (idx == 0)) | vcond
 
 
 def prune_chunks_pred(enc_df: DataFrame,
@@ -570,7 +596,14 @@ def scan_filtered(enc_df: DataFrame, pred: list[tuple] | dict,
     parquet scan with PushedFilters.  `pred` uses prune_chunks_pred's
     shape: an AND-list of terms — (col, lo, hi) range, (col, "=", v)
     equality, (col, "in", [v...]) — or {"any": [and_list, ...]}.
-    With `columns`, every predicate column must be in the projection."""
+    With `columns`, every predicate column must be in the projection.
+
+    NOTE: this operates on raw chunk rows and knows nothing about
+    table-level metadata — for a table written with `global_dict_cols`
+    the stored columns are int ids, so a value-space predicate here
+    would silently match nothing.  Use manifest.scan_table for
+    dict-aware scans (it translates predicates to id space for pruning
+    and restores values before the residual)."""
     kept = prune_chunks_pred(enc_df, pred)
     dec = decode_table(kept, schema=schema, columns=columns)
     if isinstance(pred, dict):

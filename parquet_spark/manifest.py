@@ -41,8 +41,9 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .engine import (DEFAULT_ROWS_PER_CHUNK, ENCODED_DDL,
-                     _chunk_rows_to_batch, decode_chunk, decode_table,
-                     encode_chunk, take_full_batches)
+                     _chunk_rows_to_batch, _norm_term, _residual_cond,
+                     decode_chunk, decode_table, encode_chunk,
+                     prune_chunks_pred, take_full_batches)
 
 LINEAGE_DDL = ("part_id bigint, file string, n_chunks bigint, n_rows bigint, "
                "bytes_in bigint, bytes_out bigint, wall_ms double, "
@@ -122,6 +123,7 @@ class PosixCommitBackend(CommitBackend):
         self.path = path
         self.snap_dir = os.path.join(path, "snapshots")
         self._stale_s = lock_stale_s
+        self._acq_at: dict[str, float] = {}  # token -> monotonic acquire time
 
     # -- reads
     def current(self) -> str | None:
@@ -150,6 +152,7 @@ class PosixCommitBackend(CommitBackend):
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, f"{token} {os.getpid()} {time.time()}".encode())
                 os.close(fd)
+                self._acq_at[token] = time.monotonic()
                 return token
             except FileExistsError:
                 try:
@@ -184,7 +187,19 @@ class PosixCommitBackend(CommitBackend):
             return False
 
     def _release(self, token: str) -> None:
-        if self._owns(token):  # never remove a lock stolen from us
+        # Never remove a lock stolen from us.  The ownership read alone
+        # is check-then-remove: an owner that reads "ours", then stalls
+        # past the stale window before the os.remove, can unlink a
+        # STEALER's freshly created lock and let a third writer in.  So
+        # remove only while the hold time is safely inside the stale
+        # window (a steal requires mtime age > _stale_s, so at < 1/2 the
+        # window the lock provably cannot have been stolen yet unless we
+        # stall another _stale_s/2 in the next few instructions).  A
+        # long-held lock is left in place for the atomic rename-steal
+        # path to reap — liveness is preserved, and we never risk
+        # unlinking another writer's live lock.
+        held = time.monotonic() - self._acq_at.pop(token, float("-inf"))
+        if held < self._stale_s * 0.5 and self._owns(token):
             try:
                 os.remove(self._lock())
             except OSError:
@@ -588,11 +603,16 @@ def route_encoded(df: DataFrame, route_col: str, base_path: str,
     column as a leading sort key and rely on zone-map pruning, or
     df.write.partitionBy for a raw-parquet layout.  Returns
     {route_value: snapshot}."""
-    routes = [r[0] for r in df.select(route_col).distinct().collect()]
+    # limit() bounds the collect itself: on a high-cardinality column —
+    # exactly the misuse this guard exists for — an unbounded distinct()
+    # .collect() would materialize millions of route values on the
+    # driver before the ValueError could fire
+    routes = [r[0] for r in df.select(route_col).distinct()
+              .limit(max_routes + 1).collect()]
     if len(routes) > max_routes:
         raise ValueError(
-            f"route_encoded on {route_col!r} found {len(routes)} distinct "
-            f"routes (max_routes={max_routes}); each route costs one "
+            f"route_encoded on {route_col!r} found more than {max_routes} "
+            f"distinct routes (max_routes={max_routes}); each route costs one "
             "filtered pass over the input. For high-cardinality routing "
             "encode ONE table keyed on the route column (zone maps prune "
             "per-route scans), or raise max_routes deliberately.")
@@ -619,46 +639,83 @@ def _rechunk_part(tbl: pa.Table, rows_per_chunk: int, pid: int,
     many tiny chunks keep their per-chunk header + zone-map overhead
     forever.  Row order is preserved (runs are consecutive); chunk ids
     are renumbered into the output part's namespace.  Decode memory is
-    bounded: a run is flushed once it buffers 4x rows_per_chunk."""
-    out: list[dict] = []
-    buf: list[dict] = []
+    bounded: a run is flushed once it buffers 4x rows_per_chunk, and
+    pass-through chunks move as zero-copy Arrow slices of the input —
+    only the under-sized chunks being merged are ever materialized as
+    Python objects (the old to_pylist() of the whole part doubled peak
+    memory regardless of the flush bound)."""
+    n = tbl.num_rows
+    n_rows_col = tbl.column("n_rows").to_pylist()
+    schema_ipc_col = tbl.column("schema_ipc").to_pylist()
+    key_name_col = tbl.column("key_name").to_pylist()
+    pieces: list[pa.Table] = []   # in row order: slices + re-encoded runs
+    run: list[int] = []           # indices of buffered under-sized chunks
     buffered = 0
-    plan: dict[str, dict] = {}  # one codec memo per output part
+    # one codec memo PER CHUNK SCHEMA: the memo keeps codec choice
+    # consistent across merged runs of the same schema, but must never
+    # leak a choice (e.g. 'fsst' for a string column) into a run whose
+    # same-named column has a different type — runs are never merged
+    # across schema boundaries, so neither is the plan
+    plans: dict[bytes, dict] = {}
 
     def flush():
-        nonlocal buf, buffered
-        if not buf:
+        nonlocal run, buffered
+        if not run:
             return
-        if len(buf) == 1:
-            out.append(buf[0])  # nothing to merge: move compressed
+        if len(run) == 1:
+            pieces.append(tbl.slice(run[0], 1))  # nothing to merge
         else:
+            rows = tbl.take(run).to_pylist()
             batches = [decode_chunk(c["schema_ipc"], c["names"],
-                                    c["payloads"]) for c in buf]
+                                    c["payloads"]) for c in rows]
             merged = pa.Table.from_batches(batches)
+            # first NON-NULL key name in the run: a run led by an
+            # all-null key slice (key_name None) must not lose the
+            # sort-key zone map the later chunks carry
+            zone_key = next((key_name_col[i] for i in run
+                             if key_name_col[i] is not None), None)
+            plan = plans.setdefault(schema_ipc_col[run[0]], {})
+            enc_rows = []
             for lo in range(0, merged.num_rows, rows_per_chunk):
                 sl = merged.slice(lo, rows_per_chunk).combine_chunks()
-                out.append(encode_chunk(
+                enc_rows.append(encode_chunk(
                     sl.to_batches()[0], pid, 0, codec,
                     plan if codec == "auto" else None,
-                    zone_key=buf[0]["key_name"], block_codec=block_codec))
-        buf, buffered = [], 0
+                    zone_key=zone_key, block_codec=block_codec))
+            pieces.append(pa.Table.from_batches(
+                [_chunk_rows_to_batch(enc_rows)]))
+        run, buffered = [], 0
 
-    for row in tbl.to_pylist():
-        if row["n_rows"] >= rows_per_chunk:
+    pt_start: int | None = None   # start of the current pass-through span
+    for i in range(n):
+        if n_rows_col[i] >= rows_per_chunk:
             flush()
-            out.append(row)
+            if pt_start is None:
+                pt_start = i
             continue
-        if buf and row["schema_ipc"] != buf[0]["schema_ipc"]:
+        if pt_start is not None:
+            pieces.append(tbl.slice(pt_start, i - pt_start))
+            pt_start = None
+        if run and schema_ipc_col[i] != schema_ipc_col[run[0]]:
             flush()  # never merge across schema boundaries
-        buf.append(row)
-        buffered += row["n_rows"]
+        run.append(i)
+        buffered += n_rows_col[i]
         if buffered >= rows_per_chunk * 4:
             flush()
     flush()
-    for i, c in enumerate(out):  # renumber into the output namespace
-        c["part_id"] = pid
-        c["chunk_id"] = i
-    return pa.Table.from_batches([_chunk_rows_to_batch(out)])
+    if pt_start is not None:
+        pieces.append(tbl.slice(pt_start, n - pt_start))
+    if not pieces:
+        return tbl
+    out = pa.concat_tables(pieces, promote_options="default")
+    m = out.num_rows
+    out = out.set_column(out.schema.get_field_index("part_id"),
+                         pa.field("part_id", pa.int64()),
+                         pa.array([pid] * m, pa.int64()))
+    out = out.set_column(out.schema.get_field_index("chunk_id"),
+                         pa.field("chunk_id", pa.int64()),
+                         pa.array(range(m), pa.int64()))
+    return out.combine_chunks()
 
 
 def compact_table(spark: SparkSession, table_path: str,
@@ -895,7 +952,16 @@ def read_decoded(spark: SparkSession, table_path: str,
     table = EncodedTable(table_path, backend=backend)
     dec = decode_table(read_encoded(spark, table_path, backend=backend),
                        table.schema(), columns=columns)
-    for c, vals in (table.meta().get("global_dicts") or {}).items():
+    return _restore_global_dicts(
+        spark, dec, table.meta().get("global_dicts") or {}, columns)
+
+
+def _restore_global_dicts(spark: SparkSession, dec: DataFrame,
+                          gdicts: dict[str, list],
+                          columns: list[str] | None = None) -> DataFrame:
+    """Restore global-dict int-id columns to their values via the
+    persisted dictionary (shared by read_decoded and scan_table)."""
+    for c, vals in gdicts.items():
         if columns is not None and c not in columns:
             continue
         if len(vals) <= _GDICT_LITERAL_MAX:
@@ -917,6 +983,78 @@ def read_decoded(spark: SparkSession, table_path: str,
                    .withColumnRenamed("__gdict_val", c)
                    .select(*cols))
     return dec
+
+
+# widest value-range on a dict column that still translates to an id
+# IN-list for zone pruning; wider ranges skip pruning for that term
+# (conservative — the residual on restored values stays exact)
+_GDICT_PRUNE_MAX = 512
+
+
+def scan_table(spark: SparkSession, table_path: str,
+               pred: list[tuple] | dict,
+               columns: list[str] | None = None,
+               backend: CommitBackend | None = None) -> DataFrame:
+    """Predicate-pushdown scan over a committed table — the
+    global-dict-AWARE analog of engine.scan_filtered.
+
+    Predicates are stated in VALUE space (("lang", "=", "de")) even for
+    columns written with `global_dict_cols`.  For those columns the
+    stored chunks hold int ids, so engine-level scan_filtered would
+    compare strings against ids (silently empty results); here each
+    dict-column term is translated to id space for zone pruning via the
+    dictionary persisted in the snapshot meta (equality/IN → the ids of
+    the matching values, a value range → the id-set whose values fall
+    in the range, or no pruning if that set exceeds _GDICT_PRUNE_MAX —
+    ids are frequency-ranked, not value-ordered, so a value range is
+    NOT an id range), and the exact residual filter runs on the
+    RESTORED value columns.  Non-dict columns behave exactly as in
+    scan_filtered.  `pred` shapes: AND-list of (col, lo, hi) /
+    (col, "=", v) / (col, "in", [v...]), or {"any": [and_list, ...]}."""
+    table = EncodedTable(table_path, backend=backend)
+    gdicts = table.meta().get("global_dicts") or {}
+
+    def translate(terms):
+        out = []
+        for term in terms:
+            t = _norm_term(term)
+            col = t[1]
+            if col not in gdicts:
+                out.append(term)
+                continue
+            vals = gdicts[col]
+            if t[0] == "in":
+                index = {v: i for i, v in enumerate(vals)}
+                ids = [index[v] for v in t[2] if v in index]
+            else:
+                _, _, lo, hi = t
+                ids = [i for i, v in enumerate(vals)
+                       if v is not None
+                       and (lo is None or v >= lo)
+                       and (hi is None or v <= hi)]
+                if len(ids) > _GDICT_PRUNE_MAX:
+                    continue  # too wide to enumerate: no pruning, exact
+                    # residual below still applies
+            # empty id-set = no stored value can match: -1 is below
+            # every id, so the zone check prunes every chunk
+            out.append((col, "in", ids or [-1]))
+        return out
+
+    enc = read_encoded(spark, table_path, backend=backend)
+    if isinstance(pred, dict):
+        zpred: list | dict = {"any": [translate(ts) for ts in pred["any"]]}
+    else:
+        zpred = translate(pred)
+    kept = prune_chunks_pred(enc, zpred)
+    dec = decode_table(kept, table.schema(), columns=columns)
+    dec = _restore_global_dicts(spark, dec, gdicts, columns)
+    if isinstance(pred, dict):
+        cond = F.lit(False)
+        for terms in pred["any"]:
+            cond = cond | _residual_cond(dec, terms)
+    else:
+        cond = _residual_cond(dec, pred)
+    return dec.where(cond)
 
 
 def lineage_df(spark: SparkSession, table_path: str,

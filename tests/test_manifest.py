@@ -342,3 +342,62 @@ def test_encoding_policy_survives_lifecycle_chain(spark):
     assert all(h[0] == 0xEC and h[1] == 0 for h in heads)
     dec = read_decoded(spark, dst)
     assert dec.exceptAll(docs).count() == 0
+
+
+@pytest.mark.spark
+def test_scan_table_dict_aware(spark, tmp_path, monkeypatch):
+    """scan_table states predicates in VALUE space on a table written
+    with global_dict_cols: dict-column terms are translated to id
+    space for zone pruning (ids are frequency-ranked, so a value range
+    becomes an id SET, never an id range) and the exact residual runs
+    on the restored values.  engine.scan_filtered would compare values
+    against stored int ids — the hazard this path exists to close."""
+    import parquet_spark.manifest as M
+    from parquet_spark.manifest import scan_table, write_encoded
+
+    df = gen_corpus(spark, 600, seed=29, parts=3) \
+        .select("url", "warc_ts", "lang", "text")
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=3, rows_per_chunk=100,
+                  global_dict_cols=["lang"])
+    langs = sorted(r[0] for r in df.select("lang").distinct().collect()
+                   if r[0] is not None)
+    pick, last = langs[0], langs[-1]
+    # equality on the dict column
+    exp = df.where(F.col("lang") == pick)
+    got = scan_table(spark, path, [("lang", "=", pick)])
+    assert got.count() == exp.count() > 0
+    assert got.select(*df.columns).exceptAll(exp).count() == 0
+    # value range enumerates the matching id set
+    lo, hi = langs[0], langs[len(langs) // 2]
+    exp_r = df.where(F.col("lang").between(lo, hi))
+    got_r = scan_table(spark, path, [("lang", lo, hi)])
+    assert got_r.count() == exp_r.count() > 0
+    assert got_r.select(*df.columns).exceptAll(exp_r).count() == 0
+    # a value absent from the dictionary matches nothing
+    assert scan_table(spark, path, [("lang", "=", "zz-no")]).count() == 0
+    # dict + non-dict terms compose in one AND-list
+    mn, mx = df.agg(F.min("warc_ts"), F.max("warc_ts")).first()
+    mid = mn + (mx - mn) / 2
+    exp_m = df.where(F.col("lang").isin(langs[:2])
+                     & F.col("warc_ts").between(mn, mid))
+    got_m = scan_table(spark, path,
+                       [("lang", "in", langs[:2]), ("warc_ts", mn, mid)])
+    assert got_m.count() == exp_m.count() > 0
+    # OR-of-ANDs
+    got_or = scan_table(spark, path, {"any": [[("lang", "=", pick)],
+                                              [("lang", "=", last)]]})
+    exp_or = df.where(F.col("lang").isin([pick, last]))
+    assert got_or.count() == exp_or.count()
+    # range wider than _GDICT_PRUNE_MAX: pruning skipped for that term,
+    # the value-space residual keeps the result exact
+    monkeypatch.setattr(M, "_GDICT_PRUNE_MAX", 0)
+    got_w = scan_table(spark, path, [("lang", lo, hi)])
+    assert got_w.count() == exp_r.count()
+    monkeypatch.undo()
+    # projection restores the dict column to strings
+    cols = scan_table(spark, path, [("lang", "=", pick)],
+                      columns=["url", "lang"])
+    assert cols.columns == ["url", "lang"]
+    assert cols.schema["lang"].dataType.simpleString() == "string"
+    assert cols.count() == exp.count()
