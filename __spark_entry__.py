@@ -668,6 +668,39 @@ def q_in_prune(spark, sf_dir):
     return out
 
 
+def q_dict_pruned_scan(spark, sf_dir):
+    """Value-space predicates pushed THROUGH the global dictionary
+    (O12 x O16): lang is STORED as dict int ids, so scan_table must
+    translate the value IN-list to the id set for zone pruning (ids
+    are not value-contiguous in general — the set, never a span) and
+    run the exact residual on the restored strings.  The table is
+    keyed on lang so id zone maps actually bite (asserted); DuckDB
+    recomputes the same per-lang aggregate from raw values."""
+    import tempfile
+
+    from parquet_spark.engine import prune_chunks_pred
+    from parquet_spark.manifest import (EncodedTable, read_encoded,
+                                        scan_table, write_encoded)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="entry_dscan_")
+    write_encoded(d, path, key=["lang", "doc_id"], n_parts=2,
+                  rows_per_chunk=64, global_dict_cols=["lang"])
+    want = ["de", "fr"]
+    vals = EncodedTable(path).meta()["global_dicts"]["lang"]
+    ids = [i for i, v in enumerate(vals) if v in want]
+    enc = read_encoded(spark, path).cache()
+    n_all = enc.count()
+    n_kept = prune_chunks_pred(enc, [("lang", "in", ids)]).count()
+    assert 0 < n_kept < n_all, (n_kept, n_all)  # id-space pruning bites
+    enc.unpersist()
+    return (scan_table(spark, path, [("lang", "in", want)])
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("lang"))
+
+
 def q_compact_rechunk(spark, sf_dir):
     """O10/O11 lifecycle through the ORACLE: write documents
     fragmented (every chunk under-sized), compact with rechunk (runs of
@@ -946,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_prune_ts": q_zone_prune_ts,
         "zone_prune_multi": q_zone_prune_multi,
         "in_prune": q_in_prune,
+        "dict_pruned_scan": q_dict_pruned_scan,
         "global_dict_roundtrip": q_global_dict_roundtrip,
         "splits_lineage": q_splits_lineage,
         "compact_rechunk": q_compact_rechunk,
@@ -1357,6 +1391,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    COUNT(DISTINCT md5(text)) AS n_texts
             FROM documents WHERE doc_id IN (3, 250, 444)""",
+        "dict_pruned_scan": """
+            SELECT lang, COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE lang IN ('de', 'fr')
+            GROUP BY lang ORDER BY lang""",
         "zone_prune_ts": """
             WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
             b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
