@@ -327,7 +327,23 @@ def _dec_str_plain(body: bytes, t: pa.DataType) -> pa.Array:
     return _scatter(_strings_from(body[off:], lengths, t), n, valid)
 
 
-def _enc_fsst(arr: pa.Array, table=None, ctx: dict | None = None) -> bytes | None:
+# Adaptive FSST config: the measured global default (shallow
+# count-ranked tables, fsst.py config note) wins under the zstd block
+# layer, but the paper-faithful deep gain-ranked config wins when
+# payloads ship raw (block_codec="none") or when a chunk's redundancy
+# is phrase-shaped.  When the caller passes the block codec actually in
+# effect, chunks past this size train BOTH configs on the
+# (SAMPLE_BYTES-capped) sample, trial-encode a prefix, block-wrap both,
+# and keep the winner — decided once per partition-column (the ctx
+# table cache reuses the winning table).
+_ADAPT_MIN_BYTES = 64 << 10    # below this the trial noise beats the gain
+_ADAPT_TRIAL_BYTES = 128 << 10  # prefix trial-encoded per candidate table
+# the paper config measured best on raw FSST size (fsst.py study table)
+_ADAPT_ALT = {"rank": "gain", "rounds": 4, "budget": (96, 64, 48, 47)}
+
+
+def _enc_fsst(arr: pa.Array, table=None, ctx: dict | None = None,
+              block_codec: str | None = None) -> bytes | None:
     head, vals = _validity_header(arr, STR_FSST)
     data, lengths = _bytes_and_lengths(vals)
     # LAZILY computed histogram, shared by reuse-validation, training,
@@ -355,6 +371,18 @@ def _enc_fsst(arr: pa.Array, table=None, ctx: dict | None = None) -> bytes | Non
                 table = cached
     if table is None:
         table = fsst.train(data, hist=get_hist())
+        if (block_codec is not None and table
+                and len(data) >= _ADAPT_MIN_BYTES):
+            alt = fsst.train(data, hist=get_hist(), **_ADAPT_ALT)
+            if alt:
+                # the trial prefix inherits data's free-code guarantee
+                # (its histogram is a sub-multiset), so both u8 tables
+                # apply safely
+                trial = data[:_ADAPT_TRIAL_BYTES]
+                cur = len(_block_wrap(fsst.encode(trial, table), block_codec))
+                new = len(_block_wrap(fsst.encode(trial, alt), block_codec))
+                if new < cur:
+                    table = alt
         if ctx is not None and table:
             ctx["fsst_table"] = table
     if not table:
@@ -520,7 +548,8 @@ def _pick_string_codec(arr: pa.Array) -> int:
 
 
 def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
-                 ctx: dict | None = None) -> bytes:
+                 ctx: dict | None = None,
+                 block_codec: str | None = None) -> bytes:
     t = arr.type
     if codec != "auto":
         cid = CODEC_IDS[codec]
@@ -545,7 +574,7 @@ def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
         cid = PLAIN
 
     if cid == STR_FSST:
-        body = _enc_fsst(arr, ctx=ctx)
+        body = _enc_fsst(arr, ctx=ctx, block_codec=block_codec)
         if body is None:
             body = _enc_str_plain(arr)
         return body
@@ -581,7 +610,7 @@ def encode_column(arr: pa.Array, codec: str = "auto",
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     try:
-        body = _encode_body(arr, codec, ctx=ctx)
+        body = _encode_body(arr, codec, ctx=ctx, block_codec=block_codec)
     except Exception:
         if codec != "auto":
             raise

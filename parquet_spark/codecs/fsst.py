@@ -80,19 +80,23 @@ MAX_SYMBOLS = 255          # generic mode: codes 256..510
 # redundancy zstd's window models better, while 2-byte codes halve the
 # stream zstd still sees.  Defaults take the shallow config with a
 # small second round (hedge for buffers whose redundancy is local);
-# RANK/"ROUNDS"/_ROUND_BUDGET stay module knobs, and RANK="gain" keeps
-# the paper ranking available for block_codec="none" deployments.
+# RANK/"ROUNDS"/_ROUND_BUDGET stay module knobs.  On top of the global
+# default, codecs.column._enc_fsst adaptively trial-wraps BOTH rankings
+# per partition-column (under the block codec actually in effect) and
+# keeps the winner — so block_codec="none" deployments get the paper
+# gain ranking automatically when it wins end-to-end.
 ROUNDS = 2
 SAMPLE_BYTES = 1 << 18     # train on at most 256 KiB
 _ROUND_BUDGET = (240, 15)
 RANK = "count"             # candidate ranking: "count" | "gain"
 
 
-def _round_budget(rnd: int) -> int:
+def _round_budget(rnd: int, budget: tuple | None = None) -> int:
     """Per-round symbol budget; rounds beyond the tuple reuse its last
     entry so ROUNDS and _ROUND_BUDGET stay independently settable knobs
     (ROUNDS=5 with the default 2-tuple must not IndexError)."""
-    return _ROUND_BUDGET[min(rnd, len(_ROUND_BUDGET) - 1)]
+    b = _ROUND_BUDGET if budget is None else budget
+    return b[min(rnd, len(b) - 1)]
 
 
 MIN_PAIR_COUNT = 16        # a pair must appear this often in the sample
@@ -158,16 +162,20 @@ def _luts_u8(rules: list[tuple[int, int, int]]) -> np.ndarray:
     return lut
 
 
-def _train_u8(arr: np.ndarray, free: np.ndarray) -> list[tuple[int, int, int]]:
+def _train_u8(arr: np.ndarray, free: np.ndarray,
+              rank: str | None = None, rounds: int | None = None,
+              budget: tuple | None = None) -> list[tuple[int, int, int]]:
+    rank = RANK if rank is None else rank
+    rounds = ROUNDS if rounds is None else rounds
     sample = arr[:SAMPLE_BYTES].copy()
     min_count = max(MIN_PAIR_COUNT, len(sample) >> 14)
     lengths = np.ones(256, dtype=np.int64)
     rules: list[tuple[int, int, int]] = []
     free_iter = iter(int(b) for b in free)
-    for rnd in range(ROUNDS):
+    for rnd in range(rounds):
         if len(sample) < 2 or len(rules) >= len(free):
             break
-        budget = min(_round_budget(rnd), len(free) - len(rules))
+        budget_n = min(_round_budget(rnd, budget), len(free) - len(rules))
         key = sample[:-1].astype(np.uint16)
         key <<= np.uint16(8)
         key |= sample[1:]
@@ -175,7 +183,7 @@ def _train_u8(arr: np.ndarray, free: np.ndarray) -> list[tuple[int, int, int]]:
         cand = np.flatnonzero(counts >= min_count)
         if len(cand) == 0:
             break
-        if RANK == "gain":
+        if rank == "gain":
             # paper gain ranking: bytes saved = count x (len(l)+len(r)-1)
             score = counts[cand] * (lengths[cand >> 8]
                                     + lengths[cand & 0xFF] - 1)
@@ -193,7 +201,7 @@ def _train_u8(arr: np.ndarray, free: np.ndarray) -> list[tuple[int, int, int]]:
             rules.append((code, left, right))
             lengths[code] = lengths[left] + lengths[right]
             added += 1
-            if added >= budget:
+            if added >= budget_n:
                 break
         if added == 0:
             break
@@ -306,16 +314,19 @@ def _substitute(a: np.ndarray, lut: np.ndarray) -> np.ndarray:
     return out[keep]
 
 
-def _train_u16(arr: np.ndarray,
-               max_symbols: int = MAX_SYMBOLS) -> list[tuple[int, int]]:
+def _train_u16(arr: np.ndarray, max_symbols: int = MAX_SYMBOLS,
+               rank: str | None = None, rounds: int | None = None,
+               budget: tuple | None = None) -> list[tuple[int, int]]:
+    rank = RANK if rank is None else rank
+    rounds = ROUNDS if rounds is None else rounds
     sample = arr[:SAMPLE_BYTES].astype(np.uint16)
     min_count = max(MIN_PAIR_COUNT, len(sample) >> 14)
     rules: list[tuple[int, int]] = []
     lengths = np.ones(256 + max_symbols, dtype=np.int64)
-    for rnd in range(ROUNDS):
+    for rnd in range(rounds):
         if len(sample) < 2 or len(rules) >= max_symbols:
             break
-        budget = min(_round_budget(rnd), max_symbols - len(rules))
+        budget_n = min(_round_budget(rnd, budget), max_symbols - len(rules))
         key = (sample[:-1].astype(np.int32) << _KEY_BITS) | sample[1:]
         counts = np.bincount(key, minlength=_LUT_SIZE)
         cand = np.flatnonzero(counts >= min_count)
@@ -327,8 +338,8 @@ def _train_u16(arr: np.ndarray,
         cand, lens = cand[ok], lens[ok]
         if len(cand) == 0:
             break
-        score = counts[cand] * (lens - 1) if RANK == "gain" else counts[cand]
-        order = np.argsort(score)[::-1][:budget]
+        score = counts[cand] * (lens - 1) if rank == "gain" else counts[cand]
+        order = np.argsort(score)[::-1][:budget_n]
         for k in cand[order]:
             left = int(k) >> _KEY_BITS
             right = int(k) & ((1 << _KEY_BITS) - 1)
@@ -365,38 +376,53 @@ def table_ok(buf: bytes, table, hist: np.ndarray | None = None) -> bool:
 
 
 def train(buf: bytes, max_symbols: int = MAX_SYMBOLS,
-          hist: np.ndarray | None = None):
+          hist: np.ndarray | None = None, rank: str | None = None,
+          rounds: int | None = None, budget: tuple | None = None):
     """Learn a symbol table.  Returns an opaque table object (falsy when
     the buffer yields no symbols); pass it to `encode`.  `hist` (from
-    byte_hist) skips the internal full-buffer histogram."""
+    byte_hist) skips the internal full-buffer histogram.  `rank` /
+    `rounds` / `budget` override the module-level training config
+    ("count" | "gain", merge depth, per-round symbol budget) for this
+    one run — the adaptive selector in codecs.column trains both the
+    shallow-count and paper-gain configs and keeps whichever
+    block-wraps smaller.  The table records its own `rounds` so encode
+    runs enough substitution passes for deep tables."""
     if len(buf) < 64:
         return []
+    rank = RANK if rank is None else rank
+    depth = ROUNDS if rounds is None else rounds
     arr = np.frombuffer(buf, dtype=np.uint8)
     if hist is None:
         hist = np.bincount(arr, minlength=256)
     free = np.flatnonzero(hist == 0)
     if len(free) >= _MIN_FREE:
-        rules = _train_u8(arr, free)
-        return {"mode": "u8", "rules": rules} if rules else []
+        rules = _train_u8(arr, free, rank=rank, rounds=rounds, budget=budget)
+        return ({"mode": "u8", "rules": rules, "rank": rank,
+                 "rounds": depth} if rules else [])
     # full(ish) alphabet: requisition the rarest values as codes via the
     # escape pre-pass, keeping the whole u8 pipeline (half the memory
     # traffic of u16 and a 1-byte output stream)
     esc, codes, overhead = _pick_escape_set(hist, _ESC_CANDIDATES)
     if overhead < (len(arr) >> _ESC_MAX_FRAC):
         escaped = _escape_bytes(arr, esc, codes)
-        rules = _train_u8(escaped, codes)
+        rules = _train_u8(escaped, codes, rank=rank, rounds=rounds,
+                          budget=budget)
         if rules:
             return {"mode": "u8e", "esc": esc, "codes": codes,
-                    "rules": rules}
-    rules = _train_u16(arr, max_symbols)
-    return {"mode": "u16", "rules": rules} if rules else []
+                    "rules": rules, "rank": rank, "rounds": depth}
+    rules = _train_u16(arr, max_symbols, rank=rank, rounds=rounds,
+                       budget=budget)
+    return ({"mode": "u16", "rules": rules, "rank": rank,
+             "rounds": depth} if rules else [])
 
 
-def _tiled(arr: np.ndarray, sub, prep) -> list[np.ndarray]:
+def _tiled(arr: np.ndarray, sub, prep,
+           passes: int | None = None) -> list[np.ndarray]:
+    passes = ROUNDS if passes is None else passes
     outs = []
     for lo in range(0, max(len(arr), 1), _TILE):
         a = prep(arr[lo:lo + _TILE])
-        for _ in range(ROUNDS):
+        for _ in range(passes):
             b = sub(a)
             if len(b) == len(a):
                 break
@@ -410,12 +436,16 @@ def encode(buf: bytes, table, hist: np.ndarray | None = None) -> bytes:
     `hist` (from byte_hist over THIS buf) skips the u8-mode safety
     re-histogram."""
     raw = np.frombuffer(buf, dtype=np.uint8)
+    # deep tables (adaptive paper-gain config) need as many substitution
+    # passes as training rounds for their longest symbols to materialize
+    passes = table.get("rounds", ROUNDS) if table else ROUNDS
     if table and table["mode"] == "u8e":
         esc, codes = table["esc"], table["codes"]
         raw = _escape_bytes(raw, esc, codes)
         rules = table["rules"]
         lut8 = _luts_u8(rules)
-        outs = _tiled(raw, lambda a: _sub_u8(a, lut8), lambda s: s)
+        outs = _tiled(raw, lambda a: _sub_u8(a, lut8), lambda s: s,
+                      passes=passes)
         a = outs[0] if len(outs) == 1 else np.concatenate(outs)
         head = (struct.pack("<BBB", 2, esc, len(codes))
                 + np.asarray(codes, dtype=np.uint8).tobytes()
@@ -432,7 +462,8 @@ def encode(buf: bytes, table, hist: np.ndarray | None = None) -> bytes:
             rules = []
         if rules:
             lut8 = _luts_u8(rules)
-            outs = _tiled(raw, lambda a: _sub_u8(a, lut8), lambda s: s)
+            outs = _tiled(raw, lambda a: _sub_u8(a, lut8), lambda s: s,
+                          passes=passes)
             a = outs[0] if len(outs) == 1 else np.concatenate(outs)
         else:
             a = raw
@@ -444,7 +475,7 @@ def encode(buf: bytes, table, hist: np.ndarray | None = None) -> bytes:
     if rules:
         lut = _build_lut(rules)
         outs = _tiled(raw, lambda a: _substitute(a, lut),
-                      lambda s: s.astype(np.uint16))
+                      lambda s: s.astype(np.uint16), passes=passes)
         a = outs[0] if len(outs) == 1 else np.concatenate(outs)
     else:
         a = raw.astype(np.uint16)

@@ -448,3 +448,83 @@ def test_decimal128_boundary_sizes(n):
                    type=pa.decimal128(30, 3))
     _, payload = encode_column(arr)
     assert decode_column(payload, arr.type).equals(arr)
+
+
+# ------------------------------------------------- adaptive FSST config
+
+def _zipf_text_corpus():
+    """Deterministic zipf-ish web text where the shallow-count and
+    paper-gain training configs produce materially different tables."""
+    rng = np.random.default_rng(7)
+    letters = list("abcdefghijklmnopqrstuvwxyz")
+    vocab = ["".join(rng.choice(letters, size=rng.integers(3, 10)))
+             for _ in range(500)]
+    docs = []
+    for d in range(400):
+        idx = (rng.zipf(1.3, size=rng.integers(40, 120)) - 1) % 500
+        words = [vocab[i] for i in idx]
+        if d % 3 == 0:
+            words += ["click here to subscribe to our newsletter today"] * 2
+        docs.append(" ".join(words))
+    return docs
+
+
+def test_fsst_train_config_overrides():
+    docs = _zipf_text_corpus()
+    data = " ".join(docs).encode()
+    from parquet_spark.codecs.column import _ADAPT_ALT
+    shallow = fsst.train(data)
+    deep = fsst.train(data, **_ADAPT_ALT)
+    assert shallow["rank"] == "count" and shallow["rounds"] == fsst.ROUNDS
+    assert deep["rank"] == "gain" and deep["rounds"] == 4
+    for t in (shallow, deep):
+        enc = fsst.encode(data, t)
+        assert fsst.decode(enc) == data
+    # the deep gain config must beat shallow on RAW size for this corpus
+    # (that is the paper's objective and what the adaptive trial exploits)
+    assert len(fsst.encode(data, deep)) < len(fsst.encode(data, shallow))
+
+
+@pytest.mark.parametrize("spec", ["none", "auto"])
+def test_fsst_adaptive_picks_trial_winner(spec):
+    """_enc_fsst must keep whichever training config block-wraps smaller
+    under the block codec actually in effect — recomputed independently
+    here rather than pinned (raw favors paper-gain, zstd favors
+    shallow-count on this corpus, but the assertion is the decision
+    procedure, not the outcome)."""
+    from parquet_spark.codecs.column import (_ADAPT_ALT, _ADAPT_TRIAL_BYTES,
+                                             _block_wrap, _enc_fsst)
+    docs = _zipf_text_corpus()
+    arr = pa.array(docs)
+    data = "".join(docs).encode()
+    assert len(data) >= 64 << 10, "corpus must clear the adaptive gate"
+    ctx = {}
+    body = _enc_fsst(arr, ctx=ctx, block_codec=spec)
+    chosen = ctx["fsst_table"]
+    trial = data[:_ADAPT_TRIAL_BYTES]
+    sizes = {}
+    for name, t in (("default", fsst.train(data)),
+                    ("alt", fsst.train(data, **_ADAPT_ALT))):
+        sizes[name] = len(_block_wrap(fsst.encode(trial, t), spec))
+    expect = "alt" if sizes["alt"] < sizes["default"] else "default"
+    assert (chosen["rank"], chosen["rounds"]) == (
+        (_ADAPT_ALT["rank"], _ADAPT_ALT["rounds"]) if expect == "alt"
+        else ("count", fsst.ROUNDS))
+    # and the chosen encoding round-trips through the public path
+    from parquet_spark.codecs.column import _dec_fsst
+    assert _dec_fsst(body, arr.type).equals(arr)
+
+
+def test_fsst_adaptive_public_roundtrip_and_gain():
+    """encode_column with block_codec='none' routes through the adaptive
+    trial on a big text column: payload must round-trip and be no larger
+    than the shallow-config encoding of the same data."""
+    docs = _zipf_text_corpus()
+    arr = pa.array(docs)
+    name, payload = encode_column(arr, codec="fsst", block_codec="none")
+    assert name == "fsst"
+    assert decode_column(payload, arr.type).equals(arr)
+    from parquet_spark.codecs.column import _enc_fsst
+    shallow_body = _enc_fsst(arr, table=fsst.train(
+        "".join(docs).encode()))
+    assert len(payload) <= len(shallow_body) + 16
