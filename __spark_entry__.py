@@ -283,6 +283,24 @@ def q_ivf_topk(spark, sf_dir):
                     round_dp=6).orderBy("q_id", "rank")
 
 
+def q_ivf_recall(spark, sf_dir):
+    """Recall@k of the IVF search vs the exact scan (the ANN-tuning
+    metric): same md5-seeded centroids, 6dp-rounded assignment, and
+    probe fan-out as the ivf_topk facet; DuckDB recomputes BOTH
+    rankings and the per-query intersection — certifying not just that
+    each search runs, but that the quality measurement itself is
+    reproducible outside Spark."""
+    from parquet_spark.textops.similarity import ivf_recall, ivf_seeds_md5
+    em = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))"))
+    cents = ivf_seeds_md5(em, n_clusters=8)
+    corpus = em.where(F.col("vec_id") >= 4)
+    queries = em.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    return ivf_recall(corpus, queries, cents, k=3, nprobe=2,
+                      round_dp=6).orderBy("q_id")
+
+
 def q_streaming_window_stats(spark, sf_dir):
     """Watermarked event-time windowed aggregation as a STREAM over a
     multi-file copy of the derived corpus (>=2 micro-batches, one file
@@ -963,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_buckets": q_ann_buckets,
         "ivf_clusters": q_ivf_clusters,
         "ivf_topk": q_ivf_topk,
+        "ivf_recall": q_ivf_recall,
         "streaming_window_stats": q_streaming_window_stats,
         "token_counts": q_token_counts,
         "quality_by_source": q_quality_by_source,
@@ -1506,6 +1525,62 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT q_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
             FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
+        "ivf_recall": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            seeds AS (SELECT v AS sv,
+                             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                                vec_id) - 1 AS cid
+                      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                      LIMIT 8),
+            d AS (SELECT e.vec_id, s.cid,
+                         ROUND(list_reduce(
+                             list_prepend(CAST(0 AS DOUBLE),
+                                 list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i]))),
+                             (a, b) -> a + b), 6) AS dist
+                  FROM e CROSS JOIN seeds s),
+            corp AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, cid) AS rn
+                       FROM d WHERE vec_id >= 4) WHERE rn = 1),
+            qprobe AS (SELECT vec_id AS q_id, cid FROM (
+                         SELECT vec_id, cid,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                   ORDER BY dist, cid) AS rn
+                         FROM d WHERE vec_id < 4) WHERE rn <= 2),
+            pairs AS (SELECT DISTINCT q.q_id, c.vec_id
+                      FROM qprobe q JOIN corp c ON q.cid = c.cid),
+            s AS (SELECT p.q_id, p.vec_id,
+                         ROUND(list_dot_product(qe.v, ce.v) /
+                               (sqrt(list_dot_product(qe.v, qe.v)) *
+                                sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos
+                  FROM pairs p
+                  JOIN e qe ON qe.vec_id = p.q_id
+                  JOIN e ce ON ce.vec_id = p.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                               ORDER BY cos DESC,
+                                                        vec_id ASC) AS rank
+                  FROM s),
+            approx AS (SELECT q_id, vec_id FROM r WHERE rank <= 3),
+            xs AS (SELECT qe.vec_id AS q_id, ce.vec_id AS vec_id,
+                          ROUND(list_dot_product(qe.v, ce.v) /
+                                (sqrt(list_dot_product(qe.v, qe.v)) *
+                                 sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos
+                   FROM e qe, e ce
+                   WHERE qe.vec_id < 4 AND ce.vec_id >= 4),
+            xr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                                ORDER BY cos DESC,
+                                                         vec_id ASC) AS rank
+                   FROM xs),
+            exact AS (SELECT q_id, vec_id FROM xr WHERE rank <= 3)
+            SELECT x.q_id, COUNT(a.vec_id) AS n_hits,
+                   ROUND(COUNT(a.vec_id) / 3.0, 6) AS recall
+            FROM exact x LEFT JOIN approx a
+              ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+            GROUP BY x.q_id ORDER BY x.q_id""",
         "streaming_window_stats": f"""
             WITH corpus AS ({_CORPUS_SQL})
             SELECT CAST(epoch_us(date_trunc('hour', warc_ts)) AS BIGINT)

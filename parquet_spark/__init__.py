@@ -62,6 +62,7 @@ _EXPORTS = {
     "embedding_near_dups_lsh": "textops.dedup",
     "cosine_topk": "textops.similarity", "ann_topk": "textops.similarity",
     "ivf_topk": "textops.similarity", "ivf_centroids": "textops.similarity",
+    "ivf_recall": "textops.similarity",
     "quality_filter": "textops.textstats",
     "quality_score": "textops.textstats",
     "repetition_stats": "textops.textstats",

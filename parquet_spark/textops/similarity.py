@@ -228,6 +228,33 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
             .select(qid_col, id_col, "cos", "rank"))
 
 
+def ivf_recall(corpus: DataFrame, queries: DataFrame,
+               centroids: list[list[float]], k: int = 5, nprobe: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "q_id",
+               round_dp: int | None = None) -> DataFrame:
+    """Recall@k of the IVF search against the exact scan — the standard
+    ANN quality metric: per query, |IVF top-k ∩ exact top-k| / k.
+
+    This is the evaluation harness for tuning n_clusters/nprobe, not a
+    production search path: the exact side scores the full corpus for
+    the query set, so at 100 TB run it over a sampled corpus slice (the
+    recall estimate concentrates fast) while the IVF side stays the
+    bucketed production plan.  Returns (qid, n_hits, recall) per query;
+    both rankings share the 6dp-rounded cosine + id tie-break, so the
+    metric is deterministic and externally reproducible."""
+    exact = cosine_topk(corpus, queries, k, id_col, vec_col, qid_col)
+    approx = ivf_topk(corpus, queries, centroids, k, nprobe,
+                      id_col, vec_col, qid_col, round_dp)
+    a = approx.select(F.col(qid_col).alias("_aq"),
+                      F.col(id_col).alias("_ai"))
+    hit = ((exact[qid_col] == a["_aq"]) & (exact[id_col] == a["_ai"]))
+    return (exact.join(a, hit, "left")
+            .groupBy(qid_col)
+            .agg(F.count("_ai").alias("n_hits"),
+                 F.round(F.count("_ai") / F.lit(k), 6).alias("recall")))
+
+
 def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 8, seed: int = 42, id_col: str = "vec_id",
              vec_col: str = "embedding", qid_col: str = "q_id",

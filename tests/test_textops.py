@@ -202,6 +202,32 @@ def test_ivf_topk_recall_vs_bruteforce(spark, vecs):
 
 
 @pytest.mark.spark
+def test_ivf_recall_metric_matches_python(spark, vecs):
+    from parquet_spark.textops.similarity import (cosine_topk, ivf_centroids,
+                                                  ivf_recall, ivf_topk)
+    q = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    c = vecs.where(F.col("vec_id") >= 3)
+    cents = ivf_centroids(vecs, n_clusters=4, seed=42)
+    got = {r.q_id: (r.n_hits, r.recall)
+           for r in ivf_recall(c, q, cents, k=4, nprobe=1).collect()}
+    assert set(got) == {0, 1, 2}
+    # recompute the metric from the two searches it is defined over
+    exact = {}
+    for r in cosine_topk(c, q, k=4).collect():
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+    approx = {}
+    for r in ivf_topk(c, q, cents, k=4, nprobe=1).collect():
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+    for qid in (0, 1, 2):
+        hits = len(exact[qid] & approx.get(qid, set()))
+        assert got[qid] == (hits, round(hits / 4, 6))
+    # nprobe = n_clusters probes every list -> recall must be 1.0
+    full = ivf_recall(c, q, cents, k=4, nprobe=4).collect()
+    assert all(r.recall == 1.0 and r.n_hits == 4 for r in full)
+
+
+@pytest.mark.spark
 def test_rolling_fingerprint_matches_python(spark, docs):
     from parquet_spark.textops.textstats import (ROLL_BASE, ROLL_MOD,
                                                  rolling_fingerprint)
