@@ -249,7 +249,9 @@ def ivf_recall(corpus: DataFrame, queries: DataFrame,
     a = approx.select(F.col(qid_col).alias("_aq"),
                       F.col(id_col).alias("_ai"))
     hit = ((exact[qid_col] == a["_aq"]) & (exact[id_col] == a["_ai"]))
-    return (exact.join(a, hit, "left")
+    # the approx side is k x |queries| rows by construction — broadcast
+    # it so the metric join never shuffles the exact side
+    return (exact.join(F.broadcast(a), hit, "left")
             .groupBy(qid_col)
             .agg(F.count("_ai").alias("n_hits"),
                  F.round(F.count("_ai") / F.lit(k), 6).alias("recall")))

@@ -104,6 +104,19 @@ def main():
                     .select(F.col("vec_id").alias("q_id"), "embedding"),
                     k=3))
 
+    from parquet_spark.textops.similarity import (ivf_recall,
+                                                  ivf_seeds_md5)
+    add("IVF recall@k (evaluation metric)",
+        "Both searches keep their production shapes — the exact side's "
+        "BroadcastNestedLoopJoin + WindowGroupLimit and the IVF side's "
+        "cluster-keyed join with the broadcast probe fan-out — and the "
+        "metric join itself touches only k x |queries| rows per side "
+        "(driver-free, broadcast-able at any corpus size).",
+        ivf_recall(emb.where(F.col("vec_id") >= 4),
+                   emb.where(F.col("vec_id") < 4)
+                   .select(F.col("vec_id").alias("q_id"), "embedding"),
+                   ivf_seeds_md5(emb, n_clusters=4), k=3, nprobe=2))
+
     import tempfile
 
     from parquet_spark.manifest import read_decoded, write_encoded
