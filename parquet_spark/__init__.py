@@ -63,6 +63,8 @@ _EXPORTS = {
     "cosine_topk": "textops.similarity", "ann_topk": "textops.similarity",
     "ivf_topk": "textops.similarity", "ivf_centroids": "textops.similarity",
     "ivf_recall": "textops.similarity",
+    "pq_codebooks": "textops.similarity", "pq_encode": "textops.similarity",
+    "pq_topk": "textops.similarity",
     "quality_filter": "textops.textstats",
     "quality_score": "textops.textstats",
     "repetition_stats": "textops.textstats",

@@ -132,10 +132,21 @@ def ivf_centroids(emb: DataFrame, n_clusters: int = 16,
                             .alias("h"))
                  .orderBy("h").limit(n_clusters).collect())
         cents = [[float(x) for x in r.v] for r in seeds]
+    _lloyd_refine(emb, cents, vec_col, lloyd_iters, tol=tol, stats=stats)
+    return [[round(v, 6) for v in c] for c in cents]
+
+
+def _lloyd_refine(df: DataFrame, cents: list[list[float]], vec_col: str,
+                  iters: int, tol: float = 0.0,
+                  stats: dict | None = None) -> list[list[float]]:
+    """Expression-only Lloyd rounds, updating `cents` in place: assign
+    via broadcast argmin, means via posexplode + groupBy — both shuffle
+    only (cluster, dim)-sized aggregates, never the corpus.  Shared by
+    the IVF coarse quantizer and the PQ sub-quantizers."""
     if stats is not None:
         stats.setdefault("rounds", [])
-    for it in range(lloyd_iters):
-        assigned = ivf_assign(emb, cents, vec_col=vec_col)
+    for it in range(iters):
+        assigned = ivf_assign(df, cents, vec_col=vec_col)
         means = (assigned.select("cluster",
                                  F.posexplode(F.col(vec_col))
                                  .alias("pos", "x"))
@@ -159,7 +170,7 @@ def ivf_centroids(emb: DataFrame, n_clusters: int = 16,
                                     "sizes": sizes})
         if movement <= tol:
             break
-    return [[round(v, 6) for v in c] for c in cents]
+    return cents
 
 
 def ivf_seeds_md5(emb: DataFrame, n_clusters: int = 16,
@@ -271,6 +282,129 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = lsh_bucket(queries.select(F.col(qid_col), F.col(vec_col).alias("qv")),
                    planes, "qv")
     scored = (c.join(F.broadcast(q), "bucket")
+              .withColumn("cos", F.round(_dot("qv", "cv") /
+                                         (_norm("qv") * _norm("cv")), 6)))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(),
+                                            F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "cos", "rank"))
+
+
+# ------------------------------------------------- product quantization
+
+def pq_codebooks_md5(emb: DataFrame, m: int = 4, k: int = 8,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Oracle-friendly deterministic PQ codebooks: subspace j's codebook
+    is the j-th subvector of the k vectors with the smallest
+    md5(cast(id as string)) — the same externally-reproducible seeding
+    as ivf_seeds_md5, so a SQL oracle can rebuild every codebook.
+    Returns codebooks[m][k][d/m]; subvectors stay UNROUNDED (repr
+    round-trips float64 exactly, and rounding here would make the
+    Spark literal disagree with an oracle reading the raw vectors)."""
+    rows = (emb.select(F.col(vec_col).alias("v"),
+                       F.md5(F.col(id_col).cast("string")).alias("h"),
+                       F.col(id_col).alias("i"))
+            .orderBy("h", "i").limit(k).collect())
+    vecs = [[float(x) for x in r.v] for r in rows]
+    d = len(vecs[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [[v[j * dsub:(j + 1) * dsub] for v in vecs] for j in range(m)]
+
+
+def pq_codebooks(emb: DataFrame, m: int = 4, k: int = 8,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 lloyd_iters: int = 0) -> list[list[list[float]]]:
+    """PQ codebooks with optional Lloyd refinement per subspace: the
+    md5 seeds anchor determinism, then each subspace's codebook is
+    refined independently on the corpus's subvectors (each round is one
+    corpus pass per subspace; aggregates shuffle only (k, d/m)-sized
+    rows).  lloyd_iters=0 returns the seeded codebooks unchanged."""
+    cbs = pq_codebooks_md5(emb, m, k, id_col, vec_col)
+    if lloyd_iters:
+        dsub = len(cbs[0][0])
+        for j in range(m):
+            sub = emb.select(
+                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("sv"))
+            _lloyd_refine(sub, cbs[j], "sv", lloyd_iters)
+            cbs[j] = [[round(x, 6) for x in c] for c in cbs[j]]
+    return cbs
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding", out_col: str = "codes",
+              round_dp: int | None = None) -> DataFrame:
+    """Quantize each vector to m small codes (array<int>, one per
+    subspace): per-subspace argmin of L2 distance to the codebook
+    entries, pure codegen expressions.  This is the 100 TB scan
+    representation — m bytes of codes replace 4·d bytes of floats on
+    every ADC-scored row.  `round_dp` rounds each subspace distance
+    before the argmin (centroid-id tie-break) for cross-engine
+    reproducible codes."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j, cb in enumerate(codebooks):
+        sub = f"slice({vec_col}, {j * dsub + 1}, {dsub})"
+
+        def dist_expr(c):
+            d = F.expr(f"aggregate(zip_with({sub}, {_centroid_lit(c)}, "
+                       f"(x, y) -> (x - y) * (x - y)), 0D, (s, v) -> s + v)")
+            return F.round(d, round_dp) if round_dp is not None else d
+
+        dists = [F.struct(dist_expr(c).alias("d"), F.lit(i).alias("i"))
+                 for i, c in enumerate(cb)]
+        codes.append(F.array_sort(F.array(*dists))[0].getField("i"))
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame,
+            codebooks: list[list[list[float]]], k: int = 5,
+            rerank: int = 4, id_col: str = "vec_id",
+            vec_col: str = "embedding", qid_col: str = "q_id",
+            round_dp: int | None = None) -> DataFrame:
+    """PQ-compressed approximate top-k with exact residual re-ranking.
+
+    Stage 1 (ADC): the corpus is quantized once to m codes per vector;
+    each query scores every code row with the asymmetric distance —
+    sum over subspaces of L2(query subvector, codebook[j][code_j]) —
+    an expression over the broadcast codebook literal, so the scan
+    touches only the m-byte codes, never the full vectors.  Stage 2
+    (re-rank): only the k·rerank ADC candidates per query join back to
+    their exact vectors for the true-cosine ranking — at 10^12 rows
+    that join moves k·rerank·|queries| rows, not the corpus.  This is
+    the residual-refinement step that IVF-flat could not express (its
+    in-list scoring is already exact)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    codes = pq_encode(c, codebooks, "cv", "codes",
+                      round_dp=round_dp).select(id_col, "codes")
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))
+    cb_lit = "array(" + ",".join(
+        "array(" + ",".join(_centroid_lit(cent) for cent in cb) + ")"
+        for cb in codebooks) + ")"
+    adc = F.expr(
+        f"aggregate(transform(sequence(0, {m - 1}), j -> "
+        f"aggregate(zip_with(slice(qv, j * {dsub} + 1, {dsub}), "
+        f"element_at(element_at({cb_lit}, j + 1), codes[j] + 1), "
+        f"(x, y) -> (x - y) * (x - y)), 0D, (s, v) -> s + v)), "
+        f"0D, (s, v) -> s + v)")
+    if round_dp is not None:
+        adc = F.round(adc, round_dp)
+    wc = Window.partitionBy(qid_col).orderBy(F.col("adc").asc(),
+                                             F.col(id_col).asc())
+    cand = (codes.join(F.broadcast(q))
+            .withColumn("adc", adc)
+            .withColumn("crank", F.row_number().over(wc))
+            .where(F.col("crank") <= k * rerank)
+            .select(qid_col, id_col))
+    # exact re-rank: candidates only
+    scored = (cand.join(c, id_col)
+              .join(F.broadcast(q), qid_col)
               .withColumn("cos", F.round(_dot("qv", "cv") /
                                          (_norm("qv") * _norm("cv")), 6)))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(),

@@ -117,6 +117,18 @@ def main():
                    .select(F.col("vec_id").alias("q_id"), "embedding"),
                    ivf_seeds_md5(emb, n_clusters=4), k=3, nprobe=2))
 
+    from parquet_spark.textops.similarity import pq_codebooks_md5, pq_topk
+    add("PQ compressed search (ADC + exact re-rank)",
+        "Candidate generation scans only the m-byte code arrays — the "
+        "ADC score is a codegen expression over the broadcast codebook "
+        "literal, no join against the float vectors; the exact-cosine "
+        "re-rank then joins just the k*rerank candidates per query "
+        "back to their vectors (broadcast-able at any corpus size).",
+        pq_topk(emb.where(F.col("vec_id") >= 4),
+                emb.where(F.col("vec_id") < 4)
+                .select(F.col("vec_id").alias("q_id"), "embedding"),
+                pq_codebooks_md5(emb, m=4, k=8), k=3, rerank=2))
+
     import tempfile
 
     from parquet_spark.manifest import read_decoded, write_encoded

@@ -228,6 +228,78 @@ def test_ivf_recall_metric_matches_python(spark, vecs):
 
 
 @pytest.mark.spark
+def test_pq_encode_deterministic_and_in_range(spark, vecs):
+    from parquet_spark.textops.similarity import pq_codebooks_md5, pq_encode
+    cbs = pq_codebooks_md5(vecs, m=4, k=8)
+    assert len(cbs) == 4 and all(len(cb) == 8 for cb in cbs)
+    assert all(len(c) == 4 for cb in cbs for c in cb)  # dsub = 16/4
+    c1 = {r.vec_id: r.codes for r in
+          pq_encode(vecs, cbs, round_dp=6).select("vec_id", "codes").collect()}
+    c2 = {r.vec_id: r.codes for r in
+          pq_encode(vecs.repartition(7), cbs, round_dp=6)
+          .select("vec_id", "codes").collect()}
+    assert c1 == c2
+    assert all(len(v) == 4 and all(0 <= x < 8 for x in v)
+               for v in c1.values())
+    # numpy recomputation of every code (6dp-rounded argmin, id tie-break)
+    rows = {r.vec_id: np.array(r.embedding) for r in vecs.collect()}
+    for vid, vec in rows.items():
+        for j in range(4):
+            sub = vec[j * 4:(j + 1) * 4]
+            d = [round(float(((sub - np.array(cbs[j][i])) ** 2).sum()), 6)
+                 for i in range(8)]
+            assert c1[vid][j] == min(range(8), key=lambda i: (d[i], i))
+
+
+@pytest.mark.spark
+def test_pq_topk_full_rerank_equals_exact(spark, vecs):
+    from parquet_spark.textops.similarity import (cosine_topk,
+                                                  pq_codebooks_md5, pq_topk)
+    q = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    c = vecs.where(F.col("vec_id") != 0)
+    cbs = pq_codebooks_md5(vecs, m=4, k=8)
+    n = c.count()
+    # rerank window covering the whole corpus -> the exact re-rank sees
+    # every vector, so PQ must EQUAL brute force regardless of codes
+    full = [(r.vec_id, r.cos) for r in
+            pq_topk(c, q, cbs, k=5, rerank=n, round_dp=6)
+            .orderBy("rank").collect()]
+    exact = [(r.vec_id, r.cos) for r in
+             cosine_topk(c, q, k=5).orderBy("rank").collect()]
+    assert full == exact
+    # tight rerank still returns k well-formed, deduped rows per query
+    tight = pq_topk(c, q, cbs, k=5, rerank=1, round_dp=6).collect()
+    assert len(tight) == 5
+    assert len({r.vec_id for r in tight}) == 5
+
+
+@pytest.mark.spark
+def test_pq_codebooks_lloyd_improves_quantization(spark, vecs):
+    from parquet_spark.textops.similarity import (pq_codebooks,
+                                                  pq_codebooks_md5,
+                                                  pq_encode)
+    seeded = pq_codebooks_md5(vecs, m=4, k=4)
+    refined = pq_codebooks(vecs, m=4, k=4, lloyd_iters=3)
+    assert len(refined) == 4 and all(len(cb) == 4 for cb in refined)
+
+    def sq_error(cbs):
+        rows = {r.vec_id: np.array(r.embedding) for r in vecs.collect()}
+        codes = {r.vec_id: r.codes for r in
+                 pq_encode(vecs, cbs).select("vec_id", "codes").collect()}
+        err = 0.0
+        for vid, vec in rows.items():
+            for j in range(4):
+                sub = vec[j * 4:(j + 1) * 4]
+                err += float(((sub - np.array(cbs[j][codes[vid][j]])) ** 2
+                              ).sum())
+        return err
+
+    # Lloyd refinement must not worsen total quantization error
+    assert sq_error(refined) <= sq_error(seeded) + 1e-9
+
+
+@pytest.mark.spark
 def test_rolling_fingerprint_matches_python(spark, docs):
     from parquet_spark.textops.textstats import (ROLL_BASE, ROLL_MOD,
                                                  rolling_fingerprint)
