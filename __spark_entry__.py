@@ -321,6 +321,25 @@ def q_pq_topk(spark, sf_dir):
                    round_dp=6).orderBy("q_id", "rank")
 
 
+def q_pq_recall(spark, sf_dir):
+    """Recall@k of the PQ compressed search vs the exact scan via the
+    composable topk_recall metric — DuckDB recomputes the codebooks,
+    codes, ADC candidates, re-rank, the exact ranking, AND the
+    per-query intersection."""
+    from parquet_spark.textops.similarity import (cosine_topk,
+                                                  pq_codebooks_md5,
+                                                  pq_topk, topk_recall)
+    em = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))"))
+    cbs = pq_codebooks_md5(em, m=4, k=8)
+    corpus = em.where(F.col("vec_id") >= 4)
+    queries = em.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    exact = cosine_topk(corpus, queries, k=3)
+    approx = pq_topk(corpus, queries, cbs, k=3, rerank=2, round_dp=6)
+    return topk_recall(exact, approx, 3).orderBy("q_id")
+
+
 def q_streaming_window_stats(spark, sf_dir):
     """Watermarked event-time windowed aggregation as a STREAM over a
     multi-file copy of the derived corpus (>=2 micro-batches, one file
@@ -515,6 +534,60 @@ _CORPUS_SQL = """
            encode('<html>' || text || '</html>') AS html,
            text, lang, doc_id, n_chars
     FROM documents"""
+
+# PQ pipeline CTEs shared by the pq_topk and pq_recall oracles: rebuild
+# the md5-seeded codebooks (4 subspaces x 8 centroids over 64 dims),
+# every 6dp-rounded code, the ordered ADC fold, the candidate window
+# (crank <= k*rerank = 6), and the exact-cosine re-rank `r`.
+_PQ_CORE_SQL = """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    seeds AS (SELECT v AS sv,
+                     ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                        vec_id) - 1 AS cid
+              FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT 8),
+    cd AS (SELECT e.vec_id, j.j, s.cid,
+                  ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 17),
+                          i -> (e.v[j.j * 16 + i] - s.sv[j.j * 16 + i])
+                             * (e.v[j.j * 16 + i] - s.sv[j.j * 16 + i]))),
+                      (a, b) -> a + b), 6) AS dist
+           FROM e CROSS JOIN range(0, 4) j(j) CROSS JOIN seeds s
+           WHERE e.vec_id >= 4),
+    codes AS (SELECT vec_id, j, cid FROM (
+                SELECT vec_id, j, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                          ORDER BY dist, cid) AS rn
+                FROM cd) WHERE rn = 1),
+    term AS (SELECT q.vec_id AS q_id, c.vec_id, c.j,
+                    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(range(1, 17),
+                            i -> (q.v[c.j * 16 + i] - s.sv[c.j * 16 + i])
+                               * (q.v[c.j * 16 + i] - s.sv[c.j * 16 + i]))),
+                        (a, b) -> a + b) AS t
+             FROM codes c JOIN seeds s ON s.cid = c.cid
+             CROSS JOIN e q WHERE q.vec_id < 4),
+    adc AS (SELECT q_id, vec_id,
+                   ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(t ORDER BY j)), (a, b) -> a + b), 6) AS adc
+            FROM term GROUP BY q_id, vec_id),
+    cand AS (SELECT q_id, vec_id FROM (
+               SELECT q_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY adc, vec_id) AS crank
+               FROM adc) WHERE crank <= 6),
+    s2 AS (SELECT cand.q_id, cand.vec_id,
+                  ROUND(list_dot_product(qe.v, ce.v) /
+                        (sqrt(list_dot_product(qe.v, qe.v)) *
+                         sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos
+           FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+                     JOIN e ce ON ce.vec_id = cand.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY cos DESC,
+                                                vec_id ASC) AS rank
+          FROM s2)"""
 
 
 def _derived_corpus(spark, sf_dir):
@@ -1003,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_recall": q_ivf_recall,
         "pq_topk": q_pq_topk,
+        "pq_recall": q_pq_recall,
         "streaming_window_stats": q_streaming_window_stats,
         "token_counts": q_token_counts,
         "quality_by_source": q_quality_by_source,
@@ -1602,57 +1676,27 @@ def oracle_sql() -> dict[str, str]:
             FROM exact x LEFT JOIN approx a
               ON a.q_id = x.q_id AND a.vec_id = x.vec_id
             GROUP BY x.q_id ORDER BY x.q_id""",
-        "pq_topk": """
-            WITH e AS (SELECT vec_id,
-                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                       FROM embeddings),
-            seeds AS (SELECT v AS sv,
-                             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                                                vec_id) - 1 AS cid
-                      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-                      LIMIT 8),
-            cd AS (SELECT e.vec_id, j.j, s.cid,
-                          ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                              list_transform(range(1, 17),
-                                  i -> (e.v[j.j * 16 + i] - s.sv[j.j * 16 + i])
-                                     * (e.v[j.j * 16 + i] - s.sv[j.j * 16 + i]))),
-                              (a, b) -> a + b), 6) AS dist
-                   FROM e CROSS JOIN range(0, 4) j(j) CROSS JOIN seeds s
-                   WHERE e.vec_id >= 4),
-            codes AS (SELECT vec_id, j, cid FROM (
-                        SELECT vec_id, j, cid,
-                               ROW_NUMBER() OVER (PARTITION BY vec_id, j
-                                                  ORDER BY dist, cid) AS rn
-                        FROM cd) WHERE rn = 1),
-            term AS (SELECT q.vec_id AS q_id, c.vec_id, c.j,
-                            list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                                list_transform(range(1, 17),
-                                    i -> (q.v[c.j * 16 + i] - s.sv[c.j * 16 + i])
-                                       * (q.v[c.j * 16 + i] - s.sv[c.j * 16 + i]))),
-                                (a, b) -> a + b) AS t
-                     FROM codes c JOIN seeds s ON s.cid = c.cid
-                     CROSS JOIN e q WHERE q.vec_id < 4),
-            adc AS (SELECT q_id, vec_id,
-                           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                               list(t ORDER BY j)), (a, b) -> a + b), 6) AS adc
-                    FROM term GROUP BY q_id, vec_id),
-            cand AS (SELECT q_id, vec_id FROM (
-                       SELECT q_id, vec_id,
-                              ROW_NUMBER() OVER (PARTITION BY q_id
-                                                 ORDER BY adc, vec_id) AS crank
-                       FROM adc) WHERE crank <= 6),
-            s2 AS (SELECT cand.q_id, cand.vec_id,
+        "pq_topk": _PQ_CORE_SQL + """
+            SELECT q_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
+        "pq_recall": _PQ_CORE_SQL + """,
+            approx AS (SELECT q_id, vec_id FROM r WHERE rank <= 3),
+            xs AS (SELECT qe.vec_id AS q_id, ce.vec_id AS vec_id,
                           ROUND(list_dot_product(qe.v, ce.v) /
                                 (sqrt(list_dot_product(qe.v, qe.v)) *
                                  sqrt(list_dot_product(ce.v, ce.v))), 6) AS cos
-                   FROM cand JOIN e qe ON qe.vec_id = cand.q_id
-                             JOIN e ce ON ce.vec_id = cand.vec_id),
-            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-                                               ORDER BY cos DESC,
-                                                        vec_id ASC) AS rank
-                  FROM s2)
-            SELECT q_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
-            FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
+                   FROM e qe, e ce
+                   WHERE qe.vec_id < 4 AND ce.vec_id >= 4),
+            xr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                                ORDER BY cos DESC,
+                                                         vec_id ASC) AS rank
+                   FROM xs),
+            exact AS (SELECT q_id, vec_id FROM xr WHERE rank <= 3)
+            SELECT x.q_id, COUNT(a.vec_id) AS n_hits,
+                   ROUND(COUNT(a.vec_id) / 3.0, 6) AS recall
+            FROM exact x LEFT JOIN approx a
+              ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+            GROUP BY x.q_id ORDER BY x.q_id""",
         "streaming_window_stats": f"""
             WITH corpus AS ({_CORPUS_SQL})
             SELECT CAST(epoch_us(date_trunc('hour', warc_ts)) AS BIGINT)

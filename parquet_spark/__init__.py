@@ -62,7 +62,7 @@ _EXPORTS = {
     "embedding_near_dups_lsh": "textops.dedup",
     "cosine_topk": "textops.similarity", "ann_topk": "textops.similarity",
     "ivf_topk": "textops.similarity", "ivf_centroids": "textops.similarity",
-    "ivf_recall": "textops.similarity",
+    "ivf_recall": "textops.similarity", "topk_recall": "textops.similarity",
     "pq_codebooks": "textops.similarity", "pq_encode": "textops.similarity",
     "pq_topk": "textops.similarity",
     "quality_filter": "textops.textstats",

@@ -239,13 +239,30 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
             .select(qid_col, id_col, "cos", "rank"))
 
 
+def topk_recall(exact: DataFrame, approx: DataFrame, k: int,
+                id_col: str = "vec_id",
+                qid_col: str = "q_id") -> DataFrame:
+    """Recall@k of ANY approximate top-k result against the exact one —
+    the standard ANN quality metric: per query, |approx ∩ exact| / k.
+    Takes the two (qid, id, ...) result frames, so it composes with
+    every search in this module (ivf_topk, ann_topk, pq_topk).  The
+    approx side is k x |queries| rows by construction — broadcast it so
+    the metric join never shuffles the exact side."""
+    a = approx.select(F.col(qid_col).alias("_aq"),
+                      F.col(id_col).alias("_ai"))
+    hit = ((exact[qid_col] == a["_aq"]) & (exact[id_col] == a["_ai"]))
+    return (exact.join(F.broadcast(a), hit, "left")
+            .groupBy(qid_col)
+            .agg(F.count("_ai").alias("n_hits"),
+                 F.round(F.count("_ai") / F.lit(k), 6).alias("recall")))
+
+
 def ivf_recall(corpus: DataFrame, queries: DataFrame,
                centroids: list[list[float]], k: int = 5, nprobe: int = 2,
                id_col: str = "vec_id", vec_col: str = "embedding",
                qid_col: str = "q_id",
                round_dp: int | None = None) -> DataFrame:
-    """Recall@k of the IVF search against the exact scan — the standard
-    ANN quality metric: per query, |IVF top-k ∩ exact top-k| / k.
+    """Recall@k of the IVF search against the exact scan.
 
     This is the evaluation harness for tuning n_clusters/nprobe, not a
     production search path: the exact side scores the full corpus for
@@ -257,15 +274,7 @@ def ivf_recall(corpus: DataFrame, queries: DataFrame,
     exact = cosine_topk(corpus, queries, k, id_col, vec_col, qid_col)
     approx = ivf_topk(corpus, queries, centroids, k, nprobe,
                       id_col, vec_col, qid_col, round_dp)
-    a = approx.select(F.col(qid_col).alias("_aq"),
-                      F.col(id_col).alias("_ai"))
-    hit = ((exact[qid_col] == a["_aq"]) & (exact[id_col] == a["_ai"]))
-    # the approx side is k x |queries| rows by construction — broadcast
-    # it so the metric join never shuffles the exact side
-    return (exact.join(F.broadcast(a), hit, "left")
-            .groupBy(qid_col)
-            .agg(F.count("_ai").alias("n_hits"),
-                 F.round(F.count("_ai") / F.lit(k), 6).alias("recall")))
+    return topk_recall(exact, approx, k, id_col, qid_col)
 
 
 def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
