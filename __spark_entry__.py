@@ -812,6 +812,36 @@ def q_dict_pruned_scan(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_route_partitioned(spark, sf_dir):
+    """Single-pass high-cardinality routing (the scale path the
+    route_encoded guard points at): ONE encode keyed on the route
+    column, then per-route access as a zone-pruned scan.  Pruning is
+    asserted to bite (chunks of other routes never reach the decoder);
+    DuckDB recomputes the routed aggregate from raw data, certifying
+    the layout+prune+decode path end-to-end."""
+    import tempfile
+
+    from parquet_spark.engine import prune_chunks_pred
+    from parquet_spark.manifest import (read_encoded, read_route,
+                                        route_encoded_partitioned)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="entry_route1p_")
+    route_encoded_partitioned(d, "source", path, key=["doc_id"],
+                              n_parts=2, rows_per_chunk=64)
+    enc = read_encoded(spark, path).cache()
+    n_all = enc.count()
+    n_kept = prune_chunks_pred(
+        enc, [("source", "src3", "src3")]).count()
+    assert 0 < n_kept < n_all, (n_kept, n_all)  # route pruning bites
+    enc.unpersist()
+    return (read_route(spark, path, "source", "src3")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("source"))
+
+
 def q_compact_rechunk(spark, sf_dir):
     """O10/O11 lifecycle through the ORACLE: write documents
     fragmented (every chunk under-sized), compact with rechunk (runs of
@@ -1094,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_prune_multi": q_zone_prune_multi,
         "in_prune": q_in_prune,
         "dict_pruned_scan": q_dict_pruned_scan,
+        "route_partitioned": q_route_partitioned,
         "global_dict_roundtrip": q_global_dict_roundtrip,
         "splits_lineage": q_splits_lineage,
         "compact_rechunk": q_compact_rechunk,
@@ -1511,6 +1542,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents WHERE lang IN ('de', 'fr')
             GROUP BY lang ORDER BY lang""",
+        "route_partitioned": """
+            SELECT source, COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE source = 'src3'
+            GROUP BY source ORDER BY source""",
         "zone_prune_ts": """
             WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
             b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),

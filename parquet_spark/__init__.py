@@ -46,6 +46,7 @@ _EXPORTS = {
     "scan_table": "manifest",
     "read_encoded": "manifest", "compact_table": "manifest",
     "route_encoded": "manifest", "lineage_df": "manifest",
+    "route_encoded_partitioned": "manifest", "read_route": "manifest",
     "vacuum_table": "manifest", "relocate_table": "manifest",
     "EncodedTable": "manifest", "ConcurrentCommitError": "manifest",
     "CommitBackend": "manifest", "PosixCommitBackend": "manifest",

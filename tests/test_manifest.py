@@ -116,6 +116,34 @@ def test_route_encoded_per_value(spark):
 
 
 @pytest.mark.spark
+def test_route_encoded_partitioned_single_pass(spark):
+    import tempfile
+
+    from parquet_spark.engine import prune_chunks_pred
+    from parquet_spark.manifest import (read_decoded, read_encoded,
+                                        read_route,
+                                        route_encoded_partitioned)
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    base = tempfile.mkdtemp(prefix="route1p_")
+    route_encoded_partitioned(docs, "source", base, key=["doc_id"],
+                              n_parts=2, rows_per_chunk=16)
+    # whole-table decode loses nothing
+    dec = read_decoded(spark, base)
+    assert dec.count() == docs.count()
+    # every route reads back exactly its rows via the pruned scan
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    enc = read_encoded(spark, base).cache()
+    n_all = enc.count()
+    for s in sources[:3]:
+        got = read_route(spark, base, "source", s)
+        assert got.where(F.col("source") != s).count() == 0
+        assert got.count() == docs.where(F.col("source") == s).count()
+        # pruning bites: other routes' chunks are skipped on metadata
+        assert prune_chunks_pred(enc, [("source", s, s)]).count() < n_all
+    enc.unpersist()
+
+
+@pytest.mark.spark
 def test_compact_table_roundtrip(spark):
     import tempfile
 
