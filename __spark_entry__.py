@@ -842,6 +842,80 @@ def q_route_partitioned(spark, sf_dir):
             .orderBy("source"))
 
 
+def _md5_frac_hex(frac: float) -> str:
+    """Largest 8-hex md5 prefix satisfying u < frac, where
+    u = int(prefix, 16) / 2^32 — the sampling ops' draw.  frac * 2^32
+    is an EXACT float (power-of-two scaling), so intval < frac*2^32
+    iff intval <= this bound; fixed-width lowercase hex compares
+    lexicographically like the integer, letting DuckDB reproduce the
+    double comparison with a plain string <=."""
+    import math
+    x = frac * (2 ** 32)
+    bound = (math.ceil(x) - 1) if float(x).is_integer() else math.floor(x)
+    return format(int(bound), "08x")
+
+
+def _split_assign_sql() -> str:
+    """Oracle for q_split_assign: cumulative thresholds computed with
+    EXACTLY assign_splits' float arithmetic (0.9+0.05+0.05 sums to
+    1.0000000000000002 in doubles — recomputing naively would shift a
+    boundary), then rendered as hex-prefix compares."""
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(w.values()))
+    acc1 = w["train"] / total
+    acc2 = acc1 + w["val"] / total
+    h = "substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    return f"""
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM (
+          SELECT doc_id,
+                 CASE WHEN {h} <= '{_md5_frac_hex(acc1)}' THEN 'train'
+                      WHEN {h} <= '{_md5_frac_hex(acc2)}' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        GROUP BY split ORDER BY split"""
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment: membership is a pure
+    function of (seed, doc_id) via an md5 draw, so DuckDB reproduces
+    the exact split of every row (hex-prefix compare ≡ the engine's
+    double compare — see _md5_frac_hex).  The property under test is
+    the reproducibility story itself: a second engine agrees on which
+    rows are train."""
+    from parquet_spark.textops.sampling import assign_splits
+    d = _t(spark, sf_dir, "documents")
+    return (assign_splits(d, "doc_id")  # default 0.9/0.05/0.05, seed 42
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("sum_ids"))
+            .orderBy("split"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic downsampling (the 'cap the dominant
+    language' pipeline op): per-lang md5 thresholds, verified row-exact
+    by DuckDB via the hex-compare equivalence."""
+    from parquet_spark.textops.sampling import stratified_hash_sample
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(d, "doc_id", "lang",
+                                  {"de": 0.5, "fr": 1.0},
+                                  default=0.1, seed=11)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("sum_ids"))
+            .orderBy("lang"))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain crawl accounting over the derived corpus: host from
+    one regexp, map-side-combined counts/chars per host."""
+    from parquet_spark.textops.textstats import domain_stats
+    corpus = _derived_corpus(spark, sf_dir)
+    return (domain_stats(corpus).where(F.col("host") != "")
+            .orderBy("host"))
+
+
 def q_compact_rechunk(spark, sf_dir):
     """O10/O11 lifecycle through the ORACLE: write documents
     fragmented (every chunk under-sized), compact with rechunk (runs of
@@ -1125,6 +1199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_prune": q_in_prune,
         "dict_pruned_scan": q_dict_pruned_scan,
         "route_partitioned": q_route_partitioned,
+        "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
+        "domain_stats": q_domain_stats,
         "global_dict_roundtrip": q_global_dict_roundtrip,
         "splits_lineage": q_splits_lineage,
         "compact_rechunk": q_compact_rechunk,
@@ -1548,6 +1625,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents WHERE source = 'src3'
             GROUP BY source ORDER BY source""",
+        "split_assign": _split_assign_sql(),
+        "stratified_sample": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM documents
+            WHERE substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8) <=
+                  CASE WHEN lang = 'de' THEN '{_md5_frac_hex(0.5)}'
+                       WHEN lang = 'fr' THEN '{_md5_frac_hex(1.0)}'
+                       ELSE '{_md5_frac_hex(0.1)}' END
+            GROUP BY lang ORDER BY lang""",
+        "domain_stats": f"""
+            WITH corpus AS ({_CORPUS_SQL})
+            SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS text_chars
+            FROM corpus GROUP BY host HAVING host <> ''
+            ORDER BY host""",
         "zone_prune_ts": """
             WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
             b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),

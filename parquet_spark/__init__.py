@@ -66,6 +66,9 @@ _EXPORTS = {
     "ivf_recall": "textops.similarity", "topk_recall": "textops.similarity",
     "pq_codebooks": "textops.similarity", "pq_encode": "textops.similarity",
     "pq_topk": "textops.similarity",
+    "assign_splits": "textops.sampling", "hash_sample": "textops.sampling",
+    "stratified_hash_sample": "textops.sampling",
+    "domain_stats": "textops.textstats",
     "quality_filter": "textops.textstats",
     "quality_score": "textops.textstats",
     "repetition_stats": "textops.textstats",

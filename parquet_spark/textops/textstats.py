@@ -166,3 +166,18 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("top_word_frac", F.round(top_count / n_words, 4))
             .withColumn("dup_word_frac", F.round(
                 (n_words - n_dist_words) / n_words, 4)))
+
+
+def domain_stats(df: DataFrame, url_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """Per-domain corpus accounting (the first question asked of any
+    web crawl: which hosts dominate?): host via one regexp over the
+    url, then doc counts and text chars per host.  One scan + one
+    map-side-combined aggregate whose key space is |hosts|, not |docs|;
+    skew-safe because the combine happens before the shuffle."""
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    return (df.select(host.alias("host"),
+                      F.length(F.col(text_col)).alias("_tc"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_tc").alias("text_chars")))

@@ -1,0 +1,100 @@
+"""Deterministic sampling / split assignment: membership must be a
+pure function of (seed, id) — recomputed here with hashlib to prove
+the engine's md5-conv-divide expression implements exactly that."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import TESTDATA
+
+
+def _u(seed, doc_id):
+    h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+    return int(h[:8], 16) / 2 ** 32
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(
+        f"{TESTDATA}/sf0.001/documents.parquet").cache()
+
+
+@pytest.mark.spark
+def test_assign_splits_matches_python_and_partitions(spark, docs):
+    from parquet_spark.textops.sampling import assign_splits
+    out = assign_splits(docs, "doc_id", seed=42)
+    got = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    # exhaustive + disjoint by construction (one label per row)
+    assert len(got) == docs.count()
+    # python recomputation of every row's split
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(w.values()))
+    acc1 = w["train"] / total
+    acc2 = acc1 + w["val"] / total
+    for did, split in got.items():
+        u = _u(42, did)
+        want = "train" if u < acc1 else ("val" if u < acc2 else "test")
+        assert split == want, (did, u, split, want)
+    # roughly the requested proportions
+    n = len(got)
+    n_train = sum(1 for s in got.values() if s == "train")
+    assert 0.8 * n <= n_train <= 0.97 * n
+
+
+@pytest.mark.spark
+def test_hash_sample_deterministic_and_append_stable(spark, docs):
+    from parquet_spark.textops.sampling import hash_sample
+    kept = {r.doc_id for r in
+            hash_sample(docs, "doc_id", 0.3, seed=7)
+            .select("doc_id").collect()}
+    assert kept == {r.doc_id for r in docs.collect() if _u(7, r.doc_id) < 0.3}
+    # membership is per-row: sampling a subset keeps exactly the
+    # intersection (the append/repartition-stability property)
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    kept_half = {r.doc_id for r in
+                 hash_sample(half, "doc_id", 0.3, seed=7)
+                 .select("doc_id").collect()}
+    assert kept_half == {d for d in kept if d % 2 == 0}
+    # a different seed redraws
+    kept9 = {r.doc_id for r in
+             hash_sample(docs, "doc_id", 0.3, seed=9)
+             .select("doc_id").collect()}
+    assert kept9 != kept
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 1.5)
+
+
+@pytest.mark.spark
+def test_stratified_hash_sample_rates(spark, docs):
+    from parquet_spark.textops.sampling import stratified_hash_sample
+    out = stratified_hash_sample(docs, "doc_id", "lang",
+                                 {"de": 0.5, "fr": 1.0}, default=0.0,
+                                 seed=11)
+    rows = out.select("doc_id", "lang").collect()
+    langs = {r.lang for r in rows}
+    assert langs <= {"de", "fr"}          # default 0.0 drops the rest
+    fr_all = docs.where(F.col("lang") == "fr").count()
+    assert sum(1 for r in rows if r.lang == "fr") == fr_all  # 1.0 keeps all
+    for r in rows:
+        if r.lang == "de":
+            assert _u(11, r.doc_id) < 0.5
+
+
+@pytest.mark.spark
+def test_domain_stats_matches_python(spark, docs):
+    from parquet_spark.textops.textstats import domain_stats
+    df = docs.select(
+        F.concat(F.lit("https://host"),
+                 F.pmod("doc_id", F.lit(5)).cast("string"),
+                 F.lit(".example.com/p")).alias("url"), "text")
+    got = {r.host: (r.n_docs, r.text_chars)
+           for r in domain_stats(df).collect()}
+    rows = df.collect()
+    want = {}
+    for r in rows:
+        host = r.url.split("://")[1].split("/")[0]
+        n, c = want.get(host, (0, 0))
+        want[host] = (n + 1, c + len(r.text))
+    assert got == want
