@@ -180,6 +180,24 @@ def q_lsh_pairs(spark, sf_dir):
     return pairs.orderBy("doc_a", "doc_b")
 
 
+def q_dedup_components(spark, sf_dir):
+    """The dedup endgame oracled: LSH candidate pairs clustered into
+    connected components (comp = min doc id — the canonical keeper).
+    Spark runs min-label propagation to convergence; DuckDB computes
+    the same labeling with a recursive reachability CTE — two utterly
+    different algorithms agreeing on every (node, comp) row."""
+    from parquet_spark.textops.dedup import (connected_components,
+                                             lsh_candidate_pairs,
+                                             minhash_signatures)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(d, n_hashes=4, hash_fn="md5"),
+        n_hashes=4, band_size=2)
+    return (connected_components(pairs)
+            .select(F.col("node").alias("doc_id"), "comp")
+            .orderBy("doc_id"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from parquet_spark.textops.dedup import (lsh_candidate_pairs,
                                              minhash_signatures, ngram_jaccard)
@@ -1170,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
+        "dedup_components": q_dedup_components,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -1340,6 +1359,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
             WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""",
+        "dedup_components": f"""
+            WITH RECURSIVE sig AS ({_minhash_sql("doc_id < 200")}),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+              WHERE a.doc_id < b.doc_id),
+            sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            reach(node, r) AS (
+              SELECT src, src FROM sym
+              UNION
+              SELECT w.node, e.dst FROM reach w JOIN sym e ON e.src = w.r)
+            SELECT node AS doc_id, MIN(r) AS comp
+            FROM reach GROUP BY node ORDER BY doc_id""",
         "ngram_jaccard": f"""
             WITH sig AS ({_minhash_sql("doc_id < 200")}),
             bands AS (

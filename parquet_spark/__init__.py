@@ -66,6 +66,7 @@ _EXPORTS = {
     "ivf_recall": "textops.similarity", "topk_recall": "textops.similarity",
     "pq_codebooks": "textops.similarity", "pq_encode": "textops.similarity",
     "pq_topk": "textops.similarity",
+    "connected_components": "textops.dedup", "dedup_keep": "textops.dedup",
     "assign_splits": "textops.sampling", "hash_sample": "textops.sampling",
     "stratified_hash_sample": "textops.sampling",
     "domain_stats": "textops.textstats",

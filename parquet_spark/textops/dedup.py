@@ -206,3 +206,63 @@ def embedding_near_dups_lsh(emb: DataFrame, planes,
              .withColumn("cos", _cos_pair_cols())
              .where(F.col("cos") >= threshold)
              .select("id_a", "id_b", "cos"))
+
+
+def connected_components(pairs: DataFrame, left: str = "doc_a",
+                         right: str = "doc_b", max_iters: int = 25,
+                         stats: dict | None = None) -> DataFrame:
+    """Label the candidate-pair graph: (node, comp) with comp = MIN
+    node id in the node's connected component — the canonical-keeper
+    convention for dedup clusters.
+
+    Min-label propagation: every round each node takes the min of its
+    own label and its neighbors' labels; converges in O(graph diameter)
+    rounds.  Near-dup clusters are small and dense (diameter 2-3), so
+    at 100 TB this is 2-3 shuffles of the EDGE list — the corpus never
+    enters the loop (reference analog: none; the reference stops at
+    pair emission).  Each round localCheckpoints (iterative plans
+    otherwise grow exponentially) and convergence is driven by a
+    metadata-sized changed-label count, recorded per round in `stats`.
+    Nodes appearing in no pair are absent (they are their own
+    keepers)."""
+    sym = (pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+           .union(pairs.select(F.col(right).alias("src"),
+                               F.col(left).alias("dst")))).localCheckpoint()
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("comp", F.col("node")).localCheckpoint())
+    if stats is not None:
+        stats.setdefault("rounds", [])
+    for _ in range(max_iters):
+        nmin = (sym.join(labels, sym["dst"] == labels["node"])
+                .groupBy("src").agg(F.min("comp").alias("nmin")))
+        new = (labels.join(nmin, labels["node"] == nmin["src"], "left")
+               .select(labels["node"],
+                       F.least(labels["comp"],
+                               F.coalesce(F.col("nmin"), labels["comp"]))
+                       .alias("comp")).localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new
+        if stats is not None:
+            stats["rounds"].append({"changed": changed})
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+               left: str = "doc_a", right: str = "doc_b",
+               max_iters: int = 25) -> DataFrame:
+    """Keep ONE canonical document per near-dup cluster — the dedup
+    endgame after pair generation: cluster the pairs into connected
+    components, drop every non-minimum member, keep everything that
+    was never paired.  The corpus side is a single left_anti join
+    against the loser set (bounded by the PAIR count, tiny vs the
+    corpus — broadcast-able in practice), so the full pipeline
+    shingles→signatures→LSH pairs→components→keepers touches the
+    corpus exactly twice: once to sign, once to filter."""
+    comp = connected_components(pairs, left, right, max_iters)
+    losers = (comp.where(F.col("node") != F.col("comp"))
+              .select(F.col("node").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")

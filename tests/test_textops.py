@@ -228,6 +228,47 @@ def test_ivf_recall_metric_matches_python(spark, vecs):
 
 
 @pytest.mark.spark
+def test_connected_components_matches_union_find(spark):
+    from parquet_spark.textops.dedup import connected_components
+    # two clusters + a long chain (forces multiple propagation rounds)
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23),
+             (23, 24), (24, 25), (25, 26), (26, 27)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    stats = {}
+    got = {r.node: r.comp for r in
+           connected_components(df, stats=stats).collect()}
+    # python union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+    assert stats["rounds"][-1]["changed"] == 0  # ran to convergence
+    assert len(stats["rounds"]) >= 3            # the chain needed rounds
+
+
+@pytest.mark.spark
+def test_dedup_keep_one_per_cluster(spark, docs):
+    from parquet_spark.textops.dedup import dedup_keep
+    pairs = spark.createDataFrame([(0, 3), (1, 4)], ["doc_a", "doc_b"])
+    kept = {r.doc_id for r in
+            dedup_keep(docs, pairs).select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    # cluster minima survive, other members drop, unpaired docs survive
+    assert kept == all_ids - {3, 4}
+
+
+@pytest.mark.spark
 def test_pq_encode_deterministic_and_in_range(spark, vecs):
     from parquet_spark.textops.similarity import pq_codebooks_md5, pq_encode
     cbs = pq_codebooks_md5(vecs, m=4, k=8)
