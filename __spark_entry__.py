@@ -934,6 +934,39 @@ def q_domain_stats(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join — an operator Spark's DataFrame API lacks as a
+    primitive, rendered as one union + ordered-window fill (no join
+    node at all).  DuckDB checks it with its NATIVE ASOF LEFT JOIN:
+    two completely different implementations must agree on every
+    click's most recent preceding error."""
+    from parquet_spark.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error")
+    j = asof_join(clicks, errors, "ts", by=["user_id"],
+                  right_cols=["event_id"])
+    return (j.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_clicks"),
+                 F.count("event_id_r").alias("n_matched"),
+                 F.sum("event_id_r").alias("sum_err_ids"))
+            .orderBy("user_id"))
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (1-day gap): lag + running-sum window,
+    deterministic tie-break on event_id; DuckDB recomputes sessions
+    with the identical window algebra on exact interval compares."""
+    from parquet_spark.temporal import sessionize
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", "user_id", gap=86400.0,
+                   order_cols=["event_id"])
+    return (s.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.max("session") + 1).alias("n_sessions"))
+            .orderBy("user_id"))
+
+
 def q_compact_rechunk(spark, sf_dir):
     """O10/O11 lifecycle through the ORACLE: write documents
     fragmented (every chunk under-sized), compact with rechunk (runs of
@@ -1221,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "stratified_sample": q_stratified_sample,
         "domain_stats": q_domain_stats,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "global_dict_roundtrip": q_global_dict_roundtrip,
         "splits_lineage": q_splits_lineage,
         "compact_rechunk": q_compact_rechunk,
@@ -1679,6 +1714,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(text)) AS BIGINT) AS text_chars
             FROM corpus GROUP BY host HAVING host <> ''
             ORDER BY host""",
+        "asof_join": """
+            WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+            e AS (SELECT * FROM events WHERE event_type = 'error')
+            SELECT c.user_id, COUNT(*) AS n_clicks,
+                   COUNT(e.event_id) AS n_matched,
+                   CAST(SUM(e.event_id) AS BIGINT) AS sum_err_ids
+            FROM c ASOF LEFT JOIN e
+              ON c.user_id = e.user_id AND c.ts >= e.ts
+            GROUP BY c.user_id ORDER BY c.user_id""",
+        "sessionize": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w
+                                  > INTERVAL 86400 SECOND
+                          THEN 1 ELSE 0 END AS new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            t AS (
+              SELECT user_id,
+                     SUM(new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) - 1
+                         AS session
+              FROM s)
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(MAX(session) + 1 AS BIGINT) AS n_sessions
+            FROM t GROUP BY user_id ORDER BY user_id""",
         "zone_prune_ts": """
             WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
             b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),

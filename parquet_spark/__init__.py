@@ -67,6 +67,7 @@ _EXPORTS = {
     "pq_codebooks": "textops.similarity", "pq_encode": "textops.similarity",
     "pq_topk": "textops.similarity",
     "connected_components": "textops.dedup", "dedup_keep": "textops.dedup",
+    "asof_join": "temporal", "sessionize": "temporal",
     "assign_splits": "textops.sampling", "hash_sample": "textops.sampling",
     "stratified_hash_sample": "textops.sampling",
     "domain_stats": "textops.textstats",
