@@ -967,6 +967,40 @@ def q_sessionize(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_range_join(spark, sf_dir):
+    """Range (point-in-interval) join rendered as an EQUI-join via
+    grid-cell bucketing (vs Catalyst's nested-loop for the naive
+    inequality form); DuckDB checks it with the plain inequality join
+    — the bucketed rewrite must reproduce every containment pair."""
+    from parquet_spark.temporal import range_join
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.where(F.col("event_type") == "click")
+    iv = (ev.where(F.col("event_type") == "error")
+          .select("user_id", F.col("ts").alias("start"),
+                  F.expr("ts + INTERVAL 2 HOURS").alias("end"),
+                  F.col("event_id").alias("win_id")))
+    j = range_join(pts, iv, "ts", "start", "end",
+                   by=["user_id"], bucket=3600)
+    return (j.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.sum("event_id").alias("sum_click_ids"),
+                 F.sum("win_id").alias("sum_win_ids"))
+            .orderBy("user_id"))
+
+
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate cascade: raw events
+    aggregate once at hour grain, the day grain re-aggregates the
+    hour AGGREGATE (not the raw data); DuckDB recomputes both levels
+    straight from raw rows — the cascade must be lossless."""
+    from parquet_spark.temporal import time_rollup
+    ev = _t(spark, sf_dir, "events")
+    r = time_rollup(ev, "ts", ("hour", "day"), by=["event_type"],
+                    aggs={"n_events": ("*", "count"),
+                          "sum_ids": ("event_id", "sum")})
+    return r.orderBy("gran", "bucket", "event_type")
+
+
 def q_compact_rechunk(spark, sf_dir):
     """O10/O11 lifecycle through the ORACLE: write documents
     fragmented (every chunk under-sized), compact with rechunk (runs of
@@ -1256,6 +1290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
         "global_dict_roundtrip": q_global_dict_roundtrip,
         "splits_lineage": q_splits_lineage,
         "compact_rechunk": q_compact_rechunk,
@@ -1723,6 +1759,28 @@ def oracle_sql() -> dict[str, str]:
             FROM c ASOF LEFT JOIN e
               ON c.user_id = e.user_id AND c.ts >= e.ts
             GROUP BY c.user_id ORDER BY c.user_id""",
+        "range_join": """
+            WITH p AS (SELECT * FROM events WHERE event_type = 'click'),
+            i AS (SELECT user_id, ts AS start,
+                         ts + INTERVAL 2 HOUR AS fin,
+                         event_id AS win_id
+                  FROM events WHERE event_type = 'error')
+            SELECT p.user_id, COUNT(*) AS n_matches,
+                   CAST(SUM(p.event_id) AS BIGINT) AS sum_click_ids,
+                   CAST(SUM(i.win_id) AS BIGINT) AS sum_win_ids
+            FROM p JOIN i ON p.user_id = i.user_id
+                         AND i.start <= p.ts AND p.ts <= i.fin
+            GROUP BY p.user_id ORDER BY p.user_id""",
+        "time_rollup": """
+            SELECT 'hour' AS gran, date_trunc('hour', ts) AS bucket,
+                   event_type, COUNT(*) AS n_events,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_ids
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
+                   CAST(SUM(event_id) AS BIGINT)
+            FROM events GROUP BY 2, 3
+            ORDER BY gran, bucket, event_type""",
         "sessionize": """
             WITH s AS (
               SELECT user_id, ts, event_id,

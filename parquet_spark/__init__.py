@@ -68,6 +68,7 @@ _EXPORTS = {
     "pq_topk": "textops.similarity",
     "connected_components": "textops.dedup", "dedup_keep": "textops.dedup",
     "asof_join": "temporal", "sessionize": "temporal",
+    "range_join": "temporal", "time_rollup": "temporal",
     "assign_splits": "textops.sampling", "hash_sample": "textops.sampling",
     "stratified_hash_sample": "textops.sampling",
     "domain_stats": "textops.textstats",

@@ -1,5 +1,6 @@
 """Time-series operators Spark's DataFrame API lacks as primitives:
-as-of join and gap-based sessionization.
+as-of join, range (point-in-interval) join, gap-based sessionization,
+and hypertable-style multi-granularity rollups.
 
 Both compile to ONE shuffle on the entity key + in-partition window
 functions — no per-key loops, no range-explosion join, no Python in
@@ -124,3 +125,92 @@ def sessionize(df: DataFrame, time_col: str = "ts",
         (F.sum(new).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
          - 1).cast("long"))
+
+
+def _epoch_sec(col: str, df: DataFrame):
+    """Whole seconds since epoch for numeric, LTZ, and NTZ time
+    columns (unix_seconds rejects NTZ; timestampdiff accepts it and
+    involves no timezone math)."""
+    t = df.schema[col].dataType
+    if isinstance(t, T.TimestampNTZType):
+        return F.expr(f"timestampdiff(SECOND, "
+                      f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+    if isinstance(t, T.TimestampType):
+        return F.unix_seconds(F.col(col))
+    return F.col(col)
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               time_col: str = "ts", start_col: str = "start",
+               end_col: str = "end", by: list[str] | None = None,
+               bucket: float = 3600.0) -> DataFrame:
+    """Point-in-interval join (which intervals contain each point) —
+    the second temporal operator Spark lacks as a primitive.  The
+    naive rendering is an inequality join that Catalyst can only run
+    as a (broadcast) nested loop; this renders it as an EQUI-join:
+    every interval explodes into the grid cells it spans, every point
+    maps to its single cell, the join key becomes (by..., cell), and
+    the exact containment predicate filters after the hash join.  A
+    point meets an interval in exactly one cell (its own), so no
+    dedup pass is needed.  Per-row fan-out is interval_length/bucket —
+    pick `bucket` (seconds) near the typical interval length so the
+    explode stays O(1) per interval.  Inner-join semantics; all point
+    and interval columns survive (interval columns suffixed only on
+    collision)."""
+    by = list(by or [])
+    b = int(bucket)
+    ps = _epoch_sec(time_col, points)
+    ss = _epoch_sec(start_col, intervals)
+    es = _epoch_sec(end_col, intervals)
+    p = points.withColumn("_cell", F.floor(ps / F.lit(b)))
+    icols = [c for c in intervals.columns if c not in by]
+    renames = {c: (f"{c}_r" if c in points.columns else c) for c in icols}
+    i = (intervals.select(
+            *by, *[F.col(c).alias(renames[c]) for c in icols],
+            F.explode(F.sequence(F.floor(ss / F.lit(b)),
+                                 F.floor(es / F.lit(b)))).alias("_cell")))
+    j = p.join(i, by + ["_cell"])
+    t, s, e = (F.col(time_col), F.col(renames[start_col]),
+               F.col(renames[end_col]))
+    return j.where((s <= t) & (t <= e)).drop("_cell")
+
+
+def time_rollup(df: DataFrame, time_col: str = "ts",
+                granularities: tuple = ("hour", "day"),
+                by: list[str] | None = None,
+                aggs: dict[str, tuple] | None = None) -> DataFrame:
+    """Hypertable-style multi-granularity rollup (continuous-aggregate
+    cascade): the raw data is aggregated ONCE at the finest
+    granularity; every coarser level re-aggregates the PREVIOUS level,
+    so at 100 TB the raw scan happens exactly once and each cascade
+    step shuffles only bucket-count rows.  `aggs` maps output name →
+    (column, fn) with fn in {count,sum,min,max} — the decomposable
+    aggregates that re-aggregate losslessly (avg = sum/count at read
+    time).  Output: (gran, bucket, *by, *aggs) for every level."""
+    by = list(by or [])
+    aggs = aggs or {"n_rows": ("*", "count")}
+    reagg = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    for name, (_, fn) in aggs.items():
+        if fn not in reagg:
+            raise ValueError(
+                f"agg {name}: {fn!r} does not re-aggregate; use "
+                f"count/sum/min/max (avg = sum/count at read time)")
+    first = [getattr(F, fn)(F.lit(1) if c == "*" else F.col(c)).alias(n)
+             for n, (c, fn) in aggs.items()]
+    later = [getattr(F, reagg[fn])(F.col(n)).alias(n)
+             for n, (_, fn) in aggs.items()]
+    # date_trunc silently promotes TIMESTAMP_NTZ to LTZ — cast the
+    # bucket back so the rollup preserves the input's timestamp flavor
+    t_type = df.schema[time_col].dataType
+    g0 = granularities[0]
+    lvl = (df.groupBy(F.date_trunc(g0, F.col(time_col)).cast(t_type)
+                      .alias("bucket"), *by).agg(*first))
+    outs = [lvl.select(F.lit(g0).alias("gran"), "*")]
+    for g in granularities[1:]:
+        lvl = (lvl.groupBy(F.date_trunc(g, F.col("bucket")).cast(t_type)
+                           .alias("bucket"), *by).agg(*later))
+        outs.append(lvl.select(F.lit(g).alias("gran"), "*"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

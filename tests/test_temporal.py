@@ -112,3 +112,63 @@ def test_sessionize_matches_python(spark):
             want[r.eid] = sess
             prev = r.ts
     assert got == want
+
+
+@pytest.mark.spark
+def test_range_join_matches_naive_inequality(spark, sides):
+    from parquet_spark.temporal import range_join
+    left, right = sides
+    iv = right.select(
+        "uid", F.col("ts").alias("start"),
+        F.expr("ts + INTERVAL 30 MINUTES").alias("end"),
+        F.col("eid").alias("win_id"))
+    got = {(r.eid, r.win_id) for r in
+           range_join(left, iv, "ts", "start", "end", by=["uid"],
+                      bucket=600).select("eid", "win_id").collect()}
+    naive = {(r.eid, r.win_id) for r in
+             left.alias("p").join(
+                 iv.alias("i"),
+                 (F.col("p.uid") == F.col("i.uid")) &
+                 (F.col("i.start") <= F.col("p.ts")) &
+                 (F.col("p.ts") <= F.col("i.end")))
+             .select("p.eid", "i.win_id").collect()}
+    assert got == naive and len(got) > 0
+    # boundary containment: point exactly at start and at end both match
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    p = spark.createDataFrame([Row(eid=1, ts=t0, uid=1),
+                               Row(eid=2, ts=t0 + dt.timedelta(hours=2),
+                                   uid=1),
+                               Row(eid=3, ts=t0 + dt.timedelta(hours=3),
+                                   uid=1)])
+    i = spark.createDataFrame([Row(uid=1, start=t0,
+                                   end=t0 + dt.timedelta(hours=2),
+                                   win_id=9)])
+    hits = {r.eid for r in
+            range_join(p, i, "ts", "start", "end", by=["uid"],
+                       bucket=900).collect()}
+    assert hits == {1, 2}  # inclusive bounds; eid=3 outside
+
+
+@pytest.mark.spark
+def test_time_rollup_cascade_lossless(spark):
+    from parquet_spark.temporal import time_rollup
+    rows = _mk_events(300, seed=5, users=3)
+    df = spark.createDataFrame(rows)
+    r = time_rollup(df, "ts", ("hour", "day"), by=["uid"],
+                    aggs={"n": ("*", "count"), "s": ("eid", "sum"),
+                          "mx": ("eid", "max")}).cache()
+    # each level equals a DIRECT aggregate of the raw data
+    for gran in ("hour", "day"):
+        got = {(r_.bucket, r_.uid): (r_.n, r_.s, r_.mx)
+               for r_ in r.where(F.col("gran") == gran).collect()}
+        want = {(r_.bucket, r_.uid): (r_.n, r_.s, r_.mx)
+                for r_ in df.groupBy(
+                    F.date_trunc(gran, "ts").cast("timestamp_ntz")
+                    .alias("bucket"), "uid")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("eid").alias("s"),
+                     F.max("eid").alias("mx")).collect()}
+        assert got == want, gran
+    r.unpersist()
+    with pytest.raises(ValueError):
+        time_rollup(df, "ts", ("hour",), aggs={"a": ("val", "avg")})
