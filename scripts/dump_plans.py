@@ -129,6 +129,32 @@ def main():
                 .select(F.col("vec_id").alias("q_id"), "embedding"),
                 pq_codebooks_md5(emb, m=4, k=8), k=3, rerank=2))
 
+    from parquet_spark.temporal import asof_join, range_join
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = events.where(F.col("event_type") == "click")
+    errors = events.where(F.col("event_type") == "error")
+    add("As-of join (union + window fill)",
+        "NO join node anywhere: both sides union into one "
+        "(key, time, side)-ordered stream and a last_value window "
+        "fills each left row with the preceding right payload — one "
+        "exchange on the entity key, one in-partition sort, same plan "
+        "shape as any windowed aggregate.",
+        asof_join(clicks, errors, "ts", by=["user_id"],
+                  right_cols=["event_id"]))
+
+    add("Range join (grid-cell equi-join rewrite)",
+        "The inequality containment join appears as a HASH join on "
+        "(user_id, cell) — intervals Generate(explode) their cell "
+        "span, points map to one cell, and the exact containment "
+        "predicate is a post-join Filter. The naive form would be a "
+        "BroadcastNestedLoopJoin re-scanning every interval per point.",
+        range_join(clicks,
+                   errors.select("user_id", F.col("ts").alias("start"),
+                                 F.expr("ts + INTERVAL 2 HOURS")
+                                 .alias("end"),
+                                 F.col("event_id").alias("win_id")),
+                   "ts", "start", "end", by=["user_id"], bucket=3600))
+
     import tempfile
 
     from parquet_spark.manifest import read_decoded, write_encoded
