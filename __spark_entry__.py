@@ -873,23 +873,26 @@ def _md5_frac_hex(frac: float) -> str:
     return format(int(bound), "08x")
 
 
-def _split_assign_sql() -> str:
-    """Oracle for q_split_assign: cumulative thresholds computed with
-    EXACTLY assign_splits' float arithmetic (0.9+0.05+0.05 sums to
-    1.0000000000000002 in doubles — recomputing naively would shift a
-    boundary), then rendered as hex-prefix compares."""
+def _split_case_sql() -> str:
+    """CASE expression reproducing assign_splits' default boundaries:
+    cumulative thresholds computed with EXACTLY its float arithmetic
+    (0.9+0.05+0.05 sums to 1.0000000000000002 in doubles — recomputing
+    naively would shift a boundary), rendered as hex-prefix compares."""
     w = {"train": 0.9, "val": 0.05, "test": 0.05}
     total = float(sum(w.values()))
     acc1 = w["train"] / total
     acc2 = acc1 + w["val"] / total
     h = "substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    return (f"CASE WHEN {h} <= '{_md5_frac_hex(acc1)}' THEN 'train' "
+            f"WHEN {h} <= '{_md5_frac_hex(acc2)}' THEN 'val' "
+            f"ELSE 'test' END")
+
+
+def _split_assign_sql() -> str:
     return f"""
         SELECT split, COUNT(*) AS n_docs,
                CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM (
-          SELECT doc_id,
-                 CASE WHEN {h} <= '{_md5_frac_hex(acc1)}' THEN 'train'
-                      WHEN {h} <= '{_md5_frac_hex(acc2)}' THEN 'val'
-                      ELSE 'test' END AS split
+          SELECT doc_id, {_split_case_sql()} AS split
           FROM documents)
         GROUP BY split ORDER BY split"""
 
@@ -999,6 +1002,25 @@ def q_time_rollup(spark, sf_dir):
                     aggs={"n_events": ("*", "count"),
                           "sum_ids": ("event_id", "sum")})
     return r.orderBy("gran", "bucket", "event_type")
+
+
+def q_pipeline_curation(spark, sf_dir):
+    """End-to-end curation PIPELINE facet — the composition story in
+    one oracle: C4-style quality gate → deterministic 0.5 Bernoulli
+    sample → train/val/test assignment → per-(split, lang)
+    accounting.  DuckDB recomputes every stage (the same 4dp-rounded
+    ratio rules, the same md5-threshold draws, the same split
+    boundaries), so the stages are proven to compose row-exactly, not
+    just to work in isolation."""
+    from parquet_spark.textops.sampling import assign_splits, hash_sample
+    from parquet_spark.textops.textstats import quality_filter
+    d = quality_filter(_t(spark, sf_dir, "documents")).where(F.col("keep"))
+    s = assign_splits(hash_sample(d, "doc_id", 0.5, seed=17), "doc_id")
+    return (s.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_words").alias("sum_words"))
+            .orderBy("split", "lang"))
 
 
 def q_compact_rechunk(spark, sf_dir):
@@ -1292,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
+        "pipeline_curation": q_pipeline_curation,
         "global_dict_roundtrip": q_global_dict_roundtrip,
         "splits_lineage": q_splits_lineage,
         "compact_rechunk": q_compact_rechunk,
@@ -1759,6 +1782,35 @@ def oracle_sql() -> dict[str, str]:
             FROM c ASOF LEFT JOIN e
               ON c.user_id = e.user_id AND c.ts >= e.ts
             GROUP BY c.user_id ORDER BY c.user_id""",
+        "pipeline_curation": f"""
+            WITH per AS (
+              SELECT doc_id, lang, length(text) AS n_chars,
+                     len(string_split(text, ' ')) AS n_words,
+                     len(list_filter(string_split(text, ' '),
+                         w -> w IN ({', '.join(repr(s) for s in STOP_EN)})))
+                         AS stop_hits,
+                     length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                         AS n_punct
+              FROM documents),
+            r AS (SELECT doc_id, lang, n_words,
+                         ROUND((n_chars - n_words + 1) * 1.0 / n_words, 4)
+                             AS mean_word_len,
+                         ROUND(stop_hits * 1.0 / n_words, 4)
+                             AS stopword_ratio,
+                         ROUND(n_punct * 1.0 / n_chars, 4) AS punct_ratio
+                  FROM per),
+            k AS (SELECT doc_id, lang, n_words FROM r
+                  WHERE n_words >= 16 AND punct_ratio <= 0.1
+                    AND stopword_ratio >= 0.01
+                    AND mean_word_len BETWEEN 2.0 AND 12.0),
+            smp AS (SELECT * FROM k
+                    WHERE substr(md5('17:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) <= '{_md5_frac_hex(0.5)}'),
+            sp AS (SELECT *, {_split_case_sql()} AS split FROM smp)
+            SELECT split, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(n_words) AS BIGINT) AS sum_words
+            FROM sp GROUP BY split, lang ORDER BY split, lang""",
         "range_join": """
             WITH p AS (SELECT * FROM events WHERE event_type = 'click'),
             i AS (SELECT user_id, ts AS start,
