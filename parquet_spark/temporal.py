@@ -45,6 +45,10 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str = "ts",
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got "
                          f"{direction!r}")
+    reserved = {"_t", "_side", "_rv", "_m"} & set(left.columns)
+    if reserved:
+        raise ValueError(f"left columns collide with asof_join "
+                         f"internals: {sorted(reserved)}")
     by = list(by or [])
     rc = [c for c in (right_cols if right_cols is not None
                       else right.columns)
@@ -159,9 +163,16 @@ def range_join(points: DataFrame, intervals: DataFrame,
     collision)."""
     by = list(by or [])
     b = int(bucket)
+    if b <= 0:
+        raise ValueError(f"bucket must be positive seconds, got {bucket}")
     ps = _epoch_sec(time_col, points)
     ss = _epoch_sec(start_col, intervals)
     es = _epoch_sec(end_col, intervals)
+    # an inverted interval (end < start) can never contain a point, but
+    # sequence() would still explode it DESCENDING through every cell
+    # between its bounds — drop such rows before the explode (the
+    # containment filter would discard their matches anyway)
+    intervals = intervals.where(F.col(start_col) <= F.col(end_col))
     p = points.withColumn("_cell", F.floor(ps / F.lit(b)))
     icols = [c for c in intervals.columns if c not in by]
     renames = {c: (f"{c}_r" if c in points.columns else c) for c in icols}
@@ -187,6 +198,8 @@ def time_rollup(df: DataFrame, time_col: str = "ts",
     (column, fn) with fn in {count,sum,min,max} — the decomposable
     aggregates that re-aggregate losslessly (avg = sum/count at read
     time).  Output: (gran, bucket, *by, *aggs) for every level."""
+    if not granularities:
+        raise ValueError("granularities must name at least one level")
     by = list(by or [])
     aggs = aggs or {"n_rows": ("*", "count")}
     reagg = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}

@@ -172,3 +172,25 @@ def test_time_rollup_cascade_lossless(spark):
     r.unpersist()
     with pytest.raises(ValueError):
         time_rollup(df, "ts", ("hour",), aggs={"a": ("val", "avg")})
+
+
+@pytest.mark.spark
+def test_guards(spark, sides):
+    from parquet_spark.temporal import asof_join, range_join, time_rollup
+    left, right = sides
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "ts", by=["uid"], direction="nearest")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumn("_rv", F.lit(1)), right, "ts",
+                  by=["uid"])
+    with pytest.raises(ValueError, match="bucket"):
+        range_join(left, right.select(
+            "uid", F.col("ts").alias("start"),
+            F.col("ts").alias("end")), "ts", bucket=0)
+    with pytest.raises(ValueError, match="granularities"):
+        time_rollup(left, "ts", ())
+    # inverted intervals match nothing (dropped before the explode)
+    iv = right.select("uid", F.expr("ts + INTERVAL 1 HOUR").alias("start"),
+                      F.col("ts").alias("end"))
+    assert range_join(left, iv, "ts", "start", "end",
+                      by=["uid"], bucket=600).count() == 0
