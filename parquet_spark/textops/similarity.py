@@ -26,6 +26,65 @@ def _norm(a: str):
     return F.sqrt(F.expr(f"aggregate({a}, 0D, (s, v) -> s + v * v)"))
 
 
+# Catalyst rewrites `row_number() OVER (PARTITION BY q ORDER BY ...)
+# <= n` into WindowGroupLimit(Partial) -> Exchange -> WindowGroupLimit
+# (Final) only while n stays at or under this threshold (Spark default
+# for spark.sql.optimizer.windowGroupLimitThreshold); above it the
+# single-window plan degrades to a true per-query global sort, so the
+# explicit two-level rendering below takes over.
+_WGL_THRESHOLD = 1000
+
+
+def bounded_topk(df: DataFrame, order: list, n: int,
+                 qid_col: str = "q_id", rank_col: str = "rank") -> DataFrame:
+    """Explicit two-level per-query top-n with a structural task bound.
+
+    Stage 1 keeps a local top-n per (query, input partition) — the
+    window key includes spark_partition_id(), so candidates spread over
+    |queries| x n_parts reducers and no task ever sorts more than one
+    input partition's share.  Stage 2 ranks only the surviving
+    <= n * n_parts rows per query.  Exact: every global top-n row is by
+    definition in the top-n of its own input partition.
+
+    For n at or under the WindowGroupLimit threshold Catalyst already
+    compiles the plain single window to the same bound with one FEWER
+    exchange (Partial limit per input partition before the shuffle,
+    Final after — plan evidence in PLANS.md "pq_topk"); the ranking
+    paths therefore use _per_query_rank, which picks the single-window
+    form under the threshold and this rendering above it."""
+    for c in ("_lp", "_lr"):
+        if c in df.columns:
+            raise ValueError(
+                f"column {c!r} collides with bounded_topk internals")
+    wl = Window.partitionBy(qid_col, "_lp").orderBy(*order)
+    wg = Window.partitionBy(qid_col).orderBy(*order)
+    return (df.withColumn("_lp", F.spark_partition_id())
+            .withColumn("_lr", F.row_number().over(wl))
+            .where(F.col("_lr") <= n).drop("_lp", "_lr")
+            .withColumn(rank_col, F.row_number().over(wg))
+            .where(F.col(rank_col) <= n))
+
+
+def _per_query_rank(df: DataFrame, order: list, n: int,
+                    qid_col: str = "q_id",
+                    rank_col: str = "rank") -> DataFrame:
+    """Per-query top-n used by every ranking site in this module.
+
+    The plan is bounded either way: under the WindowGroupLimit
+    threshold the single window compiles to Partial(limit n per input
+    partition) -> Exchange(q) -> Final(limit n) — no task ever sorts
+    more than its own partition's share, and at most n * n_parts rows
+    per query cross the exchange; above the threshold (where that
+    Catalyst rewrite no longer fires) the explicit two-level
+    bounded_topk provides the identical bound.  Result identity of the
+    two renderings is unit-tested."""
+    if n <= _WGL_THRESHOLD:
+        w = Window.partitionBy(qid_col).orderBy(*order)
+        return (df.withColumn(rank_col, F.row_number().over(w))
+                .where(F.col(rank_col) <= n))
+    return bounded_topk(df, order, n, qid_col, rank_col)
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "q_id") -> DataFrame:
@@ -35,10 +94,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = (c.join(F.broadcast(q))
               .withColumn("cos", F.round(_dot("qv", "cv") /
                                          (_norm("qv") * _norm("cv")), 6)))
-    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(),
-                                            F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+    return (_per_query_rank(scored,
+                            [F.col("cos").desc(), F.col(id_col).asc()],
+                            k, qid_col)
             .select(qid_col, id_col, "cos", "rank"))
 
 
@@ -230,12 +288,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     scored = (c.join(F.broadcast(q), "cluster")
               .withColumn("cos", F.round(_dot("qv", "cv") /
                                          (_norm("qv") * _norm("cv")), 6)))
-    return (scored.groupBy(qid_col, id_col)  # probe lists can overlap
-            .agg(F.max("cos").alias("cos"))
-            .withColumn("rank", F.row_number().over(
-                Window.partitionBy(qid_col).orderBy(
-                    F.col("cos").desc(), F.col(id_col).asc())))
-            .where(F.col("rank") <= k)
+    dedup = (scored.groupBy(qid_col, id_col)  # probe lists can overlap
+             .agg(F.max("cos").alias("cos")))
+    return (_per_query_rank(dedup,
+                            [F.col("cos").desc(), F.col(id_col).asc()],
+                            k, qid_col)
             .select(qid_col, id_col, "cos", "rank"))
 
 
@@ -293,10 +350,9 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = (c.join(F.broadcast(q), "bucket")
               .withColumn("cos", F.round(_dot("qv", "cv") /
                                          (_norm("qv") * _norm("cv")), 6)))
-    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(),
-                                            F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+    return (_per_query_rank(scored,
+                            [F.col("cos").desc(), F.col(id_col).asc()],
+                            k, qid_col)
             .select(qid_col, id_col, "cos", "rank"))
 
 
@@ -386,7 +442,16 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     their exact vectors for the true-cosine ranking — at 10^12 rows
     that join moves k·rerank·|queries| rows, not the corpus.  This is
     the residual-refinement step that IVF-flat could not express (its
-    in-list scoring is already exact)."""
+    in-list scoring is already exact).
+
+    The ADC candidate RANKING is bounded too (no task ever sorts the
+    corpus per query): _per_query_rank keeps a local top-(k·rerank)
+    per (query, input partition) before the per-query rank — under the
+    WindowGroupLimit threshold Catalyst materializes that bound from
+    the single window itself (Partial limit ahead of the exchange,
+    Final after; plan in PLANS.md), above it the explicit two-level
+    bounded_topk takes over — so at most k·rerank·n_parts rows per
+    query ever meet a single task."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
@@ -404,20 +469,16 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
         f"0D, (s, v) -> s + v)")
     if round_dp is not None:
         adc = F.round(adc, round_dp)
-    wc = Window.partitionBy(qid_col).orderBy(F.col("adc").asc(),
-                                             F.col(id_col).asc())
-    cand = (codes.join(F.broadcast(q))
-            .withColumn("adc", adc)
-            .withColumn("crank", F.row_number().over(wc))
-            .where(F.col("crank") <= k * rerank)
-            .select(qid_col, id_col))
+    cand = _per_query_rank(
+        codes.join(F.broadcast(q)).withColumn("adc", adc),
+        [F.col("adc").asc(), F.col(id_col).asc()],
+        k * rerank, qid_col, rank_col="crank").select(qid_col, id_col)
     # exact re-rank: candidates only
     scored = (cand.join(c, id_col)
               .join(F.broadcast(q), qid_col)
               .withColumn("cos", F.round(_dot("qv", "cv") /
                                          (_norm("qv") * _norm("cv")), 6)))
-    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(),
-                                            F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+    return (_per_query_rank(scored,
+                            [F.col("cos").desc(), F.col(id_col).asc()],
+                            k, qid_col)
             .select(qid_col, id_col, "cos", "rank"))

@@ -496,3 +496,59 @@ def test_repetition_stats_detects_boilerplate(spark):
     assert got[1].dup_word_frac == round(4 / 6, 4)
     assert got[2].dup_line_frac == 0.0
     assert got[2].dup_word_frac == 0.0
+
+
+@pytest.mark.spark
+def test_bounded_topk_identity_with_single_window(spark, vecs):
+    """The explicit two-level bounded_topk (local top-n per (query,
+    input partition), then global rank over the survivors) returns the
+    EXACT same rows as the single-window rank for every query — the
+    identity that lets _per_query_rank switch renderings at the
+    WindowGroupLimit threshold without changing results."""
+    from parquet_spark.textops.similarity import (_dot, _norm,
+                                                  _per_query_rank,
+                                                  bounded_topk)
+    q = vecs.where(F.col("vec_id").isin(0, 3, 7)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    c = (vecs.repartition(5)
+         .select(F.col("vec_id"), F.col("embedding").alias("cv")))
+    scored = (c.join(F.broadcast(q))
+              .withColumn("cos", F.round(_dot("qv", "cv") /
+                                         (_norm("qv") * _norm("cv")), 6)))
+    order = [F.col("cos").desc(), F.col("vec_id").asc()]
+    cols = ["q_id", "vec_id", "cos", "rank"]
+    single = sorted(map(tuple, _per_query_rank(scored, order, 4, "q_id")
+                        .select(*cols).collect()))
+    two = sorted(map(tuple, bounded_topk(scored, order, 4, "q_id")
+                     .select(*cols).collect()))
+    assert single == two and len(single) == 12
+    # reserved internal columns are guarded
+    with pytest.raises(ValueError, match="_lp"):
+        bounded_topk(scored.withColumn("_lp", F.lit(1)), order, 4, "q_id")
+
+
+@pytest.mark.spark
+def test_pq_adc_rank_plan_is_bounded(spark, vecs):
+    """Regression guard for the pq_topk ADC candidate stage: the
+    single-window rank must keep the map-side Partial WindowGroupLimit
+    BELOW (= executed before) the exchange, so each task forwards at
+    most k*rerank candidate rows per query and the per-query reduce
+    side sees at most k*rerank*n_parts rows — the two-level bound,
+    materialized by Catalyst.  If a future rank-filter shape stops the
+    rewrite from firing, this test fails before the plan regresses at
+    scale."""
+    from parquet_spark.textops.similarity import pq_codebooks_md5, pq_topk
+    cbs = pq_codebooks_md5(vecs, m=4, k=4)
+    q = vecs.limit(2).select(F.col("vec_id").alias("q_id"), "embedding")
+    plan = (pq_topk(vecs, q, cbs, k=3, rerank=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    partials = [i for i, ln in enumerate(plan.splitlines())
+                if "WindowGroupLimit" in ln and "Partial" in ln]
+    finals = [i for i, ln in enumerate(plan.splitlines())
+              if "WindowGroupLimit" in ln and "Final" in ln]
+    exchanges = [i for i, ln in enumerate(plan.splitlines())
+                 if "Exchange hashpartitioning(q_id" in ln]
+    assert partials and finals and exchanges
+    # tree-string depth order: a node printed LATER executes EARLIER;
+    # the Partial limit must sit below the q_id exchange it bounds
+    assert any(p > e for p in partials for e in exchanges)
