@@ -27,7 +27,8 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str = "ts",
               right_cols: list[str] | None = None,
               tolerance: float | None = None,
               direction: str = "backward",
-              suffix: str = "_r") -> DataFrame:
+              suffix: str = "_r",
+              allow_global_sort: bool = False) -> DataFrame:
     """For each left row, the single most recent right row at-or-before
     its timestamp (direction="backward"; "forward" = earliest
     at-or-after), per `by` key, optionally within `tolerance` seconds
@@ -41,10 +42,24 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str = "ts",
     last_value(right_payload, ignorenulls) over rowsBetween(unbounded
     preceding, current) fills every left row — one exchange on `by`,
     one in-partition sort, zero joins.  The right time travels inside
-    the payload struct and is exposed as f"{time_col}{suffix}"."""
+    the payload struct and is exposed as f"{time_col}{suffix}".
+
+    The 10^12-event claim holds only WITH a `by` key: the window
+    partitions on it, so each task sorts one key's events.  A keyless
+    as-of degenerates to a SINGLE partition — one task sorts
+    left+right end to end — so it is refused unless the caller opts in
+    with allow_global_sort=True (sensible only for driver-scale
+    inputs)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got "
                          f"{direction!r}")
+    if not by and not allow_global_sort:
+        raise ValueError(
+            "asof_join without `by` runs as ONE global single-task "
+            "sort of both inputs — fine for small frames, a scale-"
+            "killer at 10^12 events.  Pass by=[...] to partition the "
+            "sort, or allow_global_sort=True to accept the single-"
+            "partition plan explicitly")
     reserved = {"_t", "_side", "_rv", "_m"} & set(left.columns)
     if reserved:
         raise ValueError(f"left columns collide with asof_join "
@@ -53,6 +68,10 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str = "ts",
     rc = [c for c in (right_cols if right_cols is not None
                       else right.columns)
           if c not in by and c != time_col]
+    if "_rt" in rc:
+        raise ValueError(
+            "right column '_rt' collides with asof_join's matched-"
+            "time slot inside the payload struct; rename it")
     payload = F.struct(F.col(time_col).alias("_rt"),
                        *[F.col(c) for c in rc])
     rv_type = right.select(payload.alias("_rv")).schema["_rv"].dataType
@@ -165,6 +184,10 @@ def range_join(points: DataFrame, intervals: DataFrame,
     b = int(bucket)
     if b <= 0:
         raise ValueError(f"bucket must be positive seconds, got {bucket}")
+    if "_cell" in points.columns or "_cell" in intervals.columns:
+        raise ValueError(
+            "column '_cell' collides with range_join's grid-cell "
+            "internal (it would be clobbered and dropped); rename it")
     ps = _epoch_sec(time_col, points)
     ss = _epoch_sec(start_col, intervals)
     es = _epoch_sec(end_col, intervals)
@@ -176,6 +199,16 @@ def range_join(points: DataFrame, intervals: DataFrame,
     p = points.withColumn("_cell", F.floor(ps / F.lit(b)))
     icols = [c for c in intervals.columns if c not in by]
     renames = {c: (f"{c}_r" if c in points.columns else c) for c in icols}
+    # the collision-rename must not itself collide: with another point
+    # column ('end' renamed to an existing 'end_r') or with a sibling
+    # interval column named like a rename target
+    clash = [renames[c] for c in icols
+             if renames[c] != c and (renames[c] in points.columns
+                                     or renames[c] in icols)]
+    if clash:
+        raise ValueError(
+            f"range_join suffix rename collides with existing columns: "
+            f"{sorted(set(clash))}; rename them on one side first")
     i = (intervals.select(
             *by, *[F.col(c).alias(renames[c]) for c in icols],
             F.explode(F.sequence(F.floor(ss / F.lit(b)),
@@ -197,9 +230,37 @@ def time_rollup(df: DataFrame, time_col: str = "ts",
     step shuffles only bucket-count rows.  `aggs` maps output name →
     (column, fn) with fn in {count,sum,min,max} — the decomposable
     aggregates that re-aggregate losslessly (avg = sum/count at read
-    time).  Output: (gran, bucket, *by, *aggs) for every level."""
+    time).  Output: (gran, bucket, *by, *aggs) for every level.
+
+    Granularities must run finest -> coarsest along the nesting chain
+    second < minute < hour < day < month < quarter < year, with `week`
+    allowed only as the LAST level (after day or finer): a misordered
+    cascade like ("day","hour") would silently re-truncate day buckets
+    (every "hour" row carrying day-grain values), and a non-nested one
+    like ("week","month") would assign a month-straddling week's full
+    counts to a single month — both raise ValueError instead."""
     if not granularities:
         raise ValueError("granularities must name at least one level")
+    _LEVEL = {"second": 0, "minute": 1, "hour": 2, "day": 3,
+              "week": 4, "month": 5, "quarter": 6, "year": 7}
+    gl = [g.lower() for g in granularities]
+    unknown = [g for g in gl if g not in _LEVEL]
+    if unknown:
+        raise ValueError(
+            f"unknown granularities {unknown}; supported (finest to "
+            f"coarsest): {list(_LEVEL)}")
+    for a, b in zip(gl, gl[1:]):
+        if _LEVEL[a] >= _LEVEL[b]:
+            raise ValueError(
+                f"granularities must be strictly finest->coarsest; "
+                f"{a!r} before {b!r} would re-truncate already-coarse "
+                "buckets into silently wrong aggregates")
+    if "week" in gl[:-1]:
+        raise ValueError(
+            "'week' buckets do not nest into month/quarter/year (a "
+            "week can straddle the boundary, mis-assigning its "
+            "counts); 'week' is only valid as the final level")
+    granularities = tuple(gl)
     by = list(by or [])
     aggs = aggs or {"n_rows": ("*", "count")}
     reagg = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}

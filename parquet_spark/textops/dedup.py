@@ -215,16 +215,28 @@ def connected_components(pairs: DataFrame, left: str = "doc_a",
     node id in the node's connected component — the canonical-keeper
     convention for dedup clusters.
 
-    Min-label propagation: every round each node takes the min of its
-    own label and its neighbors' labels; converges in O(graph diameter)
-    rounds.  Near-dup clusters are small and dense (diameter 2-3), so
-    at 100 TB this is 2-3 shuffles of the EDGE list — the corpus never
-    enters the loop (reference analog: none; the reference stops at
-    pair emission).  Each round localCheckpoints (iterative plans
-    otherwise grow exponentially) and convergence is driven by a
-    metadata-sized changed-label count, recorded per round in `stats`.
-    Nodes appearing in no pair are absent (they are their own
-    keepers)."""
+    Min-label propagation WITH pointer-jumping: every round each node
+    takes the min of its own label and its neighbors' labels, then
+    follows its label's label one hop (path doubling — the classic
+    shortcutting step of Shiloach-Vishkin-style CC).  Neighbor
+    propagation alone moves the component minimum ONE hop per round
+    (O(diameter) — an adversarial 10^6-node chain would need 10^6
+    rounds); the shortcut compresses label chains geometrically, so
+    convergence is O(log n) rounds even for path graphs.  Labels only
+    ever reference in-component nodes (inductively: a label is some
+    neighbor's current label), so the fixed point is unchanged — the
+    component minimum.  Near-dup clusters are small and dense
+    (diameter 2-3), so at 100 TB this is 2-3 shuffles of the EDGE
+    list plus a same-sized label self-join — the corpus never enters
+    the loop (reference analog: none; the reference stops at pair
+    emission).  Each round localCheckpoints (iterative plans otherwise
+    grow exponentially) and convergence is driven by a metadata-sized
+    changed-label count, recorded per round in `stats` along with
+    stats["converged"].  If max_iters elapse with labels still moving
+    a RuntimeWarning is emitted — the returned labels are then NOT
+    component minima and dedup_keep refuses them.  Nodes appearing in
+    no pair are absent (they are their own keepers)."""
+    import warnings
     sym = (pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
            .union(pairs.select(F.col(right).alias("src"),
                                F.col(left).alias("dst")))).localCheckpoint()
@@ -232,6 +244,7 @@ def connected_components(pairs: DataFrame, left: str = "doc_a",
               .withColumn("comp", F.col("node")).localCheckpoint())
     if stats is not None:
         stats.setdefault("rounds", [])
+    changed = None
     for _ in range(max_iters):
         nmin = (sym.join(labels, sym["dst"] == labels["node"])
                 .groupBy("src").agg(F.min("comp").alias("nmin")))
@@ -239,6 +252,16 @@ def connected_components(pairs: DataFrame, left: str = "doc_a",
                .select(labels["node"],
                        F.least(labels["comp"],
                                F.coalesce(F.col("nmin"), labels["comp"]))
+                       .alias("comp")))
+        # pointer jumping: comp <- min(comp, comp[comp]).  comp values
+        # are node ids present in `labels` (every dst is also a src in
+        # the symmetric edge list), and always in-component.
+        hop = new.select(F.col("node").alias("_c"),
+                         F.col("comp").alias("_cc"))
+        new = (new.join(hop, new["comp"] == hop["_c"], "left")
+               .select("node",
+                       F.least(F.col("comp"),
+                               F.coalesce(F.col("_cc"), F.col("comp")))
                        .alias("comp")).localCheckpoint())
         changed = (new.alias("n")
                    .join(labels.alias("o"), "node")
@@ -248,6 +271,15 @@ def connected_components(pairs: DataFrame, left: str = "doc_a",
             stats["rounds"].append({"changed": changed})
         if changed == 0:
             break
+    converged = changed == 0 or changed is None
+    if stats is not None:
+        stats["converged"] = converged
+    if not converged:
+        warnings.warn(
+            f"connected_components stopped after max_iters={max_iters} "
+            f"with {changed} labels still changing — returned labels "
+            "are NOT component minima; raise max_iters",
+            RuntimeWarning, stacklevel=2)
     return labels
 
 
@@ -261,8 +293,17 @@ def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     against the loser set (bounded by the PAIR count, tiny vs the
     corpus — broadcast-able in practice), so the full pipeline
     shingles→signatures→LSH pairs→components→keepers touches the
-    corpus exactly twice: once to sign, once to filter."""
-    comp = connected_components(pairs, left, right, max_iters)
+    corpus exactly twice: once to sign, once to filter.  Refuses
+    unconverged labels (a truncated CC run would silently keep
+    multiple "canonical" docs per cluster)."""
+    cc_stats: dict = {}
+    comp = connected_components(pairs, left, right, max_iters,
+                                stats=cc_stats)
+    if not cc_stats.get("converged", True):
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"max_iters={max_iters}; dedup_keep would keep multiple "
+            "canonicals per cluster — raise max_iters")
     losers = (comp.where(F.col("node") != F.col("comp"))
               .select(F.col("node").alias(id_col)))
     return df.join(losers, id_col, "left_anti")

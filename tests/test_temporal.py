@@ -194,3 +194,61 @@ def test_guards(spark, sides):
                       F.col("ts").alias("end"))
     assert range_join(left, iv, "ts", "start", "end",
                       by=["uid"], bucket=600).count() == 0
+
+
+@pytest.mark.spark
+def test_keyless_asof_requires_opt_in(spark, sides):
+    """A `by`-less as-of degenerates to a single-task global sort, so
+    it is refused unless the caller opts in explicitly — and the
+    opt-in path still computes the right answer."""
+    from parquet_spark.temporal import asof_join
+    left, right = sides
+    with pytest.raises(ValueError, match="allow_global_sort"):
+        asof_join(left, right, "ts")
+    keyed = {(r.uid, r.ts): r.ts_r for r in
+             asof_join(left, right, "ts", by=["uid"]).collect()}
+    # keyless over a single uid's slice == keyed restricted to that uid
+    l1 = left.where(F.col("uid") == 1)
+    r1 = right.where(F.col("uid") == 1).drop("uid")
+    out = asof_join(l1, r1, "ts", allow_global_sort=True).collect()
+    assert {(1, r.ts): r.ts_r for r in out} == \
+        {k: v for k, v in keyed.items() if k[0] == 1}
+
+
+@pytest.mark.spark
+def test_reserved_column_guards(spark, sides):
+    from parquet_spark.temporal import asof_join, range_join
+    left, right = sides
+    with pytest.raises(ValueError, match="_rt"):
+        asof_join(left, right.withColumn("_rt", F.lit(1)), "ts",
+                  by=["uid"])
+    iv = right.select("uid", F.col("ts").alias("start"),
+                      F.col("ts").alias("end"))
+    with pytest.raises(ValueError, match="_cell"):
+        range_join(left.withColumn("_cell", F.lit(1)), iv, "ts",
+                   by=["uid"], bucket=600)
+    with pytest.raises(ValueError, match="_cell"):
+        range_join(left, iv.withColumn("_cell", F.lit(1)), "ts",
+                   by=["uid"], bucket=600)
+    # suffix-rename collision: points already has 'start_r'
+    with pytest.raises(ValueError, match="start_r"):
+        range_join(left.withColumn("start", F.lit(1))
+                       .withColumn("start_r", F.lit(2)),
+                   iv, "ts", by=["uid"], bucket=600)
+
+
+@pytest.mark.spark
+def test_time_rollup_granularity_nesting_validated(spark, sides):
+    """Misordered or non-nested cascades raise instead of silently
+    producing wrong aggregates; week is only valid terminally."""
+    from parquet_spark.temporal import time_rollup
+    left, _ = sides
+    with pytest.raises(ValueError, match="finest"):
+        time_rollup(left, "ts", ("day", "hour"))
+    with pytest.raises(ValueError, match="week"):
+        time_rollup(left, "ts", ("week", "month"))
+    with pytest.raises(ValueError, match="unknown"):
+        time_rollup(left, "ts", ("hour", "fortnight"))
+    # valid: day -> week (week terminal) and hour -> day -> month
+    assert time_rollup(left, "ts", ("day", "week")).count() > 0
+    assert time_rollup(left, "ts", ("hour", "day", "month")).count() > 0

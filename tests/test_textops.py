@@ -552,3 +552,36 @@ def test_pq_adc_rank_plan_is_bounded(spark, vecs):
     # tree-string depth order: a node printed LATER executes EARLIER;
     # the Partial limit must sit below the q_id exchange it bounds
     assert any(p > e for p in partials for e in exchanges)
+
+
+@pytest.mark.spark
+def test_connected_components_long_chain_log_rounds(spark):
+    """Pointer-jumping property test: a 100-node path graph converges
+    to the single component minimum in O(log n) rounds — far inside
+    the default max_iters=25 that plain min-label propagation (one hop
+    per round) would blow through."""
+    from parquet_spark.textops.dedup import connected_components
+    edges = [(i, i + 1) for i in range(100)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    stats = {}
+    got = {r.node: r.comp for r in
+           connected_components(df, stats=stats).collect()}
+    assert stats["converged"]
+    assert len(stats["rounds"]) <= 10          # ~log2(100) + settle
+    assert got == {i: 0 for i in range(101)}
+
+
+@pytest.mark.spark
+def test_connected_components_unconverged_warns_and_keep_refuses(spark):
+    from parquet_spark.textops.dedup import (connected_components,
+                                             dedup_keep)
+    edges = [(i, i + 1) for i in range(100)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    stats = {}
+    with pytest.warns(RuntimeWarning, match="NOT component minima"):
+        connected_components(df, max_iters=2, stats=stats)
+    assert not stats["converged"]
+    docs = spark.range(101).select(F.col("id").alias("doc_id"),
+                                   F.lit("t").alias("text"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_keep(docs, df, max_iters=2)
