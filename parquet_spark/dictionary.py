@@ -39,15 +39,31 @@ def salted_key_counts(df: DataFrame, col: str,
 
 
 def build_global_dict(df: DataFrame, col: str,
-                      max_cardinality: int = 1 << 20) -> DataFrame | None:
+                      max_cardinality: int = 1 << 20,
+                      reason_out: dict | None = None) -> DataFrame | None:
     """Dense ids for every distinct non-null value, ordered by value.
 
     Returns None when the column fails the reference's 0.8 uniqueness
-    gate (dictionary would blow up) or exceeds max_cardinality.
+    gate (dictionary would blow up) or exceeds max_cardinality; pass
+    `reason_out` to learn WHICH gate refused ("empty" / "cardinality
+    <d> > <cap>" / "uniqueness <ratio> > 0.8") — callers can fall back
+    differently per cause (write_encoded falls back to per-chunk dicts
+    on a cardinality overflow but still refuses a uniqueness failure).
     """
     stats = df.agg(F.countDistinct(col).alias("d"),
                    F.count(col).alias("n")).collect()[0]
-    if stats.n == 0 or stats.d > max_cardinality or stats.d / stats.n > 0.8:
+    reason = None
+    if stats.n == 0:
+        reason = "empty"
+    elif stats.d / stats.n > 0.8:
+        # checked BEFORE the cap: a near-unique column fails the
+        # semantic gate regardless of size (dict would not compress)
+        reason = f"uniqueness {stats.d / stats.n:.3f} > 0.8"
+    elif stats.d > max_cardinality:
+        reason = f"cardinality {stats.d} > {max_cardinality}"
+    if reason is not None:
+        if reason_out is not None:
+            reason_out["reason"] = reason
         return None
     vals = df.where(F.col(col).isNotNull()).select(col).distinct()
     # Dense rank WITHOUT a single-partition sort: range-partition the

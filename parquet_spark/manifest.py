@@ -33,6 +33,7 @@ import json
 import os
 import time
 import uuid
+import warnings
 from typing import Iterator
 
 import numpy as np
@@ -439,12 +440,22 @@ def write_encoded(df: DataFrame, table_path: str,
     _check_resume_layout(parent, layout, table_path)
 
     global_dicts: dict[str, list] = {}
+    gdict_fallback: dict[str, str] = {}
     if global_dict_cols:
         from .dictionary import apply_global_dict, build_global_dict
         committed_dicts = ((parent.get("meta") or {})
                            .get("global_dicts") or {}) if parent else {}
+        committed_fb = ((parent.get("meta") or {})
+                        .get("global_dict_fallback") or {}) if parent else {}
         orig_cols = list(df.columns)
         for c in global_dict_cols:
+            if c in committed_fb:
+                # resume consistency: committed chunks hold RAW values
+                # for this column (earlier run fell back), so later
+                # batches must too — even if this batch's cardinality
+                # would now fit under the cap
+                gdict_fallback[c] = committed_fb[c]
+                continue
             if c in committed_dicts:
                 # resume: ids must stay consistent with committed chunks
                 vals = committed_dicts[c]
@@ -461,13 +472,30 @@ def write_encoded(df: DataFrame, table_path: str,
                         "dictionary; decode + re-encode into a fresh "
                         "table (ids are frozen at first commit)")
             else:
+                why: dict = {}
                 gd = build_global_dict(df, c,
-                                       max_cardinality=_GDICT_MAX_META)
+                                       max_cardinality=_GDICT_MAX_META,
+                                       reason_out=why)
                 if gd is None:
+                    reason = why.get("reason", "")
+                    if reason.startswith("cardinality"):
+                        # graceful over-cap fallback: the caller asked
+                        # for compression, not a crash — store the
+                        # column raw and let the per-chunk codec
+                        # selector dict-encode each chunk locally; the
+                        # lineage note below records the downgrade
+                        warnings.warn(
+                            f"global_dict_cols: column {c!r} exceeds "
+                            f"the manifest dictionary cap ({reason}); "
+                            "falling back to per-chunk dictionary "
+                            "encoding (recorded in snapshot meta "
+                            "'global_dict_fallback')", RuntimeWarning,
+                            stacklevel=2)
+                        gdict_fallback[c] = reason
+                        continue
                     raise ValueError(
                         f"column {c!r} fails the global-dict gate "
-                        "(uniqueness ratio > 0.8, empty, or cardinality "
-                        f"> {_GDICT_MAX_META})")
+                        f"({reason}; cap {_GDICT_MAX_META})")
                 vals = [r.value for r in gd.orderBy("dict_id").collect()]
             global_dicts[c] = vals
             df = (apply_global_dict(df, c, gd)
@@ -580,6 +608,8 @@ def write_encoded(df: DataFrame, table_path: str,
         meta["global_dicts"] = global_dicts
     elif parent is not None and (parent.get("meta") or {}).get("global_dicts"):
         meta["global_dicts"] = parent["meta"]["global_dicts"]
+    if gdict_fallback:
+        meta["global_dict_fallback"] = gdict_fallback
     return table.commit(parts, schema_ipc, parent, meta)
 
 
@@ -1070,6 +1100,11 @@ def scan_table(spark: SparkSession, table_path: str,
             if t[0] == "in":
                 index = {v: i for i, v in enumerate(vals)}
                 ids = [index[v] for v in t[2] if v in index]
+                if len(ids) > _GDICT_PRUNE_MAX:
+                    continue  # a huge IN-list would expand into an
+                    # equally huge literal id array inside the zone-keep
+                    # expression — skip pruning, the exact residual
+                    # below still applies
             else:
                 _, _, lo, hi = t
                 ids = [i for i, v in enumerate(vals)

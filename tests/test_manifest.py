@@ -6,6 +6,7 @@ kill after K partitions -> rerun encodes only N-K (BASELINE.json:6)."""
 import json
 import os
 
+import pyarrow as pa
 import pytest
 from pyspark.sql import functions as F
 
@@ -422,6 +423,11 @@ def test_scan_table_dict_aware(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(M, "_GDICT_PRUNE_MAX", 0)
     got_w = scan_table(spark, path, [("lang", lo, hi)])
     assert got_w.count() == exp_r.count()
+    # ...and an IN-list over the cap is capped the same way (it would
+    # otherwise expand into an equally large literal id array inside
+    # the zone-keep expression): pruning skipped, residual exact
+    got_in = scan_table(spark, path, [("lang", "in", langs[:2])])
+    assert got_in.count() == df.where(F.col("lang").isin(langs[:2])).count()
     monkeypatch.undo()
     # projection restores the dict column to strings
     cols = scan_table(spark, path, [("lang", "=", pick)],
@@ -429,3 +435,50 @@ def test_scan_table_dict_aware(spark, tmp_path, monkeypatch):
     assert cols.columns == ["url", "lang"]
     assert cols.schema["lang"].dataType.simpleString() == "string"
     assert cols.count() == exp.count()
+
+
+@pytest.mark.spark
+def test_global_dict_over_cap_falls_back_to_per_chunk(spark, monkeypatch):
+    """A column whose cardinality crosses the manifest dictionary cap
+    must NOT crash the write: it falls back to per-chunk dictionary
+    encoding (raw values in the chunks, a 'global_dict_fallback' note
+    in the snapshot meta), round-trips bit-identically, and RESUME
+    keeps falling back even when a later batch would fit the cap."""
+    import tempfile
+    import warnings as _w
+
+    import parquet_spark.manifest as mani
+    from parquet_spark.manifest import (EncodedTable, read_decoded,
+                                        write_encoded)
+    monkeypatch.setattr(mani, "_GDICT_MAX_META", 50)
+    # 120 distinct values over 600 rows: ratio 0.2 (passes the
+    # uniqueness gate) but cardinality 120 > the patched cap of 50
+    df = (spark.range(600)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("v"), (F.col("id") % 120)).alias("cat"),
+                  F.concat(F.lit("u"), F.col("id")).alias("url")))
+    tbl = tempfile.mkdtemp(prefix="gdict_fb_")
+    with pytest.warns(RuntimeWarning, match="per-chunk dictionary"):
+        write_encoded(df, tbl, key=["doc_id"], n_parts=2, limit_parts=1,
+                      global_dict_cols=["cat"])
+    t = EncodedTable(tbl)
+    meta = t.meta()
+    assert "cat" not in (meta.get("global_dicts") or {})
+    assert meta["global_dict_fallback"]["cat"].startswith("cardinality")
+    # column stored raw (string), not as dict ids
+    assert t.schema().field("cat").type == pa.string()
+    # resume: a narrow second batch (cardinality now < cap) must KEEP
+    # the fallback — committed chunks already hold raw values
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)
+        write_encoded(df, tbl, key=["doc_id"], n_parts=2,
+                      global_dict_cols=["cat"])
+    meta2 = EncodedTable(tbl).meta()
+    assert meta2["global_dict_fallback"]["cat"].startswith("cardinality")
+    assert "cat" not in (meta2.get("global_dicts") or {})
+    dec = read_decoded(spark, tbl)
+    assert dec.count() == 600 and dec.exceptAll(df).count() == 0
+    # the uniqueness gate still refuses loudly (semantic, not a cap)
+    with pytest.raises(ValueError, match="uniqueness"):
+        write_encoded(df, tempfile.mkdtemp(prefix="gdict_fb2_"),
+                      key=["doc_id"], n_parts=2, global_dict_cols=["url"])
