@@ -249,6 +249,89 @@ class PosixCommitBackend(CommitBackend):
             self._release(token)
 
 
+class ConditionalPutCommitBackend(CommitBackend):
+    """The documented object-store contract, exercised locally: every
+    write is a PUT-IF-ABSENT of an immutable object, emulated with
+    os.link of a fully-written unique temp onto the target name — the
+    POSIX rendering of S3 ``If-None-Match: *`` / GCS
+    ``x-goog-if-generation-match: 0``.
+
+    The pointer is not a mutated file but a chain of immutable
+    GENERATION objects ``ptr/gen-%016d`` whose content is the snapshot
+    name; ``current()`` reads the highest generation.  ``commit``
+    verifies the head value equals ``expected`` and then attempts to
+    create generation ``head+1`` — of N racing writers with the same
+    expected head exactly one link() succeeds, the rest get
+    FileExistsError => ConcurrentCommitError.  There is NO lock object,
+    hence no stale-lock state and no steal window: a writer killed at
+    ANY instruction leaves at most an orphan temp/payload, never a
+    half-flipped pointer, and blocks nobody (kill-schedule
+    stress-tested).  This is the semantics an S3/GCS/catalog backend
+    inherits by swapping the link() for the real conditional PUT."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.snap_dir = os.path.join(path, "snapshots")
+        self.ptr_dir = os.path.join(path, "ptr")
+
+    def _head(self) -> tuple[int, str | None]:
+        try:
+            gens = [n for n in os.listdir(self.ptr_dir)
+                    if n.startswith("gen-")]
+        except FileNotFoundError:
+            return 0, None
+        if not gens:
+            return 0, None
+        top = max(gens)
+        with open(os.path.join(self.ptr_dir, top)) as f:
+            return int(top[4:]), f.read().strip()
+
+    def current(self) -> str | None:
+        return self._head()[1]
+
+    def read(self, name: str) -> str:
+        with open(os.path.join(self.snap_dir, name)) as f:
+            return f.read()
+
+    def _put_if_absent(self, directory: str, name: str,
+                       payload: str) -> bool:
+        """Atomically create directory/name with payload; False if the
+        object already exists (the conditional-PUT failure)."""
+        os.makedirs(directory, exist_ok=True)
+        tmp = os.path.join(directory, f".put-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(payload)
+        try:
+            os.link(tmp, os.path.join(directory, name))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+    def commit(self, name: str, payload: str,
+               expected: str | None) -> None:
+        gen, actual = self._head()
+        if actual != expected:
+            raise ConcurrentCommitError(
+                f"pointer head at {self.path} is {actual!r}, expected "
+                f"{expected!r}: another writer committed; re-read and "
+                "retry")
+        # snapshot names are unique per attempt, so a collision here
+        # means a duplicated name, not a race — surface it
+        if not self._put_if_absent(self.snap_dir, name, payload):
+            raise ConcurrentCommitError(
+                f"snapshot object {name!r} already exists")
+        if not self._put_if_absent(self.ptr_dir, f"gen-{gen + 1:016d}",
+                                   name):
+            raise ConcurrentCommitError(
+                f"generation {gen + 1} at {self.path} was taken by a "
+                "concurrent writer; re-read and retry")
+
+
 class EncodedTable:
     """Driver-side handle to a committed encoded table."""
 

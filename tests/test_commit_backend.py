@@ -217,3 +217,142 @@ def test_float_zone_bounds_rejected():
     assert _is_numeric_bound(np.int64(3))
     assert _is_numeric_bound(np.datetime64("2020-01-01"))
     assert not _is_numeric_bound("abc")
+
+
+def test_conditional_put_backend_contract():
+    """The object-store contract exercised locally: put-if-absent
+    generation objects, no lock state, exactly-one-winner CAS, and the
+    loser leaves only an orphan payload (never a pointer change)."""
+    from parquet_spark.manifest import ConditionalPutCommitBackend
+    path = _mk_table()
+    t = EncodedTable(path, backend=ConditionalPutCommitBackend(path))
+    s0 = t.commit({"0": {"n_rows": 1}}, None, None)
+    assert t.backend.current() == s0["_snap_name"]
+    assert json.loads(t.backend.read(s0["_snap_name"]))["snapshot_id"] == 0
+    # CAS against a stale parent refuses without moving the pointer
+    with pytest.raises(ConcurrentCommitError):
+        t.commit({"1": {}}, None, None)  # expected=None but head exists
+    assert t.backend.current() == s0["_snap_name"]
+    s1 = t.commit({"1": {}}, None, t.current_snapshot())
+    assert t.current_snapshot()["snapshot_id"] == 1
+    # two immutable generations exist; nothing was overwritten
+    gens = sorted(os.listdir(os.path.join(path, "ptr")))
+    assert gens == ["gen-" + "1".zfill(16), "gen-" + "2".zfill(16)]
+    assert json.loads(t.backend.read(s1["_snap_name"]))["parts"] == {"1": {}}
+
+
+_WRITER_SRC = '''
+import os, random, sys, time
+sys.path.insert(0, {repo!r})
+from parquet_spark.manifest import (ConcurrentCommitError,
+                                    ConditionalPutCommitBackend,
+                                    EncodedTable, PosixCommitBackend)
+path, kind, n, wid, log = (sys.argv[1], sys.argv[2], int(sys.argv[3]),
+                           sys.argv[4], sys.argv[5])
+be = (PosixCommitBackend(path, lock_stale_s=0.5) if kind == "posix"
+      else ConditionalPutCommitBackend(path))
+t = EncodedTable(path, backend=be)
+done = 0
+while done < n:
+    parent = t.current_snapshot()
+    parts = dict(parent["parts"]) if parent else {{}}
+    key = f"w{{wid}}-{{done}}"
+    parts[key] = {{"writer": wid}}
+    try:
+        t.commit(parts, None, parent,
+                 meta=(parent or {{}}).get("meta"))
+    except ConcurrentCommitError:
+        time.sleep(random.random() * 0.01)
+        continue
+    with open(log, "a") as f:
+        f.write(key + chr(10))
+        f.flush(); os.fsync(f.fileno())
+    done += 1
+    time.sleep(random.random() * 0.01)
+'''
+
+
+@pytest.mark.parametrize("kind", ["posix", "condput"])
+def test_multi_writer_kill_schedule_stress(kind, tmp_path):
+    """N writer PROCESSES CAS-retry against one table while two of
+    them are SIGKILLed mid-flight; replacements then join.  Invariants
+    under every kill schedule: no logged (=acknowledged) commit is
+    ever lost, the chain stays linear (snapshot_id == part count, one
+    part per commit), and the table stays LIVE — for the posix backend
+    that means a killed lock holder is stolen from, for the
+    conditional-PUT backend there is no lock to leak at all."""
+    import signal
+    import subprocess
+    import sys as _sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = str(tmp_path / "tbl")
+    script = str(tmp_path / "writer.py")
+    with open(script, "w") as f:
+        f.write(_WRITER_SRC.format(repo=repo))
+
+    def spawn(wid, n):
+        log = str(tmp_path / f"log-{wid}")
+        p = subprocess.Popen([_sys.executable, script, path, kind,
+                              str(n), wid, log])
+        return p, log
+
+    procs = [spawn(f"a{i}", 6) for i in range(5)]
+    time.sleep(0.35)
+    for p, _ in procs[:2]:          # kill two mid-flight
+        p.send_signal(signal.SIGKILL)
+    for p, _ in procs[2:]:
+        assert p.wait(120) == 0
+    for p, _ in procs[:2]:
+        p.wait(10)
+    # liveness after the kills: fresh writers must still commit (for
+    # posix this crosses the stale-lock steal if a victim died holding
+    # the lock)
+    procs2 = [spawn(f"b{i}", 3) for i in range(2)]
+    for p, _ in procs2:
+        assert p.wait(120) == 0
+
+    from parquet_spark.manifest import ConditionalPutCommitBackend
+    be = (PosixCommitBackend(path) if kind == "posix"
+          else ConditionalPutCommitBackend(path))
+    final = EncodedTable(path, backend=be).current_snapshot()
+    parts = final["parts"]
+    logged = []
+    for _, log in procs + procs2:
+        if os.path.exists(log):
+            logged += [ln.strip() for ln in open(log) if ln.strip()]
+    assert len(logged) >= 3 * 6 + 2 * 3    # survivors all acknowledged
+    lost = [k for k in logged if k not in parts]
+    assert not lost, f"acknowledged commits lost: {lost}"
+    # linear chain: the FIRST commit creates snapshot_id 0 with one
+    # part and every later commit adds exactly one — id == parts - 1
+    assert final["snapshot_id"] == len(parts) - 1
+    # a killed writer may have an unacknowledged tail commit, never a
+    # duplicated or forked one
+    assert len(parts) >= len(set(logged))
+
+
+@pytest.mark.spark
+def test_write_resume_read_through_conditional_put_backend(spark, tmp_path):
+    """Full encode -> resume -> decode cycle with every commit routed
+    through the conditional-PUT backend: no CURRENT file and no lock
+    object ever exist on disk — pointer state is the immutable
+    generation chain only."""
+    from pyspark.sql import functions as F
+
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.manifest import (ConditionalPutCommitBackend,
+                                        read_decoded, write_encoded)
+    df = gen_corpus(spark, 300, seed=31, parts=3).select(
+        "url", "warc_ts", "lang", "text")
+    path = str(tmp_path / "tbl")
+    be = ConditionalPutCommitBackend(path)
+    write_encoded(df, path, key=["url"], n_parts=3, limit_parts=1,
+                  backend=be)
+    write_encoded(df, path, key=["url"], n_parts=3, backend=be)
+    assert not os.path.exists(os.path.join(path, "CURRENT"))
+    assert not os.path.exists(os.path.join(path, "COMMIT_LOCK"))
+    gens = sorted(os.listdir(os.path.join(path, "ptr")))
+    assert len(gens) == 2                      # one per commit
+    dec = read_decoded(spark, path, backend=be)
+    assert dec.count() == 300
+    assert dec.select(*df.columns).exceptAll(df).count() == 0
