@@ -225,11 +225,23 @@ def main():
             repo = os.path.dirname(os.path.abspath(__file__))
             res, all_obs = {}, {}
 
+            # Pin each measurement JVM to exactly N cores (same low-index
+            # set every time -> same cache/NUMA domain).  Unpinned, a
+            # local[8] JVM spreads its threads across all 32 host cores
+            # (extra cache + bandwidth a real 8-core executor host never
+            # has), flattering t(local[8]) and depressing the 8->32
+            # ratio; pinning makes every level an honest N-core host.
+            have_taskset = shutil.which("taskset") is not None
+
             def run_level(m, reps):
+                n = int(m[m.index("[") + 1:-1])
+                pin = (["taskset", "-c", f"0-{n - 1}" if n > 1 else "0"]
+                       if have_taskset and n <= (os.cpu_count() or n) else [])
                 p = subprocess.run(
-                    [sys.executable, "scripts/encode_job.py", "--master", m,
-                     "--input", MATRIX_CORPUS_PATH, "--parts", "64",
-                     "--key", "url", "--mode", "splits", "--reps", reps],
+                    pin + [sys.executable, "scripts/encode_job.py",
+                           "--master", m,
+                           "--input", MATRIX_CORPUS_PATH, "--parts", "64",
+                           "--key", "url", "--mode", "splits", "--reps", reps],
                     capture_output=True, text=True, timeout=900, cwd=repo)
                 out = json.loads(p.stdout.strip().splitlines()[-1])
                 all_obs.setdefault(m, []).extend(out.get("all_seconds", []))
@@ -295,6 +307,7 @@ def main():
                     run_level(m, reps)
             extra["scaling"] = {
                 "mode": "splits", "n_cores": 1, "n4_cores": 4,
+                "pinned": have_taskset,
                 "seconds": {m: t(m) for m in res},
                 "seconds_all_obs": all_obs,  # variance, not just the min
                 "gb_s": {m: res[m]["gb_per_s"] for m in res},
