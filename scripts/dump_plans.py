@@ -129,6 +129,29 @@ def main():
                 .select(F.col("vec_id").alias("q_id"), "embedding"),
                 pq_codebooks_md5(emb, m=4, k=8), k=3, rerank=2))
 
+    from parquet_spark.textops.similarity import bounded_topk
+    add("Bounded two-level top-k (explicit rendering, n above the "
+        "WindowGroupLimit threshold)",
+        "The first window partitions by (q_id, spark_partition_id()) — "
+        "a local top-n per (query, input partition), so candidates "
+        "spread across |queries| x n_parts reducers and no task ever "
+        "sorts more than one input partition's share; the second window "
+        "ranks only the surviving <= n * n_parts rows per query.  This "
+        "is the rendering every ranking site switches to when n exceeds "
+        "the WindowGroupLimit threshold, where Catalyst's Partial/Final "
+        "limit rewrite no longer fires; below it the plain single "
+        "window (previous sections) already carries the same bound with "
+        "one fewer exchange.",
+        bounded_topk(
+            emb.where(F.col("vec_id") >= 3)
+            .join(F.broadcast(emb.where(F.col("vec_id") < 3)
+                              .select(F.col("vec_id").alias("q_id"),
+                                      F.col("embedding").alias("qv"))))
+            .withColumn("score", F.expr(
+                "aggregate(zip_with(embedding, qv, (a, b) -> a * b), "
+                "0D, (acc, x) -> acc + x)")),
+            [F.col("score").desc(), F.col("vec_id").asc()], n=3))
+
     from parquet_spark.temporal import asof_join, range_join
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     clicks = events.where(F.col("event_type") == "click")
