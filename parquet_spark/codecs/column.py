@@ -26,7 +26,10 @@ int64 view -> FOR/DELTA/RLE int stream), 3 BOOL (bit-packed), 4 STR_PLAIN
 compressed bytes), 6 DICT (int-stream indexes + recursively encoded
 dictionary; applied when distinct/count <= 0.8, the reference's gate at
 /root/reference/Parquet/ParquetResultListener.cs:45), 7 LIST (lengths
-int-stream + recursively encoded child).
+int-stream + recursively encoded child), 8 DEC128 (two int64 lanes),
+9 BSS (byte-stream-split for float32/float64: per-byte-plane transpose,
+chosen over INT by a sampled size trial — the Parquet-format
+BYTE_STREAM_SPLIT analog for full-entropy floats like embeddings).
 
 Null handling is centralized: a bit-packed validity bitmap plus the
 codec body over non-null values only; decode scatters through
@@ -46,12 +49,12 @@ import pyarrow.compute as pc
 from . import fsst
 from .ints import decode_uint64, encode_uint64
 
-PLAIN, INT, BOOL, STR_PLAIN, STR_FSST, DICT, LIST, DEC128 = \
-    1, 2, 3, 4, 5, 6, 7, 8
+PLAIN, INT, BOOL, STR_PLAIN, STR_FSST, DICT, LIST, DEC128, BSS = \
+    1, 2, 3, 4, 5, 6, 7, 8, 9
 
 CODEC_NAMES = {PLAIN: "plain", INT: "int", BOOL: "bool", STR_PLAIN: "str_plain",
                STR_FSST: "fsst", DICT: "dict", LIST: "list",
-               DEC128: "dec128"}
+               DEC128: "dec128", BSS: "bss"}
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 _ZSTD = pa.Codec("zstd", compression_level=3)
@@ -476,6 +479,34 @@ def _dec_dec128(body: bytes, t: pa.DataType) -> pa.Array:
     return _scatter(vals, n, valid)
 
 
+def _enc_bss(arr: pa.Array) -> bytes:
+    """Byte-stream-split for float32/float64: transpose the value bytes
+    so each byte plane (sign/exponent planes vs mantissa planes) forms a
+    contiguous stream.  The transpose itself is size-neutral; the win is
+    that the low-entropy exponent planes become long compressible runs
+    for the block compressor — the same rationale as Parquet's own
+    BYTE_STREAM_SPLIT encoding (format spec, Encodings.md) — where the
+    interleaved layout defeats it.  Bit-faithful: NaN payloads, -0.0 and
+    inf round-trip exactly (north-rule contract, BASELINE.json:6)."""
+    head, vals = _validity_header(arr, BSS)
+    npv = np.ascontiguousarray(vals.to_numpy(zero_copy_only=False))
+    width = npv.dtype.itemsize
+    planes = npv.view(np.uint8).reshape(-1, width).T
+    return head + bytes((width,)) + np.ascontiguousarray(planes).tobytes()
+
+
+def _dec_bss(body: bytes, t: pa.DataType) -> pa.Array:
+    _, n, valid, off = _read_header(body)
+    width = body[off]
+    off += 1
+    nv = (len(body) - off) // width
+    planes = np.frombuffer(body, np.uint8, nv * width, off)
+    flat = np.ascontiguousarray(planes.reshape(width, nv).T).reshape(-1)
+    dtype = np.float32 if width == 4 else np.float64
+    vals = pa.array(flat.view(dtype), type=t)
+    return _scatter(vals, n, valid)
+
+
 # ------------------------------------------------------------- auto-select
 
 def _is_intfamily(t: pa.DataType) -> bool:
@@ -547,6 +578,23 @@ def _pick_string_codec(arr: pa.Array) -> int:
     return STR_FSST if len(fs) * 1.4 <= len(sp) else STR_PLAIN
 
 
+def _pick_float_codec(arr: pa.Array, block_codec: str | None) -> int:
+    """Sampled trial between INT (FOR/DELTA/RLE over bit-faithful views —
+    wins on low-cardinality, integral-valued or monotone floats) and BSS
+    (byte-plane transpose — wins on full-entropy mantissas, e.g.
+    embedding vectors, where the int stream degenerates to raw 8-byte
+    words the block compressor can't touch)."""
+    if block_codec == "none" or len(arr) == 0:
+        return INT  # BSS only pays off through the block compressor
+    bc = block_codec or "auto"
+    n = len(arr)
+    step = max(1, n // _SAMPLE_VALUES)
+    sample = arr[::step] if step > 1 else arr
+    int_sz = len(_block_wrap(_enc_int(sample), bc))
+    bss_sz = len(_block_wrap(_enc_bss(sample), bc))
+    return BSS if bss_sz < int_sz else INT
+
+
 def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
                  ctx: dict | None = None,
                  block_codec: str | None = None) -> bytes:
@@ -555,6 +603,8 @@ def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
         cid = CODEC_IDS[codec]
     elif pa.types.is_boolean(t):
         cid = BOOL
+    elif pa.types.is_float32(t) or pa.types.is_float64(t):
+        cid = _pick_float_codec(arr, block_codec)
     elif _is_intfamily(t):
         cid = INT
     elif pa.types.is_string(t) or pa.types.is_large_string(t) \
@@ -580,7 +630,7 @@ def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
         return body
     enc = {PLAIN: _enc_plain, INT: _enc_int, BOOL: _enc_bool,
            STR_PLAIN: _enc_str_plain, DICT: _enc_dict, LIST: _enc_list,
-           DEC128: _enc_dec128}[cid]
+           DEC128: _enc_dec128, BSS: _enc_bss}[cid]
     return enc(arr)
 
 
@@ -588,7 +638,8 @@ def _decode_body(body: bytes, t: pa.DataType) -> pa.Array:
     cid = body[0]
     dec = {PLAIN: lambda b: _dec_plain(b), INT: _dec_int, BOOL: _dec_bool,
            STR_PLAIN: _dec_str_plain, STR_FSST: _dec_fsst,
-           DICT: _dec_dict, LIST: _dec_list, DEC128: _dec_dec128}
+           DICT: _dec_dict, LIST: _dec_list, DEC128: _dec_dec128,
+           BSS: _dec_bss}
     if cid == PLAIN:
         return _dec_plain(body)
     return dec[cid](body, t)
