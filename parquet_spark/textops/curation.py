@@ -121,7 +121,7 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     return out.withColumn(out_col, cleaned)
 
 
-_PACK_COLS = ("shard", "n_tokens", "seq_id", "seq_off", "_h")
+_PACK_COLS = ("shard", "n_tokens", "seq_id", "seq_off", "_h", "_start")
 
 
 def pack_sequences(df: DataFrame, id_col: str = "doc_id",
@@ -163,8 +163,10 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
            .withColumn("shard", F.substring("_h", 1, shard_chars)))
     w = (Window.partitionBy("shard").orderBy("_h")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return (d.withColumn("seq_id",
+    start = F.col("_start")
+    return (d.withColumn("_start",
+                         F.sum("n_tokens").over(w) - F.col("n_tokens"))
+             .withColumn("seq_id",
                          F.floor(start / F.lit(float(budget))).cast("long"))
              .withColumn("seq_off", (start % F.lit(budget)).cast("long"))
-             .drop("_h"))
+             .drop("_h", "_start"))
