@@ -1355,6 +1355,44 @@ def q_pack_sequences(spark, sf_dir):
             .orderBy("shard"))
 
 
+def q_time_travel(spark, sf_dir):
+    """Snapshot time travel (manifest.py `snapshot_at` / `history`):
+    write documents (snapshot 0), rechunk-compact (snapshot 1), then
+    decode BOTH snapshots — two different physical layouts over two
+    DISJOINT file sets (asserted) — and return each snapshot's
+    aggregates.  DuckDB recomputes the aggregate once from raw parquet
+    and expects it at every snapshot id: content stability across the
+    commit chain IS the time-travel contract, and a walk that resolved
+    a wrong ancestor (e.g. a racer's orphan manifest) or a compaction
+    that mutated parent files would mismatch."""
+    import tempfile
+
+    from parquet_spark.manifest import (EncodedTable, compact_table,
+                                        read_decoded, write_encoded)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    path = tempfile.mkdtemp(prefix="entry_timetravel_") + "/t"
+    write_encoded(d, path, key=["doc_id"], n_parts=4, rows_per_chunk=40)
+    compact_table(spark, path, target_parts=1, rechunk=True)
+    t = EncodedTable(path)
+    hist = t.history()
+    assert [s["snapshot_id"] for s in hist] == [0, 1]
+    f0, f1 = (set(t.data_files(s)) for s in hist)
+    assert f0 and f1 and f0.isdisjoint(f1)
+    outs = []
+    for sid in (0, 1):
+        dec = read_decoded(spark, path, snapshot_id=sid)
+        outs.append(dec.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct(F.md5("text")).alias("n_texts"),
+            F.sum("doc_id").alias("sum_ids"))
+            .withColumn("snapshot_id", F.lit(sid).cast("long")))
+    out = outs[0].unionByName(outs[1]).orderBy("snapshot_id")
+    out = out.cache()
+    out.count()
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Facet order is deliberate: the driver's correctness gate checks
     roughly the FIRST 50 entries per round, so the queue is priority-
@@ -1392,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
+        "time_travel": q_time_travel,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -1552,6 +1591,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT md5(clean)) AS n_clean_texts,
                    CAST(SUM(length(clean)) AS BIGINT) AS clean_chars
             FROM r""",
+        "time_travel": """
+            WITH a AS (SELECT COUNT(*) AS n_rows,
+                              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                              COUNT(DISTINCT md5(text)) AS n_texts,
+                              CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+                       FROM documents WHERE doc_id < 300)
+            SELECT n_rows, sum_chars, n_texts, sum_ids,
+                   CAST(s AS BIGINT) AS snapshot_id
+            FROM a, (VALUES (0), (1)) t(s) ORDER BY snapshot_id""",
         "pack_sequences": """
             WITH t AS (SELECT doc_id,
                               md5('42:' || CAST(doc_id AS VARCHAR)) AS h,

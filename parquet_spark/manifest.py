@@ -341,10 +341,7 @@ class EncodedTable:
         self.snap_dir = os.path.join(path, "snapshots")
         self.backend = backend or PosixCommitBackend(path)
 
-    def current_snapshot(self) -> dict | None:
-        name = self.backend.current()
-        if name is None:
-            return None
+    def _load_snapshot(self, name: str) -> dict:
         snap = json.loads(self.backend.read(name))
         # the ACTUAL stored name rides along (underscore key, never
         # serialized) so a later commit can CAS against it — snapshot
@@ -358,12 +355,81 @@ class EncodedTable:
                 "— upgrade the library to read it")
         return snap
 
-    def committed_parts(self) -> dict[str, dict]:
+    def current_snapshot(self) -> dict | None:
+        name = self.backend.current()
+        if name is None:
+            return None
+        return self._load_snapshot(name)
+
+    def _parent_of(self, snap: dict) -> dict | None:
+        """The committed parent of `snap`, or None at the chain root.
+
+        New snapshots record `parent_name` (the exact stored file of
+        the snapshot they CAS'd against), which disambiguates the true
+        ancestor from any same-id orphan a losing racer left behind.
+        Legacy snapshots fall back to the old deterministic name, then
+        to a UNIQUE id match in the snapshots dir — ambiguity fails
+        loudly rather than guessing a lineage."""
+        pid = snap.get("parent_id")
+        if pid is None:
+            return None
+        pname = snap.get("parent_name")
+        if pname:
+            return self._load_snapshot(pname)
+        det = f"snap-{pid:06d}.json"
+        try:
+            return self._load_snapshot(det)
+        except (OSError, ValueError, KeyError):
+            pass
+        try:
+            cands = [n for n in sorted(os.listdir(self.snap_dir))
+                     if n.startswith(f"snap-{pid:06d}-")]
+        except OSError:
+            cands = []
+        if len(cands) == 1:
+            return self._load_snapshot(cands[0])
+        raise ValueError(
+            f"cannot resolve parent snapshot {pid} of "
+            f"{snap['snapshot_id']} at {self.path}: "
+            f"{'ambiguous candidates ' + str(cands) if cands else 'not found'}"
+            " (legacy snapshot without parent_name)")
+
+    def snapshot_at(self, snapshot_id: int) -> dict:
+        """Time travel: resolve `snapshot_id` by walking CURRENT's
+        ancestor chain (Iceberg-style snapshot isolation — every commit
+        keeps the full part manifest, and compaction/relocation never
+        mutate or delete parent data files).  Readable until
+        `vacuum_table` reclaims files the CURRENT snapshot no longer
+        references.  Raises if the id is not an ancestor of CURRENT
+        (e.g. a lost racer's orphan)."""
         snap = self.current_snapshot()
+        if snap is None:
+            raise ValueError(f"no committed snapshot at {self.path}")
+        while snap is not None and snap["snapshot_id"] != snapshot_id:
+            snap = self._parent_of(snap)
+        if snap is None:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of CURRENT "
+                f"at {self.path}")
+        return snap
+
+    def history(self) -> list[dict]:
+        """CURRENT's ancestor chain, oldest → newest.  Driver-sized:
+        one manifest dict per commit (snapshot count, not data size)."""
+        out = []
+        snap = self.current_snapshot()
+        while snap is not None:
+            out.append(snap)
+            snap = self._parent_of(snap)
+        out.reverse()
+        return out
+
+    def committed_parts(self, snap: dict | None = None) -> dict[str, dict]:
+        snap = snap or self.current_snapshot()
         return snap["parts"] if snap else {}
 
-    def schema(self) -> pa.Schema | None:
-        snap = self.current_snapshot()
+    def schema(self, snap: dict | None = None) -> pa.Schema | None:
+        snap = snap or self.current_snapshot()
         if not snap or not snap.get("schema_ipc_b64"):
             return None
         return pa.ipc.read_schema(
@@ -393,6 +459,9 @@ class EncodedTable:
             "snapshot_id": sid,
             "format_version": FORMAT_VERSION,
             "parent_id": parent["snapshot_id"] if parent else None,
+            # the parent's exact stored name: time travel walks this,
+            # never the ambiguous id (losers' orphans share the id)
+            "parent_name": (parent.get("_snap_name") if parent else None),
             "committed_at": time.time(),
             "schema_ipc_b64": base64.b64encode(schema_ipc).decode()
             if schema_ipc else (parent or {}).get("schema_ipc_b64"),
@@ -412,11 +481,11 @@ class EncodedTable:
         snap["_snap_name"] = name  # chained commits CAS against this
         return snap
 
-    def data_files(self) -> list[str]:
-        return [p["file"] for p in self.committed_parts().values()]
+    def data_files(self, snap: dict | None = None) -> list[str]:
+        return [p["file"] for p in self.committed_parts(snap).values()]
 
-    def meta(self) -> dict:
-        snap = self.current_snapshot()
+    def meta(self, snap: dict | None = None) -> dict:
+        snap = snap or self.current_snapshot()
         return snap.get("meta", {}) if snap else {}
 
     def mappings(self) -> dict[str, str]:
@@ -1083,9 +1152,18 @@ def vacuum_table(table_path: str, grace_s: float = 3600.0,
     return removed
 
 
+def _resolve_snap(table: "EncodedTable",
+                  snapshot_id: int | None) -> dict | None:
+    return (table.snapshot_at(snapshot_id) if snapshot_id is not None
+            else table.current_snapshot())
+
+
 def read_encoded(spark: SparkSession, table_path: str,
-                 backend: CommitBackend | None = None) -> DataFrame:
-    """Chunk rows of the CURRENT snapshot (uncommitted files invisible).
+                 backend: CommitBackend | None = None,
+                 snapshot_id: int | None = None) -> DataFrame:
+    """Chunk rows of the CURRENT snapshot (uncommitted files invisible),
+    or of an ancestor snapshot when `snapshot_id` is given (time travel
+    — valid until `vacuum_table` reclaims the old files).
 
     Read with the chunk-row schema pinned explicitly: a resumed legacy
     table can mix v1 (fewer-column) and v2 part files, and an unpinned
@@ -1093,7 +1171,8 @@ def read_encoded(spark: SparkSession, table_path: str,
     whether the zone_* columns exist.  Pinning makes v1/v2 coexistence
     deterministic (absent columns read as null, which every zone
     consumer already treats as "keep the chunk")."""
-    files = EncodedTable(table_path, backend=backend).data_files()
+    table = EncodedTable(table_path, backend=backend)
+    files = table.data_files(_resolve_snap(table, snapshot_id))
     if not files:
         raise ValueError(f"no committed snapshot at {table_path}")
     return spark.read.schema(ENCODED_DDL).parquet(*files)
@@ -1101,16 +1180,24 @@ def read_encoded(spark: SparkSession, table_path: str,
 
 def read_decoded(spark: SparkSession, table_path: str,
                  columns: list[str] | None = None,
-                 backend: CommitBackend | None = None) -> DataFrame:
-    """Decoded rows of the CURRENT snapshot.  Columns written with
-    `global_dict_cols` are transparently restored from int ids to their
-    values via the dictionary persisted in the snapshot meta (a literal
-    array lookup — codegen, no join, no shuffle)."""
+                 backend: CommitBackend | None = None,
+                 snapshot_id: int | None = None) -> DataFrame:
+    """Decoded rows of the CURRENT snapshot (or of an ancestor snapshot
+    when `snapshot_id` is given — the schema AND global dictionaries of
+    THAT snapshot apply, so time travel sees exactly what a reader saw
+    then).  Columns written with `global_dict_cols` are transparently
+    restored from int ids to their values via the dictionary persisted
+    in the snapshot meta (a literal array lookup — codegen, no join,
+    no shuffle)."""
     table = EncodedTable(table_path, backend=backend)
-    dec = decode_table(read_encoded(spark, table_path, backend=backend),
-                       table.schema(), columns=columns)
+    snap = _resolve_snap(table, snapshot_id)
+    files = table.data_files(snap)
+    if not files:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    enc = spark.read.schema(ENCODED_DDL).parquet(*files)
+    dec = decode_table(enc, table.schema(snap), columns=columns)
     return _restore_global_dicts(
-        spark, dec, table.meta().get("global_dicts") or {}, columns)
+        spark, dec, table.meta(snap).get("global_dicts") or {}, columns)
 
 
 def _restore_global_dicts(spark: SparkSession, dec: DataFrame,
@@ -1151,7 +1238,8 @@ _GDICT_PRUNE_MAX = 512
 def scan_table(spark: SparkSession, table_path: str,
                pred: list[tuple] | dict,
                columns: list[str] | None = None,
-               backend: CommitBackend | None = None) -> DataFrame:
+               backend: CommitBackend | None = None,
+               snapshot_id: int | None = None) -> DataFrame:
     """Predicate-pushdown scan over a committed table — the
     global-dict-AWARE analog of engine.scan_filtered.
 
@@ -1169,7 +1257,8 @@ def scan_table(spark: SparkSession, table_path: str,
     scan_filtered.  `pred` shapes: AND-list of (col, lo, hi) /
     (col, "=", v) / (col, "in", [v...]), or {"any": [and_list, ...]}."""
     table = EncodedTable(table_path, backend=backend)
-    gdicts = table.meta().get("global_dicts") or {}
+    snap = _resolve_snap(table, snapshot_id)
+    gdicts = table.meta(snap).get("global_dicts") or {}
 
     def translate(terms):
         out = []
@@ -1202,13 +1291,14 @@ def scan_table(spark: SparkSession, table_path: str,
             out.append((col, "in", ids or [-1]))
         return out
 
-    enc = read_encoded(spark, table_path, backend=backend)
+    enc = read_encoded(spark, table_path, backend=backend,
+                       snapshot_id=snapshot_id)
     if isinstance(pred, dict):
         zpred: list | dict = {"any": [translate(ts) for ts in pred["any"]]}
     else:
         zpred = translate(pred)
     kept = prune_chunks_pred(enc, zpred)
-    dec = decode_table(kept, table.schema(), columns=columns)
+    dec = decode_table(kept, table.schema(snap), columns=columns)
     dec = _restore_global_dicts(spark, dec, gdicts, columns)
     if isinstance(pred, dict):
         cond = F.lit(False)
@@ -1220,9 +1310,12 @@ def scan_table(spark: SparkSession, table_path: str,
 
 
 def lineage_df(spark: SparkSession, table_path: str,
-               backend: CommitBackend | None = None) -> DataFrame:
-    """Per-partition lineage rows of the CURRENT snapshot as a DataFrame."""
-    snap = EncodedTable(table_path, backend=backend).current_snapshot()
+               backend: CommitBackend | None = None,
+               snapshot_id: int | None = None) -> DataFrame:
+    """Per-partition lineage rows of the CURRENT (or a time-travel)
+    snapshot as a DataFrame."""
+    snap = _resolve_snap(EncodedTable(table_path, backend=backend),
+                         snapshot_id)
     if snap is None:
         raise ValueError(f"no committed snapshot at {table_path}")
     rows = [{"part_id": int(pid), "snapshot_id": snap["snapshot_id"], **info}

@@ -1,0 +1,106 @@
+"""Time travel: snapshot_id reads over the commit chain.
+
+Every commit keeps the full part manifest and lifecycle ops never
+mutate or delete parent data files (until vacuum_table), so any
+ancestor of CURRENT is readable — Iceberg-style snapshot isolation.
+Reference analog: the single-file overwrite semantics the reference
+tests at ResultListenerTests.cs:130-153 have no history at all; the
+snapshot chain is this repo's upgrade of that contract.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_spark.corpus import gen_corpus
+from parquet_spark.manifest import (EncodedTable, compact_table, lineage_df,
+                                    read_decoded, vacuum_table,
+                                    write_encoded)
+
+pytestmark = pytest.mark.spark
+
+
+def _counts(df):
+    r = df.agg(F.count(F.lit(1)).alias("n"),
+               F.count_distinct(F.md5("text")).alias("d")).collect()[0]
+    return r.n, r.d
+
+
+def test_time_travel_across_compaction(spark, tmp_path):
+    df = gen_corpus(spark, 1200, seed=31, parts=3)
+    path = str(tmp_path / "tbl")
+    s0 = write_encoded(df, path, key=["url"], n_parts=4, rows_per_chunk=100)
+    before = _counts(read_decoded(spark, path))
+    s1 = compact_table(spark, path, target_parts=1)
+    assert (s0["snapshot_id"], s1["snapshot_id"]) == (0, 1)
+
+    # CURRENT reads the compacted layout; snapshot 0 reads the original
+    assert _counts(read_decoded(spark, path)) == before
+    assert _counts(read_decoded(spark, path, snapshot_id=0)) == before
+    t = EncodedTable(path)
+    assert [s["snapshot_id"] for s in t.history()] == [0, 1]
+    # files really differ between the two snapshots
+    f0 = set(t.data_files(t.snapshot_at(0)))
+    f1 = set(t.data_files(t.snapshot_at(1)))
+    assert f0 and f1 and f0.isdisjoint(f1)
+    # lineage at the old snapshot reports the old partition count
+    assert lineage_df(spark, path, snapshot_id=0).count() == 4
+    assert lineage_df(spark, path).count() == 1
+
+
+def test_time_travel_sees_partial_resume_state(spark, tmp_path):
+    df = gen_corpus(spark, 900, seed=37, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=4, limit_parts=2)
+    n_partial = read_decoded(spark, path).count()
+    write_encoded(df, path, key=["url"], n_parts=4)  # resume to complete
+    assert read_decoded(spark, path).count() == 900
+    # the killed run's committed state is still addressable
+    assert read_decoded(spark, path, snapshot_id=0).count() == n_partial
+    assert 0 < n_partial < 900
+
+
+def test_snapshot_at_unknown_id_raises(spark, tmp_path):
+    df = gen_corpus(spark, 300, seed=41, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=2)
+    t = EncodedTable(path)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.snapshot_at(7)
+
+
+def test_orphan_snapshot_does_not_confuse_lineage(spark, tmp_path):
+    """A losing racer leaves an orphan snap file with the SAME id as
+    the winner; parent_name must keep the walk on the committed chain."""
+    df = gen_corpus(spark, 400, seed=43, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=2)
+    t = EncodedTable(path)
+    s0 = t.current_snapshot()
+    # forge an orphan with snapshot_id 0 and garbage parts
+    orphan = os.path.join(path, "snapshots", "snap-000000-deadbeef.json")
+    with open(orphan, "w") as f:
+        f.write('{"snapshot_id": 0, "format_version": 2, '
+                '"parent_id": null, "parts": {}}')
+    compact_table(spark, path, target_parts=1)
+    t2 = EncodedTable(path)
+    hist = t2.history()
+    assert [s["snapshot_id"] for s in hist] == [0, 1]
+    # the walk resolved the REAL snapshot 0, not the orphan
+    assert hist[0]["_snap_name"] == s0["_snap_name"]
+    assert read_decoded(spark, path, snapshot_id=0).count() == 400
+
+
+def test_vacuum_reclaims_time_travel(spark, tmp_path):
+    df = gen_corpus(spark, 500, seed=47, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=3)
+    t = EncodedTable(path)
+    old_files = set(t.data_files(t.snapshot_at(0)))
+    compact_table(spark, path, target_parts=1)
+    removed = set(vacuum_table(path, grace_s=0.0))
+    # vacuum removes exactly the files only snapshot 0 referenced
+    assert removed == {os.path.abspath(f) for f in old_files}
+    # CURRENT still reads fine; snapshot 0 is gone by design
+    assert read_decoded(spark, path).count() == 500
