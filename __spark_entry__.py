@@ -1355,6 +1355,38 @@ def q_pack_sequences(spark, sf_dir):
             .orderBy("shard"))
 
 
+def q_zone_prune_dbl(spark, sf_dir):
+    """Double zone maps (engine.py `zone_min_dbl`/`zone_max_dbl`):
+    float columns carry their own zone family, so a float value-range
+    predicate prunes chunks (asserted to bite on a value-sorted layout)
+    and the residual filter is exact.  DuckDB recomputes the aggregate
+    over raw events; sums stay on int columns (double sums are
+    order-dependent) while min/max of the double column compare
+    bit-exact."""
+    from parquet_spark.engine import (encode_table, prune_chunks_pred,
+                                      scan_filtered)
+    ev = _t(spark, sf_dir, "events")
+    # key on the double itself: sortWithinPartitions makes every chunk
+    # a narrow sorted run of values, so double zones are tight
+    enc = encode_table(ev, key=["value"], n_parts=4,
+                       rows_per_chunk=200,
+                       zone_cols=["event_id", "value"]).cache()
+    n_all = enc.count()
+    kept = prune_chunks_pred(enc, [("value", 10.0, 60.0)])
+    assert kept.count() < n_all, "float zone pruning must bite"
+    got = scan_filtered(enc, [("value", 10.0, 60.0)])
+    out = got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_ids"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"))
+    out = out.cache()
+    out.count()
+    enc.unpersist()
+    return out
+
+
 def q_time_travel(spark, sf_dir):
     """Snapshot time travel (manifest.py `snapshot_at` / `history`):
     write documents (snapshot 0), rechunk-compact (snapshot 1), then
@@ -1431,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
         "time_travel": q_time_travel,
+        "zone_prune_dbl": q_zone_prune_dbl,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -1591,6 +1624,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT md5(clean)) AS n_clean_texts,
                    CAST(SUM(length(clean)) AS BIGINT) AS clean_chars
             FROM r""",
+        "zone_prune_dbl": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+                   COUNT(DISTINCT event_type) AS n_types,
+                   MIN(value) AS min_v, MAX(value) AS max_v
+            FROM events WHERE value BETWEEN 10.0 AND 60.0""",
         "time_travel": """
             WITH a AS (SELECT COUNT(*) AS n_rows,
                               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -39,7 +39,8 @@ ENCODED_DDL = ("part_id bigint, chunk_id bigint, n_rows bigint, "
                "key_min_num bigint, key_max_num bigint, "
                "zone_cols array<string>, "
                "zone_min_str array<string>, zone_max_str array<string>, "
-               "zone_min_num array<bigint>, zone_max_num array<bigint>")
+               "zone_min_num array<bigint>, zone_max_num array<bigint>, "
+               "zone_min_dbl array<double>, zone_max_dbl array<double>")
 
 DEFAULT_ROWS_PER_CHUNK = 10_000  # reference RowGroupSize default (Options.cs:8)
 
@@ -123,12 +124,15 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
     z_max_s: list[str | None] = []
     z_min_n: list[int | None] = []
     z_max_n: list[int | None] = []
+    z_min_d: list[float | None] = []
+    z_max_d: list[float | None] = []
     if batch.num_rows:
         for i, field in enumerate(batch.schema):
             t = field.type
             is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
             is_num = pa.types.is_integer(t) or pa.types.is_timestamp(t)
-            if not (is_str or is_num):
+            is_flt = pa.types.is_floating(t)
+            if not (is_str or is_num or is_flt):
                 continue
             col = batch.column(i)
             if col.null_count == len(col):
@@ -139,15 +143,25 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
             elif (is_str and field.name != zone_key
                   and col.nbytes > _ZONE_AUTO_MAX_AVG_LEN * len(col)):
                 continue  # fat text/html body: not worth a min/max pass
+            lo_s = hi_s = lo_n = hi_n = lo_d = hi_d = None
             if is_str:
                 mm = pc.min_max(col)
                 lo_s = _zone_lo(mm["min"].as_py())
                 hi_s = _zone_hi(mm["max"].as_py())
-                lo_n = hi_n = None
+            elif is_flt:
+                # nanmin/nanmax skip NaNs: NaN never satisfies a range
+                # predicate (SQL semantics), so zones over the non-NaN
+                # values prune exactly; an all-NaN chunk keeps null
+                # zones (conservative keep)
+                v = col.drop_null().to_numpy(zero_copy_only=False) \
+                    .astype(np.float64, copy=False)
+                if not np.all(np.isnan(v)):
+                    lo_d, hi_d = float(np.nanmin(v)), float(np.nanmax(v))
+                if lo_d is None:
+                    continue
             else:
                 mm = pc.min_max(col.cast(pa.int64()))
                 lo_n, hi_n = mm["min"].as_py(), mm["max"].as_py()
-                lo_s = hi_s = None
             if field.name == zone_key:
                 key_name = zone_key
                 key_min, key_max = lo_s, hi_s
@@ -157,6 +171,8 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
             z_max_s.append(hi_s)
             z_min_n.append(lo_n)
             z_max_n.append(hi_n)
+            z_min_d.append(lo_d)
+            z_max_d.append(hi_d)
     return {
         "part_id": part_id, "chunk_id": chunk_id, "n_rows": batch.num_rows,
         "schema_ipc": batch.schema.serialize().to_pybytes(),
@@ -166,6 +182,7 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
         "key_min_num": key_min_num, "key_max_num": key_max_num,
         "zone_cols": z_cols, "zone_min_str": z_min_s, "zone_max_str": z_max_s,
         "zone_min_num": z_min_n, "zone_max_num": z_max_n,
+        "zone_min_dbl": z_min_d, "zone_max_dbl": z_max_d,
     }
 
 
@@ -203,6 +220,8 @@ def _chunk_rows_to_batch(chunks: list[dict]) -> pa.RecordBatch:
         pa.field("zone_max_str", pa.list_(pa.string())),
         pa.field("zone_min_num", pa.list_(pa.int64())),
         pa.field("zone_max_num", pa.list_(pa.int64())),
+        pa.field("zone_min_dbl", pa.list_(pa.float64())),
+        pa.field("zone_max_dbl", pa.list_(pa.float64())),
     ]))
 
 
@@ -355,27 +374,34 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
 
 
 def _is_numeric_bound(v) -> bool:
-    """True for int-family bounds (python/numpy ints, NOT bool) — these
-    prune via the numeric zone map (timestamps as epoch-us int64).
-
-    Floats are rejected rather than silently classified as strings: a
-    float bound on a numeric-keyed table would compare against the NULL
-    string zones and disable pruning entirely.  Callers with float
-    epoch values must cast (floor the lo bound, ceil the hi bound)."""
+    """True for numeric-family bounds (python/numpy ints and floats,
+    NOT bool) — these prune via the numeric zone maps.  A numeric
+    bound is checked against BOTH the int zone arrays (int/timestamp
+    columns) and the double zone arrays (float columns): whichever the
+    column actually populated prunes, the other is null and keeps —
+    so no type knowledge is needed at prune time and a float bound on
+    an int column (or vice versa) compares numerically instead of
+    silently disabling pruning.  Comparisons happen in each array's
+    own type (Spark widens int64 vs double per SQL rules; exact-int
+    edge cases above 2^53 stay conservative only if the caller rounds
+    bounds outward, as with any float arithmetic)."""
     import numbers
     if isinstance(v, bool) or isinstance(v, np.bool_):
         raise TypeError("boolean is not a valid zone-prune bound")
     if isinstance(v, float) or isinstance(v, np.floating):
-        raise TypeError(
-            f"float zone-prune bound {v!r} is ambiguous (would silently "
-            "disable pruning); pass an int — floor(lo) / ceil(hi), "
-            "timestamps as epoch-us int64 or np.datetime64")
+        if np.isnan(v):
+            raise TypeError("NaN is not a valid zone-prune bound (NaN "
+                            "never matches a range; filter on the "
+                            "decoded frame instead)")
+        return True
     return isinstance(v, numbers.Integral) or isinstance(v, np.datetime64)
 
 
-def _as_num_bound(v) -> int:
+def _as_num_bound(v):
     if isinstance(v, np.datetime64):
         return int(v.astype("datetime64[us]").astype(np.int64))
+    if isinstance(v, (float, np.floating)):
+        return float(v)
     return int(v)
 
 
@@ -462,6 +488,13 @@ def _norm_term(term: tuple) -> tuple:
     return ("range", col, a, b)
 
 
+# numeric bounds check both numeric zone families: int/timestamp
+# columns populate the _num arrays, float columns the _dbl arrays;
+# the unpopulated family is null and keeps (no false pruning)
+_NUM_ZONE_PAIRS = (("zone_min_num", "zone_max_num"),
+                   ("zone_min_dbl", "zone_max_dbl"))
+
+
 def _zone_keep_cond(col: str, lo, hi):
     """Chunk-keep condition for one (col, lo, hi) range against the
     multi-column zone arrays.  Conservative: chunks with no zone entry
@@ -469,17 +502,18 @@ def _zone_keep_cond(col: str, lo, hi):
     numeric = ((lo is not None and _is_numeric_bound(lo))
                or (hi is not None and _is_numeric_bound(hi)))
     idx = F.array_position(F.col("zone_cols"), col).cast("int")
-    mn_a, mx_a = (("zone_min_num", "zone_max_num") if numeric
-                  else ("zone_min_str", "zone_max_str"))
-    cmin = F.try_element_at(F.col(mn_a), idx)
-    cmax = F.try_element_at(F.col(mx_a), idx)
+    pairs = (_NUM_ZONE_PAIRS if numeric
+             else (("zone_min_str", "zone_max_str"),))
     cond = F.lit(True)
-    if lo is not None:
-        lo = _as_num_bound(lo) if numeric else lo
-        cond = cond & (cmax.isNull() | (cmax >= F.lit(lo)))
-    if hi is not None:
-        hi = _as_num_bound(hi) if numeric else hi
-        cond = cond & (cmin.isNull() | (cmin <= F.lit(hi)))
+    for mn_a, mx_a in pairs:
+        cmin = F.try_element_at(F.col(mn_a), idx)
+        cmax = F.try_element_at(F.col(mx_a), idx)
+        if lo is not None:
+            b = _as_num_bound(lo) if numeric else lo
+            cond = cond & (cmax.isNull() | (cmax >= F.lit(b)))
+        if hi is not None:
+            b = _as_num_bound(hi) if numeric else hi
+            cond = cond & (cmin.isNull() | (cmin <= F.lit(b)))
     return (idx.isNull() | (idx == 0)) | cond
 
 
@@ -498,16 +532,25 @@ def _zone_keep_term(term: tuple):
     # the Filter expression (and re-searched zone_cols) O(K) per term.
     numeric = _is_numeric_bound(vals[0])
     idx = F.array_position(F.col("zone_cols"), col).cast("int")
-    mn_a, mx_a = (("zone_min_num", "zone_max_num") if numeric
-                  else ("zone_min_str", "zone_max_str"))
-    cmin = F.try_element_at(F.col(mn_a), idx)
-    cmax = F.try_element_at(F.col(mx_a), idx)
+    pairs = (_NUM_ZONE_PAIRS if numeric
+             else (("zone_min_str", "zone_max_str"),))
     if numeric:
         vals = [_as_num_bound(v) for v in vals]
     varr = F.array(*[F.lit(v) for v in vals])
-    vcond = F.exists(varr, lambda v: (cmax.isNull() | (cmax >= v))
-                     & (cmin.isNull() | (cmin <= v)))
+    # a value must fit EVERY populated zone family (null family = no
+    # information = fits); the chunk survives iff SOME value fits all
+    vcond = F.exists(varr, lambda v: _fits_all(v, pairs, idx))
     return (idx.isNull() | (idx == 0)) | vcond
+
+
+def _fits_all(v, pairs, idx):
+    cond = F.lit(True)
+    for mn_a, mx_a in pairs:
+        cmin = F.try_element_at(F.col(mn_a), idx)
+        cmax = F.try_element_at(F.col(mx_a), idx)
+        cond = cond & (cmax.isNull() | (cmax >= v)) \
+            & (cmin.isNull() | (cmin <= v))
+    return cond
 
 
 def prune_chunks_pred(enc_df: DataFrame,

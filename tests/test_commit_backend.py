@@ -201,16 +201,17 @@ def test_block_codec_spec_validated_eagerly():
     validate_block_codec("zstd:9")
 
 
-def test_float_zone_bounds_rejected():
-    """Float bounds would silently disable pruning (classified as string
-    bounds against NULL string zones) — they must raise instead."""
+def test_float_zone_bound_classification():
+    """Float bounds are numeric (they prune via BOTH numeric zone
+    families — the double arrays for float columns, the int arrays for
+    int/timestamp columns); NaN and bool bounds raise."""
     import numpy as np
 
     from parquet_spark.engine import _is_numeric_bound
-    with pytest.raises(TypeError, match="float"):
-        _is_numeric_bound(1.5)
-    with pytest.raises(TypeError, match="float"):
-        _is_numeric_bound(np.float64(2.0))
+    assert _is_numeric_bound(1.5)
+    assert _is_numeric_bound(np.float64(2.0))
+    with pytest.raises(TypeError, match="NaN"):
+        _is_numeric_bound(float("nan"))
     with pytest.raises(TypeError, match="boolean"):
         _is_numeric_bound(True)
     assert _is_numeric_bound(3)

@@ -503,3 +503,77 @@ def test_null_predicate_terms_fail_loudly_or_drop(spark):
     with pytest.raises(ValueError, match="only NULLs"):
         prune_chunks_pred(enc, [("lang", "in", [None, None])])
     enc.unpersist()
+
+
+@pytest.mark.spark
+def test_float_zone_map_pruning(spark):
+    """Double columns get their own zone family (zone_min_dbl/max_dbl):
+    float range predicates prune chunks and the residual is exact."""
+    from parquet_spark.engine import prune_chunks_pred, scan_filtered
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # key on the double: sortWithinPartitions makes chunks narrow
+    # sorted runs of value, so the double zones are tight
+    enc = encode_table(ev, key=["value"], n_parts=2,
+                       rows_per_chunk=100,
+                       zone_cols=["event_id", "value"]).cache()
+    n_all = enc.count()
+    lo, hi = 0.25, 0.75
+    kept = prune_chunks_pred(enc, [("value", lo, hi)])
+    assert 0 < kept.count() < n_all  # pruning really bites
+    got = scan_filtered(enc, [("value", lo, hi)])
+    want = ev.where(F.col("value").between(lo, hi))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # float equality / IN prune per value
+    some = [r.value for r in ev.limit(3).collect()]
+    got_in = scan_filtered(enc, [("value", "in", some)])
+    assert got_in.count() == ev.where(F.col("value").isin(some)).count()
+    enc.unpersist()
+
+
+@pytest.mark.spark
+def test_float_bound_on_int_column_prunes_numerically(spark):
+    """A float bound against an int zone column compares numerically
+    (no silent prune-disable, no truncation): 99.5..180.2 must behave
+    like 100..180 on doc_id."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    enc = encode_table(docs, key=["doc_id"], n_parts=2,
+                       rows_per_chunk=50).cache()
+    from parquet_spark.engine import scan_filtered
+    a = scan_filtered(enc, [("doc_id", 99.5, 180.2)])
+    b = scan_filtered(enc, [("doc_id", 100, 180)])
+    assert a.count() == b.count() > 0
+    enc.unpersist()
+
+
+def test_float_zone_nan_and_all_nan_chunks():
+    """NaNs are skipped by the zone stats (NaN never matches a range);
+    an all-NaN chunk stores no double zones (conservative keep)."""
+    batch = pa.record_batch([
+        pa.array([1.0, float("nan"), 3.0, None], type=pa.float64()),
+        pa.array([float("nan")] * 4, type=pa.float64()),
+    ], names=["x", "y"])
+    chunk = encode_chunk(batch, 0, 0)
+    zi = chunk["zone_cols"].index("x")
+    assert chunk["zone_min_dbl"][zi] == 1.0
+    assert chunk["zone_max_dbl"][zi] == 3.0
+    assert "y" not in chunk["zone_cols"]  # all-NaN: no zone entry
+    out = decode_chunk(chunk["schema_ipc"], chunk["names"],
+                       chunk["payloads"])
+    assert out.num_rows == 4
+
+
+@pytest.mark.spark
+def test_legacy_chunks_without_double_zones_still_scan(spark, tmp_path):
+    """Part files written before the zone_dbl columns existed read as
+    null zones under the pinned DDL: float predicates keep every chunk
+    (conservative) and the residual still filters exactly."""
+    from parquet_spark.engine import ENCODED_DDL, scan_filtered
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    enc = encode_table(ev, key=["event_id"], n_parts=2, rows_per_chunk=100)
+    legacy = str(tmp_path / "legacy.parquet")
+    enc.drop("zone_min_dbl", "zone_max_dbl").write.parquet(legacy)
+    enc2 = spark.read.schema(ENCODED_DDL).parquet(legacy)
+    got = scan_filtered(enc2, [("value", 0.25, 0.75)])
+    want = ev.where(F.col("value").between(0.25, 0.75))
+    assert got.count() == want.count() > 0
