@@ -1387,6 +1387,36 @@ def q_zone_prune_dbl(spark, sf_dir):
     return out
 
 
+def q_bloom_prune(spark, sf_dir):
+    """Per-chunk Bloom filters (engine.py `_build_bloom` /
+    `_bloom_keep_cond`, the Parquet-format BloomFilter analog):
+    equality/IN on a high-cardinality NON-key column over a doc-keyed
+    hash layout — string zone ranges are useless there (every chunk
+    spans the value space), so only the bloom can prune, and the facet
+    asserts it bites.  DuckDB recomputes the scan result from raw
+    parquet with the same text-probe derivation."""
+    from parquet_spark.engine import (encode_table, prune_chunks_pred,
+                                      scan_filtered)
+    d = _t(spark, sf_dir, "documents")
+    enc = encode_table(d, key=["doc_id"], n_parts=4, rows_per_chunk=100,
+                       bloom_cols=["text"]).cache()
+    n_all = enc.count()
+    probes = [r.text for r in
+              d.where(F.col("doc_id").isin(3, 77, 450)).collect()]
+    kept = prune_chunks_pred(enc, [("text", "in", probes)])
+    assert kept.count() < n_all, "bloom pruning must bite"
+    got = scan_filtered(enc, [("text", "in", probes)])
+    out = got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.count_distinct(F.md5("text")).alias("n_texts"),
+        F.sum("n_chars").alias("sum_chars"))
+    out = out.cache()
+    out.count()
+    enc.unpersist()
+    return out
+
+
 def q_time_travel(spark, sf_dir):
     """Snapshot time travel (manifest.py `snapshot_at` / `history`):
     write documents (snapshot 0), rechunk-compact (snapshot 1), then
@@ -1464,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "time_travel": q_time_travel,
         "zone_prune_dbl": q_zone_prune_dbl,
+        "bloom_prune": q_bloom_prune,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -1624,6 +1655,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT md5(clean)) AS n_clean_texts,
                    CAST(SUM(length(clean)) AS BIGINT) AS clean_chars
             FROM r""",
+        "bloom_prune": """
+            WITH p AS (SELECT DISTINCT text FROM documents
+                       WHERE doc_id IN (3, 77, 450))
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   COUNT(DISTINCT md5(text)) AS n_texts,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE text IN (SELECT text FROM p)""",
         "zone_prune_dbl": """
             SELECT COUNT(*) AS n_rows,
                    CAST(SUM(event_id) AS BIGINT) AS sum_ids,

@@ -40,7 +40,8 @@ ENCODED_DDL = ("part_id bigint, chunk_id bigint, n_rows bigint, "
                "zone_cols array<string>, "
                "zone_min_str array<string>, zone_max_str array<string>, "
                "zone_min_num array<bigint>, zone_max_num array<bigint>, "
-               "zone_min_dbl array<double>, zone_max_dbl array<double>")
+               "zone_min_dbl array<double>, zone_max_dbl array<double>, "
+               "bloom_cols array<string>, blooms array<array<bigint>>")
 
 DEFAULT_ROWS_PER_CHUNK = 10_000  # reference RowGroupSize default (Options.cs:8)
 
@@ -79,12 +80,69 @@ def _zone_hi(s: str | None) -> str | None:
 
 _ZONE_AUTO_MAX_AVG_LEN = 256  # auto mode skips fat string columns
 
+# Bloom filter shape: ~10 bits/value, 4 probes -> ~1-2% false-positive
+# rate; md5-derived double hashing (h1 + i*h2) so the DRIVER can compute
+# the exact same bit positions for a probe value (and so can any other
+# engine — md5 is everywhere; xxhash64 is not).
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_K = 4
+_BLOOM_MIN_BITS = 256
+_BLOOM_MAX_BITS = 1 << 20  # 128 KiB cap per (chunk, column)
+
+
+def _bloom_m_bits(n_values: int) -> int:
+    m = _BLOOM_MIN_BITS
+    target = min(max(n_values, 1) * _BLOOM_BITS_PER_VALUE, _BLOOM_MAX_BITS)
+    while m < target:
+        m <<= 1
+    return m
+
+
+def _bloom_hash_lanes(value_bytes: bytes) -> tuple[int, int]:
+    """Two 31-bit md5 lanes (h2 forced odd) — 31 bits so the probe-side
+    Spark expression pmod(h1 + i*h2, m) stays far from int64 overflow
+    while m (<= 2^20) divides evenly into the lane space."""
+    import hashlib
+    d = hashlib.md5(value_bytes).digest()
+    h1 = int.from_bytes(d[:8], "little") & 0x7FFFFFFF
+    h2 = (int.from_bytes(d[8:16], "little") & 0x7FFFFFFF) | 1
+    return h1, h2
+
+
+def _bloom_bit_positions(value_bytes: bytes, m_bits: int) -> list[int]:
+    """The k bit positions of one value — identical on worker (build,
+    m known) and driver (probe, m resolved per chunk inside the Spark
+    expression): double hashing h1 + i*h2 mod m."""
+    h1, h2 = _bloom_hash_lanes(value_bytes)
+    return [(h1 + i * h2) % m_bits for i in range(_BLOOM_K)]
+
+
+def _build_bloom(col: pa.Array) -> list[int] | None:
+    """Per-chunk Bloom filter over the non-null string values, as a
+    list of int64 words (bit j lives in word j//64, bit j%64).  Stored
+    as array<bigint> so the prune side tests bits with plain Spark
+    shiftright/& expressions — no UDF, no binary slicing."""
+    vals = col.drop_null()
+    if len(vals) == 0:
+        return None
+    vals = vals.cast(pa.large_binary())
+    offs = np.frombuffer(vals.buffers()[1], dtype=np.int64,
+                         count=len(vals) + 1, offset=vals.offset * 8)
+    data = memoryview(vals.buffers()[2])
+    m = _bloom_m_bits(len(vals))
+    words = np.zeros(m // 64, dtype=np.uint64)
+    for a, b in zip(offs[:-1], offs[1:]):
+        for bit in _bloom_bit_positions(bytes(data[a:b]), m):
+            words[bit >> 6] |= np.uint64(1) << np.uint64(bit & 63)
+    return words.view(np.int64).tolist()
+
 
 def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
                  codec: str = "auto", plan: dict[str, dict] | None = None,
                  zone_key: str | None = None,
                  block_codec: str = "auto",
-                 zone_cols: list[str] | None = None) -> dict:
+                 zone_cols: list[str] | None = None,
+                 bloom_cols: list[str] | None = None) -> dict:
     """Encode one Arrow batch into a chunk row (pure, Spark-free).
 
     `plan` is the per-partition codec memo: the auto-selector and FSST
@@ -97,7 +155,13 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
     key, every numeric/timestamp column, and string columns whose mean
     value length is <= 256 bytes — a min/max pass over multi-KB
     text/html bodies would cost real encode time for bounds no
-    realistic predicate ranges over)."""
+    realistic predicate ranges over).  `bloom_cols` names STRING
+    columns to index with a per-chunk Bloom filter (the Parquet-format
+    BloomFilter analog): equality/IN predicates on high-cardinality
+    columns that are NOT the sort key (url in a doc-keyed layout, a
+    digest column) can then skip chunks that zone ranges can't — a
+    hash-placed layout gives every chunk near-identical string zones,
+    so min/max never prunes point lookups there."""
     names, codecs, payloads, b_in, b_out = [], [], [], [], []
     for i, field in enumerate(batch.schema):
         arr = batch.column(i)
@@ -173,6 +237,24 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
             z_max_n.append(hi_n)
             z_min_d.append(lo_d)
             z_max_d.append(hi_d)
+    b_cols: list[str] = []
+    b_words: list[list[int]] = []
+    if bloom_cols and batch.num_rows:
+        for name in bloom_cols:
+            idx = batch.schema.get_field_index(name)
+            if idx < 0:
+                continue
+            t = batch.schema.field(idx).type
+            if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+                    or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+                raise TypeError(
+                    f"bloom_cols supports string/binary columns; {name!r} "
+                    f"is {t} (numeric point lookups already prune via the "
+                    "numeric zone maps on a sorted layout)")
+            words = _build_bloom(batch.column(idx))
+            if words is not None:
+                b_cols.append(name)
+                b_words.append(words)
     return {
         "part_id": part_id, "chunk_id": chunk_id, "n_rows": batch.num_rows,
         "schema_ipc": batch.schema.serialize().to_pybytes(),
@@ -183,6 +265,7 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
         "zone_cols": z_cols, "zone_min_str": z_min_s, "zone_max_str": z_max_s,
         "zone_min_num": z_min_n, "zone_max_num": z_max_n,
         "zone_min_dbl": z_min_d, "zone_max_dbl": z_max_d,
+        "bloom_cols": b_cols, "blooms": b_words,
     }
 
 
@@ -222,6 +305,8 @@ def _chunk_rows_to_batch(chunks: list[dict]) -> pa.RecordBatch:
         pa.field("zone_max_num", pa.list_(pa.int64())),
         pa.field("zone_min_dbl", pa.list_(pa.float64())),
         pa.field("zone_max_dbl", pa.list_(pa.float64())),
+        pa.field("bloom_cols", pa.list_(pa.string())),
+        pa.field("blooms", pa.list_(pa.list_(pa.int64()))),
     ]))
 
 
@@ -294,10 +379,15 @@ def encode_table(df: DataFrame, key: list[str] | None = None,
                  n_parts: int | None = None, codec: str = "auto",
                  rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
                  block_codec: str = "auto",
-                 zone_cols: list[str] | None = None) -> DataFrame:
+                 zone_cols: list[str] | None = None,
+                 bloom_cols: list[str] | None = None) -> DataFrame:
     """Encode a DataFrame into column-chunk rows (one row per chunk)."""
     from .codecs.column import validate_block_codec
     validate_block_codec(block_codec)  # typos fail before the job launches
+    if bloom_cols:
+        missing = [c for c in bloom_cols if c not in df.columns]
+        if missing:
+            raise KeyError(f"bloom_cols not in the DataFrame: {missing}")
     dfp, key = partition_for_encode(df, key, n_parts)
     zone_key = key[0]
 
@@ -314,7 +404,7 @@ def encode_table(df: DataFrame, key: list[str] | None = None,
             chunk = encode_chunk(batch, pid, cid, codec,
                                  plan if codec == "auto" else None,
                                  zone_key=zone_key, block_codec=block_codec,
-                                 zone_cols=zone_cols)
+                                 zone_cols=zone_cols, bloom_cols=bloom_cols)
             cid += 1
             yield _chunk_rows_to_batch([chunk])
 
@@ -502,12 +592,13 @@ def _zone_keep_cond(col: str, lo, hi):
     numeric = ((lo is not None and _is_numeric_bound(lo))
                or (hi is not None and _is_numeric_bound(hi)))
     idx = F.array_position(F.col("zone_cols"), col).cast("int")
+    safe_idx = F.when(idx >= 1, idx)  # 0 = "absent": NULL, never index 0
     pairs = (_NUM_ZONE_PAIRS if numeric
              else (("zone_min_str", "zone_max_str"),))
     cond = F.lit(True)
     for mn_a, mx_a in pairs:
-        cmin = F.try_element_at(F.col(mn_a), idx)
-        cmax = F.try_element_at(F.col(mx_a), idx)
+        cmin = F.try_element_at(F.col(mn_a), safe_idx)
+        cmax = F.try_element_at(F.col(mx_a), safe_idx)
         if lo is not None:
             b = _as_num_bound(lo) if numeric else lo
             cond = cond & (cmax.isNull() | (cmax >= F.lit(b)))
@@ -532,15 +623,54 @@ def _zone_keep_term(term: tuple):
     # the Filter expression (and re-searched zone_cols) O(K) per term.
     numeric = _is_numeric_bound(vals[0])
     idx = F.array_position(F.col("zone_cols"), col).cast("int")
+    safe_idx = F.when(idx >= 1, idx)  # 0 = "absent": NULL, never index 0
     pairs = (_NUM_ZONE_PAIRS if numeric
              else (("zone_min_str", "zone_max_str"),))
     if numeric:
-        vals = [_as_num_bound(v) for v in vals]
-    varr = F.array(*[F.lit(v) for v in vals])
+        nvals = [_as_num_bound(v) for v in vals]
+    else:
+        nvals = vals
+    varr = F.array(*[F.lit(v) for v in nvals])
     # a value must fit EVERY populated zone family (null family = no
     # information = fits); the chunk survives iff SOME value fits all
-    vcond = F.exists(varr, lambda v: _fits_all(v, pairs, idx))
-    return (idx.isNull() | (idx == 0)) | vcond
+    vcond = F.exists(varr, lambda v: _fits_all(v, pairs, safe_idx))
+    keep = (idx.isNull() | (idx == 0)) | vcond
+    if not numeric:
+        # Bloom filters prune equality/IN on columns where zone ranges
+        # can't (hash-placed high-cardinality strings): the chunk
+        # survives the bloom test iff SOME value has all k bits set.
+        # Chunks without a bloom for this column (legacy files, column
+        # not indexed) keep unconditionally.
+        keep = keep & _bloom_keep_cond(col, vals)
+    return keep
+
+
+def _bloom_keep_cond(col: str, vals: list):
+    """Per-chunk Bloom test for string IN/equality values.  Bit
+    positions adapt to each chunk's filter size (m = 64*len(words)):
+    the driver sends the two md5 lanes per value as literals and the
+    expression resolves pmod(h1 + i*h2, m) per chunk — pure codegen,
+    no UDF."""
+    bidx = F.array_position(F.col("bloom_cols"), col).cast("int")
+    # array_position yields 0 for "not present" and element_at treats a
+    # LITERAL-or-computed 0 as an error, not out-of-bounds; the OR
+    # short-circuit is not a guarantee once Catalyst reorders, so nil
+    # the index instead (try_element_at(arr, NULL) is a clean NULL)
+    words = F.try_element_at(F.col("blooms"), F.when(bidx >= 1, bidx))
+    m = F.size(words).cast("long") * 64
+    any_v = F.lit(False)
+    for v in vals:
+        h1, h2 = _bloom_hash_lanes(str(v).encode("utf-8")
+                                   if not isinstance(v, bytes) else v)
+        all_bits = F.lit(True)
+        for i in range(_BLOOM_K):
+            pos = F.pmod(F.lit(h1 + i * h2), m)
+            word = F.element_at(
+                words, (F.shiftright(pos, 6) + 1).cast("int"))
+            all_bits = all_bits & (
+                F.getbit(word, pos.bitwiseAND(F.lit(63))) == 1)
+        any_v = any_v | all_bits
+    return bidx.isNull() | (bidx == 0) | words.isNull() | any_v
 
 
 def _fits_all(v, pairs, idx):

@@ -547,8 +547,15 @@ def write_encoded(df: DataFrame, table_path: str,
                   mappings: dict[str, str] | None = None,
                   block_codec: str = "auto",
                   global_dict_cols: list[str] | None = None,
+                  bloom_cols: list[str] | None = None,
                   backend: CommitBackend | None = None) -> dict:
     """Encode df into the table, committing a new snapshot. Resumable.
+
+    `bloom_cols` builds a per-chunk Bloom filter over the named
+    string/binary columns (engine.encode_chunk) so equality/IN scans
+    via scan_table/scan_filtered prune chunks zone ranges can't; part
+    of the layout fingerprint, so a resume can't silently produce a
+    half-bloom-indexed table.
 
     Partitions already present in the CURRENT snapshot are skipped (the
     filter on `_part` prunes them before any encoding work). `limit_parts`
@@ -589,6 +596,15 @@ def write_encoded(df: DataFrame, table_path: str,
               "rows_per_chunk": rows_per_chunk}
     if global_dict_cols:
         layout["global_dict_cols"] = sorted(global_dict_cols)
+    if bloom_cols:
+        overlap = sorted(set(bloom_cols) & set(global_dict_cols or []))
+        if overlap:
+            raise ValueError(
+                f"columns {overlap} are in both bloom_cols and "
+                "global_dict_cols; dict columns already prune equality "
+                "via the id translation in scan_table — drop them from "
+                "bloom_cols")
+        layout["bloom_cols"] = sorted(bloom_cols)
     _check_resume_layout(parent, layout, table_path)
 
     global_dicts: dict[str, list] = {}
@@ -690,7 +706,8 @@ def write_encoded(df: DataFrame, table_path: str,
                 st["chunks"].append(
                     encode_chunk(head, pid, len(st["chunks"]), codec,
                                  st["plan"] if codec == "auto" else None,
-                                 zone_key=key[0], block_codec=block_codec))
+                                 zone_key=key[0], block_codec=block_codec,
+                                 bloom_cols=bloom_cols))
 
         def flush(pid: int) -> pa.RecordBatch:
             st = pending.pop(pid)
@@ -855,7 +872,8 @@ def read_route(spark: SparkSession, table_path: str, route_col: str,
 
 def _rechunk_part(tbl: pa.Table, rows_per_chunk: int, pid: int,
                   codec: str = "auto",
-                  block_codec: str = "auto") -> pa.Table:
+                  block_codec: str = "auto",
+                  bloom_cols: list[str] | None = None) -> pa.Table:
     """Re-chunk one compacted part: runs of consecutive UNDER-SIZED
     chunks (n_rows < rows_per_chunk) are decoded, concatenated, and
     re-encoded into full-size chunks; full chunks pass through with
@@ -907,7 +925,8 @@ def _rechunk_part(tbl: pa.Table, rows_per_chunk: int, pid: int,
                 enc_rows.append(encode_chunk(
                     sl.to_batches()[0], pid, 0, codec,
                     plan if codec == "auto" else None,
-                    zone_key=zone_key, block_codec=block_codec))
+                    zone_key=zone_key, block_codec=block_codec,
+                    bloom_cols=bloom_cols))
             pieces.append(pa.Table.from_batches(
                 [_chunk_rows_to_batch(enc_rows)]))
         run, buffered = [], 0
@@ -978,6 +997,10 @@ def compact_table(spark: SparkSession, table_path: str,
     # its rewritten chunks silently auto-selected / zstd-wrapped
     codec = pmeta.get("codec") or "auto"
     block_codec = pmeta.get("block_codec") or "auto"
+    # rechunked chunks must keep the committed bloom indexing — a
+    # compaction that silently dropped blooms would turn point scans
+    # back into full scans
+    bloom_cols = (pmeta.get("layout") or {}).get("bloom_cols")
     enc = read_encoded(spark, table_path)
     data_dir = os.path.join(table_path, "data")
 
@@ -994,7 +1017,8 @@ def compact_table(spark: SparkSession, table_path: str,
         tbl = pa.Table.from_batches(rows)
         if rechunk:
             tbl = _rechunk_part(tbl, rows_per_chunk, pid,
-                                codec=codec, block_codec=block_codec)
+                                codec=codec, block_codec=block_codec,
+                                bloom_cols=bloom_cols)
         final = os.path.join(data_dir,
                              f"compact-{new_sid:06d}-{pid:05d}.parquet")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
@@ -1024,7 +1048,8 @@ def compact_table(spark: SparkSession, table_path: str,
             # the committed encoding policy survives every lifecycle
             # step — a LATER rechunk must still honor it
             "codec": codec, "block_codec": block_codec,
-            "layout": {"mode": "compacted"}}
+            "layout": ({"mode": "compacted", "bloom_cols": bloom_cols}
+                       if bloom_cols else {"mode": "compacted"})}
     for carry in ("mappings", "global_dicts"):
         if (parent.get("meta") or {}).get(carry):
             meta[carry] = parent["meta"][carry]

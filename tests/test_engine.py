@@ -577,3 +577,86 @@ def test_legacy_chunks_without_double_zones_still_scan(spark, tmp_path):
     got = scan_filtered(enc2, [("value", 0.25, 0.75)])
     want = ev.where(F.col("value").between(0.25, 0.75))
     assert got.count() == want.count() > 0
+
+
+# ----------------------------------------------------------- bloom filters
+
+def test_bloom_chunk_level_build_and_positions():
+    """Chunk-level: every inserted value's k bits are set; absent values
+    miss at least one bit almost surely at ~10 bits/value."""
+    from parquet_spark.engine import (_bloom_bit_positions, _build_bloom,
+                                      encode_chunk)
+    vals = [f"https://host{i}.example.com/{i*7919}" for i in range(2000)]
+    batch = pa.record_batch([pa.array(vals), pa.array(range(2000))],
+                            names=["url", "i"])
+    chunk = encode_chunk(batch, 0, 0, bloom_cols=["url"])
+    assert chunk["bloom_cols"] == ["url"]
+    words = chunk["blooms"][0]
+    m = len(words) * 64
+    uw = np.array(words, dtype=np.int64).view(np.uint64)
+
+    def has(v):
+        return all((uw[p >> 6] >> np.uint64(p & 63)) & np.uint64(1)
+                   for p in _bloom_bit_positions(v.encode(), m))
+
+    assert all(has(v) for v in vals[:200])
+    misses = sum(not has(f"absent-{i}") for i in range(500))
+    assert misses >= 480  # FPR well under ~4%
+
+
+def test_bloom_rejects_numeric_columns():
+    from parquet_spark.engine import encode_chunk
+    batch = pa.record_batch([pa.array(range(100))], names=["x"])
+    with pytest.raises(TypeError, match="string/binary"):
+        encode_chunk(batch, 0, 0, bloom_cols=["x"])
+
+
+@pytest.mark.spark
+def test_bloom_pruning_on_equality_and_in(spark):
+    """Equality on a high-cardinality non-key column: zone ranges are
+    useless on a hash-placed layout, the bloom must prune instead."""
+    from parquet_spark.engine import (encode_table, prune_chunks_pred,
+                                      scan_filtered)
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    enc = encode_table(docs, key=["doc_id"], n_parts=4, rows_per_chunk=100,
+                       bloom_cols=["text"]).cache()
+    n_all = enc.count()
+    probes = [r.text for r in docs.limit(3).collect()]
+    kept = prune_chunks_pred(enc, [("text", "in", probes)])
+    assert 0 < kept.count() < n_all  # bloom really bites
+    got = scan_filtered(enc, [("text", "in", probes)])
+    assert got.count() == docs.where(F.col("text").isin(probes)).count() > 0
+    # absent value: every chunk pruned (no false positives at this size)
+    assert prune_chunks_pred(enc, [("text", "=", "no such doc")]).count() \
+        <= 1
+    enc.unpersist()
+
+
+@pytest.mark.spark
+def test_bloom_survives_write_and_rechunk_compaction(spark, tmp_path):
+    from parquet_spark.manifest import (compact_table, read_encoded,
+                                        scan_table, write_encoded)
+    from parquet_spark.corpus import gen_corpus
+    df = gen_corpus(spark, 1200, seed=53, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=4, rows_per_chunk=100,
+                  bloom_cols=["url"])
+    probe = df.limit(1).collect()[0].url
+    got = scan_table(spark, path, [("url", "=", probe)])
+    assert got.count() == 1
+    compact_table(spark, path, target_parts=1, rechunk=True)
+    enc = read_encoded(spark, path)
+    # every (re)chunk still carries the url bloom
+    assert enc.where(F.array_position(F.col("bloom_cols"), "url") > 0) \
+        .count() == enc.count()
+    assert scan_table(spark, path, [("url", "=", probe)]).count() == 1
+
+
+@pytest.mark.spark
+def test_bloom_dict_overlap_rejected(spark, tmp_path):
+    from parquet_spark.manifest import write_encoded
+    from parquet_spark.corpus import gen_corpus
+    df = gen_corpus(spark, 200, seed=59, parts=1)
+    with pytest.raises(ValueError, match="bloom_cols and"):
+        write_encoded(df, str(tmp_path / "t"), key=["url"], n_parts=2,
+                      global_dict_cols=["lang"], bloom_cols=["lang"])
