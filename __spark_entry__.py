@@ -1417,6 +1417,33 @@ def q_bloom_prune(spark, sf_dir):
     return out
 
 
+def q_null_prune(spark, sf_dir):
+    """Null-count zone stats (engine.py `zone_nulls`): IS NULL prunes
+    chunks with zero nulls, IS NOT NULL skips all-null chunks.  Nulls
+    are derived deterministically (lang nulled where doc_id % 7 = 0) so
+    DuckDB recomputes the IS NULL scan exactly; pruning asserted to
+    bite on a lang-keyed layout (nulls sort first, clustering into the
+    leading chunks)."""
+    from parquet_spark.engine import (encode_table, prune_chunks_pred,
+                                      scan_filtered)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "lang", F.when(F.col("doc_id") % 7 != 0, F.col("lang")))
+    enc = encode_table(d, key=["lang"], n_parts=4,
+                       rows_per_chunk=100).cache()
+    n_all = enc.count()
+    kept = prune_chunks_pred(enc, [("lang", "isnull", None)])
+    assert kept.count() < n_all, "null-count pruning must bite"
+    got = scan_filtered(enc, [("lang", "isnull", None)])
+    out = got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.count_distinct(F.md5("text")).alias("n_texts"))
+    out = out.cache()
+    out.count()
+    enc.unpersist()
+    return out
+
+
 def q_time_travel(spark, sf_dir):
     """Snapshot time travel (manifest.py `snapshot_at` / `history`):
     write documents (snapshot 0), rechunk-compact (snapshot 1), then
@@ -1495,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "zone_prune_dbl": q_zone_prune_dbl,
         "bloom_prune": q_bloom_prune,
+        "null_prune": q_null_prune,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -1655,6 +1683,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT md5(clean)) AS n_clean_texts,
                    CAST(SUM(length(clean)) AS BIGINT) AS clean_chars
             FROM r""",
+        "null_prune": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   COUNT(DISTINCT md5(text)) AS n_texts
+            FROM documents WHERE doc_id % 7 = 0""",
         "bloom_prune": """
             WITH p AS (SELECT DISTINCT text FROM documents
                        WHERE doc_id IN (3, 77, 450))

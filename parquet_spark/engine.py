@@ -41,7 +41,8 @@ ENCODED_DDL = ("part_id bigint, chunk_id bigint, n_rows bigint, "
                "zone_min_str array<string>, zone_max_str array<string>, "
                "zone_min_num array<bigint>, zone_max_num array<bigint>, "
                "zone_min_dbl array<double>, zone_max_dbl array<double>, "
-               "bloom_cols array<string>, blooms array<array<bigint>>")
+               "bloom_cols array<string>, blooms array<array<bigint>>, "
+               "zone_nulls array<bigint>")
 
 DEFAULT_ROWS_PER_CHUNK = 10_000  # reference RowGroupSize default (Options.cs:8)
 
@@ -190,6 +191,7 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
     z_max_n: list[int | None] = []
     z_min_d: list[float | None] = []
     z_max_d: list[float | None] = []
+    z_nulls: list[int] = []
     if batch.num_rows:
         for i, field in enumerate(batch.schema):
             t = field.type
@@ -199,8 +201,6 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
             if not (is_str or is_num or is_flt):
                 continue
             col = batch.column(i)
-            if col.null_count == len(col):
-                continue
             if zone_cols is not None:
                 if field.name not in zone_cols and field.name != zone_key:
                     continue
@@ -208,6 +208,18 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
                   and col.nbytes > _ZONE_AUTO_MAX_AVG_LEN * len(col)):
                 continue  # fat text/html body: not worth a min/max pass
             lo_s = hi_s = lo_n = hi_n = lo_d = hi_d = None
+            if col.null_count == len(col):
+                # no value bounds, but the null COUNT itself prunes:
+                # an IS NOT NULL predicate skips an all-null chunk
+                z_cols.append(field.name)
+                z_min_s.append(None)
+                z_max_s.append(None)
+                z_min_n.append(None)
+                z_max_n.append(None)
+                z_min_d.append(None)
+                z_max_d.append(None)
+                z_nulls.append(col.null_count)
+                continue
             if is_str:
                 mm = pc.min_max(col)
                 lo_s = _zone_lo(mm["min"].as_py())
@@ -237,6 +249,7 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
             z_max_n.append(hi_n)
             z_min_d.append(lo_d)
             z_max_d.append(hi_d)
+            z_nulls.append(col.null_count)
     b_cols: list[str] = []
     b_words: list[list[int]] = []
     if bloom_cols and batch.num_rows:
@@ -266,6 +279,7 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
         "zone_min_num": z_min_n, "zone_max_num": z_max_n,
         "zone_min_dbl": z_min_d, "zone_max_dbl": z_max_d,
         "bloom_cols": b_cols, "blooms": b_words,
+        "zone_nulls": z_nulls,
     }
 
 
@@ -307,6 +321,7 @@ def _chunk_rows_to_batch(chunks: list[dict]) -> pa.RecordBatch:
         pa.field("zone_max_dbl", pa.list_(pa.float64())),
         pa.field("bloom_cols", pa.list_(pa.string())),
         pa.field("blooms", pa.list_(pa.list_(pa.int64()))),
+        pa.field("zone_nulls", pa.list_(pa.int64())),
     ]))
 
 
@@ -543,6 +558,10 @@ def _norm_term(term: tuple) -> tuple:
       (col, "=", v)        equality (a point range that also prunes)
       (col, "in", [v...])  IN-list (prunes per VALUE, not by the list's
                            min/max span — sparse lists skip mid-chunks)
+      (col, "isnull", None)   IS NULL — prunes via the per-chunk null
+                              COUNT (zone_nulls): chunks with zero
+                              nulls in `col` are skipped
+      (col, "notnull", None)  IS NOT NULL — skips all-null chunks
 
     The markers "=" / "in" are reserved: a genuine string range whose
     lo bound is literally "=" or "in" is not expressible with the tuple
@@ -552,13 +571,17 @@ def _norm_term(term: tuple) -> tuple:
     with lo "=" returned unrelated rows), and NULLs inside an IN-list
     are dropped (SQL: NULL never matches IN)."""
     col, a, b = term
+    if a in ("isnull", "notnull"):
+        if b is not None:
+            raise TypeError(f"({col!r}, {a!r}, …): the third element "
+                            "must be None")
+        return (a, col)
     if a == "=" and not isinstance(b, (list, tuple, set)):
         if b is None:
             raise TypeError(
-                f"({col!r}, '=', None): equality to NULL cannot prune "
-                "(zone maps track no null counts) and IS NULL is not a "
-                "range — filter nulls on the decoded frame with "
-                ".where(col.isNull()) instead")
+                f"({col!r}, '=', None): SQL equality to NULL is never "
+                f"true; use ({col!r}, 'isnull', None) for IS NULL "
+                "(prunes via the per-chunk null counts)")
         return ("in", col, [b])
     if a == "in":
         vals = list(b) if isinstance(b, (list, tuple, set)) else None
@@ -614,6 +637,15 @@ def _zone_keep_term(term: tuple):
     if t[0] == "range":
         _, col, lo, hi = t
         return _zone_keep_cond(col, lo, hi)
+    if t[0] in ("isnull", "notnull"):
+        _, col = t
+        idx = F.array_position(F.col("zone_cols"), col).cast("int")
+        nulls = F.try_element_at(F.col("zone_nulls"),
+                                 F.when(idx >= 1, idx))
+        if t[0] == "isnull":
+            # no-null chunk can't contain IS NULL rows; unknown keeps
+            return nulls.isNull() | (nulls > 0)
+        return nulls.isNull() | (nulls < F.col("n_rows"))
     _, col, vals = t
     # IN prunes per value: the chunk survives iff SOME value could be
     # inside its zone range — sparse lists skip chunks a min/max span
@@ -742,6 +774,12 @@ def _residual_cond(dec: DataFrame, terms) -> "F.Column":
     types = {f.name: f.dataType.simpleString() for f in dec.schema.fields}
     for term in terms:
         t = _norm_term(term)
+        if t[0] in ("isnull", "notnull"):
+            _, col = t
+            c = _residual_col(col, types, False)
+            cond = cond & (c.isNull() if t[0] == "isnull"
+                           else c.isNotNull())
+            continue
         if t[0] == "in":
             _, col, vals = t
             numeric = _is_numeric_bound(vals[0])

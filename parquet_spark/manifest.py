@@ -1290,7 +1290,9 @@ def scan_table(spark: SparkSession, table_path: str,
         for term in terms:
             t = _norm_term(term)
             col = t[1]
-            if col not in gdicts:
+            if col not in gdicts or t[0] in ("isnull", "notnull"):
+                # null VALUES are stored as null IDS, so null-count
+                # pruning works unchanged on dict columns
                 out.append(term)
                 continue
             vals = gdicts[col]

@@ -660,3 +660,52 @@ def test_bloom_dict_overlap_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="bloom_cols and"):
         write_encoded(df, str(tmp_path / "t"), key=["url"], n_parts=2,
                       global_dict_cols=["lang"], bloom_cols=["lang"])
+
+
+# ------------------------------------------------------- null-count zones
+
+def test_chunk_null_counts_recorded():
+    from parquet_spark.engine import encode_chunk
+    batch = pa.record_batch([
+        pa.array([1, None, 3, None], type=pa.int64()),
+        pa.array([None, None, None, None], type=pa.string()),
+        pa.array(["a", "b", "c", "d"]),
+    ], names=["x", "allnull", "s"])
+    chunk = encode_chunk(batch, 0, 0)
+    by = dict(zip(chunk["zone_cols"], chunk["zone_nulls"]))
+    assert by["x"] == 2 and by["s"] == 0
+    # all-null column gets an entry too (notnull can skip the chunk)
+    assert by["allnull"] == 4
+    zi = chunk["zone_cols"].index("allnull")
+    assert chunk["zone_min_str"][zi] is None
+
+
+@pytest.mark.spark
+def test_isnull_pruning_and_residual(spark):
+    from parquet_spark.engine import prune_chunks_pred, scan_filtered
+    df = gen_corpus(spark, 3000, seed=9, parts=2)  # has null lang rows
+    assert df.where(F.col("lang").isNull()).count() > 0
+    # key by lang: nulls cluster into leading chunks of one partition
+    enc = encode_table(df, key=["lang"], n_parts=4,
+                       rows_per_chunk=100).cache()
+    n_all = enc.count()
+    kept = prune_chunks_pred(enc, [("lang", "isnull", None)])
+    assert 0 < kept.count() < n_all  # null-count pruning bites
+    got = scan_filtered(enc, [("lang", "isnull", None)])
+    assert got.count() == df.where(F.col("lang").isNull()).count()
+    got_nn = scan_filtered(enc, [("lang", "notnull", None)])
+    assert got_nn.count() == df.where(F.col("lang").isNotNull()).count()
+    # composes with other terms
+    both = scan_filtered(enc, [("lang", "isnull", None),
+                               ("url", "https://", None)])
+    assert both.count() == got.count()
+    enc.unpersist()
+
+
+def test_eq_none_raises_with_isnull_hint():
+    from parquet_spark.engine import _norm_term
+    with pytest.raises(TypeError, match="isnull"):
+        _norm_term(("lang", "=", None))
+    with pytest.raises(TypeError, match="third element"):
+        _norm_term(("lang", "isnull", "x"))
+    assert _norm_term(("lang", "isnull", None)) == ("isnull", "lang")
