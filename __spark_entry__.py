@@ -1417,6 +1417,44 @@ def q_bloom_prune(spark, sf_dir):
     return out
 
 
+def q_row_deletes(spark, sf_dir):
+    """Row-level deletes (manifest.py `delete_rows` / `rewrite_table`,
+    the Iceberg equality-delete + rewrite_data_files analog): delete
+    doc_id % 10 = 3 rows by key, read back merge-on-read (anti-join,
+    no data file rewritten), then physically rewrite and read again —
+    BOTH states must equal DuckDB's filtered aggregate, and the facet
+    asserts the merge-on-read snapshot kept the original part files
+    while the rewrite dropped the delete list."""
+    import tempfile
+
+    from parquet_spark.manifest import (EncodedTable, delete_rows,
+                                        read_decoded, rewrite_table,
+                                        write_encoded)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    path = tempfile.mkdtemp(prefix="entry_deletes_") + "/t"
+    write_encoded(d, path, key=["doc_id"], n_parts=4, rows_per_chunk=50)
+    doomed = [i for i in range(500) if i % 10 == 3]
+    snap = delete_rows(spark, path, [("doc_id", "in", doomed)])
+    t = EncodedTable(path)
+    assert t.data_files(t.snapshot_at(0)) == t.data_files()  # no rewrite
+    outs = []
+    for state in ("mor", "rewritten"):
+        if state == "rewritten":
+            snap = rewrite_table(spark, path)
+            assert "delete_files" not in snap["meta"]
+        dec = read_decoded(spark, path)
+        outs.append(dec.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.count_distinct(F.md5("text")).alias("n_texts"),
+            F.sum("n_chars").alias("sum_chars"))
+            .withColumn("state", F.lit(state)))
+    out = outs[0].unionByName(outs[1]).orderBy("state")
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_null_prune(spark, sf_dir):
     """Null-count zone stats (engine.py `zone_nulls`): IS NULL prunes
     chunks with zero nulls, IS NOT NULL skips all-null chunks.  Nulls
@@ -1523,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_prune_dbl": q_zone_prune_dbl,
         "bloom_prune": q_bloom_prune,
         "null_prune": q_null_prune,
+        "row_deletes": q_row_deletes,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -1683,6 +1722,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT md5(clean)) AS n_clean_texts,
                    CAST(SUM(length(clean)) AS BIGINT) AS clean_chars
             FROM r""",
+        "row_deletes": """
+            WITH a AS (SELECT COUNT(*) AS n_rows,
+                              CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                              COUNT(DISTINCT md5(text)) AS n_texts,
+                              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                       FROM documents
+                       WHERE doc_id < 500 AND doc_id % 10 <> 3)
+            SELECT n_rows, sum_ids, n_texts, sum_chars, s AS state
+            FROM a, (VALUES ('mor'), ('rewritten')) t(s) ORDER BY state""",
         "null_prune": """
             SELECT COUNT(*) AS n_rows,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids,

@@ -1042,17 +1042,167 @@ def compact_table(spark: SparkSession, table_path: str,
         "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
         "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
         "wall_ms": r.wall_ms, "codecs": r.codecs} for r in lineage}
+    new_layout: dict = {"mode": "compacted"}
+    if bloom_cols:
+        new_layout["bloom_cols"] = bloom_cols
+    # the key survives compaction (rows and keys are unchanged) so
+    # delete_rows keeps working on compacted tables
+    parent_key = (pmeta.get("layout") or {}).get("key")
+    if parent_key:
+        new_layout["key"] = parent_key
     meta = {"compacted_from": parent["snapshot_id"],
             "target_parts": target_parts, "rechunk": rechunk,
             "rows_per_chunk": rows_per_chunk,
             # the committed encoding policy survives every lifecycle
             # step — a LATER rechunk must still honor it
             "codec": codec, "block_codec": block_codec,
-            "layout": ({"mode": "compacted", "bloom_cols": bloom_cols}
-                       if bloom_cols else {"mode": "compacted"})}
-    for carry in ("mappings", "global_dicts"):
+            "layout": new_layout}
+    # pending logical deletes ride along: compaction moves chunks
+    # compressed (no decode), so the anti-join stays merge-on-read
+    # until rewrite_table applies it physically
+    for carry in ("mappings", "global_dicts", "delete_files", "n_deleted"):
         if (parent.get("meta") or {}).get(carry):
             meta[carry] = parent["meta"][carry]
+    return table.commit(parts, None, parent, meta=meta)
+
+
+def delete_rows(spark: SparkSession, table_path: str,
+                pred: list[tuple] | dict,
+                backend: CommitBackend | None = None) -> dict:
+    """Row-level delete, merge-on-read (the Iceberg equality-delete
+    analog): rows matching `pred` are deleted by writing their LAYOUT-
+    KEY values to a delete file and committing a snapshot that lists
+    it — no data file is rewritten (cost is O(matching keys), not
+    O(table)).  Every read (`read_decoded` / `scan_table`) anti-joins
+    the accumulated delete keys; `rewrite_table` applies them
+    physically.  Zone maps and blooms stay as written — they may keep
+    a chunk whose matches are all deleted (wasted decode, never wrong
+    rows: the anti-join runs after decode).
+
+    Row-exact when the layout key is row-unique (the hash layout's
+    normal contract); duplicate keys delete ALL their rows — standard
+    equality-delete semantics.  Time travel to the pre-delete snapshot
+    still sees the rows.  Returns the new snapshot dict."""
+    table = EncodedTable(table_path, backend=backend)
+    parent = table.current_snapshot()
+    if parent is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    key = (_layout_of(parent) or {}).get("key")
+    if not key:
+        raise ValueError(
+            "delete_rows needs a layout with a key (hash-written or "
+            "compacted-from-hash tables); splits-mode tables have no "
+            "row key — decode, filter, re-encode instead")
+    keys = (scan_table(spark, table_path, pred, backend=backend)
+            .select(*key).distinct())
+    sid = parent["snapshot_id"] + 1
+    dfile = os.path.join(table_path, "data",
+                         f"deletes-{sid:06d}-{uuid.uuid4().hex[:8]}")
+    keys.write.parquet(dfile)
+    n_deleted = spark.read.parquet(dfile).count()
+    meta = dict(parent.get("meta") or {})
+    meta["delete_files"] = list(meta.get("delete_files") or []) + [dfile]
+    meta["n_deleted"] = int(meta.get("n_deleted") or 0) + n_deleted
+    return table.commit(dict(parent["parts"]), None, parent, meta=meta)
+
+
+def _apply_deletes(spark: SparkSession, dec: DataFrame,
+                   meta: dict) -> DataFrame:
+    """Anti-join the accumulated delete-key files onto a decoded frame.
+    Runs AFTER global-dict restore (delete keys are stored as decoded
+    values).  AQE broadcasts the delete side when it is small."""
+    dfiles = meta.get("delete_files") or []
+    if not dfiles:
+        return dec
+    keys = spark.read.parquet(*dfiles)
+    return dec.join(keys, on=list(keys.columns), how="left_anti")
+
+
+def rewrite_table(spark: SparkSession, table_path: str,
+                  backend: CommitBackend | None = None) -> dict:
+    """Physically apply pending row deletes (Iceberg
+    rewrite_data_files analog): decode the table WITH deletes applied,
+    re-encode under the committed layout (key, n_parts,
+    rows_per_chunk, codec, block_codec, bloom_cols), and commit a
+    snapshot with fresh parts and no delete_files.  Time travel to the
+    merge-on-read snapshots keeps working until vacuum."""
+    from .engine import encode_table
+    table = EncodedTable(table_path, backend=backend)
+    parent = table.current_snapshot()
+    if parent is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    pmeta = parent.get("meta") or {}
+    if not (pmeta.get("delete_files") or []):
+        return parent  # nothing pending: no-op, no empty commit
+    layout = _layout_of(parent) or {}
+    key = layout.get("key")
+    if not key:
+        raise ValueError("rewrite_table needs a keyed layout")
+    if pmeta.get("global_dicts"):
+        raise ValueError(
+            "rewrite_table on a global-dict table is not supported yet "
+            "(re-encoding restored values would desync the frozen id "
+            "space); decode with read_decoded and write_encoded into a "
+            "fresh table instead")
+    n_parts = layout.get("n_parts") or len(parent["parts"]) or 1
+    rows_per_chunk = (layout.get("rows_per_chunk")
+                      or pmeta.get("rows_per_chunk")
+                      or DEFAULT_ROWS_PER_CHUNK)
+    dec = read_decoded(spark, table_path, backend=backend)  # deletes applied
+    enc = encode_table(dec, key=key, n_parts=n_parts,
+                       codec=pmeta.get("codec") or "auto",
+                       rows_per_chunk=rows_per_chunk,
+                       block_codec=pmeta.get("block_codec") or "auto",
+                       bloom_cols=layout.get("bloom_cols"))
+    new_sid = parent["snapshot_id"] + 1
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    def writer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        t0 = time.monotonic()
+        rows: list[pa.RecordBatch] = []
+        for batch in batches:
+            rows.append(batch)
+        if not rows:
+            return
+        tbl = pa.Table.from_batches(rows)
+        final = os.path.join(
+            data_dir, f"rewrite-{new_sid:06d}-{pid:05d}.parquet")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(tbl, tmp, compression="none")
+        os.replace(tmp, final)
+        cmix = sorted({c for ch in tbl.column("codecs")
+                       for c in ch.as_py()})
+        yield pa.RecordBatch.from_pylist([{
+            "part_id": pid, "file": final,
+            "n_chunks": tbl.num_rows,
+            "n_rows": int(pa.compute.sum(tbl.column("n_rows")).as_py()),
+            "bytes_in": int(sum(sum(v.as_py())
+                                for v in tbl.column("bytes_in"))),
+            "bytes_out": int(sum(sum(v.as_py())
+                                 for v in tbl.column("bytes_out"))),
+            "wall_ms": (time.monotonic() - t0) * 1000.0,
+            "codecs": ",".join(cmix),
+        }])
+
+    lineage = (enc.repartition(n_parts, "part_id")
+               .sortWithinPartitions("part_id", "chunk_id")
+               .mapInArrow(writer, LINEAGE_DDL).collect())
+    parts = {str(r.part_id): {
+        "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
+        "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
+        "wall_ms": r.wall_ms, "codecs": r.codecs} for r in lineage}
+    meta = dict(pmeta)
+    meta.pop("delete_files", None)
+    meta.pop("n_deleted", None)
+    meta["rewritten_from"] = parent["snapshot_id"]
+    meta["layout"] = {"mode": "hash", "key": key, "n_parts": n_parts,
+                      "rows_per_chunk": rows_per_chunk,
+                      **({"bloom_cols": layout["bloom_cols"]}
+                         if layout.get("bloom_cols") else {})}
     return table.commit(parts, None, parent, meta=meta)
 
 
@@ -1220,9 +1370,18 @@ def read_decoded(spark: SparkSession, table_path: str,
     if not files:
         raise ValueError(f"no committed snapshot at {table_path}")
     enc = spark.read.schema(ENCODED_DDL).parquet(*files)
-    dec = decode_table(enc, table.schema(snap), columns=columns)
-    return _restore_global_dicts(
-        spark, dec, table.meta(snap).get("global_dicts") or {}, columns)
+    meta = table.meta(snap)
+    # pending deletes anti-join on the layout key: decode those columns
+    # too when the projection excludes them, drop them afterwards
+    key = ((_layout_of(snap) or {}).get("key")
+           if meta.get("delete_files") else None) or []
+    extra = [k for k in key if columns is not None and k not in columns]
+    dec_cols = columns + extra if columns is not None and extra else columns
+    dec = decode_table(enc, table.schema(snap), columns=dec_cols)
+    dec = _restore_global_dicts(
+        spark, dec, meta.get("global_dicts") or {}, dec_cols)
+    dec = _apply_deletes(spark, dec, meta)
+    return dec.drop(*extra) if extra else dec
 
 
 def _restore_global_dicts(spark: SparkSession, dec: DataFrame,
@@ -1325,15 +1484,22 @@ def scan_table(spark: SparkSession, table_path: str,
     else:
         zpred = translate(pred)
     kept = prune_chunks_pred(enc, zpred)
-    dec = decode_table(kept, table.schema(snap), columns=columns)
-    dec = _restore_global_dicts(spark, dec, gdicts, columns)
+    meta = table.meta(snap)
+    key = ((_layout_of(snap) or {}).get("key")
+           if meta.get("delete_files") else None) or []
+    extra = [k for k in key if columns is not None and k not in columns]
+    dec_cols = columns + extra if columns is not None and extra else columns
+    dec = decode_table(kept, table.schema(snap), columns=dec_cols)
+    dec = _restore_global_dicts(spark, dec, gdicts, dec_cols)
+    dec = _apply_deletes(spark, dec, meta)
     if isinstance(pred, dict):
         cond = F.lit(False)
         for terms in pred["any"]:
             cond = cond | _residual_cond(dec, terms)
     else:
         cond = _residual_cond(dec, pred)
-    return dec.where(cond)
+    out = dec.where(cond)
+    return out.drop(*extra) if extra else out
 
 
 def lineage_df(spark: SparkSession, table_path: str,

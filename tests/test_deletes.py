@@ -1,0 +1,94 @@
+"""Row-level deletes: merge-on-read equality deletes + physical rewrite.
+
+Iceberg analog (equality-delete files, rewrite_data_files); the
+reference C# library has no delete concept at all — its overwrite
+semantics (ResultListenerTests.cs:130-153) replace whole files.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_spark.corpus import gen_corpus
+from parquet_spark.manifest import (EncodedTable, compact_table,
+                                    delete_rows, read_decoded,
+                                    rewrite_table, scan_table,
+                                    write_encoded)
+
+pytestmark = pytest.mark.spark
+
+
+def test_delete_merge_on_read(spark, tmp_path):
+    df = gen_corpus(spark, 1000, seed=61, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=4)
+    doomed = [r.url for r in df.limit(5).collect()]
+    snap = delete_rows(spark, path, [("url", "in", doomed)])
+    assert snap["meta"]["n_deleted"] == 5
+    dec = read_decoded(spark, path)
+    assert dec.count() == 995
+    assert dec.where(F.col("url").isin(doomed)).count() == 0
+    # no data file was rewritten: parts identical to snapshot 0
+    t = EncodedTable(path)
+    assert t.data_files(t.snapshot_at(0)) == t.data_files()
+    # time travel pre-delete still sees all rows
+    assert read_decoded(spark, path, snapshot_id=0).count() == 1000
+    # scans and projections respect deletes (key not in projection)
+    assert scan_table(spark, path, [("lang", "de", "de")]).where(
+        F.col("url").isin(doomed)).count() == 0
+    two = read_decoded(spark, path, columns=["text", "lang"])
+    assert two.columns == ["text", "lang"] and two.count() == 995
+
+
+def test_delete_accumulates_and_rewrite_applies(spark, tmp_path):
+    df = gen_corpus(spark, 800, seed=67, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=3, rows_per_chunk=100)
+    urls = [r.url for r in df.orderBy("url").limit(10).collect()]
+    delete_rows(spark, path, [("url", "in", urls[:4])])
+    delete_rows(spark, path, [("url", "in", urls[4:])])
+    assert read_decoded(spark, path).count() == 790
+    snap = rewrite_table(spark, path)
+    assert "delete_files" not in snap["meta"]
+    assert read_decoded(spark, path).count() == 790
+    # physically gone: pre-rewrite chunk bytes no longer carry the rows
+    from parquet_spark.manifest import read_encoded
+    assert read_encoded(spark, path).agg(
+        F.sum("n_rows")).collect()[0][0] == 790
+    # idempotent no-op when nothing is pending
+    again = rewrite_table(spark, path)
+    assert again["snapshot_id"] == snap["snapshot_id"]
+
+
+def test_delete_survives_compaction(spark, tmp_path):
+    df = gen_corpus(spark, 600, seed=71, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=4, rows_per_chunk=50)
+    doomed = [r.url for r in df.limit(3).collect()]
+    delete_rows(spark, path, [("url", "in", doomed)])
+    compact_table(spark, path, target_parts=1, rechunk=True)
+    dec = read_decoded(spark, path)
+    assert dec.count() == 597
+    assert dec.where(F.col("url").isin(doomed)).count() == 0
+    # key survives compaction: further deletes still work
+    more = [r.url for r in dec.limit(2).collect()]
+    delete_rows(spark, path, [("url", "in", more)])
+    assert read_decoded(spark, path).count() == 595
+    # and rewrite still applies physically after compaction
+    rewrite_table(spark, path)
+    assert read_decoded(spark, path).count() == 595
+
+
+def test_delete_requires_key_and_pred_matches_nothing(spark, tmp_path):
+    from parquet_spark.splits import write_encoded_splits
+    df = gen_corpus(spark, 300, seed=73, parts=2)
+    src = str(tmp_path / "src.parquet")
+    df.write.parquet(src)
+    path = str(tmp_path / "splits_tbl")
+    write_encoded_splits(spark, src, path)
+    with pytest.raises(ValueError, match="key"):
+        delete_rows(spark, path, [("lang", "de", "de")])
+    path2 = str(tmp_path / "hash_tbl")
+    write_encoded(df, path2, key=["url"], n_parts=2)
+    snap = delete_rows(spark, path2, [("url", "=", "https://nope")])
+    assert snap["meta"]["n_deleted"] == 0
+    assert read_decoded(spark, path2).count() == 300
