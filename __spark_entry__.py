@@ -1455,6 +1455,38 @@ def q_row_deletes(spark, sf_dir):
     return out
 
 
+def q_upsert(spark, sf_dir):
+    """MERGE INTO by key (manifest.py `upsert_rows`): matched keys are
+    replaced (equality delete scoped to pre-existing parts — Iceberg's
+    sequence-number rule, so the replacements survive their own
+    delete), unmatched keys insert into a fresh part-id epoch.  DuckDB
+    recomputes the merged state with plain CASE/UNION relational
+    algebra — a mis-scoped delete (replacements vanishing) or a lost
+    delete list (old rows resurrecting) mismatches on both counts and
+    checksums."""
+    import tempfile
+
+    from parquet_spark.manifest import (read_decoded, upsert_rows,
+                                        write_encoded)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    path = tempfile.mkdtemp(prefix="entry_upsert_") + "/t"
+    write_encoded(d, path, key=["doc_id"], n_parts=4, rows_per_chunk=50)
+    upd = (d.where(F.col("doc_id") % 20 == 1)
+           .withColumn("text", F.concat(F.lit("u:"), F.col("text"))))
+    ins = (d.where(F.col("doc_id") < 10)
+           .withColumn("doc_id", F.col("doc_id") + 10000))
+    upsert_rows(spark, path, upd.unionByName(ins))
+    dec = read_decoded(spark, path)
+    out = dec.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.count_distinct(F.md5("text")).alias("n_texts"),
+        F.sum("n_chars").alias("sum_chars"))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_null_prune(spark, sf_dir):
     """Null-count zone stats (engine.py `zone_nulls`): IS NULL prunes
     chunks with zero nulls, IS NOT NULL skips all-null chunks.  Nulls
@@ -1562,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "null_prune": q_null_prune,
         "row_deletes": q_row_deletes,
+        "upsert": q_upsert,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -1722,6 +1755,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT md5(clean)) AS n_clean_texts,
                    CAST(SUM(length(clean)) AS BIGINT) AS clean_chars
             FROM r""",
+        "upsert": """
+            WITH base AS (SELECT * FROM documents WHERE doc_id < 400),
+                 merged AS (
+                   SELECT doc_id,
+                          CASE WHEN doc_id % 20 = 1 THEN 'u:' || text
+                               ELSE text END AS text,
+                          n_chars
+                   FROM base
+                   UNION ALL
+                   SELECT doc_id + 10000, text, n_chars
+                   FROM base WHERE doc_id < 10)
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   COUNT(DISTINCT md5(text)) AS n_texts,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM merged""",
         "row_deletes": """
             WITH a AS (SELECT COUNT(*) AS n_rows,
                               CAST(SUM(doc_id) AS BIGINT) AS sum_ids,

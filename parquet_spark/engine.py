@@ -434,8 +434,13 @@ def read_encoded_schema(enc_df: DataFrame) -> pa.Schema:
 
 
 def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
-                 columns: list[str] | None = None) -> DataFrame:
+                 columns: list[str] | None = None,
+                 with_part_id: bool = False) -> DataFrame:
     """Decode chunk rows back to the original table. Narrow (no shuffle).
+
+    `with_part_id=True` appends a `_part_id` bigint column carrying
+    each row's owning part — the commit-order scope the equality-delete
+    reader needs (deletes apply only to parts older than the delete).
 
     `columns` is column pruning THROUGH the encoded format: payloads are
     stored per column, so unselected columns are never decompressed or
@@ -448,6 +453,8 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
         if missing:
             raise KeyError(f"columns not in encoded schema: {missing}")
         schema = pa.schema([schema.field(c) for c in columns])
+    if with_part_id:
+        schema = schema.append(pa.field("_part_id", pa.int64()))
     spark_schema = from_arrow_schema(schema)
     want = columns
 
@@ -460,6 +467,7 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
             ipc_col = batch.column(batch.schema.get_field_index("schema_ipc"))
             names_col = batch.column(batch.schema.get_field_index("names"))
             pay_col = batch.column(batch.schema.get_field_index("payloads"))
+            pid_col = batch.column(batch.schema.get_field_index("part_id"))
             for i in range(batch.num_rows):
                 names = names_col[i].as_py()
                 pays = pay_col[i].values
@@ -472,8 +480,18 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
                             if n in want}
                     names = list(want)
                     payloads = [keep[n] for n in want]
-                yield decode_chunk(memoryview(ipc_col[i].as_buffer()),
+                out = decode_chunk(memoryview(ipc_col[i].as_buffer()),
                                    names, payloads, columns=want)
+                if with_part_id:
+                    pid = pa.array(np.full(out.num_rows,
+                                           pid_col[i].as_py(),
+                                           dtype=np.int64))
+                    out = pa.RecordBatch.from_arrays(
+                        [*out.columns, pid],
+                        schema=pa.schema([*out.schema,
+                                          pa.field("_part_id",
+                                                   pa.int64())]))
+                yield out
 
     return enc_df.mapInArrow(decoder, spark_schema)
 

@@ -757,6 +757,19 @@ def write_encoded(df: DataFrame, table_path: str,
         t = pq.read_table(lineage[0].file, columns=["schema_ipc"])
         if t.num_rows:
             schema_ipc = t.column(0)[0].as_py()
+    if schema_ipc is not None and parent is not None:
+        prev = table.schema(parent)
+        if prev is not None:
+            # an APPEND batch may carry stricter nullability (e.g. a
+            # literal-filled column): committing its schema verbatim
+            # would declare old null-bearing chunks non-nullable and
+            # crash decode — unify per-field nullability instead
+            new = pa.ipc.read_schema(pa.BufferReader(schema_ipc))
+            if [f.name for f in new] == [f.name for f in prev]:
+                unified = pa.schema(
+                    [f.with_nullable(f.nullable or prev.field(i).nullable)
+                     for i, f in enumerate(new)])
+                schema_ipc = unified.serialize().to_pybytes()
 
     parts = dict(table.committed_parts())
     for row in lineage:
@@ -779,6 +792,12 @@ def write_encoded(df: DataFrame, table_path: str,
         meta["global_dicts"] = parent["meta"]["global_dicts"]
     if gdict_fallback:
         meta["global_dict_fallback"] = gdict_fallback
+    # pending equality deletes survive an append commit — dropping the
+    # list here would RESURRECT deleted rows on the next read
+    if parent is not None:
+        for carry in ("delete_files", "n_deleted"):
+            if (parent.get("meta") or {}).get(carry):
+                meta[carry] = parent["meta"][carry]
     return table.commit(parts, schema_ipc, parent, meta)
 
 
@@ -989,6 +1008,12 @@ def compact_table(spark: SparkSession, table_path: str,
     parent = table.current_snapshot()
     if parent is None:
         raise ValueError(f"no committed snapshot at {table_path}")
+    if (parent.get("meta") or {}).get("delete_files"):
+        # pending equality deletes are scoped by PART ID (<= max_part
+        # at delete time) and compaction renumbers part ids — carrying
+        # them across would re-delete post-delete appends.  Apply them
+        # physically first; the compaction then runs on a clean table.
+        parent = rewrite_table(spark, table_path, backend=backend)
     new_sid = parent["snapshot_id"] + 1
     pmeta = parent.get("meta") or {}
     rows_per_chunk = pmeta.get("rows_per_chunk") or DEFAULT_ROWS_PER_CHUNK
@@ -1057,10 +1082,7 @@ def compact_table(spark: SparkSession, table_path: str,
             # step — a LATER rechunk must still honor it
             "codec": codec, "block_codec": block_codec,
             "layout": new_layout}
-    # pending logical deletes ride along: compaction moves chunks
-    # compressed (no decode), so the anti-join stays merge-on-read
-    # until rewrite_table applies it physically
-    for carry in ("mappings", "global_dicts", "delete_files", "n_deleted"):
+    for carry in ("mappings", "global_dicts"):
         if (parent.get("meta") or {}).get(carry):
             meta[carry] = parent["meta"][carry]
     return table.commit(parts, None, parent, meta=meta)
@@ -1095,27 +1117,133 @@ def delete_rows(spark: SparkSession, table_path: str,
             "row key — decode, filter, re-encode instead")
     keys = (scan_table(spark, table_path, pred, backend=backend)
             .select(*key).distinct())
+    return _commit_delete_keys(spark, table, parent, keys)
+
+
+def _commit_delete_keys(spark: SparkSession, table: "EncodedTable",
+                        parent: dict, keys: DataFrame) -> dict:
+    """Write a delete-key file and commit a snapshot listing it (the
+    shared tail of delete_rows and upsert_rows — the keys frame never
+    touches the driver).
+
+    Each entry records `max_part`, the highest part id committed when
+    the delete landed: the delete applies ONLY to rows in parts
+    <= max_part (Iceberg's sequence-number rule), so rows APPENDED
+    later under the same key — an upsert's replacements — survive."""
     sid = parent["snapshot_id"] + 1
-    dfile = os.path.join(table_path, "data",
+    dfile = os.path.join(table.path, "data",
                          f"deletes-{sid:06d}-{uuid.uuid4().hex[:8]}")
     keys.write.parquet(dfile)
     n_deleted = spark.read.parquet(dfile).count()
+    max_part = max((int(p) for p in parent["parts"]), default=-1)
     meta = dict(parent.get("meta") or {})
-    meta["delete_files"] = list(meta.get("delete_files") or []) + [dfile]
+    meta["delete_files"] = list(meta.get("delete_files") or []) + [
+        {"path": dfile, "max_part": max_part}]
     meta["n_deleted"] = int(meta.get("n_deleted") or 0) + n_deleted
     return table.commit(dict(parent["parts"]), None, parent, meta=meta)
 
 
+def upsert_rows(spark: SparkSession, table_path: str, df: DataFrame,
+                backend: CommitBackend | None = None) -> dict:
+    """MERGE INTO (matched → update, unmatched → insert) by the layout
+    key, composed from the two primitives: an equality delete of df's
+    keys (merge-on-read — O(df keys), no data rewrite) followed by an
+    append of df into a fresh part-id epoch (the same disjoint-range
+    mechanism streaming epochs use).  Two commits; the intermediate
+    state (rows deleted, replacements not yet in) is never published
+    as the final answer only if the caller treats the returned
+    snapshot as the publish point — readers between the two commits
+    see the delete-only state, exactly like Iceberg's two-step
+    delete+append MERGE with serializable snapshots.  Physical
+    cleanup: `rewrite_table` folds the delete files away."""
+    table = EncodedTable(table_path, backend=backend)
+    parent = table.current_snapshot()
+    if parent is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    layout = _layout_of(parent) or {}
+    key = layout.get("key")
+    if layout.get("mode") != "hash" or not key:
+        raise ValueError(
+            "upsert_rows needs a hash layout (append epochs require "
+            "the hash part-id namespace); compact/splits tables: "
+            "decode + re-encode")
+    missing = [k for k in key if k not in df.columns]
+    if missing:
+        raise KeyError(f"upsert frame lacks key columns {missing}")
+    committed = table.schema(parent)
+    if committed is not None:
+        want = [f.name for f in committed]
+        if sorted(df.columns) != sorted(want):
+            raise ValueError(
+                f"upsert frame columns {sorted(df.columns)} != table "
+                f"columns {sorted(want)}; schema evolution goes through "
+                "merge_tables + a fresh write, not upsert")
+        df = df.select(*want)  # align column ORDER with the table
+        from pyspark.sql.pandas.types import from_arrow_schema
+        want_types = {f.name: f.dataType
+                      for f in from_arrow_schema(committed).fields}
+        bad = [(c, df.schema[c].dataType.simpleString(),
+                want_types[c].simpleString())
+               for c in want if df.schema[c].dataType != want_types[c]]
+        if bad:
+            raise TypeError(
+                f"upsert frame column types differ from the table: {bad};"
+                " cast the frame first (mixed chunk types cannot decode)")
+    # delete df's keys DISTRIBUTED (the keys frame never hits the
+    # driver — unlike a pred-shaped delete, which would need a literal
+    # value list); keys absent from the table are harmless no-ops in
+    # the anti-join
+    _commit_delete_keys(spark, table, parent,
+                        df.select(*key).distinct())
+    n_parts = layout["n_parts"]
+    cur = EncodedTable(table_path, backend=backend).current_snapshot()
+    max_part = max((int(p) for p in cur["parts"]), default=-1)
+    offset = ((max_part // n_parts) + 1) * n_parts
+    return write_encoded(
+        df, table_path, key=key, n_parts=n_parts,
+        rows_per_chunk=layout.get("rows_per_chunk")
+        or DEFAULT_ROWS_PER_CHUNK,
+        codec=(parent.get("meta") or {}).get("codec") or "auto",
+        block_codec=(parent.get("meta") or {}).get("block_codec")
+        or "auto",
+        part_offset=offset,
+        bloom_cols=layout.get("bloom_cols"),
+        backend=backend)
+
+
 def _apply_deletes(spark: SparkSession, dec: DataFrame,
                    meta: dict) -> DataFrame:
-    """Anti-join the accumulated delete-key files onto a decoded frame.
-    Runs AFTER global-dict restore (delete keys are stored as decoded
-    values).  AQE broadcasts the delete side when it is small."""
+    """Anti-join the accumulated delete-key files onto a decoded frame
+    that carries `_part_id`.  Runs AFTER global-dict restore (delete
+    keys are stored as decoded values).  A row is deleted iff some
+    delete file holds its key AND the row's part predates the delete
+    (part_id <= the file's max_part) — later appends under the same
+    key survive.  AQE broadcasts the delete side when small; the
+    `_part_id` column is dropped here."""
     dfiles = meta.get("delete_files") or []
     if not dfiles:
-        return dec
-    keys = spark.read.parquet(*dfiles)
-    return dec.join(keys, on=list(keys.columns), how="left_anti")
+        return dec.drop("_part_id")
+    per_file = []
+    for entry in dfiles:
+        if isinstance(entry, str):  # legacy: applies to every part
+            path, max_part = entry, None
+        else:
+            path, max_part = entry["path"], entry.get("max_part")
+        k = spark.read.parquet(path)
+        per_file.append(k.withColumn(
+            "_del_max_part",
+            F.lit(max_part).cast("long") if max_part is not None
+            else F.lit(None).cast("long")))
+    keys = per_file[0]
+    for k in per_file[1:]:
+        keys = keys.unionByName(k)
+    kcols = [c for c in keys.columns if c != "_del_max_part"]
+    cond = F.lit(True)
+    for c in kcols:
+        cond = cond & dec[c].eqNullSafe(keys[c])
+    cond = cond & (keys["_del_max_part"].isNull()
+                   | (dec["_part_id"] <= keys["_del_max_part"]))
+    return dec.join(keys, on=cond, how="left_anti").drop("_part_id")
 
 
 def rewrite_table(spark: SparkSession, table_path: str,
@@ -1373,14 +1501,17 @@ def read_decoded(spark: SparkSession, table_path: str,
     meta = table.meta(snap)
     # pending deletes anti-join on the layout key: decode those columns
     # too when the projection excludes them, drop them afterwards
-    key = ((_layout_of(snap) or {}).get("key")
-           if meta.get("delete_files") else None) or []
+    has_deletes = bool(meta.get("delete_files"))
+    key = ((_layout_of(snap) or {}).get("key") if has_deletes else None) \
+        or []
     extra = [k for k in key if columns is not None and k not in columns]
     dec_cols = columns + extra if columns is not None and extra else columns
-    dec = decode_table(enc, table.schema(snap), columns=dec_cols)
+    dec = decode_table(enc, table.schema(snap), columns=dec_cols,
+                       with_part_id=has_deletes)
     dec = _restore_global_dicts(
         spark, dec, meta.get("global_dicts") or {}, dec_cols)
-    dec = _apply_deletes(spark, dec, meta)
+    if has_deletes:
+        dec = _apply_deletes(spark, dec, meta)
     return dec.drop(*extra) if extra else dec
 
 
@@ -1485,13 +1616,16 @@ def scan_table(spark: SparkSession, table_path: str,
         zpred = translate(pred)
     kept = prune_chunks_pred(enc, zpred)
     meta = table.meta(snap)
-    key = ((_layout_of(snap) or {}).get("key")
-           if meta.get("delete_files") else None) or []
+    has_deletes = bool(meta.get("delete_files"))
+    key = ((_layout_of(snap) or {}).get("key") if has_deletes else None) \
+        or []
     extra = [k for k in key if columns is not None and k not in columns]
     dec_cols = columns + extra if columns is not None and extra else columns
-    dec = decode_table(kept, table.schema(snap), columns=dec_cols)
+    dec = decode_table(kept, table.schema(snap), columns=dec_cols,
+                       with_part_id=has_deletes)
     dec = _restore_global_dicts(spark, dec, gdicts, dec_cols)
-    dec = _apply_deletes(spark, dec, meta)
+    if has_deletes:
+        dec = _apply_deletes(spark, dec, meta)
     if isinstance(pred, dict):
         cond = F.lit(False)
         for terms in pred["any"]:

@@ -92,3 +92,49 @@ def test_delete_requires_key_and_pred_matches_nothing(spark, tmp_path):
     snap = delete_rows(spark, path2, [("url", "=", "https://nope")])
     assert snap["meta"]["n_deleted"] == 0
     assert read_decoded(spark, path2).count() == 300
+
+
+def test_upsert_updates_and_inserts(spark, tmp_path):
+    from parquet_spark.manifest import upsert_rows
+    df = gen_corpus(spark, 500, seed=79, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=3)
+    # updates: 5 existing urls with new text; inserts: 2 fresh urls
+    upd = (df.limit(5)
+           .withColumn("text", F.concat(F.lit("UPDATED "), F.col("text"))))
+    ins = (df.limit(2)
+           .withColumn("url", F.concat(F.lit("https://new/"), F.col("url"))))
+    upsert_rows(spark, path, upd.unionByName(ins))
+    dec = read_decoded(spark, path).cache()
+    assert dec.count() == 502  # 500 - 5 + 5 + 2
+    upd_urls = [r.url for r in upd.select("url").collect()]
+    got = dec.where(F.col("url").isin(upd_urls))
+    # the REPLACEMENTS survived the equality delete (sequence scoping):
+    # exactly one row per updated key, carrying the new text
+    assert got.count() == 5
+    assert got.where(F.col("text").startswith("UPDATED ")).count() == 5
+    assert dec.where(F.col("url").startswith("https://new/")).count() == 2
+    dec.unpersist()
+
+
+def test_upsert_then_rewrite_and_compact(spark, tmp_path):
+    from parquet_spark.manifest import rewrite_table, upsert_rows
+    df = gen_corpus(spark, 400, seed=83, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=2, rows_per_chunk=64)
+    # a frame with an extra column must be rejected, not appended
+    with pytest.raises(ValueError, match="columns"):
+        upsert_rows(spark, path, df.limit(3).withColumn("extra", F.lit(1)))
+    upd = df.limit(3).withColumn("lang", F.lit("xx"))
+    upsert_rows(spark, path, upd)
+    rewrite_table(spark, path)
+    dec = read_decoded(spark, path)
+    assert dec.count() == 400
+    assert dec.where(F.col("lang") == "xx").count() == 3
+    # compaction with pending deletes auto-rewrites first (part-id
+    # renumbering would otherwise mis-scope the delete boundaries)
+    upsert_rows(spark, path, df.limit(2).withColumn("lang", F.lit("yy")))
+    compact_table(spark, path, target_parts=1)
+    dec2 = read_decoded(spark, path)
+    assert dec2.count() == 400
+    assert dec2.where(F.col("lang") == "yy").count() == 2
