@@ -486,15 +486,14 @@ def test_pruning_never_drops_matching_rows_randomized(spark):
 
 @pytest.mark.spark
 def test_null_predicate_terms_fail_loudly_or_drop(spark):
-    """NULL bounds cannot prune (zone maps track no null counts):
-    (col, "=", None) raises instead of silently matching nothing,
-    NULLs inside an IN-list are dropped (SQL: NULL never matches IN),
-    and an all-NULL IN-list raises."""
+    """(col, "=", None) raises (SQL = NULL is never true) pointing at
+    the isnull term form, NULLs inside an IN-list are dropped (SQL:
+    NULL never matches IN), and an all-NULL IN-list raises."""
     from parquet_spark.engine import prune_chunks_pred, scan_filtered
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     enc = encode_table(docs, key=["doc_id"], n_parts=2,
                        rows_per_chunk=50).cache()
-    with pytest.raises(TypeError, match="isNull"):
+    with pytest.raises(TypeError, match="isnull"):
         prune_chunks_pred(enc, [("lang", "=", None)])
     got = scan_filtered(enc, [("doc_id", "in", [123, None])])
     want = docs.where(F.col("doc_id").isin([123]))
