@@ -1354,6 +1354,11 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
     parent_src = src.current_snapshot()
     if parent_src is None:
         raise ValueError(f"no committed snapshot at {src_path}")
+    if (parent_src.get("meta") or {}).get("delete_files"):
+        # same hazard as compaction: relocation renumbers part ids,
+        # which would mis-scope the part-bounded delete files — apply
+        # them physically on the source first (one extra src commit)
+        parent_src = rewrite_table(spark, src_path, backend=src_backend)
     enc = read_encoded(spark, src_path)
     if by == "range":
         # typed range partitioning: numeric keys order on the int64 zone

@@ -138,3 +138,17 @@ def test_upsert_then_rewrite_and_compact(spark, tmp_path):
     dec2 = read_decoded(spark, path)
     assert dec2.count() == 400
     assert dec2.where(F.col("lang") == "yy").count() == 2
+
+
+def test_relocate_applies_pending_deletes_first(spark, tmp_path):
+    from parquet_spark.manifest import relocate_table
+    df = gen_corpus(spark, 500, seed=89, parts=2)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_encoded(df, src, key=["url"], n_parts=3, rows_per_chunk=64)
+    doomed = [r.url for r in df.limit(4).collect()]
+    delete_rows(spark, src, [("url", "in", doomed)])
+    relocate_table(spark, src, dst, n_parts=2)
+    dec = read_decoded(spark, dst)
+    assert dec.count() == 496
+    assert dec.where(F.col("url").isin(doomed)).count() == 0
