@@ -1104,7 +1104,10 @@ def delete_rows(spark: SparkSession, table_path: str,
     Row-exact when the layout key is row-unique (the hash layout's
     normal contract); duplicate keys delete ALL their rows — standard
     equality-delete semantics.  Time travel to the pre-delete snapshot
-    still sees the rows.  Returns the new snapshot dict."""
+    still sees the rows.  NOTE: the engine-level point-access helpers
+    (engine.read_row / read_cell) operate on raw chunk rows and do NOT
+    apply pending deletes — go through read_decoded/scan_table, or
+    rewrite_table first.  Returns the new snapshot dict."""
     table = EncodedTable(table_path, backend=backend)
     parent = table.current_snapshot()
     if parent is None:
