@@ -1289,6 +1289,23 @@ def q_bss_roundtrip(spark, sf_dir):
             .orderBy("vec_id", "pos"))
 
 
+def q_alp_roundtrip(spark, sf_dir):
+    """ALP decimal-float path through the full encoded format
+    (codecs/column.py `_enc_alp`, codec id 10): TPC-H price doubles
+    (2-decimal l_extendedprice/l_discount/l_tax, integral l_quantity)
+    rescale to small integers under the three-way INT/BSS/ALP trial.
+    Encode -> decode and return the raw doubles — bit-identity makes
+    every float hash-equal to DuckDB reading the source parquet, so any
+    exponent/factor/exception bug mismatches."""
+    from parquet_spark.engine import decode_table, encode_table
+    li = (_t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 600)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice", "l_discount", "l_tax"))
+    enc = encode_table(li, key=["l_orderkey", "l_linenumber"], n_parts=2)
+    dec = decode_table(enc)
+    return dec.orderBy("l_orderkey", "l_linenumber")
+
+
 def q_decontamination(spark, sf_dir):
     """Benchmark decontamination (textops/curation.py
     `ngram_contamination`): bench = every 97th doc's text, corpus = the
@@ -1586,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         # -- band 2: new or changed since the r03 run --------------------
         "bss_roundtrip": q_bss_roundtrip,
+        "alp_roundtrip": q_alp_roundtrip,
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
@@ -1703,6 +1721,11 @@ def oracle_sql() -> dict[str, str]:
                        AS pos,
                    unnest(embedding) AS val
             FROM embeddings WHERE vec_id < 40 ORDER BY vec_id, pos""",
+        "alp_roundtrip": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_discount, l_tax
+            FROM lineitem WHERE l_orderkey < 600
+            ORDER BY l_orderkey, l_linenumber""",
         "decontamination": """
             WITH dw AS (SELECT doc_id, string_split(text, ' ') AS ws
                         FROM documents),

@@ -29,7 +29,11 @@ dictionary; applied when distinct/count <= 0.8, the reference's gate at
 int-stream + recursively encoded child), 8 DEC128 (two int64 lanes),
 9 BSS (byte-stream-split for float32/float64: per-byte-plane transpose,
 chosen over INT by a sampled size trial — the Parquet-format
-BYTE_STREAM_SPLIT analog for full-entropy floats like embeddings).
+BYTE_STREAM_SPLIT analog for full-entropy floats like embeddings),
+10 ALP (decimal-float rescale round(v*10^e)/10^f to a small-int stream
+with bitwise-verified raw exceptions — the ALP scheme, SIGMOD 2024,
+for price/sensor-style decimal doubles; three-way INT/BSS/ALP sampled
+trial).
 
 Null handling is centralized: a bit-packed validity bitmap plus the
 codec body over non-null values only; decode scatters through
@@ -48,13 +52,14 @@ import pyarrow.compute as pc
 
 from . import fsst
 from .ints import decode_uint64, encode_uint64
+from .kernels import zigzag_decode, zigzag_encode
 
-PLAIN, INT, BOOL, STR_PLAIN, STR_FSST, DICT, LIST, DEC128, BSS = \
-    1, 2, 3, 4, 5, 6, 7, 8, 9
+PLAIN, INT, BOOL, STR_PLAIN, STR_FSST, DICT, LIST, DEC128, BSS, ALP = \
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10
 
 CODEC_NAMES = {PLAIN: "plain", INT: "int", BOOL: "bool", STR_PLAIN: "str_plain",
                STR_FSST: "fsst", DICT: "dict", LIST: "list",
-               DEC128: "dec128", BSS: "bss"}
+               DEC128: "dec128", BSS: "bss", ALP: "alp"}
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 _ZSTD = pa.Codec("zstd", compression_level=3)
@@ -507,6 +512,95 @@ def _dec_bss(body: bytes, t: pa.DataType) -> pa.Array:
     return _scatter(vals, n, valid)
 
 
+# ALP-style decimal-float encoding (codec id 10).  Published scheme:
+# "ALP: Adaptive Lossless floating-Point compression" (SIGMOD 2024) —
+# most real-world doubles are decimals (prices, sensor readings,
+# percentages) whose IEEE mantissas look random to every byte-level
+# codec, but which become SMALL INTEGERS under the right decimal scale.
+_ALP_MAX_E = {4: 10, 8: 16}   # max decimal exponent trialed per width
+_ALP_SAFE_INT = float(1 << 51)  # |i| bound: exact in f64 AND int64-safe
+
+
+def _alp_decode_expr(ints: np.ndarray, e: int, f: int, dtype) -> np.ndarray:
+    """THE decode arithmetic — encode verifies against this exact
+    expression bitwise, so any value it cannot reproduce is stored as a
+    raw exception and correctness never depends on fp subtleties."""
+    return ((ints * (10.0 ** f)) / (10.0 ** e)).astype(dtype)
+
+
+def _enc_alp(arr: pa.Array) -> bytes:
+    """v -> round(v * 10^e) / 10^f as a FOR/DELTA/RLE int stream, plus a
+    bitwise-verified exception list (positions int-stream + raw IEEE
+    bytes) for values the (e, f) transform cannot reproduce exactly —
+    NaN payloads, infinities, non-decimal doubles.  Always lossless by
+    construction; the auto-selector decides by trial size whether the
+    exception rate lets it win."""
+    head, vals = _validity_header(arr, ALP)
+    npv = np.ascontiguousarray(vals.to_numpy(zero_copy_only=False))
+    width = npv.dtype.itemsize
+    bits = npv.view(np.uint32 if width == 4 else np.uint64)
+    v64 = npv.astype(np.float64)
+
+    # choose the decimal exponent e on a value sample
+    step = max(1, len(npv) // _SAMPLE_VALUES)
+    sample, sbits = v64[::step], bits[::step]
+    sdtype = npv.dtype
+    best_e, best_ok = 0, -1
+    for e in range(_ALP_MAX_E[width] + 1):
+        i = np.round(sample * (10.0 ** e))
+        with np.errstate(invalid="ignore", over="ignore"):
+            fits = np.abs(i) < _ALP_SAFE_INT
+        i = np.where(fits, i, 0.0)
+        ok = int((fits & (_alp_decode_expr(i, e, 0, sdtype)
+                          .view(sbits.dtype) == sbits)).sum())
+        if ok > best_ok:  # ties keep the smaller e (smaller residuals)
+            best_e, best_ok = e, ok
+    e = best_e
+
+    i = np.round(v64 * (10.0 ** e))
+    with np.errstate(invalid="ignore", over="ignore"):
+        fits = np.abs(i) < _ALP_SAFE_INT
+    i = np.where(fits, i, 0.0)
+
+    # trailing-zero factor f: divide out a common power of ten (exact
+    # fmod on integral f64 < 2^52)
+    f = 0
+    i_ok = i[fits]
+    while f < e and len(i_ok) and np.all(i_ok % (10.0 ** (f + 1)) == 0.0):
+        f += 1
+    idiv = i / (10.0 ** f) if f else i
+
+    # verify against the int64-roundtripped stream — exactly what decode
+    # reads — so -0.0 (which int conversion folds to +0) is an exception
+    idiv = idiv.astype(np.int64).astype(np.float64)
+    exact = fits & (_alp_decode_expr(idiv, e, f, npv.dtype)
+                    .view(bits.dtype) == bits)
+    exc_pos = np.flatnonzero(~exact).astype(np.uint64)
+    if len(exc_pos):
+        filled = idiv[exact]
+        fill = filled[0] if len(filled) else 0.0  # keep the FOR range tight
+        idiv = np.where(exact, idiv, fill)
+    ints = encode_uint64(zigzag_encode(idiv.astype(np.int64)))
+    return b"".join((head, struct.pack("<BBB", width, e, f),
+                     _prefix_u32(ints), _prefix_u32(encode_uint64(exc_pos)),
+                     npv[~exact].tobytes()))
+
+
+def _dec_alp(body: bytes, t: pa.DataType) -> pa.Array:
+    _, n, valid, off = _read_header(body)
+    width, e, f = struct.unpack_from("<BBB", body, off)
+    off += 3
+    ints_b, off = _read_u32_block(body, off)
+    ints = zigzag_decode(decode_uint64(ints_b)).astype(np.float64)
+    dtype = np.float32 if width == 4 else np.float64
+    dec = _alp_decode_expr(ints, e, f, dtype)
+    pos_b, off = _read_u32_block(body, off)
+    pos = decode_uint64(pos_b).astype(np.int64)
+    if len(pos):
+        dec[pos] = np.frombuffer(body, dtype, len(pos), off)
+    return _scatter(pa.array(dec, type=t), n, valid)
+
+
 # ------------------------------------------------------------- auto-select
 
 def _is_intfamily(t: pa.DataType) -> bool:
@@ -580,19 +674,27 @@ def _pick_string_codec(arr: pa.Array) -> int:
 
 def _pick_float_codec(arr: pa.Array, block_codec: str | None) -> int:
     """Sampled trial between INT (FOR/DELTA/RLE over bit-faithful views —
-    wins on low-cardinality, integral-valued or monotone floats) and BSS
+    wins on low-cardinality, integral-valued or monotone floats), BSS
     (byte-plane transpose — wins on full-entropy mantissas, e.g.
     embedding vectors, where the int stream degenerates to raw 8-byte
-    words the block compressor can't touch)."""
-    if block_codec == "none" or len(arr) == 0:
-        return INT  # BSS only pays off through the block compressor
-    bc = block_codec or "auto"
+    words the block compressor can't touch) and ALP (decimal rescale to
+    small integers — wins on price/sensor-style decimal doubles whose
+    mantissas defeat both of the above)."""
+    if len(arr) == 0:
+        return INT
     n = len(arr)
     step = max(1, n // _SAMPLE_VALUES)
     sample = arr[::step] if step > 1 else arr
-    int_sz = len(_block_wrap(_enc_int(sample), bc))
-    bss_sz = len(_block_wrap(_enc_bss(sample), bc))
-    return BSS if bss_sz < int_sz else INT
+    if block_codec == "none":
+        # no block layer: BSS is size-neutral by itself, but ALP's int
+        # stream shrinks on its own — trial it raw
+        return (ALP if len(_enc_alp(sample)) < len(_enc_int(sample))
+                else INT)
+    bc = block_codec or "auto"
+    sizes = [(len(_block_wrap(_enc_int(sample), bc)), INT),
+             (len(_block_wrap(_enc_bss(sample), bc)), BSS),
+             (len(_block_wrap(_enc_alp(sample), bc)), ALP)]
+    return min(sizes)[1]
 
 
 def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
@@ -630,7 +732,7 @@ def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
         return body
     enc = {PLAIN: _enc_plain, INT: _enc_int, BOOL: _enc_bool,
            STR_PLAIN: _enc_str_plain, DICT: _enc_dict, LIST: _enc_list,
-           DEC128: _enc_dec128, BSS: _enc_bss}[cid]
+           DEC128: _enc_dec128, BSS: _enc_bss, ALP: _enc_alp}[cid]
     return enc(arr)
 
 
@@ -639,7 +741,7 @@ def _decode_body(body: bytes, t: pa.DataType) -> pa.Array:
     dec = {PLAIN: lambda b: _dec_plain(b), INT: _dec_int, BOOL: _dec_bool,
            STR_PLAIN: _dec_str_plain, STR_FSST: _dec_fsst,
            DICT: _dec_dict, LIST: _dec_list, DEC128: _dec_dec128,
-           BSS: _dec_bss}
+           BSS: _dec_bss, ALP: _dec_alp}
     if cid == PLAIN:
         return _dec_plain(body)
     return dec[cid](body, t)

@@ -598,3 +598,92 @@ def test_bss_inside_list_child():
     # the child pick is internal; verify the end-to-end size beats the
     # int-child encoding to prove the trial engaged
     assert len(payload) < vecs.nbytes
+
+
+# --------------------------------------------------------------------- ALP
+
+def test_alp_picked_for_decimal_doubles():
+    """Price-style doubles (2 decimal places) have full-entropy mantissas
+    that defeat the int bit-view AND byte-plane transposes, but rescale
+    to small integers: the three-way trial must pick alp and beat the
+    int-codec payload."""
+    vals = np.round(RNG.uniform(0, 1000, size=20000), 2)
+    arr = pa.array(vals, type=pa.float64())
+    name, payload = encode_column(arr)
+    assert name == "alp"
+    _, p_int = encode_column(arr, codec="int")
+    _, p_bss = encode_column(arr, codec="bss")
+    assert len(payload) < len(p_int)
+    assert len(payload) < len(p_bss)
+    out = decode_column(payload, pa.float64()).to_numpy(zero_copy_only=False)
+    np.testing.assert_array_equal(out.view(np.int64), vals.view(np.int64))
+
+
+def test_alp_exceptions_bit_identity():
+    """Values the decimal transform cannot reproduce — NaN (payload
+    bits included), infinities, -0.0, irrational doubles — are stored
+    as raw exceptions and must survive bitwise."""
+    vals = np.round(RNG.uniform(0, 100, size=4000), 2)
+    vals[::97] = np.nan
+    vals[1::403] = np.inf
+    vals[2::511] = -0.0
+    vals[3::701] = np.pi
+    vals.view(np.uint64)[5] = 0x7FF8000000000123  # NaN payload bits
+    arr = pa.array(vals, type=pa.float64())
+    name, payload = encode_column(arr, codec="alp")
+    assert name == "alp"
+    out = decode_column(payload, pa.float64()).to_numpy(zero_copy_only=False)
+    np.testing.assert_array_equal(out.view(np.uint64), vals.view(np.uint64))
+
+
+@pytest.mark.parametrize("t,np_t,bits", [(pa.float32(), np.float32, np.uint32),
+                                         (pa.float64(), np.float64, np.uint64)])
+def test_alp_nullable_roundtrip(t, np_t, bits):
+    py = [1.25, None, 3.5, None, -7.75] * 40
+    arr = pa.array(py, type=t)
+    name, payload = encode_column(arr, codec="alp")
+    assert decode_column(payload, t).equals(arr)
+
+
+def test_alp_trailing_zero_factor():
+    """Values like 1200.00 with a common power-of-ten factor should
+    still round-trip when the f divisor engages (all multiples of 100
+    at e>=2 exercise f>0)."""
+    vals = (RNG.integers(1, 500, size=3000) * 100).astype(np.float64)
+    arr = pa.array(vals, type=pa.float64())
+    _, payload = encode_column(arr, codec="alp")
+    out = decode_column(payload, pa.float64()).to_numpy(zero_copy_only=False)
+    np.testing.assert_array_equal(out.view(np.int64), vals.view(np.int64))
+
+
+def test_alp_all_exception_column_still_losless():
+    """A column with nothing decimal (random normals) forced through alp
+    degenerates to the exception path but stays bit-exact."""
+    vals = RNG.normal(size=2000)
+    arr = pa.array(vals, type=pa.float64())
+    _, payload = encode_column(arr, codec="alp")
+    out = decode_column(payload, pa.float64()).to_numpy(zero_copy_only=False)
+    np.testing.assert_array_equal(out.view(np.uint64), vals.view(np.uint64))
+
+
+def test_alp_without_block_codec_beats_int():
+    """Unlike bss, alp's int stream shrinks on its own — the selector
+    should pick it with block compression off when the data is decimal."""
+    vals = np.round(RNG.uniform(0, 10, size=8000), 2)
+    arr = pa.array(vals, type=pa.float64())
+    name, payload = encode_column(arr, block_codec="none")
+    assert name == "alp"
+    _, p_int = encode_column(arr, codec="int", block_codec="none")
+    assert len(payload) < len(p_int)
+    assert decode_column(payload, pa.float64()).equals(arr)
+
+
+def test_alp_empty_and_boundaries():
+    for n in (0, 1, 2, 7, 8, 63, 64, 65):
+        vals = np.round(RNG.uniform(-5, 5, size=n), 1)
+        arr = pa.array(vals, type=pa.float64())
+        _, payload = encode_column(arr, codec="alp")
+        out = decode_column(payload, pa.float64())
+        np.testing.assert_array_equal(
+            out.to_numpy(zero_copy_only=False).view(np.int64),
+            vals.view(np.int64))

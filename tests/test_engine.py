@@ -708,3 +708,22 @@ def test_eq_none_raises_with_isnull_hint():
     with pytest.raises(TypeError, match="third element"):
         _norm_term(("lang", "isnull", "x"))
     assert _norm_term(("lang", "isnull", None)) == ("isnull", "lang")
+
+
+@pytest.mark.spark
+def test_alp_selected_for_price_doubles(spark, sf_dir):
+    """TPC-H price doubles (2 decimals) must land on the alp codec
+    through the full encode_table path and round-trip bit-identically."""
+    df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                  "l_discount"))
+    enc = encode_table(df, key=["l_orderkey", "l_linenumber"], n_parts=2)
+    enc = enc.cache()
+    codecs = {r.column: r.codec
+              for r in encoding_stats(enc).select("column", "codec")
+              .distinct().collect()}
+    assert codecs["l_extendedprice"] == "alp", codecs
+    assert codecs["l_discount"] == "alp", codecs
+    dec = decode_table(enc)
+    verify_roundtrip(df, dec)
+    enc.unpersist()
