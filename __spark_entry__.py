@@ -1125,7 +1125,8 @@ def q_codec_selection(spark, sf_dir):
     from parquet_spark.engine import encode_table, encoding_stats
     df = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     enc = encode_table(df, key=["doc_id"], n_parts=4, rows_per_chunk=125)
-    fam = (F.when(F.col("codec").isin("str_plain", "str_fsst"),
+    fam = (F.when(F.col("codec").isin("str_plain", "str_fsst", "fsst",
+                                      "prefix"),
                   F.lit("str_nondict")).otherwise(F.col("codec")))
     return (encoding_stats(enc).select("column", fam.alias("codec"))
             .distinct().orderBy("column"))
@@ -1304,6 +1305,23 @@ def q_alp_roundtrip(spark, sf_dir):
     enc = encode_table(li, key=["l_orderkey", "l_linenumber"], n_parts=2)
     dec = decode_table(enc)
     return dec.orderBy("l_orderkey", "l_linenumber")
+
+
+def q_prefix_roundtrip(spark, sf_dir):
+    """Prefix (incremental) string codec path through the full encoded
+    format (codecs/column.py `_enc_prefix`, codec id 11): the derived
+    corpus is laid out by url, so the url column arrives SORTED within
+    every chunk and the selector's contiguous-window trial engages the
+    DELTA_BYTE_ARRAY-analog codec.  Returns each decoded url — any
+    lcp/suffix reconstruction bug mismatches the DuckDB recomputation
+    of the same derivation.  The codec actually engaging is asserted
+    engine-side (tests/test_engine.py) so this facet certifies
+    correctness, not the pick."""
+    from parquet_spark.engine import decode_table, encode_table
+    df = _derived_corpus(spark, sf_dir).where(F.col("doc_id") < 800) \
+        .select("url", "doc_id")
+    enc = encode_table(df, key=["url"], n_parts=2)
+    return decode_table(enc).orderBy("doc_id")
 
 
 def q_decontamination(spark, sf_dir):
@@ -1531,6 +1549,51 @@ def q_null_prune(spark, sf_dir):
     return out
 
 
+def q_incremental_read(spark, sf_dir):
+    """Incremental changelog read (manifest.py `read_increment`): write
+    documents doc_id<300 (snapshot 0), append 300..449 as a second
+    part-id epoch (snapshot 1), then read ONLY the increment — the
+    diff of two part manifests, scanning just the appended files.
+    DuckDB recomputes the appended slice directly; a diff that leaked
+    base rows, dropped appended rows, or mis-walked the snapshot chain
+    mismatches."""
+    import tempfile
+
+    from parquet_spark.manifest import read_increment, write_encoded
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="entry_increment_") + "/t"
+    write_encoded(d.where(F.col("doc_id") < 300), path,
+                  key=["doc_id"], n_parts=4)
+    write_encoded(d.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 450)),
+                  path, key=["doc_id"], n_parts=4, part_offset=4)
+    inc = read_increment(spark, path, from_snapshot_id=0)
+    return inc.select("doc_id", "lang", "source", "n_chars",
+                      F.md5("text").alias("text_md5")).orderBy("doc_id")
+
+
+def q_meta_agg(spark, sf_dir):
+    """Aggregate pushdown to metadata (manifest.py `metadata_stats`):
+    count/min/max/null-count per column answered entirely from the
+    per-chunk zone statistics — no payload byte is decoded (the scan
+    projects only zone columns of the chunk relation).  DuckDB
+    recomputes every aggregate with a full scan of the same slice;
+    exactness of the metadata fold IS the assertion.  Timestamp
+    bounds surface as the bit-faithful epoch-us int64 the zones
+    store."""
+    import tempfile
+
+    from parquet_spark.manifest import metadata_stats, write_encoded
+    li = (_t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice", "l_shipdate"))
+    path = tempfile.mkdtemp(prefix="entry_metaagg_") + "/t"
+    write_encoded(li, path, key=["l_orderkey", "l_linenumber"], n_parts=4)
+    return metadata_stats(
+        spark, path,
+        columns=["l_orderkey", "l_quantity", "l_extendedprice",
+                 "l_shipdate"]).orderBy("column")
+
+
 def q_time_travel(spark, sf_dir):
     """Snapshot time travel (manifest.py `snapshot_at` / `history`):
     write documents (snapshot 0), rechunk-compact (snapshot 1), then
@@ -1604,6 +1667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- band 2: new or changed since the r03 run --------------------
         "bss_roundtrip": q_bss_roundtrip,
         "alp_roundtrip": q_alp_roundtrip,
+        "prefix_roundtrip": q_prefix_roundtrip,
+        "incremental_read": q_incremental_read,
+        "meta_agg": q_meta_agg,
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
@@ -1726,6 +1792,52 @@ def oracle_sql() -> dict[str, str]:
                    l_extendedprice, l_discount, l_tax
             FROM lineitem WHERE l_orderkey < 600
             ORDER BY l_orderkey, l_linenumber""",
+        "prefix_roundtrip": """
+            SELECT 'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example.com/' || md5(CAST(doc_id AS VARCHAR))
+                       AS url,
+                   doc_id
+            FROM documents WHERE doc_id < 800 ORDER BY doc_id""",
+        "incremental_read": """
+            SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+            FROM documents WHERE doc_id >= 300 AND doc_id < 450
+            ORDER BY doc_id""",
+        "meta_agg": """
+            WITH s AS (SELECT * FROM lineitem WHERE l_orderkey < 2000),
+                 t AS (SELECT COUNT(*) AS n FROM s)
+            SELECT * FROM (
+              SELECT 'l_extendedprice' AS "column",
+                     (SELECT n FROM t) AS covered_rows,
+                     CAST(0 AS BIGINT) AS n_nulls,
+                     CAST(NULL AS BIGINT) AS min_num,
+                     CAST(NULL AS BIGINT) AS max_num,
+                     CAST(MIN(l_extendedprice) AS DOUBLE) AS min_dbl,
+                     CAST(MAX(l_extendedprice) AS DOUBLE) AS max_dbl,
+                     (SELECT n FROM t) AS table_rows
+              FROM s
+              UNION ALL
+              SELECT 'l_orderkey', (SELECT n FROM t),
+                     CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0
+                              END) AS BIGINT),
+                     CAST(MIN(l_orderkey) AS BIGINT),
+                     CAST(MAX(l_orderkey) AS BIGINT),
+                     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                     (SELECT n FROM t)
+              FROM s
+              UNION ALL
+              SELECT 'l_quantity', (SELECT n FROM t), CAST(0 AS BIGINT),
+                     CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                     CAST(MIN(l_quantity) AS DOUBLE),
+                     CAST(MAX(l_quantity) AS DOUBLE),
+                     (SELECT n FROM t)
+              FROM s
+              UNION ALL
+              SELECT 'l_shipdate', (SELECT n FROM t), CAST(0 AS BIGINT),
+                     epoch_us(MIN(l_shipdate)), epoch_us(MAX(l_shipdate)),
+                     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                     (SELECT n FROM t)
+              FROM s)
+            ORDER BY "column" """,
         "decontamination": """
             WITH dw AS (SELECT doc_id, string_split(text, ' ') AS ws
                         FROM documents),

@@ -33,7 +33,10 @@ BYTE_STREAM_SPLIT analog for full-entropy floats like embeddings),
 10 ALP (decimal-float rescale round(v*10^e)/10^f to a small-int stream
 with bitwise-verified raw exceptions — the ALP scheme, SIGMOD 2024,
 for price/sensor-style decimal doubles; three-way INT/BSS/ALP sampled
-trial).
+trial), 11 PREFIX (incremental string encoding, the Parquet
+DELTA_BYTE_ARRAY analog: adjacent-lcp lengths + suffix bytes — wins on
+sorted key columns whose prefix sharing outruns the block window;
+trialed on a contiguous sample window).
 
 Null handling is centralized: a bit-packed validity bitmap plus the
 codec body over non-null values only; decode scatters through
@@ -54,12 +57,12 @@ from . import fsst
 from .ints import decode_uint64, encode_uint64
 from .kernels import zigzag_decode, zigzag_encode
 
-PLAIN, INT, BOOL, STR_PLAIN, STR_FSST, DICT, LIST, DEC128, BSS, ALP = \
-    1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+(PLAIN, INT, BOOL, STR_PLAIN, STR_FSST, DICT, LIST, DEC128, BSS, ALP,
+ PREFIX) = 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11
 
 CODEC_NAMES = {PLAIN: "plain", INT: "int", BOOL: "bool", STR_PLAIN: "str_plain",
                STR_FSST: "fsst", DICT: "dict", LIST: "list",
-               DEC128: "dec128", BSS: "bss", ALP: "alp"}
+               DEC128: "dec128", BSS: "bss", ALP: "alp", PREFIX: "prefix"}
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 _ZSTD = pa.Codec("zstd", compression_level=3)
@@ -512,6 +515,105 @@ def _dec_bss(body: bytes, t: pa.DataType) -> pa.Array:
     return _scatter(vals, n, valid)
 
 
+# Prefix (incremental) string encoding (codec id 11) — the Parquet
+# DELTA_BYTE_ARRAY analog: each value stores only the byte count it
+# shares with its predecessor plus its suffix.  The engine sorts every
+# partition by the layout key, so the key column (urls!) arrives sorted
+# and adjacent values share scheme+host+path prefixes the 8-byte-symbol
+# FSST table cannot fully capture.
+_PREFIX_CAP = 256        # max prefix bytes considered (missed sharing
+                         # beyond the cap costs size, never correctness)
+_PREFIX_TILE = 8192      # rows per lcp tile: bounds the (tile, CAP)
+                         # scratch matrices regardless of chunk size
+
+
+def _adjacent_lcp(data: bytes, offs: np.ndarray) -> np.ndarray:
+    """lcp[i] = common prefix bytes of value i and value i-1 (lcp[0]=0),
+    capped at _PREFIX_CAP.  Tiled vectorized compare — no per-row Python."""
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    lcp = np.zeros(n, np.int64)
+    if n < 2 or len(data) == 0:
+        return lcp
+    k = int(min(_PREFIX_CAP, lens.max()))
+    if k == 0:
+        return lcp
+    buf = np.frombuffer(data, np.uint8)
+    col = np.arange(k)[None, :]
+    for t0 in range(1, n, _PREFIX_TILE):
+        t1 = min(t0 + _PREFIX_TILE, n)
+        rows = np.arange(t0 - 1, t1)          # include predecessor row
+        tl = lens[rows][:, None]
+        valid = col < tl
+        m = np.zeros((len(rows), k), np.uint8)
+        idx = offs[rows][:, None] + col
+        m[valid] = buf[idx[valid]]
+        neq = m[1:] != m[:-1]
+        tile_lcp = np.where(neq.any(axis=1), neq.argmax(axis=1), k)
+        minlen = np.minimum(lens[t0 - 1:t1 - 1], lens[t0:t1])
+        lcp[t0:t1] = np.minimum(tile_lcp, np.minimum(minlen, k))
+    return lcp
+
+
+def _gather_ranges(buf: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray) -> bytes:
+    """Concatenate buf[starts[i] : starts[i]+lens[i]] without a Python
+    loop (cumsum index trick)."""
+    total = int(lens.sum())
+    if total == 0:
+        return b""
+    nz = lens > 0
+    s, l = starts[nz], lens[nz]
+    out = np.ones(total, np.int64)
+    pos = np.concatenate(([0], np.cumsum(l)[:-1]))
+    out[pos] = np.concatenate(([s[0]], s[1:] - (s[:-1] + l[:-1] - 1)))
+    np.cumsum(out, out=out)
+    return buf[out].tobytes()
+
+
+def _enc_prefix(arr: pa.Array) -> bytes:
+    head, vals = _validity_header(arr, PREFIX)
+    data, lengths = _bytes_and_lengths(vals)
+    offs = np.zeros(len(lengths) + 1, np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    lcp = _adjacent_lcp(data, offs)
+    suf_lens = lengths - lcp
+    suffixes = _gather_ranges(np.frombuffer(data, np.uint8),
+                              offs[:-1] + lcp, suf_lens)
+    return b"".join((head,
+                     _prefix_u32(encode_uint64(lcp.view(np.uint64))),
+                     _prefix_u32(encode_uint64(suf_lens.view(np.uint64))),
+                     suffixes))
+
+
+def _dec_prefix(body: bytes, t: pa.DataType) -> pa.Array:
+    _, n, valid, off = _read_header(body)
+    lcp_b, off = _read_u32_block(body, off)
+    lcp = decode_uint64(lcp_b).view(np.int64)
+    sl_b, off = _read_u32_block(body, off)
+    suf_lens = decode_uint64(sl_b).view(np.int64)
+    lengths = lcp + suf_lens
+    starts = np.zeros(len(lengths) + 1, np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    outbuf = np.empty(int(starts[-1]), np.uint8)
+    src = np.frombuffer(body, np.uint8, offset=off)
+    # inherently sequential (each value borrows its predecessor's bytes);
+    # the loop body is two memcpy slices, ~O(bytes) total
+    so = 0
+    prev = 0
+    for i in range(len(lengths)):
+        p = lcp[i]
+        s = suf_lens[i]
+        st = starts[i]
+        if p:
+            outbuf[st:st + p] = outbuf[prev:prev + p]
+        if s:
+            outbuf[st + p:st + p + s] = src[so:so + s]
+            so += s
+        prev = st
+    return _scatter(_strings_from(outbuf.tobytes(), lengths, t), n, valid)
+
+
 # ALP-style decimal-float encoding (codec id 10).  Published scheme:
 # "ALP: Adaptive Lossless floating-Point compression" (SIGMOD 2024) —
 # most real-world doubles are decimals (prices, sensor readings,
@@ -639,8 +741,8 @@ def column_stats(sample: pa.Array) -> dict:
 _ENTROPY_SKIP_FSST = 7.5  # bits/byte; above this a symbol table can't win
 
 
-def _pick_string_codec(arr: pa.Array) -> int:
-    """Stats-driven choice between DICT / FSST / STR_PLAIN."""
+def _pick_string_codec(arr: pa.Array, block_codec: str | None = None) -> int:
+    """Stats-driven choice between DICT / FSST / PREFIX / STR_PLAIN."""
     n = len(arr)
     step = max(1, n // _SAMPLE_VALUES)
     sample = arr[::step] if step > 1 else arr
@@ -657,19 +759,55 @@ def _pick_string_codec(arr: pa.Array) -> int:
     sp = _enc_str_plain(sample)
     fs = _enc_fsst(sample)
     if fs is None:
-        return STR_PLAIN
-    if arr.nbytes <= (4 << 20):
+        pick = STR_PLAIN
+    elif block_codec == "none":
+        pick = STR_FSST if len(fs) < len(sp) else STR_PLAIN
+    elif arr.nbytes <= (4 << 20):
         # column fits within zstd's match window: the sample-level
         # wrapped sizes are representative of the full chunk
-        return (STR_FSST if len(_block_wrap(fs)) < len(_block_wrap(sp))
+        pick = (STR_FSST if len(_block_wrap(fs)) < len(_block_wrap(sp))
                 else STR_PLAIN)
-    # Large column: decide on RAW symbol-table gain, not sample-level
-    # zstd sizes — on a small sample zstd's window covers everything and
-    # flatters PLAIN, but at chunk scale the window is a fraction of the
-    # data and FSST keeps winning (its symbol table is global, so it
-    # effectively extends the window by its ratio).  A raw gain >= 1.4x
-    # reliably indicates the table bites.
-    return STR_FSST if len(fs) * 1.4 <= len(sp) else STR_PLAIN
+    else:
+        # Large column: decide on RAW symbol-table gain, not sample-level
+        # zstd sizes — on a small sample zstd's window covers everything
+        # and flatters PLAIN, but at chunk scale the window is a fraction
+        # of the data and FSST keeps winning (its symbol table is global,
+        # so it effectively extends the window by its ratio).  A raw gain
+        # >= 1.4x reliably indicates the table bites.
+        pick = STR_FSST if len(fs) * 1.4 <= len(sp) else STR_PLAIN
+    # Prefix trial needs ADJACENCY, so it samples a CONTIGUOUS window
+    # (the strided sample above destroys prefix sharing).  Cheap gate:
+    # only trial-encode when adjacent values actually share bytes —
+    # true for the sorted layout-key column, false for payload text.
+    win = arr.slice(0, min(len(arr), _SAMPLE_VALUES)).drop_null()
+    if len(win) >= 8:
+        wdata, wlens = _bytes_and_lengths(win)
+        woffs = np.zeros(len(wlens) + 1, np.int64)
+        np.cumsum(wlens, out=woffs[1:])
+        lcp = _adjacent_lcp(wdata, woffs)
+        if len(wdata) and lcp.sum() >= 0.25 * len(wdata):
+            # compare on the same contiguous window for fairness
+            base_enc = (_enc_fsst(win) if pick == STR_FSST
+                        else _enc_str_plain(win))
+            if base_enc is None:
+                base_enc = _enc_str_plain(win)
+            pref = _enc_prefix(win)
+            if block_codec == "none":
+                if len(pref) < len(base_enc):
+                    return PREFIX
+            elif arr.nbytes <= (4 << 20):
+                # small chunk: the block window covers everything, so the
+                # wrapped sizes decide (zstd usually eats adjacent-string
+                # redundancy by itself here)
+                if len(_block_wrap(pref)) < len(_block_wrap(base_enc)):
+                    return PREFIX
+            elif len(pref) * 1.4 <= len(base_enc):
+                # large chunk: the block window is a fraction of the data,
+                # so decide on RAW gain (same rationale as the FSST 1.4x
+                # rule above) — prefix's sharing is global while zstd's
+                # matches are window-bounded
+                return PREFIX
+    return pick
 
 
 def _pick_float_codec(arr: pa.Array, block_codec: str | None) -> int:
@@ -711,7 +849,7 @@ def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
         cid = INT
     elif pa.types.is_string(t) or pa.types.is_large_string(t) \
             or pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        cid = _pick_string_codec(arr) if allow_dict else None
+        cid = _pick_string_codec(arr, block_codec) if allow_dict else None
         if cid is None:  # dictionary values: fsst-vs-plain only
             fs = _enc_fsst(arr)
             if fs is not None:
@@ -732,7 +870,8 @@ def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
         return body
     enc = {PLAIN: _enc_plain, INT: _enc_int, BOOL: _enc_bool,
            STR_PLAIN: _enc_str_plain, DICT: _enc_dict, LIST: _enc_list,
-           DEC128: _enc_dec128, BSS: _enc_bss, ALP: _enc_alp}[cid]
+           DEC128: _enc_dec128, BSS: _enc_bss, ALP: _enc_alp,
+           PREFIX: _enc_prefix}[cid]
     return enc(arr)
 
 
@@ -741,7 +880,7 @@ def _decode_body(body: bytes, t: pa.DataType) -> pa.Array:
     dec = {PLAIN: lambda b: _dec_plain(b), INT: _dec_int, BOOL: _dec_bool,
            STR_PLAIN: _dec_str_plain, STR_FSST: _dec_fsst,
            DICT: _dec_dict, LIST: _dec_list, DEC128: _dec_dec128,
-           BSS: _dec_bss, ALP: _dec_alp}
+           BSS: _dec_bss, ALP: _dec_alp, PREFIX: _dec_prefix}
     if cid == PLAIN:
         return _dec_plain(body)
     return dec[cid](body, t)

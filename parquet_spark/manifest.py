@@ -1644,6 +1644,136 @@ def scan_table(spark: SparkSession, table_path: str,
     return out.drop(*extra) if extra else out
 
 
+def read_increment(spark: SparkSession, table_path: str,
+                   from_snapshot_id: int,
+                   to_snapshot_id: int | None = None,
+                   columns: list[str] | None = None,
+                   backend: CommitBackend | None = None) -> DataFrame:
+    """Incremental (changelog) read: the decoded rows APPENDED after
+    `from_snapshot_id`, up to `to_snapshot_id` (default CURRENT) —
+    the Iceberg incremental-append-scan analog.  A consumer that
+    processed snapshot K re-reads only the new parts, never the table:
+    the diff is computed on the driver from two part manifests
+    (O(parts) metadata), and only the new part FILES are scanned — at
+    10^12 docs a daily increment touches the day's bytes, not the
+    corpus.
+
+    Semantics are append-only, enforced: if any part of the FROM
+    snapshot is missing from TO (compaction / rewrite / relocation
+    re-laid data out) or the pending delete set changed (delete_rows /
+    upsert_rows committed row-level changes that append no parts),
+    the diff would be a lie and this raises — read full snapshots
+    instead.  `from_snapshot_id` must be an ancestor of TO (the same
+    walk `snapshot_at` uses, so a racer's same-id orphan can't be
+    diffed against).  Global-dict columns restore with TO's
+    dictionaries (a frozen committed dictionary only grows, and
+    append-only history cannot rewrite it)."""
+    table = EncodedTable(table_path, backend=backend)
+    to_snap = _resolve_snap(table, to_snapshot_id)
+    if to_snap is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    snap = to_snap
+    while snap is not None and snap["snapshot_id"] != from_snapshot_id:
+        snap = table._parent_of(snap)
+    if snap is None:
+        raise ValueError(
+            f"snapshot {from_snapshot_id} is not an ancestor of "
+            f"{to_snap['snapshot_id']} at {table_path}")
+    from_snap = snap
+    from_parts = set(from_snap["parts"])
+    to_parts = to_snap["parts"]
+    removed = sorted(from_parts - set(to_parts))
+    if removed:
+        raise ValueError(
+            f"incremental read requires an append-only history: parts "
+            f"{removed[:8]}{'...' if len(removed) > 8 else ''} of "
+            f"snapshot {from_snapshot_id} were rewritten (compaction/"
+            "rewrite/relocation) before snapshot "
+            f"{to_snap['snapshot_id']} — read full snapshots instead")
+    dels_from = (from_snap.get("meta") or {}).get("delete_files") or []
+    dels_to = (to_snap.get("meta") or {}).get("delete_files") or []
+    if dels_from != dels_to:
+        raise ValueError(
+            "incremental read requires an append-only history: the "
+            "pending row-level delete set changed between snapshots "
+            f"{from_snapshot_id} and {to_snap['snapshot_id']} "
+            "(delete_rows/upsert_rows) — read full snapshots instead")
+    new_files = [info["file"] for pid, info in to_parts.items()
+                 if pid not in from_parts]
+    if not new_files:
+        # empty increment with the full decoded schema
+        return read_decoded(spark, table_path, columns=columns,
+                            backend=backend,
+                            snapshot_id=to_snap["snapshot_id"]).limit(0)
+    enc = spark.read.schema(ENCODED_DDL).parquet(*new_files)
+    dec = decode_table(enc, table.schema(to_snap), columns=columns)
+    return _restore_global_dicts(
+        spark, dec, (to_snap.get("meta") or {}).get("global_dicts") or {},
+        columns)
+
+
+def metadata_stats(spark: SparkSession, table_path: str,
+                   columns: list[str] | None = None,
+                   backend: CommitBackend | None = None,
+                   snapshot_id: int | None = None) -> DataFrame:
+    """Aggregate pushdown to metadata: per-column row count, null
+    count, and numeric/float min/max answered ENTIRELY from the
+    per-chunk zone statistics — the payload bytes are never read or
+    decoded (the scan projects only the zone columns of the chunk
+    relation, O(chunks) rows).  The Iceberg/Parquet-footer
+    "stats-only query" analog: SELECT count(*), min(x), max(x) on a
+    10^12-row table costs a metadata pass.
+
+    Exactness: zone min/max are computed from the full chunk data at
+    encode time, so the folded values equal a full scan's — for
+    integer/timestamp columns (`min_num`/`max_num`, the bit-faithful
+    int64 view) and for floats over their non-NaN values
+    (`min_dbl`/`max_dbl`; an all-NaN chunk contributes no zone row,
+    which `covered_rows` exposes).  String bounds are stored as
+    TRUNCATED prefixes and are deliberately not reported.  Columns
+    stored as global-dict ids report null counts but id-space bounds
+    would be meaningless, so they are excluded.  Raises while
+    row-level deletes are pending (counts would overcount; run
+    `rewrite_table` first).  `covered_rows` < `table_rows` means some
+    chunks carry no zone entry for the column (schema evolution,
+    fat-text auto-skip, all-NaN) — treat min/max/nulls as partial."""
+    table = EncodedTable(table_path, backend=backend)
+    snap = _resolve_snap(table, snapshot_id)
+    if snap is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    meta = table.meta(snap)
+    if meta.get("delete_files"):
+        raise ValueError(
+            "metadata_stats with pending row-level deletes would "
+            "overcount; apply them with rewrite_table first")
+    enc = read_encoded(spark, table_path, backend=backend,
+                       snapshot_id=snap["snapshot_id"])
+    total = enc.agg(F.sum("n_rows").alias("table_rows"))
+    z = enc.select(
+        "n_rows",
+        F.explode(F.arrays_zip(
+            "zone_cols", "zone_min_num", "zone_max_num",
+            "zone_min_dbl", "zone_max_dbl", "zone_nulls")).alias("z"))
+    g = (z.select(F.col("z.zone_cols").alias("column"), "n_rows",
+                  F.col("z.zone_min_num").alias("mn"),
+                  F.col("z.zone_max_num").alias("mx"),
+                  F.col("z.zone_min_dbl").alias("mnd"),
+                  F.col("z.zone_max_dbl").alias("mxd"),
+                  F.col("z.zone_nulls").alias("nulls"))
+         .groupBy("column")
+         .agg(F.sum("n_rows").alias("covered_rows"),
+              F.sum("nulls").alias("n_nulls"),
+              F.min("mn").alias("min_num"), F.max("mx").alias("max_num"),
+              F.min("mnd").alias("min_dbl"), F.max("mxd").alias("max_dbl")))
+    gdict_cols = sorted((meta.get("global_dicts") or {})
+                        | (meta.get("global_dict_fallback") or {}))
+    if gdict_cols:
+        g = g.where(~F.col("column").isin(*gdict_cols))
+    if columns is not None:
+        g = g.where(F.col("column").isin(*columns))
+    return g.crossJoin(total)
+
+
 def lineage_df(spark: SparkSession, table_path: str,
                backend: CommitBackend | None = None,
                snapshot_id: int | None = None) -> DataFrame:

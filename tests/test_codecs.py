@@ -187,7 +187,7 @@ def test_column_fsst_on_urls():
     urls = pa.array([f"https://host{i % 40}.example.com/p/{i*2654435761 % 2**32:08x}"
                      for i in range(4000)])
     name, payload = col_roundtrip(urls)
-    assert name in ("fsst", "str_plain")
+    assert name in ("fsst", "str_plain", "prefix")
     raw = sum(len(u.as_py()) for u in urls)
     assert len(payload) < raw / 2
 
@@ -687,3 +687,70 @@ def test_alp_empty_and_boundaries():
         np.testing.assert_array_equal(
             out.to_numpy(zero_copy_only=False).view(np.int64),
             vals.view(np.int64))
+
+
+# ------------------------------------------------------------------ PREFIX
+
+def test_prefix_forced_roundtrip_mixed():
+    """Nulls, empties, unicode, repeats, shrinking/growing lengths."""
+    vals = ["", None, "a", "ab", "abc", None, "abcd", "ab", "", "zzz",
+            "héllo", "héllz"] * 50
+    arr = pa.array(vals, type=pa.string())
+    name, payload = encode_column(arr, codec="prefix")
+    assert name == "prefix"
+    assert decode_column(payload, pa.string()).equals(arr)
+
+
+def test_prefix_identical_values_collapse():
+    same = pa.array(["the-same-string-value"] * 1000)
+    _, payload = encode_column(same, codec="prefix")
+    assert len(payload) < 200  # lcp RLE + one suffix
+    assert decode_column(payload, pa.string()).equals(same)
+
+
+def test_prefix_binary_and_past_cap():
+    b = pa.array([bytes([i % 7]) * 20 + b"\x00sfx" for i in range(300)],
+                 type=pa.binary())
+    _, p = encode_column(b, codec="prefix")
+    assert decode_column(p, pa.binary()).equals(b)
+    # shared prefix longer than the 256-byte cap: correct, just not
+    # fully exploited
+    long = pa.array(sorted("P" * 300 + f"{i:06d}" for i in range(500)))
+    _, p = encode_column(long, codec="prefix")
+    assert decode_column(p, pa.string()).equals(long)
+
+
+def test_prefix_raw_beats_plain_on_sorted_urls():
+    urls = pa.array(sorted(
+        f"https://host{i % 40:03d}.example.com/path/section/"
+        f"{i * 2654435761 % 2**32:08x}" for i in range(10000)))
+    _, p_pref = encode_column(urls, codec="prefix", block_codec="none")
+    _, p_plain = encode_column(urls, codec="str_plain", block_codec="none")
+    _, p_fsst = encode_column(urls, codec="fsst", block_codec="none")
+    assert len(p_pref) * 1.5 < len(p_plain)
+    assert len(p_pref) < len(p_fsst)
+    assert decode_column(p_pref, pa.string()).equals(urls)
+
+
+def test_prefix_picked_for_sorted_urls_without_block_codec():
+    urls = pa.array(sorted(
+        f"https://host{i % 40:03d}.example.com/path/section/"
+        f"{i * 2654435761 % 2**32:08x}" for i in range(4000)))
+    name, p = encode_column(urls, block_codec="none")
+    assert name == "prefix"
+    assert decode_column(p, pa.string()).equals(urls)
+
+
+def test_prefix_not_picked_without_adjacent_sharing():
+    docs = pa.array([f"{i * 37 % 1000} document body words etc"
+                     for i in range(4000)])
+    name, _ = encode_column(docs)
+    assert name != "prefix"
+
+
+def test_prefix_boundary_sizes():
+    for n in BOUNDARY_SIZES + [0]:
+        vals = pa.array(sorted(f"k{i:05d}" for i in range(n)),
+                        type=pa.string())
+        _, p = encode_column(vals, codec="prefix")
+        assert decode_column(p, pa.string()).equals(vals)

@@ -727,3 +727,19 @@ def test_alp_selected_for_price_doubles(spark, sf_dir):
     dec = decode_table(enc)
     verify_roundtrip(df, dec)
     enc.unpersist()
+
+
+@pytest.mark.spark
+def test_prefix_selected_for_sorted_url_key(spark):
+    """The layout key column arrives sorted within chunks — the
+    contiguous-window trial must engage the prefix codec for urls and
+    the table must round-trip."""
+    df = gen_corpus(spark, 8000, seed=11, parts=2) \
+        .select("url", "warc_ts", "text", "lang")
+    enc = encode_table(df, key=["url"], n_parts=2).cache()
+    codecs = {r.column: r.codec
+              for r in encoding_stats(enc).select("column", "codec")
+              .distinct().collect()}
+    assert codecs["url"] == "prefix", codecs
+    verify_roundtrip(df, decode_table(enc))
+    enc.unpersist()

@@ -482,3 +482,94 @@ def test_global_dict_over_cap_falls_back_to_per_chunk(spark, monkeypatch):
     with pytest.raises(ValueError, match="uniqueness"):
         write_encoded(df, tempfile.mkdtemp(prefix="gdict_fb2_"),
                       key=["doc_id"], n_parts=2, global_dict_cols=["url"])
+
+
+# --------------------------------------------------- incremental read
+
+@pytest.mark.spark
+def test_read_increment_returns_only_appended_rows(spark, tmp_path, sf_dir):
+    from parquet_spark.manifest import read_increment, write_encoded
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b1 = d.where(F.col("doc_id") < 300)
+    b2 = d.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 450))
+    path = str(tmp_path / "t")
+    write_encoded(b1, path, key=["doc_id"], n_parts=4)
+    write_encoded(b2, path, key=["doc_id"], n_parts=4, part_offset=4)
+    inc = read_increment(spark, path, from_snapshot_id=0)
+    assert inc.count() == b2.count() == 150
+    assert inc.select(*b2.columns).exceptAll(b2).count() == 0
+    assert b2.exceptAll(inc.select(*b2.columns)).count() == 0
+    # empty increment keeps the decoded schema
+    empty = read_increment(spark, path, from_snapshot_id=1)
+    assert empty.count() == 0
+    assert set(empty.columns) == set(d.columns)
+    # projection
+    two = read_increment(spark, path, from_snapshot_id=0,
+                         columns=["doc_id", "lang"])
+    assert two.columns == ["doc_id", "lang"] and two.count() == 150
+
+
+@pytest.mark.spark
+def test_read_increment_refuses_non_append_history(spark, tmp_path, sf_dir):
+    from parquet_spark.manifest import (compact_table, delete_rows,
+                                        read_increment, write_encoded)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "t")
+    write_encoded(d.where(F.col("doc_id") < 200), path, key=["doc_id"],
+                  n_parts=2)
+    compact_table(spark, path, target_parts=1)
+    with pytest.raises(ValueError, match="append-only"):
+        read_increment(spark, path, from_snapshot_id=0)
+    # delete between snapshots also breaks the append-only contract
+    path2 = str(tmp_path / "t2")
+    write_encoded(d.where(F.col("doc_id") < 200), path2, key=["doc_id"],
+                  n_parts=2)
+    delete_rows(spark, path2, [("doc_id", None, 9)])
+    with pytest.raises(ValueError, match="delete"):
+        read_increment(spark, path2, from_snapshot_id=0)
+    # unknown ancestor
+    with pytest.raises(ValueError, match="ancestor"):
+        read_increment(spark, path, from_snapshot_id=99)
+
+
+# ------------------------------------------------ metadata-only stats
+
+@pytest.mark.spark
+def test_metadata_stats_exact_without_data_scan(spark, tmp_path, sf_dir):
+    import duckdb
+
+    from parquet_spark.manifest import metadata_stats, write_encoded
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where(F.col("l_orderkey") < 2000)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice", "l_shipdate"))
+    path = str(tmp_path / "t")
+    write_encoded(li, path, key=["l_orderkey", "l_linenumber"], n_parts=4)
+    m = {r.column: r for r in metadata_stats(spark, path).collect()}
+    exp = duckdb.sql(
+        f"""SELECT count(*), min(l_orderkey), max(l_orderkey),
+                   min(l_quantity), max(l_quantity),
+                   epoch_us(min(l_shipdate)), epoch_us(max(l_shipdate))
+            FROM read_parquet('{sf_dir}/lineitem.parquet')
+            WHERE l_orderkey < 2000""").fetchone()
+    assert m["l_orderkey"].table_rows == exp[0]
+    assert m["l_orderkey"].covered_rows == exp[0]
+    assert (m["l_orderkey"].min_num, m["l_orderkey"].max_num) == (exp[1], exp[2])
+    assert (m["l_quantity"].min_dbl, m["l_quantity"].max_dbl) == (exp[3], exp[4])
+    assert (m["l_shipdate"].min_num, m["l_shipdate"].max_num) == (exp[5], exp[6])
+    assert m["l_quantity"].n_nulls == 0
+
+
+@pytest.mark.spark
+def test_metadata_stats_null_counts_and_delete_guard(spark, tmp_path):
+    from parquet_spark.manifest import (delete_rows, metadata_stats,
+                                        write_encoded)
+    df = gen_corpus(spark, 2000, seed=7, parts=2)  # has null html/lang rows
+    path = str(tmp_path / "t")
+    write_encoded(df, path, key=["url"], n_parts=2)
+    m = {r.column: r for r in metadata_stats(spark, path).collect()}
+    true_nulls = df.where(F.col("lang").isNull()).count()
+    assert m["lang"].n_nulls == true_nulls > 0
+    delete_rows(spark, path, [("lang", "=", "en")])
+    with pytest.raises(ValueError, match="delete"):
+        metadata_stats(spark, path)
