@@ -1594,6 +1594,43 @@ def q_meta_agg(spark, sf_dir):
                  "l_shipdate"]).orderBy("column")
 
 
+def q_zorder_prune(spark, sf_dir):
+    """Z-order clustered layout (engine.py `zorder_table`): events
+    range-partitioned + sorted by the Morton key of (user_id, ts), so
+    zone maps go tight on BOTH columns and a 2-D box predicate prunes
+    chunks a single-key layout must keep.  Pruning is asserted to bite
+    (kept <= 60% of chunks); DuckDB recomputes the box aggregates from
+    raw parquet, so a cell/interleave bug that misplaced rows — or a
+    prune that dropped a live chunk — mismatches."""
+    from parquet_spark.engine import (decode_table, prune_chunks_pred,
+                                      zorder_table)
+    ev = _t(spark, sf_dir, "events")
+    z = zorder_table(ev, ["user_id", "ts"], n_parts=4,
+                     rows_per_chunk=500).cache()
+    r = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"),
+               F.min("user_id").alias("u0"),
+               F.max("user_id").alias("u1")).first()
+    tlo = r.t0 + (r.t1 - r.t0) * 2 // 10
+    thi = r.t0 + (r.t1 - r.t0) * 4 // 10
+    ulo = int(r.u0 + (r.u1 - r.u0) * 2 // 10)
+    uhi = int(r.u0 + (r.u1 - r.u0) * 4 // 10)
+    kept = prune_chunks_pred(z, [("user_id", ulo, uhi), ("ts", tlo, thi)])
+    n_total, n_kept = z.count(), kept.count()
+    assert 0 < n_kept <= 0.6 * n_total, (n_kept, n_total)
+    us = F.expr(_EPOCH_US.format(col="ts"))
+    out = (decode_table(kept)
+           .where(F.col("user_id").between(ulo, uhi)
+                  & F.col("ts").between(tlo, thi))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum("user_id").alias("sum_users"),
+                F.countDistinct("event_id").alias("n_events"),
+                F.min(us).alias("min_us"), F.max(us).alias("max_us")))
+    out = out.cache()
+    out.count()
+    z.unpersist()
+    return out
+
+
 def q_time_travel(spark, sf_dir):
     """Snapshot time travel (manifest.py `snapshot_at` / `history`):
     write documents (snapshot 0), rechunk-compact (snapshot 1), then
@@ -1670,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_roundtrip": q_prefix_roundtrip,
         "incremental_read": q_incremental_read,
         "meta_agg": q_meta_agg,
+        "zorder_prune": q_zorder_prune,
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
@@ -1798,6 +1836,25 @@ def oracle_sql() -> dict[str, str]:
                        AS url,
                    doc_id
             FROM documents WHERE doc_id < 800 ORDER BY doc_id""",
+        "zorder_prune": """
+            WITH b AS (SELECT min(user_id) AS u0, max(user_id) AS u1,
+                              min(ts) AS t0,
+                              epoch_us(max(ts)) - epoch_us(min(ts)) AS span
+                       FROM events),
+                 bounds AS (SELECT u0 + (u1 - u0) * 2 // 10 AS ulo,
+                                   u0 + (u1 - u0) * 4 // 10 AS uhi,
+                                   t0 + to_microseconds(span * 2 // 10)
+                                       AS tlo,
+                                   t0 + to_microseconds(span * 4 // 10)
+                                       AS thi
+                            FROM b)
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(user_id) AS BIGINT) AS sum_users,
+                   COUNT(DISTINCT event_id) AS n_events,
+                   MIN(epoch_us(ts)) AS min_us,
+                   MAX(epoch_us(ts)) AS max_us
+            FROM events, bounds
+            WHERE user_id BETWEEN ulo AND uhi AND ts BETWEEN tlo AND thi""",
         "incremental_read": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
             FROM documents WHERE doc_id >= 300 AND doc_id < 450

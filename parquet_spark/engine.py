@@ -27,7 +27,7 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .codecs import decode_column, encode_column
 
@@ -348,6 +348,74 @@ def partition_for_encode(df: DataFrame, key: list[str] | None = None,
     return out, key
 
 
+def zorder_value(df: DataFrame, cols: list[str],
+                 bits: int | None = None) -> Column:
+    """Morton (Z-order) key over 2-4 numeric/timestamp columns as a pure
+    codegen expression: each column is linearly bucketed into 2^bits
+    cells between its min and max (one tiny driver-side agg), and the
+    bucket bits are interleaved so a range box on ANY subset of the
+    columns maps to few contiguous z-ranges — the Delta/Iceberg
+    OPTIMIZE ZORDER BY analog.  Skewed data makes cells uneven (pruning
+    loses efficiency, never correctness: zone maps stay exact).  Nulls
+    bucket to cell 0 (cluster at the origin)."""
+    if not 2 <= len(cols) <= 4:
+        raise ValueError(f"zorder interleaves 2-4 columns, got {cols}")
+    bits = bits or (62 // len(cols))
+    if bits * len(cols) > 62:
+        raise ValueError(f"{bits} bits x {len(cols)} columns overflows "
+                         "the 63-bit z-value")
+    numeric = []
+    for c in cols:
+        t = dict(df.dtypes)[c]
+        if t.startswith("timestamp"):
+            # NTZ casts through TIMESTAMP (session tz pinned to UTC in
+            # this engine's jobs); only MONOTONICITY matters for cells
+            numeric.append(F.unix_micros(F.col(c).cast("timestamp")))
+        elif t in ("bigint", "int", "smallint", "tinyint", "double",
+                   "float", "date"):
+            numeric.append(F.col(c).cast("double"))
+        else:
+            raise TypeError(f"zorder supports numeric/timestamp/date "
+                            f"columns; {c!r} is {t} (range-bucket a "
+                            "string column to ints first)")
+    stats = df.agg(*[f(n).alias(f"{i}_{k}")
+                     for i, n in enumerate(numeric)
+                     for k, f in (("mn", F.min), ("mx", F.max))]).first()
+    nb = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, n in enumerate(numeric):
+        mn, mx = stats[f"{i}_mn"], stats[f"{i}_mx"]
+        if mn is None or mx is None or float(mx) == float(mn):
+            continue  # constant/all-null column contributes nothing
+        span = float(mx) - float(mn)
+        cell = F.least(F.lit(nb), F.floor(
+            (n.cast("double") - F.lit(float(mn))) / F.lit(span)
+            * F.lit(nb + 1)).cast("long"))
+        cell = F.coalesce(F.greatest(cell, F.lit(0)), F.lit(0))
+        for j in range(bits):
+            bit = F.shiftright(cell, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * len(cols) + i))
+    return z
+
+
+def zorder_table(df: DataFrame, zorder_by: list[str],
+                 n_parts: int | None = None, bits: int | None = None,
+                 **encode_kw) -> DataFrame:
+    """Encode with a Z-order clustered layout: rows are range-
+    partitioned and sorted by the Morton key of `zorder_by`, so the
+    per-chunk zone maps become tight on EVERY interleaved column and a
+    predicate box on any of them prunes chunks — the multi-dimensional
+    counterpart of the single-key sorted layout.  One extra exchange
+    vs hash layout (range partitioning samples boundaries); the
+    z-value itself is a transient sort key, never stored."""
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    dfz = df.withColumn("_zval", zorder_value(df, zorder_by, bits))
+    dfp = (dfz.repartitionByRange(n_parts, "_zval")
+           .sortWithinPartitions("_zval").drop("_zval"))
+    return encode_table(dfp, key=zorder_by, n_parts=n_parts,
+                        _prepartitioned=True, **encode_kw)
+
+
 def take_full_batches(buf: list[pa.RecordBatch], buffered: int, n: int,
                       final: bool) -> tuple[list[pa.RecordBatch],
                                             list[pa.RecordBatch], int]:
@@ -395,15 +463,23 @@ def encode_table(df: DataFrame, key: list[str] | None = None,
                  rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
                  block_codec: str = "auto",
                  zone_cols: list[str] | None = None,
-                 bloom_cols: list[str] | None = None) -> DataFrame:
-    """Encode a DataFrame into column-chunk rows (one row per chunk)."""
+                 bloom_cols: list[str] | None = None,
+                 _prepartitioned: bool = False) -> DataFrame:
+    """Encode a DataFrame into column-chunk rows (one row per chunk).
+
+    `_prepartitioned` (internal; zorder_table) skips the hash layout:
+    the caller already placed and sorted the rows, and `key` only names
+    the column whose bounds fill the key_min/key_max chunk fields."""
     from .codecs.column import validate_block_codec
     validate_block_codec(block_codec)  # typos fail before the job launches
     if bloom_cols:
         missing = [c for c in bloom_cols if c not in df.columns]
         if missing:
             raise KeyError(f"bloom_cols not in the DataFrame: {missing}")
-    dfp, key = partition_for_encode(df, key, n_parts)
+    if _prepartitioned:
+        dfp, key = df, (key or [df.columns[0]])
+    else:
+        dfp, key = partition_for_encode(df, key, n_parts)
     zone_key = key[0]
 
     def encoder(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -743,3 +743,52 @@ def test_prefix_selected_for_sorted_url_key(spark):
     assert codecs["url"] == "prefix", codecs
     verify_roundtrip(df, decode_table(enc))
     enc.unpersist()
+
+
+@pytest.mark.spark
+def test_zorder_prunes_on_both_dimensions(spark, sf_dir):
+    """A 2-D box predicate must prune a Z-ordered layout where the
+    hash layout keeps everything, and the pruned+filtered decode must
+    equal the plain filter row-for-row."""
+    from parquet_spark.engine import prune_chunks_pred, zorder_table
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    z = zorder_table(ev, ["user_id", "ts"], n_parts=4,
+                     rows_per_chunk=500).cache()
+    h = encode_table(ev, key=["event_id"], n_parts=4,
+                     rows_per_chunk=500).cache()
+    r = ev.agg(F.min("ts"), F.max("ts"),
+               F.min("user_id"), F.max("user_id")).first()
+    tlo = r[0] + (r[1] - r[0]) * 2 // 10
+    thi = r[0] + (r[1] - r[0]) * 4 // 10
+    ulo = int(r[2] + (r[3] - r[2]) * 0.2)
+    uhi = int(r[2] + (r[3] - r[2]) * 0.4)
+    pred = [("user_id", ulo, uhi), ("ts", tlo, thi)]
+    total = z.count()
+    kept = prune_chunks_pred(z, pred).count()
+    assert 0 < kept <= total * 0.6, (kept, total)
+    assert kept < prune_chunks_pred(h, pred).count()
+    flt = (F.col("user_id").between(ulo, uhi)
+           & F.col("ts").between(tlo, thi))
+    got = decode_table(prune_chunks_pred(z, pred)).where(flt)
+    exp = ev.where(flt)
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    verify_roundtrip(ev, decode_table(z))
+    z.unpersist(); h.unpersist()
+
+
+@pytest.mark.spark
+def test_zorder_guards(spark, sf_dir):
+    from parquet_spark.engine import zorder_table, zorder_value
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError, match="2-4"):
+        zorder_value(ev, ["user_id"])
+    with pytest.raises(TypeError, match="numeric"):
+        zorder_value(ev, ["user_id", "event_type"])
+    with pytest.raises(ValueError, match="overflow"):
+        zorder_value(ev, ["user_id", "value"], bits=40)
+    # constant column contributes nothing but must not break
+    z = zorder_table(ev.withColumn("k", F.lit(7)), ["user_id", "k"],
+                     n_parts=2, rows_per_chunk=1000)
+    assert decode_table(z).count() == ev.count()
