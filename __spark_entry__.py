@@ -1594,6 +1594,25 @@ def q_meta_agg(spark, sf_dir):
                  "l_shipdate"]).orderBy("column")
 
 
+def q_struct_roundtrip(spark, sf_dir):
+    """Nested struct codec (codecs/column.py `_enc_struct`, codec id
+    12): events' (event_type, value, user_id) packed into a struct
+    column, encoded (each field shredded to its own codec), decoded,
+    and returned FLATTENED so DuckDB compares plain scalars — any
+    field-order, validity-scatter, or child-codec bug mismatches."""
+    from parquet_spark.engine import decode_table, encode_table
+    ev = (_t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+          .select("event_id", F.struct("event_type", "value",
+                                       "user_id").alias("s")))
+    enc = encode_table(ev, key=["event_id"], n_parts=2)
+    dec = decode_table(enc)
+    return (dec.select("event_id",
+                       F.col("s.event_type").alias("event_type"),
+                       F.col("s.value").alias("value"),
+                       F.col("s.user_id").alias("user_id"))
+            .orderBy("event_id"))
+
+
 def q_zorder_prune(spark, sf_dir):
     """Z-order clustered layout (engine.py `zorder_table`): events
     range-partitioned + sorted by the Morton key of (user_id, ts), so
@@ -1708,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_read": q_incremental_read,
         "meta_agg": q_meta_agg,
         "zorder_prune": q_zorder_prune,
+        "struct_roundtrip": q_struct_roundtrip,
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
@@ -1836,6 +1856,9 @@ def oracle_sql() -> dict[str, str]:
                        AS url,
                    doc_id
             FROM documents WHERE doc_id < 800 ORDER BY doc_id""",
+        "struct_roundtrip": """
+            SELECT event_id, event_type, value, user_id
+            FROM events WHERE event_id < 3000 ORDER BY event_id""",
         "zorder_prune": """
             WITH b AS (SELECT min(user_id) AS u0, max(user_id) AS u1,
                               min(ts) AS t0,

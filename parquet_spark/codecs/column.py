@@ -36,7 +36,8 @@ for price/sensor-style decimal doubles; three-way INT/BSS/ALP sampled
 trial), 11 PREFIX (incremental string encoding, the Parquet
 DELTA_BYTE_ARRAY analog: adjacent-lcp lengths + suffix bytes — wins on
 sorted key columns whose prefix sharing outruns the block window;
-trialed on a contiguous sample window).
+trialed on a contiguous sample window), 12 STRUCT (Dremel-style
+per-field shredding: one recursively auto-encoded body per field).
 
 Null handling is centralized: a bit-packed validity bitmap plus the
 codec body over non-null values only; decode scatters through
@@ -58,11 +59,12 @@ from .ints import decode_uint64, encode_uint64
 from .kernels import zigzag_decode, zigzag_encode
 
 (PLAIN, INT, BOOL, STR_PLAIN, STR_FSST, DICT, LIST, DEC128, BSS, ALP,
- PREFIX) = 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11
+ PREFIX, STRUCT) = 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12
 
 CODEC_NAMES = {PLAIN: "plain", INT: "int", BOOL: "bool", STR_PLAIN: "str_plain",
                STR_FSST: "fsst", DICT: "dict", LIST: "list",
-               DEC128: "dec128", BSS: "bss", ALP: "alp", PREFIX: "prefix"}
+               DEC128: "dec128", BSS: "bss", ALP: "alp", PREFIX: "prefix",
+               STRUCT: "struct"}
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 _ZSTD = pa.Codec("zstd", compression_level=3)
@@ -515,6 +517,37 @@ def _dec_bss(body: bytes, t: pa.DataType) -> pa.Array:
     return _scatter(vals, n, valid)
 
 
+def _enc_struct(arr: pa.Array) -> bytes:
+    """Struct columns shred into per-field bodies, each recursively
+    auto-encoded — the Dremel-style columnar decomposition Parquet
+    applies to nested groups, so a struct<price:double, lang:string>
+    gets ALP on one field and dict/FSST on the other.  Field count and
+    order come from the Arrow type at decode time; only the bodies are
+    stored."""
+    head, vals = _validity_header(arr, STRUCT)
+    parts = [head]
+    for i in range(vals.type.num_fields):
+        child = vals.field(i)
+        if isinstance(child, pa.ChunkedArray):
+            child = child.combine_chunks()
+        parts.append(_prefix_u32(_encode_body(child, "auto")))
+    return b"".join(parts)
+
+
+def _dec_struct(body: bytes, t: pa.DataType) -> pa.Array:
+    _, n, valid, off = _read_header(body)
+    children = []
+    for i in range(t.num_fields):
+        child_b, off = _read_u32_block(body, off)
+        children.append(_decode_body(child_b, t.field(i).type))
+    if children:
+        vals = pa.StructArray.from_arrays(children, fields=list(t))
+    else:  # zero-field struct: only the validity carries information
+        nv = n if valid is None else int(valid.sum())
+        vals = pa.array([{}] * nv, type=t)
+    return _scatter(vals, n, valid)
+
+
 # Prefix (incremental) string encoding (codec id 11) — the Parquet
 # DELTA_BYTE_ARRAY analog: each value stores only the byte count it
 # shares with its predecessor plus its suffix.  The engine sorts every
@@ -858,6 +891,8 @@ def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
             cid = STR_PLAIN
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         cid = LIST
+    elif pa.types.is_struct(t):
+        cid = STRUCT
     elif pa.types.is_decimal128(t):
         cid = DEC128
     else:
@@ -871,7 +906,7 @@ def _encode_body(arr: pa.Array, codec: str, allow_dict: bool = True,
     enc = {PLAIN: _enc_plain, INT: _enc_int, BOOL: _enc_bool,
            STR_PLAIN: _enc_str_plain, DICT: _enc_dict, LIST: _enc_list,
            DEC128: _enc_dec128, BSS: _enc_bss, ALP: _enc_alp,
-           PREFIX: _enc_prefix}[cid]
+           PREFIX: _enc_prefix, STRUCT: _enc_struct}[cid]
     return enc(arr)
 
 
@@ -880,7 +915,8 @@ def _decode_body(body: bytes, t: pa.DataType) -> pa.Array:
     dec = {PLAIN: lambda b: _dec_plain(b), INT: _dec_int, BOOL: _dec_bool,
            STR_PLAIN: _dec_str_plain, STR_FSST: _dec_fsst,
            DICT: _dec_dict, LIST: _dec_list, DEC128: _dec_dec128,
-           BSS: _dec_bss, ALP: _dec_alp, PREFIX: _dec_prefix}
+           BSS: _dec_bss, ALP: _dec_alp, PREFIX: _dec_prefix,
+           STRUCT: _dec_struct}
     if cid == PLAIN:
         return _dec_plain(body)
     return dec[cid](body, t)

@@ -754,3 +754,50 @@ def test_prefix_boundary_sizes():
                         type=pa.string())
         _, p = encode_column(vals, codec="prefix")
         assert decode_column(p, pa.string()).equals(vals)
+
+
+# ------------------------------------------------------------------ STRUCT
+
+def test_struct_shreds_per_field():
+    """struct<price,lang,n> must beat plain IPC because each shredded
+    field gets its own codec (alp/dict/int)."""
+    t = pa.struct([("price", pa.float64()), ("lang", pa.string()),
+                   ("n", pa.int64())])
+    rows = [{"price": round(float(RNG.uniform(0, 100)), 2),
+             "lang": ["en", "de", "fr"][i % 3], "n": i}
+            if i % 11 else None for i in range(5000)]
+    for i in range(0, 5000, 17):
+        if rows[i]:
+            rows[i]["lang"] = None  # independent child nulls
+    arr = pa.array(rows, type=t)
+    name, p = encode_column(arr)
+    assert name == "struct"
+    assert decode_column(p, t).equals(arr)
+    assert len(p) < 0.5 * len(encode_column(arr, codec="plain")[1])
+
+
+def test_struct_nested_and_in_list():
+    t2 = pa.struct([("inner", pa.struct([("a", pa.int64()),
+                                         ("b", pa.string())])),
+                    ("x", pa.float32())])
+    arr2 = pa.array([{"inner": {"a": i, "b": f"v{i % 7}"},
+                      "x": float(i % 13) * 0.5} for i in range(1000)],
+                    type=t2)
+    _, p2 = encode_column(arr2)
+    assert decode_column(p2, t2).equals(arr2)
+    t3 = pa.list_(pa.struct([("a", pa.int64())]))
+    arr3 = pa.array([[{"a": i}, {"a": i + 1}] for i in range(500)], type=t3)
+    _, p3 = encode_column(arr3)
+    assert decode_column(p3, t3).equals(arr3)
+
+
+def test_struct_edge_shapes():
+    t = pa.struct([("a", pa.int64())])
+    for vals in ([], [None, None], [{"a": 1}], [{"a": None}, None]):
+        arr = pa.array(vals, type=t)
+        _, p = encode_column(arr, codec="struct")
+        assert decode_column(p, t).equals(arr)
+    t0 = pa.struct([])
+    a0 = pa.array([{}, None, {}], type=t0)
+    _, p0 = encode_column(a0, codec="struct")
+    assert decode_column(p0, t0).equals(a0)

@@ -792,3 +792,22 @@ def test_zorder_guards(spark, sf_dir):
     z = zorder_table(ev.withColumn("k", F.lit(7)), ["user_id", "k"],
                      n_parts=2, rows_per_chunk=1000)
     assert decode_table(z).count() == ev.count()
+
+
+@pytest.mark.spark
+def test_struct_column_through_encode_table(spark, sf_dir):
+    """Nested struct columns shred per-field (Dremel-style) through the
+    full mapInArrow encode/decode path."""
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", F.struct("event_type", "value",
+                                       "user_id").alias("s")))
+    enc = encode_table(ev, key=["event_id"], n_parts=2).cache()
+    codecs = {r.column: r.codec
+              for r in encoding_stats(enc).select("column", "codec")
+              .distinct().collect()}
+    assert codecs["s"] == "struct", codecs
+    dec = decode_table(enc)
+    assert dec.count() == ev.count()
+    assert dec.exceptAll(ev).count() == 0
+    assert ev.exceptAll(dec).count() == 0
+    enc.unpersist()
