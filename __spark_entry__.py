@@ -1594,6 +1594,36 @@ def q_meta_agg(spark, sf_dir):
                  "l_shipdate"]).orderBy("column")
 
 
+def q_range_file_prune(spark, sf_dir):
+    """Explicit range partitioning (north rule) + manifest file
+    pruning: documents written mode='range' on doc_id own DISJOINT key
+    ranges per part, so the driver prunes whole part FILES from the
+    per-part zone summaries (manifest._prune_parts) before any Spark
+    job — asserted to bite (kept < total files).  DuckDB recomputes the
+    key-range aggregates; a boundary/placement/summary bug that
+    dropped a live file or leaked rows mismatches."""
+    import tempfile
+
+    from parquet_spark.manifest import (EncodedTable, _prune_parts,
+                                        scan_table, write_encoded)
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="entry_rangeprune_") + "/t"
+    write_encoded(d, path, key=["doc_id"], n_parts=8, mode="range",
+                  rows_per_chunk=40)
+    parts = EncodedTable(path).committed_parts()
+    pred = [("doc_id", 100, 160)]
+    kept = _prune_parts(parts, pred)
+    assert 0 < len(kept) < len(parts), (len(kept), len(parts))
+    out = (scan_table(spark, path, pred)
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.countDistinct(F.md5("text")).alias("n_texts")))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_struct_roundtrip(spark, sf_dir):
     """Nested struct codec (codecs/column.py `_enc_struct`, codec id
     12): events' (event_type, value, user_id) packed into a struct
@@ -1728,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_agg": q_meta_agg,
         "zorder_prune": q_zorder_prune,
         "struct_roundtrip": q_struct_roundtrip,
+        "range_file_prune": q_range_file_prune,
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
@@ -1859,6 +1890,12 @@ def oracle_sql() -> dict[str, str]:
         "struct_roundtrip": """
             SELECT event_id, event_type, value, user_id
             FROM events WHERE event_id < 3000 ORDER BY event_id""",
+        "range_file_prune": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(DISTINCT md5(text)) AS n_texts
+            FROM documents WHERE doc_id BETWEEN 100 AND 160""",
         "zorder_prune": """
             WITH b AS (SELECT min(user_id) AS u0, max(user_id) AS u1,
                               min(ts) AS t0,

@@ -327,6 +327,61 @@ def _chunk_rows_to_batch(chunks: list[dict]) -> pa.RecordBatch:
 
 # ------------------------------------------------------------- Spark side
 
+def part_zone_summary(chunks: list[dict]) -> str:
+    """Fold per-chunk zone stats into ONE per-part summary (JSON) for
+    the snapshot manifest — the Iceberg per-data-file column-bounds
+    analog.  The driver prunes whole part FILES against it before any
+    Spark job reads a footer (manifest._prune_parts); chunk-level zone
+    pruning still applies within surviving files.
+
+    Shape: {col: [min_str, max_str, min_num, max_num, min_dbl,
+    max_dbl, nulls, covered_rows]} — bounds are min/max over the
+    chunks that carry the column (None-safe), nulls summed,
+    covered_rows = Σ n_rows of those chunks (covered < part rows ⇒
+    readers must treat the bounds as partial and keep the file)."""
+    import json as _json
+
+    def at(ch, arr, i):
+        vals = ch.get(arr)
+        return vals[i] if vals is not None and i < len(vals) else None
+
+    summary: dict[str, list] = {}
+    for ch in chunks:
+        for i, col in enumerate(ch.get("zone_cols") or ()):
+            s = summary.setdefault(col, [None, None, None, None,
+                                         None, None, 0, 0])
+            for slot, arr in ((0, "zone_min_str"), (2, "zone_min_num"),
+                              (4, "zone_min_dbl")):
+                v = at(ch, arr, i)
+                if v is not None and (s[slot] is None or v < s[slot]):
+                    s[slot] = v
+            for slot, arr in ((1, "zone_max_str"), (3, "zone_max_num"),
+                              (5, "zone_max_dbl")):
+                v = at(ch, arr, i)
+                if v is not None and (s[slot] is None or v > s[slot]):
+                    s[slot] = v
+            s[6] += int(at(ch, "zone_nulls", i) or 0)
+            s[7] += int(ch.get("n_rows") or 0)
+    return _json.dumps(summary)
+
+
+_ZONE_ROW_FIELDS = ("zone_cols", "zone_min_str", "zone_max_str",
+                    "zone_min_num", "zone_max_num", "zone_min_dbl",
+                    "zone_max_dbl", "zone_nulls", "n_rows")
+
+
+def part_zone_summary_from_chunkrows(tbl: pa.Table) -> str:
+    """part_zone_summary over a CHUNK-ROW table (the encoded relation)
+    — the lifecycle writers (compaction, rewrite, relocation) rebuild
+    parts from committed chunk rows rather than encode_chunk dicts.
+    Legacy v1 chunk rows (null zone arrays) contribute nothing."""
+    cols = {f: tbl.column(f).to_pylist() for f in _ZONE_ROW_FIELDS
+            if f in tbl.schema.names}
+    n = tbl.num_rows
+    chunks = [{f: cols[f][i] for f in cols} for i in range(n)]
+    return part_zone_summary(chunks)
+
+
 def partition_for_encode(df: DataFrame, key: list[str] | None = None,
                          n_parts: int | None = None) -> tuple[DataFrame, list[str]]:
     """Deterministic placement: partition = murmur3(key) pmod n_parts.

@@ -42,13 +42,15 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .engine import (DEFAULT_ROWS_PER_CHUNK, ENCODED_DDL,
-                     _chunk_rows_to_batch, _norm_term, _residual_cond,
+                     _as_num_bound, _chunk_rows_to_batch,
+                     _is_numeric_bound, _norm_term, _residual_cond,
                      decode_chunk, decode_table, encode_chunk,
+                     part_zone_summary, part_zone_summary_from_chunkrows,
                      prune_chunks_pred, take_full_batches)
 
 LINEAGE_DDL = ("part_id bigint, file string, n_chunks bigint, n_rows bigint, "
                "bytes_in bigint, bytes_out bigint, wall_ms double, "
-               "codecs string")
+               "codecs string, zones string")
 
 # Snapshot manifest format version.  v1: round-1 snapshots (no version
 # field, no layout fingerprint).  v2 adds format_version, a layout
@@ -538,6 +540,34 @@ _GDICT_LITERAL_MAX = 1024  # restore via literal array up to here; bigger
 #                            dictionaries restore via a broadcast join
 
 
+_RANGE_SAMPLE_MAX = 100_000  # boundary-sample rows collected to driver
+
+
+def _range_boundaries(df: DataFrame, col: str, n_parts: int) -> list:
+    """n_parts-1 split points for explicit range partitioning on `col`
+    (north rule: "explicit range partitioning on url-hash").  A capped
+    sample is rank-sliced on the driver; the boundaries are then FROZEN
+    in the layout, so resume and later append epochs re-derive the
+    exact same part for every row no matter how the input grew."""
+    t = dict(df.dtypes)[col]
+    if not (t == "string" or t in ("bigint", "int", "smallint", "tinyint",
+                                   "double", "float")):
+        raise TypeError(
+            f"range layout needs a string or numeric key; {col!r} is {t} "
+            "(range-partition on a derived numeric — e.g. a url hash — "
+            "instead)")
+    src = df.select(F.col(col).alias("k")).where(F.col("k").isNotNull())
+    n = src.count()
+    if n == 0:
+        return []
+    frac = min(1.0, _RANGE_SAMPLE_MAX / n)
+    sample = sorted(r.k for r in src.sample(False, frac, seed=42).collect())
+    if not sample:
+        sample = sorted(r.k for r in src.limit(1024).collect())
+    return [sample[min(len(sample) - 1, (i * len(sample)) // n_parts)]
+            for i in range(1, n_parts)]
+
+
 def write_encoded(df: DataFrame, table_path: str,
                   key: list[str] | None = None, n_parts: int | None = None,
                   codec: str = "auto",
@@ -548,6 +578,7 @@ def write_encoded(df: DataFrame, table_path: str,
                   block_codec: str = "auto",
                   global_dict_cols: list[str] | None = None,
                   bloom_cols: list[str] | None = None,
+                  mode: str = "hash",
                   backend: CommitBackend | None = None) -> dict:
     """Encode df into the table, committing a new snapshot. Resumable.
 
@@ -592,8 +623,24 @@ def write_encoded(df: DataFrame, table_path: str,
 
     key = key or [df.columns[0]]
     n_parts = n_parts or spark.sparkContext.defaultParallelism
-    layout = {"mode": "hash", "key": key, "n_parts": n_parts,
+    if mode not in ("hash", "range"):
+        raise ValueError(f"mode must be 'hash' or 'range', got {mode!r}")
+    layout = {"mode": mode, "key": key, "n_parts": n_parts,
               "rows_per_chunk": rows_per_chunk}
+    boundaries: list | None = None
+    if mode == "range":
+        # explicit range partitioning on key[0] (north rule).  Parts
+        # own DISJOINT key ranges, so the per-part zone summaries let
+        # the driver prune whole files on key predicates.  Boundaries
+        # freeze at the FIRST commit: resume and append epochs re-derive
+        # the same placement (_range_boundaries docstring).
+        playout = _layout_of(parent)
+        if playout and playout.get("mode") == "range" \
+                and playout.get("boundaries") is not None:
+            boundaries = playout["boundaries"]
+        else:
+            boundaries = _range_boundaries(df, key[0], n_parts)
+        layout["boundaries"] = boundaries
     if global_dict_cols:
         layout["global_dict_cols"] = sorted(global_dict_cols)
     if bloom_cols:
@@ -672,10 +719,26 @@ def write_encoded(df: DataFrame, table_path: str,
     # resume needs a stable, FILTERABLE group id, so (unlike the plain
     # encode_table hot path) the group is an explicit column; range
     # placement keeps the group->task mapping ~1:1
-    dfp = (df.withColumn("_part", F.pmod(F.xxhash64(*key), F.lit(n_parts))
-                         + F.lit(part_offset))
-             .repartitionByRange(n_parts, "_part")
-             .sortWithinPartitions("_part", *key))
+    if mode == "range":
+        if boundaries:
+            # part = #boundaries below the key: O(n_parts) comparisons
+            # per row inside codegen (null keys land in part 0)
+            barr = F.array(*[F.lit(b) for b in boundaries])
+            grp = F.aggregate(
+                barr, F.lit(0),
+                lambda acc, b: acc + F.when(F.col(key[0]) > b,
+                                            1).otherwise(0))
+        else:
+            grp = F.lit(0)
+        dfp = (df.withColumn("_part", grp + F.lit(part_offset))
+                 .repartitionByRange(n_parts, "_part")
+                 .sortWithinPartitions("_part", *key))
+    else:
+        dfp = (df.withColumn("_part",
+                             F.pmod(F.xxhash64(*key), F.lit(n_parts))
+                             + F.lit(part_offset))
+                 .repartitionByRange(n_parts, "_part")
+                 .sortWithinPartitions("_part", *key))
     todo = [p for p in range(part_offset, part_offset + n_parts)
             if p not in done]
     if limit_parts is not None:
@@ -728,6 +791,7 @@ def write_encoded(df: DataFrame, table_path: str,
                 "bytes_out": int(sum(sum(c["bytes_out"]) for c in st["chunks"])),
                 "wall_ms": (time.monotonic() - st["t0"]) * 1000.0,
                 "codecs": ",".join(codec_mix),
+                "zones": part_zone_summary(st["chunks"]),
             }])
 
         for batch in batches:
@@ -777,6 +841,7 @@ def write_encoded(df: DataFrame, table_path: str,
             "file": row.file, "n_chunks": row.n_chunks, "n_rows": row.n_rows,
             "bytes_in": row.bytes_in, "bytes_out": row.bytes_out,
             "wall_ms": row.wall_ms, "codecs": row.codecs,
+            "zones": json.loads(row.zones) if row.zones else {},
         }
     meta = {"key": key, "n_parts": n_parts, "codec": codec,
             "block_codec": block_codec,
@@ -1058,6 +1123,7 @@ def compact_table(spark: SparkSession, table_path: str,
             "bytes_out": int(sum(sum(v.as_py()) for v in tbl.column("bytes_out"))),
             "wall_ms": (time.monotonic() - t0) * 1000.0,
             "codecs": ",".join(cmix),
+            "zones": part_zone_summary_from_chunkrows(tbl),
         }])
 
     lineage = (enc.repartition(target_parts, "part_id")
@@ -1066,7 +1132,8 @@ def compact_table(spark: SparkSession, table_path: str,
     parts = {str(r.part_id): {
         "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
         "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
-        "wall_ms": r.wall_ms, "codecs": r.codecs} for r in lineage}
+        "wall_ms": r.wall_ms, "codecs": r.codecs,
+        "zones": json.loads(r.zones) if r.zones else {}} for r in lineage}
     new_layout: dict = {"mode": "compacted"}
     if bloom_cols:
         new_layout["bloom_cols"] = bloom_cols
@@ -1317,6 +1384,7 @@ def rewrite_table(spark: SparkSession, table_path: str,
                                  for v in tbl.column("bytes_out"))),
             "wall_ms": (time.monotonic() - t0) * 1000.0,
             "codecs": ",".join(cmix),
+            "zones": part_zone_summary_from_chunkrows(tbl),
         }])
 
     lineage = (enc.repartition(n_parts, "part_id")
@@ -1325,7 +1393,8 @@ def rewrite_table(spark: SparkSession, table_path: str,
     parts = {str(r.part_id): {
         "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
         "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
-        "wall_ms": r.wall_ms, "codecs": r.codecs} for r in lineage}
+        "wall_ms": r.wall_ms, "codecs": r.codecs,
+        "zones": json.loads(r.zones) if r.zones else {}} for r in lineage}
     meta = dict(pmeta)
     meta.pop("delete_files", None)
     meta.pop("n_deleted", None)
@@ -1409,13 +1478,15 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
             "bytes_out": int(sum(sum(v.as_py()) for v in tbl.column("bytes_out"))),
             "wall_ms": (time.monotonic() - t0) * 1000.0,
             "codecs": ",".join(cmix),
+            "zones": part_zone_summary_from_chunkrows(tbl),
         }])
 
     lineage = dfp.mapInArrow(writer, LINEAGE_DDL).collect()
     parts = {str(r.part_id): {
         "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
         "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
-        "wall_ms": r.wall_ms, "codecs": r.codecs} for r in lineage}
+        "wall_ms": r.wall_ms, "codecs": r.codecs,
+        "zones": json.loads(r.zones) if r.zones else {}} for r in lineage}
     dst = EncodedTable(dst_path, backend=dst_backend)
     meta = {"relocated_from": src_path,
             "src_snapshot_id": parent_src["snapshot_id"],
@@ -1558,6 +1629,71 @@ def _restore_global_dicts(spark: SparkSession, dec: DataFrame,
 _GDICT_PRUNE_MAX = 512
 
 
+def _part_keep_term(zones: dict, n_rows: int, term: tuple) -> bool:
+    """Driver-side keep test for ONE predicate term against a part's
+    zone summary — the exact mirror of engine._zone_keep_term's chunk
+    semantics (null family bound = no information = keep), with one
+    extra guard: a column whose summary covers fewer rows than the part
+    holds (schema evolution, fat-text auto-skip, all-NaN chunks) keeps
+    the file unconditionally."""
+    t = _norm_term(term)
+    if t[0] in ("isnull", "notnull"):
+        z = zones.get(t[1])
+        if not z or z[7] != n_rows:
+            return True
+        return z[6] > 0 if t[0] == "isnull" else z[6] < n_rows
+    col = t[1]
+    z = zones.get(col)
+    if not z or z[7] != n_rows:
+        return True
+    mn_s, mx_s, mn_n, mx_n, mn_d, mx_d = z[:6]
+
+    def fits(lo, hi, numeric):
+        fams = (((mn_n, mx_n), (mn_d, mx_d)) if numeric
+                else ((mn_s, mx_s),))
+        for mn, mx in fams:
+            if lo is not None and mx is not None and mx < lo:
+                return False
+            if hi is not None and mn is not None and mn > hi:
+                return False
+        return True
+
+    if t[0] == "range":
+        _, _, lo, hi = t
+        numeric = ((lo is not None and _is_numeric_bound(lo))
+                   or (hi is not None and _is_numeric_bound(hi)))
+        if numeric:
+            lo = _as_num_bound(lo) if lo is not None else None
+            hi = _as_num_bound(hi) if hi is not None else None
+        return fits(lo, hi, numeric)
+    vals = t[2]
+    numeric = _is_numeric_bound(vals[0])
+    nvals = [_as_num_bound(v) for v in vals] if numeric else vals
+    return any(fits(v, v, numeric) for v in nvals)
+
+
+def _prune_parts(parts: dict[str, dict],
+                 pred: list[tuple] | dict) -> list[str]:
+    """File-level pruning from the snapshot manifest (the Iceberg
+    per-data-file column-bounds prune): O(parts) pure-python driver
+    work, zero Spark jobs, zero footers read for skipped files.  Bites
+    hardest on range/zorder-clustered layouts where parts own disjoint
+    key ranges; on hash layouts every part spans the key space and the
+    summaries keep everything (correct, just not helpful).  Returns
+    surviving files in part order."""
+    def keep(info: dict) -> bool:
+        zones = info.get("zones") or {}
+        n = info.get("n_rows") or 0
+        if isinstance(pred, dict):
+            return any(all(_part_keep_term(zones, n, t) for t in ts)
+                       for ts in pred["any"])
+        return all(_part_keep_term(zones, n, t) for t in pred)
+
+    return [info["file"]
+            for _, info in sorted(parts.items(), key=lambda kv: int(kv[0]))
+            if keep(info)]
+
+
 def scan_table(spark: SparkSession, table_path: str,
                pred: list[tuple] | dict,
                columns: list[str] | None = None,
@@ -1616,12 +1752,20 @@ def scan_table(spark: SparkSession, table_path: str,
             out.append((col, "in", ids or [-1]))
         return out
 
-    enc = read_encoded(spark, table_path, backend=backend,
-                       snapshot_id=snapshot_id)
     if isinstance(pred, dict):
         zpred: list | dict = {"any": [translate(ts) for ts in pred["any"]]}
     else:
         zpred = translate(pred)
+    # file-level prune from the manifest's per-part zone summaries
+    # BEFORE any Spark job: skipped part files are never even listed
+    files = _prune_parts(table.committed_parts(snap), zpred)
+    if not files:
+        # no file can match: an empty frame with the right shape (the
+        # residual below is a no-op on zero rows)
+        dec0 = read_decoded(spark, table_path, columns=columns,
+                            backend=backend, snapshot_id=snapshot_id)
+        return dec0.limit(0)
+    enc = spark.read.schema(ENCODED_DDL).parquet(*files)
     kept = prune_chunks_pred(enc, zpred)
     meta = table.meta(snap)
     has_deletes = bool(meta.get("delete_files"))

@@ -573,3 +573,78 @@ def test_metadata_stats_null_counts_and_delete_guard(spark, tmp_path):
     delete_rows(spark, path, [("lang", "=", "en")])
     with pytest.raises(ValueError, match="delete"):
         metadata_stats(spark, path)
+
+
+# -------------------------------------- range layout + file pruning
+
+@pytest.mark.spark
+def test_range_layout_roundtrip_resume_and_file_prune(spark, tmp_path, sf_dir):
+    from parquet_spark.manifest import (_prune_parts, scan_table,
+                                        write_encoded)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "t")
+    write_encoded(d, path, key=["doc_id"], n_parts=8, mode="range",
+                  limit_parts=3, rows_per_chunk=40)
+    t = EncodedTable(path)
+    assert len(t.committed_parts()) == 3
+    write_encoded(d, path, key=["doc_id"], n_parts=8, mode="range",
+                  rows_per_chunk=40)
+    t = EncodedTable(path)
+    parts = t.committed_parts()
+    assert len(parts) == 8
+    verify_roundtrip(d, read_decoded(spark, path))
+    # boundaries frozen in the layout
+    lay = t.current_snapshot()["meta"]["layout"]
+    assert lay["mode"] == "range" and len(lay["boundaries"]) == 7
+    # driver-side file pruning bites on the key range
+    pred = [("doc_id", 100, 160)]
+    kept = _prune_parts(parts, pred)
+    assert 0 < len(kept) < len(parts), (len(kept), len(parts))
+    got = scan_table(spark, path, pred)
+    exp = d.where(F.col("doc_id").between(100, 160))
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    # nothing-matches scan: empty frame, full schema, zero files read
+    none = scan_table(spark, path, [("doc_id", 10 ** 6, 2 * 10 ** 6)])
+    assert none.count() == 0 and set(none.columns) == set(d.columns)
+
+
+@pytest.mark.spark
+def test_range_layout_string_key_corpus(spark, tmp_path):
+    """North-rule shape: explicit range partitioning on the url key.
+    Sorted disjoint url ranges per part -> the prefix codec engages AND
+    url-range scans prune files."""
+    from parquet_spark.manifest import (_prune_parts, scan_table,
+                                        write_encoded)
+    df = gen_corpus(spark, 6000, seed=13, parts=4)
+    path = str(tmp_path / "t")
+    write_encoded(df, path, key=["url"], n_parts=6, mode="range")
+    t = EncodedTable(path)
+    parts = t.committed_parts()
+    verify_roundtrip(df, read_decoded(spark, path), key=["url"],
+                     digest_col="text")
+    lo, hi = "https://a", "https://f"
+    kept = _prune_parts(parts, [("url", lo, hi)])
+    assert len(kept) < len(parts)
+    got = scan_table(spark, path, [("url", lo, hi)])
+    exp = df.where((F.col("url") >= lo) & (F.col("url") <= hi))
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+
+
+@pytest.mark.spark
+def test_range_layout_resume_guards(spark, tmp_path, sf_dir):
+    from parquet_spark.manifest import write_encoded
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "t")
+    write_encoded(d, path, key=["doc_id"], n_parts=4, mode="range")
+    with pytest.raises(ValueError, match="layout"):
+        write_encoded(d, path, key=["doc_id"], n_parts=4)  # hash resume
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(TypeError, match="numeric"):
+        write_encoded(ev, str(tmp_path / "t2"), key=["ts"],
+                      n_parts=2, mode="range")  # timestamp key
+    with pytest.raises(ValueError, match="mode"):
+        write_encoded(d, str(tmp_path / "t3"), key=["doc_id"],
+                      n_parts=2, mode="zorder")
