@@ -403,22 +403,18 @@ def partition_for_encode(df: DataFrame, key: list[str] | None = None,
     return out, key
 
 
-def zorder_value(df: DataFrame, cols: list[str],
-                 bits: int | None = None) -> Column:
-    """Morton (Z-order) key over 2-4 numeric/timestamp columns as a pure
-    codegen expression: each column is linearly bucketed into 2^bits
-    cells between its min and max (one tiny driver-side agg), and the
-    bucket bits are interleaved so a range box on ANY subset of the
-    columns maps to few contiguous z-ranges — the Delta/Iceberg
-    OPTIMIZE ZORDER BY analog.  Skewed data makes cells uneven (pruning
-    loses efficiency, never correctness: zone maps stay exact).  Nulls
-    bucket to cell 0 (cluster at the origin)."""
-    if not 2 <= len(cols) <= 4:
-        raise ValueError(f"zorder interleaves 2-4 columns, got {cols}")
-    bits = bits or (62 // len(cols))
-    if bits * len(cols) > 62:
-        raise ValueError(f"{bits} bits x {len(cols)} columns overflows "
-                         "the 63-bit z-value")
+def zorder_stats(df: DataFrame, cols: list[str]) -> list[list]:
+    """Per-column [min, max] driving the Morton cells (one tiny driver
+    agg).  JSON-safe (timestamps surface as epoch-us ints) so a layout
+    can FREEZE them for reproducible resume placement."""
+    numeric = _zorder_numeric_exprs(df, cols)
+    stats = df.agg(*[f(n).alias(f"{i}_{k}")
+                     for i, n in enumerate(numeric)
+                     for k, f in (("mn", F.min), ("mx", F.max))]).first()
+    return [[stats[f"{i}_mn"], stats[f"{i}_mx"]] for i in range(len(cols))]
+
+
+def _zorder_numeric_exprs(df: DataFrame, cols: list[str]) -> list[Column]:
     numeric = []
     for c in cols:
         t = dict(df.dtypes)[c]
@@ -433,13 +429,33 @@ def zorder_value(df: DataFrame, cols: list[str],
             raise TypeError(f"zorder supports numeric/timestamp/date "
                             f"columns; {c!r} is {t} (range-bucket a "
                             "string column to ints first)")
-    stats = df.agg(*[f(n).alias(f"{i}_{k}")
-                     for i, n in enumerate(numeric)
-                     for k, f in (("mn", F.min), ("mx", F.max))]).first()
+    return numeric
+
+
+def zorder_value(df: DataFrame, cols: list[str],
+                 bits: int | None = None,
+                 stats: list[list] | None = None) -> Column:
+    """Morton (Z-order) key over 2-4 numeric/timestamp columns as a pure
+    codegen expression: each column is linearly bucketed into 2^bits
+    cells between its min and max (one tiny driver-side agg), and the
+    bucket bits are interleaved so a range box on ANY subset of the
+    columns maps to few contiguous z-ranges — the Delta/Iceberg
+    OPTIMIZE ZORDER BY analog.  Skewed data makes cells uneven (pruning
+    loses efficiency, never correctness: zone maps stay exact).  Nulls
+    bucket to cell 0 (cluster at the origin)."""
+    if not 2 <= len(cols) <= 4:
+        raise ValueError(f"zorder interleaves 2-4 columns, got {cols}")
+    bits = bits or (62 // len(cols))
+    if bits * len(cols) > 62:
+        raise ValueError(f"{bits} bits x {len(cols)} columns overflows "
+                         "the 63-bit z-value")
+    numeric = _zorder_numeric_exprs(df, cols)
+    if stats is None:
+        stats = zorder_stats(df, cols)
     nb = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for i, n in enumerate(numeric):
-        mn, mx = stats[f"{i}_mn"], stats[f"{i}_mx"]
+        mn, mx = stats[i]
         if mn is None or mx is None or float(mx) == float(mn):
             continue  # constant/all-null column contributes nothing
         span = float(mx) - float(mn)

@@ -623,23 +623,48 @@ def write_encoded(df: DataFrame, table_path: str,
 
     key = key or [df.columns[0]]
     n_parts = n_parts or spark.sparkContext.defaultParallelism
-    if mode not in ("hash", "range"):
-        raise ValueError(f"mode must be 'hash' or 'range', got {mode!r}")
+    if mode not in ("hash", "range", "zorder"):
+        raise ValueError(
+            f"mode must be 'hash', 'range' or 'zorder', got {mode!r}")
     layout = {"mode": mode, "key": key, "n_parts": n_parts,
               "rows_per_chunk": rows_per_chunk}
     boundaries: list | None = None
+    zo_stats: list | None = None
+    zo_bits: int | None = None
+    playout = _layout_of(parent)
     if mode == "range":
         # explicit range partitioning on key[0] (north rule).  Parts
         # own DISJOINT key ranges, so the per-part zone summaries let
         # the driver prune whole files on key predicates.  Boundaries
         # freeze at the FIRST commit: resume and append epochs re-derive
         # the same placement (_range_boundaries docstring).
-        playout = _layout_of(parent)
         if playout and playout.get("mode") == "range" \
                 and playout.get("boundaries") is not None:
             boundaries = playout["boundaries"]
         else:
             boundaries = _range_boundaries(df, key[0], n_parts)
+        layout["boundaries"] = boundaries
+    elif mode == "zorder":
+        # Z-order clustered layout: parts own disjoint MORTON-KEY
+        # ranges over 2-4 numeric/timestamp key columns, so a box
+        # predicate on any subset prunes whole FILES (the engine-level
+        # zorder_table gives only chunk-level pruning).  Cell stats and
+        # z-value boundaries freeze at the first commit, exactly like
+        # range boundaries.
+        from .engine import zorder_stats, zorder_value
+        if playout and playout.get("mode") == "zorder" \
+                and playout.get("boundaries") is not None:
+            zo_stats = playout["zorder_stats"]
+            zo_bits = playout["zorder_bits"]
+            boundaries = playout["boundaries"]
+        else:
+            zo_bits = 62 // len(key)
+            zo_stats = zorder_stats(df, key)
+            zv = zorder_value(df, key, bits=zo_bits, stats=zo_stats)
+            boundaries = _range_boundaries(
+                df.select(zv.alias("_zval")), "_zval", n_parts)
+        layout["zorder_stats"] = zo_stats
+        layout["zorder_bits"] = zo_bits
         layout["boundaries"] = boundaries
     if global_dict_cols:
         layout["global_dict_cols"] = sorted(global_dict_cols)
@@ -719,20 +744,31 @@ def write_encoded(df: DataFrame, table_path: str,
     # resume needs a stable, FILTERABLE group id, so (unlike the plain
     # encode_table hot path) the group is an explicit column; range
     # placement keeps the group->task mapping ~1:1
+    def _boundary_group(order_col):
+        if not boundaries:
+            return F.lit(0)
+        # part = #boundaries below the order value: O(n_parts)
+        # comparisons per row inside codegen (nulls land in part 0)
+        barr = F.array(*[F.lit(b) for b in boundaries])
+        return F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(order_col > b, 1).otherwise(0))
+
     if mode == "range":
-        if boundaries:
-            # part = #boundaries below the key: O(n_parts) comparisons
-            # per row inside codegen (null keys land in part 0)
-            barr = F.array(*[F.lit(b) for b in boundaries])
-            grp = F.aggregate(
-                barr, F.lit(0),
-                lambda acc, b: acc + F.when(F.col(key[0]) > b,
-                                            1).otherwise(0))
-        else:
-            grp = F.lit(0)
-        dfp = (df.withColumn("_part", grp + F.lit(part_offset))
+        dfp = (df.withColumn("_part",
+                             _boundary_group(F.col(key[0]))
+                             + F.lit(part_offset))
                  .repartitionByRange(n_parts, "_part")
                  .sortWithinPartitions("_part", *key))
+    elif mode == "zorder":
+        from .engine import zorder_value
+        zv = zorder_value(df, key, bits=zo_bits, stats=zo_stats)
+        dfp = (df.withColumn("_zval", zv)
+                 .withColumn("_part", _boundary_group(F.col("_zval"))
+                             + F.lit(part_offset))
+                 .repartitionByRange(n_parts, "_part")
+                 .sortWithinPartitions("_part", "_zval")
+                 .drop("_zval"))  # transient sort key, never stored
     else:
         dfp = (df.withColumn("_part",
                              F.pmod(F.xxhash64(*key), F.lit(n_parts))

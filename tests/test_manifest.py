@@ -645,6 +645,49 @@ def test_range_layout_resume_guards(spark, tmp_path, sf_dir):
     with pytest.raises(TypeError, match="numeric"):
         write_encoded(ev, str(tmp_path / "t2"), key=["ts"],
                       n_parts=2, mode="range")  # timestamp key
-    with pytest.raises(ValueError, match="mode"):
+    with pytest.raises(ValueError, match="2-4 columns"):
         write_encoded(d, str(tmp_path / "t3"), key=["doc_id"],
-                      n_parts=2, mode="zorder")
+                      n_parts=2, mode="zorder")  # zorder needs >=2 keys
+    with pytest.raises(ValueError, match="mode"):
+        write_encoded(d, str(tmp_path / "t4"), key=["doc_id"],
+                      n_parts=2, mode="bogus")
+
+
+@pytest.mark.spark
+def test_zorder_mode_resume_and_file_prune(spark, tmp_path, sf_dir):
+    """write_encoded(mode='zorder'): parts own disjoint Morton-key
+    ranges -> a 2-D box predicate prunes whole FILES; cell stats and
+    z boundaries freeze in the layout so a limited write resumes to
+    identical placement."""
+    from parquet_spark.manifest import (_prune_parts, scan_table,
+                                        write_encoded)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "t")
+    write_encoded(ev, path, key=["user_id", "value"], n_parts=8,
+                  mode="zorder", rows_per_chunk=500, limit_parts=3)
+    write_encoded(ev, path, key=["user_id", "value"], n_parts=8,
+                  mode="zorder", rows_per_chunk=500)
+    t = EncodedTable(path)
+    parts = t.committed_parts()
+    assert len(parts) == 8
+    lay = t.current_snapshot()["meta"]["layout"]
+    assert lay["mode"] == "zorder" and len(lay["zorder_stats"]) == 2
+    dec = read_decoded(spark, path)
+    assert dec.count() == ev.count()
+    assert dec.exceptAll(ev).count() == 0
+    assert ev.exceptAll(dec).count() == 0
+    r = ev.agg(F.min("user_id"), F.max("user_id"),
+               F.min("value"), F.max("value")).first()
+    ulo = int(r[0] + (r[1] - r[0]) * 0.2)
+    uhi = int(r[0] + (r[1] - r[0]) * 0.4)
+    vlo = r[2] + (r[3] - r[2]) * 0.2
+    vhi = r[2] + (r[3] - r[2]) * 0.4
+    pred = [("user_id", ulo, uhi), ("value", vlo, vhi)]
+    kept = _prune_parts(parts, pred)
+    assert 0 < len(kept) <= len(parts) // 2, (len(kept), len(parts))
+    got = scan_table(spark, path, pred)
+    exp = ev.where(F.col("user_id").between(ulo, uhi)
+                   & F.col("value").between(vlo, vhi))
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
