@@ -1624,6 +1624,44 @@ def q_range_file_prune(spark, sf_dir):
     return out
 
 
+def q_recluster_scan(spark, sf_dir):
+    """Layout evolution (manifest.py `recluster_table`): documents
+    ingested in the hash layout, a key-range equality-deleted
+    (merge-on-read), then the table is reclustered to mode='range' on
+    the SAME path — one atomic replace commit that applies the
+    deletes, freezes fresh boundaries, and leaves the old layout
+    time-travelable.  File pruning on the new layout is asserted to
+    bite; DuckDB recomputes the post-delete key-range aggregates from
+    raw parquet, so a recluster that lost rows, resurrected deleted
+    rows, or misplaced a boundary mismatches."""
+    import tempfile
+
+    from parquet_spark.manifest import (EncodedTable, _prune_parts,
+                                        delete_rows, read_decoded,
+                                        recluster_table, scan_table,
+                                        write_encoded)
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="entry_recluster_") + "/t"
+    write_encoded(d, path, key=["doc_id"], n_parts=4, rows_per_chunk=64)
+    delete_rows(spark, path, [("doc_id", 120, 139)])
+    recluster_table(spark, path, mode="range", n_parts=8)
+    parts = EncodedTable(path).committed_parts()
+    pred = [("doc_id", 100, 220)]
+    kept = _prune_parts(parts, pred)
+    assert 0 < len(kept) < len(parts), (len(kept), len(parts))
+    # the pre-recluster snapshot still reads (MOR deletes applied)
+    n_old = read_decoded(spark, path, snapshot_id=1).count()
+    out = (scan_table(spark, path, pred)
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.countDistinct(F.md5("text")).alias("n_texts"))
+           .withColumn("n_live_total", F.lit(n_old).cast("long")))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_struct_roundtrip(spark, sf_dir):
     """Nested struct codec (codecs/column.py `_enc_struct`, codec id
     12): events' (event_type, value, user_id) packed into a struct
@@ -1768,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_prune": q_null_prune,
         "row_deletes": q_row_deletes,
         "upsert": q_upsert,
+        "recluster_scan": q_recluster_scan,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -1890,6 +1929,15 @@ def oracle_sql() -> dict[str, str]:
         "struct_roundtrip": """
             SELECT event_id, event_type, value, user_id
             FROM events WHERE event_id < 3000 ORDER BY event_id""",
+        "recluster_scan": """
+            WITH live AS (SELECT * FROM documents
+                          WHERE doc_id NOT BETWEEN 120 AND 139)
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(DISTINCT md5(text)) AS n_texts,
+                   (SELECT COUNT(*) FROM live) AS n_live_total
+            FROM live WHERE doc_id BETWEEN 100 AND 220""",
         "range_file_prune": """
             SELECT COUNT(*) AS n_rows,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids,

@@ -579,8 +579,19 @@ def write_encoded(df: DataFrame, table_path: str,
                   global_dict_cols: list[str] | None = None,
                   bloom_cols: list[str] | None = None,
                   mode: str = "hash",
+                  replace: bool = False,
                   backend: CommitBackend | None = None) -> dict:
     """Encode df into the table, committing a new snapshot. Resumable.
+
+    `replace=True` commits df as the table's ENTIRE new contents under
+    this call's layout — the atomic overwrite used by layout evolution
+    (`recluster_table`): the resume-layout check is skipped, no
+    committed part is reused or carried, parent dictionaries / pending
+    deletes / frozen boundaries are NOT inherited (the new epoch
+    derives its own), and the snapshot chains to the parent so time
+    travel to the old layout keeps working until vacuum.  Incompatible
+    with `limit_parts`/`part_offset` (a partial replace would commit a
+    snapshot missing rows).
 
     `bloom_cols` builds a per-chunk Bloom filter over the named
     string/binary columns (engine.encode_chunk) so equality/IN scans
@@ -619,7 +630,15 @@ def write_encoded(df: DataFrame, table_path: str,
     spark = df.sparkSession
     table = EncodedTable(table_path, backend=backend)
     parent = table.current_snapshot()
-    done = set(map(int, table.committed_parts().keys()))
+    if replace and (limit_parts is not None or part_offset):
+        raise ValueError("replace=True commits the full table in one "
+                         "snapshot; limit_parts/part_offset would make "
+                         "it a silent partial overwrite")
+    done = (set() if replace
+            else set(map(int, table.committed_parts().keys())))
+    # the parent state a REPLACE inherits is lineage only: layout,
+    # dictionaries and deletes all restart in the new epoch
+    pmeta = {} if replace or parent is None else (parent.get("meta") or {})
 
     key = key or [df.columns[0]]
     n_parts = n_parts or spark.sparkContext.defaultParallelism
@@ -631,7 +650,7 @@ def write_encoded(df: DataFrame, table_path: str,
     boundaries: list | None = None
     zo_stats: list | None = None
     zo_bits: int | None = None
-    playout = _layout_of(parent)
+    playout = None if replace else _layout_of(parent)
     if mode == "range":
         # explicit range partitioning on key[0] (north rule).  Parts
         # own DISJOINT key ranges, so the per-part zone summaries let
@@ -677,16 +696,15 @@ def write_encoded(df: DataFrame, table_path: str,
                 "via the id translation in scan_table — drop them from "
                 "bloom_cols")
         layout["bloom_cols"] = sorted(bloom_cols)
-    _check_resume_layout(parent, layout, table_path)
+    if not replace:
+        _check_resume_layout(parent, layout, table_path)
 
     global_dicts: dict[str, list] = {}
     gdict_fallback: dict[str, str] = {}
     if global_dict_cols:
         from .dictionary import apply_global_dict, build_global_dict
-        committed_dicts = ((parent.get("meta") or {})
-                           .get("global_dicts") or {}) if parent else {}
-        committed_fb = ((parent.get("meta") or {})
-                        .get("global_dict_fallback") or {}) if parent else {}
+        committed_dicts = pmeta.get("global_dicts") or {}
+        committed_fb = pmeta.get("global_dict_fallback") or {}
         orig_cols = list(df.columns)
         for c in global_dict_cols:
             if c in committed_fb:
@@ -857,7 +875,7 @@ def write_encoded(df: DataFrame, table_path: str,
         t = pq.read_table(lineage[0].file, columns=["schema_ipc"])
         if t.num_rows:
             schema_ipc = t.column(0)[0].as_py()
-    if schema_ipc is not None and parent is not None:
+    if schema_ipc is not None and parent is not None and not replace:
         prev = table.schema(parent)
         if prev is not None:
             # an APPEND batch may carry stricter nullability (e.g. a
@@ -871,7 +889,7 @@ def write_encoded(df: DataFrame, table_path: str,
                      for i, f in enumerate(new)])
                 schema_ipc = unified.serialize().to_pybytes()
 
-    parts = dict(table.committed_parts())
+    parts = {} if replace else dict(table.committed_parts())
     for row in lineage:
         parts[str(row.part_id)] = {
             "file": row.file, "n_chunks": row.n_chunks, "n_rows": row.n_rows,
@@ -883,22 +901,25 @@ def write_encoded(df: DataFrame, table_path: str,
             "block_codec": block_codec,
             "rows_per_chunk": rows_per_chunk, "layout": layout,
             "new_parts": sorted(int(r.part_id) for r in lineage)}
-    if mappings is None and parent is not None:
-        mappings = (parent.get("meta") or {}).get("mappings")
+    if mappings is None:
+        mappings = pmeta.get("mappings")
     if mappings:
         meta["mappings"] = mappings
     if global_dicts:
         meta["global_dicts"] = global_dicts
-    elif parent is not None and (parent.get("meta") or {}).get("global_dicts"):
-        meta["global_dicts"] = parent["meta"]["global_dicts"]
+    elif pmeta.get("global_dicts"):
+        meta["global_dicts"] = pmeta["global_dicts"]
     if gdict_fallback:
         meta["global_dict_fallback"] = gdict_fallback
     # pending equality deletes survive an append commit — dropping the
-    # list here would RESURRECT deleted rows on the next read
-    if parent is not None:
-        for carry in ("delete_files", "n_deleted"):
-            if (parent.get("meta") or {}).get(carry):
-                meta[carry] = parent["meta"][carry]
+    # list here would RESURRECT deleted rows on the next read.  A
+    # replace does NOT carry them (pmeta is empty): the caller commits
+    # the table's entire new contents, deletes included or applied.
+    for carry in ("delete_files", "n_deleted"):
+        if pmeta.get(carry):
+            meta[carry] = pmeta[carry]
+    if replace and parent is not None:
+        meta["replaced_snapshot"] = parent["snapshot_id"]
     return table.commit(parts, schema_ipc, parent, meta)
 
 
@@ -1440,6 +1461,69 @@ def rewrite_table(spark: SparkSession, table_path: str,
                       **({"bloom_cols": layout["bloom_cols"]}
                          if layout.get("bloom_cols") else {})}
     return table.commit(parts, None, parent, meta=meta)
+
+
+def recluster_table(spark: SparkSession, table_path: str, mode: str,
+                    key: list[str] | None = None,
+                    n_parts: int | None = None,
+                    rows_per_chunk: int | None = None,
+                    codec: str | None = None,
+                    block_codec: str | None = None,
+                    global_dict_cols: list[str] | None = None,
+                    bloom_cols: list[str] | None = None,
+                    backend: CommitBackend | None = None) -> dict:
+    """Layout evolution: rewrite the table's CURRENT contents under a
+    new physical layout (hash <-> range <-> zorder, new key, new
+    n_parts) as one atomic snapshot commit on the SAME table path —
+    the Iceberg partition-evolution / replace-sort-order analog
+    (Iceberg expresses it as rewrite_data_files with a new spec; the
+    reference C# writer has no equivalent, its layout is fixed at
+    open, ParquetFile.cs).
+
+    The current snapshot is decoded (pending equality deletes applied,
+    global dictionaries restored to values), re-encoded under the new
+    layout — fresh range/zorder boundaries, fresh dictionaries, fresh
+    blooms, per-part zone summaries — and committed chained to the
+    parent, so time travel to the old layout keeps working until
+    `vacuum_table` reclaims the old part files.  Typical use at scale:
+    ingest fast into the hash layout, then recluster by url range (or
+    a (user,ts) z-order) so key scans prune whole files and sorted
+    urls hand the PREFIX codec its best case.
+
+    Unspecified knobs inherit from the committed snapshot: key,
+    n_parts, rows_per_chunk, codec, block_codec, and the
+    global_dict/bloom column lists (pass [] to drop one).  Cost: one
+    full decode + encode of live rows (plus a boundary-sampling pass
+    for range/zorder); nothing is collected to the driver beyond
+    lineage rows and boundaries."""
+    table = EncodedTable(table_path, backend=backend)
+    parent = table.current_snapshot()
+    if parent is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    pmeta = parent.get("meta") or {}
+    layout = _layout_of(parent) or {}
+    key = key or layout.get("key")
+    if not key:
+        raise ValueError("recluster_table needs a layout key: the "
+                         "committed table is keyless (splits-format); "
+                         "pass key=[...] explicitly")
+    if global_dict_cols is None:
+        global_dict_cols = layout.get("global_dict_cols")
+    if bloom_cols is None:
+        bloom_cols = layout.get("bloom_cols")
+    dec = read_decoded(spark, table_path, backend=backend)
+    return write_encoded(
+        dec, table_path, key=key,
+        n_parts=n_parts or layout.get("n_parts") or len(parent["parts"]) or 1,
+        codec=codec or pmeta.get("codec") or "auto",
+        rows_per_chunk=(rows_per_chunk or layout.get("rows_per_chunk")
+                        or pmeta.get("rows_per_chunk")
+                        or DEFAULT_ROWS_PER_CHUNK),
+        block_codec=block_codec or pmeta.get("block_codec") or "auto",
+        global_dict_cols=global_dict_cols or None,
+        bloom_cols=bloom_cols or None,
+        mode=mode, replace=True,
+        mappings=pmeta.get("mappings"), backend=backend)
 
 
 def relocate_table(spark: SparkSession, src_path: str, dst_path: str,

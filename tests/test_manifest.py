@@ -691,3 +691,64 @@ def test_zorder_mode_resume_and_file_prune(spark, tmp_path, sf_dir):
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+@pytest.mark.spark
+def test_recluster_layout_evolution(spark, tmp_path, sf_dir):
+    """recluster_table: hash -> range layout evolution on the same
+    table path — deletes applied, fresh frozen boundaries, whole-file
+    pruning bites, parent snapshot still time-travelable."""
+    from parquet_spark.manifest import (_prune_parts, delete_rows,
+                                        recluster_table, scan_table,
+                                        write_encoded)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "t")
+    write_encoded(d, path, key=["doc_id"], n_parts=4, rows_per_chunk=700)
+    delete_rows(spark, path, [("doc_id", 0, 99)])
+    snap = recluster_table(spark, path, mode="range", n_parts=8)
+    live = d.where(~F.col("doc_id").between(0, 99))
+    t = EncodedTable(path)
+    lay = snap["meta"]["layout"]
+    assert lay["mode"] == "range" and len(lay["boundaries"]) == 7
+    assert snap["meta"].get("replaced_snapshot") == 1
+    assert not snap["meta"].get("delete_files")  # applied, not carried
+    dec = read_decoded(spark, path)
+    assert dec.count() == live.count()
+    assert dec.exceptAll(live).count() == 0
+    assert live.exceptAll(dec).count() == 0
+    # disjoint key ranges -> driver-side file pruning bites
+    lo, hi = 100, 400
+    kept = _prune_parts(t.committed_parts(), [("doc_id", lo, hi)])
+    assert 0 < len(kept) < 8
+    got = scan_table(spark, path, [("doc_id", lo, hi)])
+    exp = live.where(F.col("doc_id").between(lo, hi))
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    # time travel: the pre-recluster snapshot still reads (MOR deletes)
+    old = read_decoded(spark, path, snapshot_id=1)
+    assert old.count() == live.count()
+    # replace guards partial overwrites
+    with pytest.raises(ValueError, match="partial"):
+        write_encoded(d, path, key=["doc_id"], n_parts=4,
+                      replace=True, limit_parts=2)
+
+
+@pytest.mark.spark
+def test_recluster_to_zorder_and_dict_refresh(spark, tmp_path, sf_dir):
+    """recluster_table to zorder; global dicts rebuilt in the new
+    epoch (ids re-frozen) and restored transparently."""
+    from parquet_spark.manifest import recluster_table, write_encoded
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "t")
+    write_encoded(ev, path, key=["event_id"], n_parts=4,
+                  global_dict_cols=["event_type"])
+    snap = recluster_table(spark, path, mode="zorder",
+                           key=["user_id", "value"], n_parts=6)
+    lay = snap["meta"]["layout"]
+    assert lay["mode"] == "zorder" and len(lay["zorder_stats"]) == 2
+    assert lay["global_dict_cols"] == ["event_type"]  # inherited
+    assert snap["meta"]["global_dicts"]["event_type"]
+    dec = read_decoded(spark, path)
+    assert dec.count() == ev.count()
+    assert dec.exceptAll(ev).count() == 0
+    assert ev.exceptAll(dec).count() == 0
