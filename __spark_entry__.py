@@ -1662,6 +1662,41 @@ def q_recluster_scan(spark, sf_dir):
     return out
 
 
+def q_ref_pinned_read(spark, sf_dir):
+    """Named refs (manifest.py `create_ref`): a tag pins the first
+    epoch's snapshot by name; after a second append epoch AND a
+    recluster rewrite, reading `ref="v1"` still sees exactly the
+    original slice while CURRENT sees both.  DuckDB recomputes both
+    slices from raw parquet — a ref resolving to the wrong snapshot,
+    or a recluster disturbing the pinned files, mismatches."""
+    import tempfile
+
+    from parquet_spark.manifest import (create_ref, read_decoded,
+                                        recluster_table, write_encoded)
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="entry_refs_") + "/t"
+    write_encoded(d.where(F.col("doc_id") < 250), path,
+                  key=["doc_id"], n_parts=2)
+    create_ref(path, "v1")
+    write_encoded(d.where((F.col("doc_id") >= 250)
+                          & (F.col("doc_id") < 400)),
+                  path, key=["doc_id"], n_parts=2, part_offset=2)
+    recluster_table(spark, path, mode="range", n_parts=4)
+
+    def summarize(df, which):
+        return (df.agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.sum("doc_id").alias("sum_ids"),
+                       F.countDistinct(F.md5("text")).alias("n_texts"))
+                .withColumn("which", F.lit(which)))
+
+    out = (summarize(read_decoded(spark, path, ref="v1"), "tag_v1")
+           .unionByName(summarize(read_decoded(spark, path), "current"))
+           .orderBy("which"))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_struct_roundtrip(spark, sf_dir):
     """Nested struct codec (codecs/column.py `_enc_struct`, codec id
     12): events' (event_type, value, user_id) packed into a struct
@@ -1807,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_deletes": q_row_deletes,
         "upsert": q_upsert,
         "recluster_scan": q_recluster_scan,
+        "ref_pinned_read": q_ref_pinned_read,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -1929,6 +1965,17 @@ def oracle_sql() -> dict[str, str]:
         "struct_roundtrip": """
             SELECT event_id, event_type, value, user_id
             FROM events WHERE event_id < 3000 ORDER BY event_id""",
+        "ref_pinned_read": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   COUNT(DISTINCT md5(text)) AS n_texts,
+                   'tag_v1' AS which
+            FROM documents WHERE doc_id < 250
+            UNION ALL
+            SELECT COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+                   COUNT(DISTINCT md5(text)), 'current'
+            FROM documents WHERE doc_id < 400
+            ORDER BY which""",
         "recluster_scan": """
             WITH live AS (SELECT * FROM documents
                           WHERE doc_id NOT BETWEEN 120 AND 139)

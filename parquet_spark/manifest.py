@@ -1624,9 +1624,100 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
     return dst.commit(parts, schema_ipc, dst.current_snapshot(), meta=meta)
 
 
+def create_ref(table_path: str, name: str,
+               snapshot_id: int | None = None, kind: str = "tag",
+               backend: CommitBackend | None = None) -> dict:
+    """Pin a snapshot under a NAME — the Iceberg tag/branch-ref analog
+    (the training-data use case: tag the exact dataset version a run
+    trained on, read it back by name forever).
+
+    `kind="tag"` is immutable: creating an existing tag raises (the
+    file is O_EXCL-created, so two racers cannot both succeed).
+    `kind="branch"` is a movable alias: re-creating it atomically
+    moves the pointer (last-writer-wins, documented — branches here
+    are read aliases, not divergent write targets; commits always
+    target CURRENT).  The ref records the snapshot's exact stored
+    manifest file, so resolution is immune to losing racers' same-id
+    orphans.  `vacuum_table` keeps every ref-referenced file alive,
+    so a tag outlives compactions/reclusters until it is dropped."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"kind must be 'tag' or 'branch', got {kind!r}")
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid ref name {name!r}")
+    table = EncodedTable(table_path, backend=backend)
+    snap = (table.snapshot_at(snapshot_id) if snapshot_id is not None
+            else table.current_snapshot())
+    if snap is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    ref = {"name": name, "kind": kind,
+           "snapshot_id": snap["snapshot_id"],
+           "snap_name": snap["_snap_name"],
+           "created_at": time.time()}
+    refs_dir = os.path.join(table_path, "refs")
+    os.makedirs(refs_dir, exist_ok=True)
+    path = os.path.join(refs_dir, f"{name}.json")
+    payload = json.dumps(ref).encode()
+    if kind == "tag":
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists at {table_path} (tags are "
+                "immutable; drop_ref first, or use kind='branch')")
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+    else:
+        if os.path.exists(path):
+            old = json.loads(open(path, "rb").read())
+            if old.get("kind") == "tag":
+                raise ValueError(f"ref {name!r} is a tag; tags are "
+                                 "immutable (drop_ref first)")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+    return ref
+
+
+def list_refs(table_path: str) -> dict[str, dict]:
+    """All named refs of the table (name -> ref record)."""
+    refs_dir = os.path.join(table_path, "refs")
+    out: dict[str, dict] = {}
+    try:
+        names = sorted(os.listdir(refs_dir))
+    except OSError:
+        return out
+    for n in names:
+        if n.endswith(".json"):
+            with open(os.path.join(refs_dir, n), "rb") as f:
+                ref = json.loads(f.read())
+            out[ref["name"]] = ref
+    return out
+
+
+def drop_ref(table_path: str, name: str) -> None:
+    """Remove a ref.  Files it alone kept alive become vacuum-eligible
+    on the next `vacuum_table`."""
+    path = os.path.join(table_path, "refs", f"{name}.json")
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        raise ValueError(f"no ref {name!r} at {table_path}")
+
+
+def _ref_snapshot(table: "EncodedTable", name: str) -> dict:
+    refs = list_refs(table.path)
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} at {table.path} "
+                         f"(have: {sorted(refs)})")
+    return table._load_snapshot(refs[name]["snap_name"])
+
+
 def vacuum_table(table_path: str, grace_s: float = 3600.0,
                  backend: CommitBackend | None = None) -> list[str]:
-    """Delete data files not referenced by the CURRENT snapshot.
+    """Delete data files not referenced by the CURRENT snapshot or by
+    any named ref (tags pin their snapshot's files — Iceberg's
+    expire-snapshots-respects-refs rule).
 
     Separate from compaction by design: deleting eagerly at commit time
     would break time-travel to parent snapshots and, worse, a crash
@@ -1637,6 +1728,11 @@ def vacuum_table(table_path: str, grace_s: float = 3600.0,
     the removed paths."""
     table = EncodedTable(table_path, backend=backend)
     live = set(os.path.abspath(f) for f in table.data_files())
+    for ref in list_refs(table_path).values():
+        snap = table._load_snapshot(ref["snap_name"])
+        live.update(os.path.abspath(f) for f in table.data_files(snap))
+        for df in (snap.get("meta") or {}).get("delete_files") or []:
+            live.add(os.path.abspath(df["path"]))
     removed = []
     cutoff = time.time() - grace_s
     data_dir = os.path.join(table_path, "data")
@@ -1655,14 +1751,20 @@ def vacuum_table(table_path: str, grace_s: float = 3600.0,
 
 
 def _resolve_snap(table: "EncodedTable",
-                  snapshot_id: int | None) -> dict | None:
+                  snapshot_id: int | None,
+                  ref: str | None = None) -> dict | None:
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        return _ref_snapshot(table, ref)
     return (table.snapshot_at(snapshot_id) if snapshot_id is not None
             else table.current_snapshot())
 
 
 def read_encoded(spark: SparkSession, table_path: str,
                  backend: CommitBackend | None = None,
-                 snapshot_id: int | None = None) -> DataFrame:
+                 snapshot_id: int | None = None,
+                 ref: str | None = None) -> DataFrame:
     """Chunk rows of the CURRENT snapshot (uncommitted files invisible),
     or of an ancestor snapshot when `snapshot_id` is given (time travel
     — valid until `vacuum_table` reclaims the old files).
@@ -1674,7 +1776,7 @@ def read_encoded(spark: SparkSession, table_path: str,
     deterministic (absent columns read as null, which every zone
     consumer already treats as "keep the chunk")."""
     table = EncodedTable(table_path, backend=backend)
-    files = table.data_files(_resolve_snap(table, snapshot_id))
+    files = table.data_files(_resolve_snap(table, snapshot_id, ref))
     if not files:
         raise ValueError(f"no committed snapshot at {table_path}")
     return spark.read.schema(ENCODED_DDL).parquet(*files)
@@ -1683,16 +1785,18 @@ def read_encoded(spark: SparkSession, table_path: str,
 def read_decoded(spark: SparkSession, table_path: str,
                  columns: list[str] | None = None,
                  backend: CommitBackend | None = None,
-                 snapshot_id: int | None = None) -> DataFrame:
+                 snapshot_id: int | None = None,
+                 ref: str | None = None) -> DataFrame:
     """Decoded rows of the CURRENT snapshot (or of an ancestor snapshot
     when `snapshot_id` is given — the schema AND global dictionaries of
     THAT snapshot apply, so time travel sees exactly what a reader saw
     then).  Columns written with `global_dict_cols` are transparently
     restored from int ids to their values via the dictionary persisted
     in the snapshot meta (a literal array lookup — codegen, no join,
-    no shuffle)."""
+    no shuffle).  `ref="name"` reads the snapshot a named tag/branch
+    pins (create_ref) — the reproducible-training-dataset handle."""
     table = EncodedTable(table_path, backend=backend)
-    snap = _resolve_snap(table, snapshot_id)
+    snap = _resolve_snap(table, snapshot_id, ref)
     files = table.data_files(snap)
     if not files:
         raise ValueError(f"no committed snapshot at {table_path}")
@@ -1818,7 +1922,8 @@ def scan_table(spark: SparkSession, table_path: str,
                pred: list[tuple] | dict,
                columns: list[str] | None = None,
                backend: CommitBackend | None = None,
-               snapshot_id: int | None = None) -> DataFrame:
+               snapshot_id: int | None = None,
+               ref: str | None = None) -> DataFrame:
     """Predicate-pushdown scan over a committed table — the
     global-dict-AWARE analog of engine.scan_filtered.
 
@@ -1836,7 +1941,7 @@ def scan_table(spark: SparkSession, table_path: str,
     scan_filtered.  `pred` shapes: AND-list of (col, lo, hi) /
     (col, "=", v) / (col, "in", [v...]), or {"any": [and_list, ...]}."""
     table = EncodedTable(table_path, backend=backend)
-    snap = _resolve_snap(table, snapshot_id)
+    snap = _resolve_snap(table, snapshot_id, ref)
     gdicts = table.meta(snap).get("global_dicts") or {}
 
     def translate(terms):

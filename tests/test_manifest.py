@@ -752,3 +752,51 @@ def test_recluster_to_zorder_and_dict_refresh(spark, tmp_path, sf_dir):
     assert dec.count() == ev.count()
     assert dec.exceptAll(ev).count() == 0
     assert ev.exceptAll(dec).count() == 0
+
+
+@pytest.mark.spark
+def test_refs_tag_branch_vacuum(spark, tmp_path, sf_dir):
+    """Named refs: immutable tags pin a snapshot by name (readable
+    across later rewrites), branches move, and vacuum keeps every
+    ref-referenced file alive until the ref is dropped."""
+    import time as _time
+
+    from parquet_spark.manifest import (create_ref, drop_ref, list_refs,
+                                        recluster_table, scan_table,
+                                        vacuum_table, write_encoded)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "t")
+    write_encoded(d.where(F.col("doc_id") < 300), path,
+                  key=["doc_id"], n_parts=2)
+    create_ref(path, "v1")  # tag CURRENT (snapshot 0)
+    create_ref(path, "main-alias", kind="branch")
+    write_encoded(d.where((F.col("doc_id") >= 300)
+                          & (F.col("doc_id") < 500)),
+                  path, key=["doc_id"], n_parts=2, part_offset=2)
+    recluster_table(spark, path, mode="range", n_parts=4)
+    create_ref(path, "main-alias", kind="branch")  # branch moves
+    # tag still reads the ORIGINAL 300 rows after the recluster
+    tagged = read_decoded(spark, path, ref="v1")
+    assert tagged.count() == 300
+    assert read_decoded(spark, path, ref="main-alias").count() == 500
+    got = scan_table(spark, path, [("doc_id", 0, 99)], ref="v1")
+    assert got.count() == d.where(F.col("doc_id") < 100).count()
+    # immutability + guards
+    with pytest.raises(ValueError, match="immutable"):
+        create_ref(path, "v1")
+    with pytest.raises(ValueError, match="immutable"):
+        create_ref(path, "v1", kind="branch")
+    with pytest.raises(ValueError, match="not both"):
+        read_decoded(spark, path, snapshot_id=0, ref="v1")
+    assert set(list_refs(path)) == {"v1", "main-alias"}
+    # vacuum spares tag-pinned files; after drop_ref they go
+    removed = vacuum_table(path, grace_s=0.0)
+    assert read_decoded(spark, path, ref="v1").count() == 300
+    drop_ref(path, "v1")
+    drop_ref(path, "main-alias")
+    _time.sleep(0.01)
+    removed = vacuum_table(path, grace_s=0.0)
+    assert removed  # the old layout's files are reclaimed now
+    with pytest.raises(ValueError, match="no ref"):
+        read_decoded(spark, path, ref="v1")
+    assert read_decoded(spark, path).count() == 500
