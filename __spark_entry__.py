@@ -830,6 +830,35 @@ def q_dict_pruned_scan(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_like_prune(spark, sf_dir):
+    """LIKE-'p%' predicate pushdown ((col, "prefix", p) terms): on a
+    range-keyed url layout the prefix prunes whole FILES from the
+    manifest's per-part zone summaries before any Spark job, then
+    chunks via the string zone maps, and a prefix on the global-dict
+    lang column translates to the matching id set.  The residual is an
+    exact startswith on restored values; DuckDB recomputes the same
+    aggregates with LIKE over raw data (prefixes contain no wildcard
+    chars, so LIKE == starts_with)."""
+    import tempfile
+
+    from parquet_spark.manifest import (EncodedTable, _prune_parts,
+                                        scan_table, write_encoded)
+    d = _derived_corpus(spark, sf_dir).select(
+        "url", "lang", "doc_id", "text")
+    path = tempfile.mkdtemp(prefix="entry_like_")
+    write_encoded(d, path, key=["url"], n_parts=4, mode="range",
+                  rows_per_chunk=256, global_dict_cols=["lang"])
+    parts = EncodedTable(path).committed_parts()
+    kept = _prune_parts(parts, [("url", "prefix", "https://host1")])
+    assert 0 < len(kept) < len(parts), (len(kept), len(parts))
+    return (scan_table(spark, path, [("url", "prefix", "https://host1"),
+                                     ("lang", "prefix", "d")])
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct(F.md5("url")).alias("n_urls"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.countDistinct(F.md5("text")).alias("n_texts")))
+
+
 def q_route_partitioned(spark, sf_dir):
     """Single-pass high-cardinality routing (the scale path the
     route_encoded guard points at): ONE encode keyed on the route
@@ -1846,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
+        "like_prune": q_like_prune,
         "in_prune": q_in_prune,
         "dict_pruned_scan": q_dict_pruned_scan,
         "global_dict_lang": q_global_dict_lang,
@@ -2541,6 +2571,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM documents t JOIN d ON t.lang = d.value
             GROUP BY 1, 2 ORDER BY lang_id""",
+        "like_prune": f"""
+            WITH corpus AS ({_CORPUS_SQL})
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(DISTINCT md5(url)) AS n_urls,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   COUNT(DISTINCT md5(text)) AS n_texts
+            FROM corpus
+            WHERE url LIKE 'https://host1%' AND lang LIKE 'd%'""",
         "in_prune": """
             SELECT COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

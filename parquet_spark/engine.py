@@ -727,10 +727,14 @@ def _norm_term(term: tuple) -> tuple:
                               COUNT (zone_nulls): chunks with zero
                               nulls in `col` are skipped
       (col, "notnull", None)  IS NOT NULL — skips all-null chunks
+      (col, "prefix", p)   LIKE 'p%' — prunes via the string zone
+                           range [p, prefix_upper(p)); the residual is
+                           an exact startswith (no wildcard escaping
+                           concerns: `p` is a literal, not a pattern)
 
-    The markers "=" / "in" are reserved: a genuine string range whose
-    lo bound is literally "=" or "in" is not expressible with the tuple
-    sugar — filter it on the decoded frame instead.  NULL values fail
+    The markers "=" / "in" / "prefix" are reserved: a genuine string
+    range whose lo bound is literally one of them is not expressible
+    with the tuple sugar — filter it on the decoded frame instead.  NULL values fail
     loudly: (col, "=", None) raises (zone maps track no null counts, so
     IS NULL can never prune — silently treating it as a string range
     with lo "=" returned unrelated rows), and NULLs inside an IN-list
@@ -763,7 +767,32 @@ def _norm_term(term: tuple) -> tuple:
             raise TypeError(f"IN-list for {col!r} mixes numeric and "
                             "string values")
         return ("in", col, nn)
+    if a == "prefix":
+        if not isinstance(b, str) or not b:
+            raise TypeError(f"({col!r}, 'prefix', …): the prefix must "
+                            "be a non-empty string (an empty prefix "
+                            "matches everything — drop the term)")
+        return ("prefix", col, b)
     return ("range", col, a, b)
+
+
+def _prefix_upper(p: str) -> str | None:
+    """Smallest string greater than EVERY string with prefix `p`:
+    increment the last incrementable code point and drop the tail
+    (b"ab\\xff..." analog in code-point space).  None when every char
+    is U+10FFFF — no finite upper bound exists (vanishingly rare; the
+    caller falls back to a half-open range).  Valid for both Python
+    (code-point) and Spark/UTF-8 (byte-wise) comparisons: UTF-8 byte
+    order equals code-point order, and surrogates (U+D800-DFFF) are
+    skipped when incrementing so the bound stays encodable."""
+    cps = [ord(c) for c in p]
+    for i in range(len(cps) - 1, -1, -1):
+        nxt = cps[i] + 1
+        if nxt == 0xD800:       # skip the surrogate block
+            nxt = 0xE000
+        if nxt <= 0x10FFFF:
+            return p[:i] + chr(nxt)
+    return None
 
 
 # numeric bounds check both numeric zone families: int/timestamp
@@ -802,6 +831,12 @@ def _zone_keep_term(term: tuple):
     if t[0] == "range":
         _, col, lo, hi = t
         return _zone_keep_cond(col, lo, hi)
+    if t[0] == "prefix":
+        # LIKE 'p%' ⊂ [p, _prefix_upper(p)): the inclusive zone test
+        # over-keeps at most the single boundary value — the residual
+        # startswith is exact
+        _, col, p = t
+        return _zone_keep_cond(col, p, _prefix_upper(p))
     if t[0] in ("isnull", "notnull"):
         _, col = t
         idx = F.array_position(F.col("zone_cols"), col).cast("int")
@@ -889,7 +924,8 @@ def prune_chunks_pred(enc_df: DataFrame,
     predicate->prune compiler bottoms out in.  Term shapes (see
     _norm_term): (col, lo, hi) inclusive range (None = half-open),
     (col, "=", v) equality, (col, "in", [v...]) IN-list — the IN form
-    prunes per VALUE, so a sparse list skips chunks between its values.
+    prunes per VALUE, so a sparse list skips chunks between its values —
+    and (col, "prefix", p) LIKE-'p%' pruning via the string zone range.
     A chunk is kept iff its zone ranges could satisfy the predicate.
     Pure metadata filter (codegen, no decode), so it composes with
     prune_chunks and column pruning.
@@ -951,6 +987,10 @@ def _residual_cond(dec: DataFrame, terms) -> "F.Column":
             c = _residual_col(col, types, numeric)
             vals = [_as_num_bound(v) for v in vals] if numeric else vals
             cond = cond & c.isin(vals)
+            continue
+        if t[0] == "prefix":
+            _, col, p = t
+            cond = cond & _residual_col(col, types, False).startswith(p)
             continue
         _, col, lo, hi = t
         numeric = ((lo is not None and _is_numeric_bound(lo))

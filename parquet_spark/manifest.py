@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .engine import (DEFAULT_ROWS_PER_CHUNK, ENCODED_DDL,
                      _as_num_bound, _chunk_rows_to_batch,
-                     _is_numeric_bound, _norm_term, _residual_cond,
+                     _is_numeric_bound, _norm_term, _prefix_upper,
+                     _residual_cond,
                      decode_chunk, decode_table, encode_chunk,
                      part_zone_summary, part_zone_summary_from_chunkrows,
                      prune_chunks_pred, take_full_batches)
@@ -1890,6 +1891,10 @@ def _part_keep_term(zones: dict, n_rows: int, term: tuple) -> bool:
             lo = _as_num_bound(lo) if lo is not None else None
             hi = _as_num_bound(hi) if hi is not None else None
         return fits(lo, hi, numeric)
+    if t[0] == "prefix":
+        # same [p, _prefix_upper(p)) box the chunk-level prune uses;
+        # the inclusive fits() over-keeps only the boundary value
+        return fits(t[2], _prefix_upper(t[2]), False)
     vals = t[2]
     numeric = _is_numeric_bound(vals[0])
     nvals = [_as_num_bound(v) for v in vals] if numeric else vals
@@ -1963,6 +1968,12 @@ def scan_table(spark: SparkSession, table_path: str,
                     # equally huge literal id array inside the zone-keep
                     # expression — skip pruning, the exact residual
                     # below still applies
+            elif t[0] == "prefix":
+                ids = [i for i, v in enumerate(vals)
+                       if v is not None and v.startswith(t[2])]
+                if len(ids) > _GDICT_PRUNE_MAX:
+                    continue  # too many matching dict values: no
+                    # pruning, exact residual below still applies
             else:
                 _, _, lo, hi = t
                 ids = [i for i, v in enumerate(vals)

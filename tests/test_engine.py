@@ -811,3 +811,55 @@ def test_struct_column_through_encode_table(spark, sf_dir):
     assert dec.exceptAll(ev).count() == 0
     assert ev.exceptAll(dec).count() == 0
     enc.unpersist()
+
+
+def test_prefix_upper_bound_algebra():
+    """_prefix_upper(p) must exceed EVERY string with prefix p and be
+    minimal enough to prune tightly; surrogate and max-code-point
+    edges stay valid."""
+    from parquet_spark.engine import _prefix_upper
+    assert _prefix_upper("ab") == "ac"
+    assert _prefix_upper("a\uffff") == "a\U00010000"
+    assert _prefix_upper("z") == "{"
+    # increments past the surrogate block, never into it
+    assert _prefix_upper("a퟿") == "a"
+    # all-max-code-point prefix has no finite upper bound
+    assert _prefix_upper("\U0010ffff\U0010ffff") is None
+    assert _prefix_upper("a\U0010ffff") == "b"
+    for p in ("ab", "a\uffff", "z", "https://host1"):
+        up = _prefix_upper(p)
+        for s in (p, p + "z", p + "\U0010ffff" * 3):
+            assert s < up, (p, s, up)
+
+
+@pytest.mark.spark
+def test_prefix_predicate_prunes_and_filters(spark):
+    """(col, "prefix", p): LIKE-'p%' pushdown — chunk pruning on the
+    string zone range plus an exact startswith residual, equal to the
+    full filter over raw data."""
+    from parquet_spark.engine import prune_chunks_pred, scan_filtered
+    df = gen_corpus(spark, 4000, seed=11, parts=4)
+    enc = encode_table(df, key=["url"], n_parts=4,
+                       rows_per_chunk=100).cache()
+    n_all = enc.count()
+    hosts = [r.h for r in df.select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("h"))
+        .distinct().collect()]
+    p = f"https://{sorted(hosts)[0]}/"
+    kept = prune_chunks_pred(enc, [("url", "prefix", p)])
+    assert 0 < kept.count() < n_all, (kept.count(), n_all)  # pruning bites
+    got = scan_filtered(enc, [("url", "prefix", p)])
+    want = df.where(F.col("url").startswith(p))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # composes with other terms in one AND-list
+    got2 = scan_filtered(enc, [("url", "prefix", p),
+                               ("lang", "=", "de")])
+    want2 = want.where(F.col("lang") == "de")
+    assert got2.count() == want2.count()
+    # malformed prefixes fail loudly
+    with pytest.raises(TypeError, match="non-empty"):
+        prune_chunks_pred(enc, [("url", "prefix", "")])
+    with pytest.raises(TypeError, match="non-empty"):
+        prune_chunks_pred(enc, [("url", "prefix", 7)])
+    enc.unpersist()

@@ -800,3 +800,41 @@ def test_refs_tag_branch_vacuum(spark, tmp_path, sf_dir):
     with pytest.raises(ValueError, match="no ref"):
         read_decoded(spark, path, ref="v1")
     assert read_decoded(spark, path).count() == 500
+
+
+@pytest.mark.spark
+def test_prefix_predicate_through_scan_table(spark):
+    """(col, "prefix", p) through the table scan: file-level manifest
+    pruning on range layouts, id-translation for global-dict columns,
+    and the exact startswith residual on restored values."""
+    import tempfile
+
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.manifest import (EncodedTable, _prune_parts,
+                                        scan_table, write_encoded)
+    df = gen_corpus(spark, 2000, seed=31, parts=4) \
+        .select("url", "lang", "text")
+    tbl = tempfile.mkdtemp(prefix="prefix_scan_")
+    write_encoded(df, tbl, key=["url"], n_parts=4, mode="range",
+                  global_dict_cols=["lang"])
+    host = sorted(r.h for r in df.select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("h"))
+        .distinct().collect())[0]
+    p = f"https://{host}/"
+    # file-level prune: a range layout on url gives disjoint per-part
+    # spans, so a single-host prefix must skip at least one file
+    parts = EncodedTable(tbl).committed_parts()
+    kept_files = _prune_parts(parts, [("url", "prefix", p)])
+    assert 0 < len(kept_files) < len(parts), (len(kept_files), len(parts))
+    got = scan_table(spark, tbl, [("url", "prefix", p)])
+    want = df.where(F.col("url").startswith(p))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # prefix on the dict column translates to an id IN-list and
+    # restores values before the residual
+    got_l = scan_table(spark, tbl, [("lang", "prefix", "d")])
+    want_l = df.where(F.col("lang").startswith("d"))
+    assert got_l.count() == want_l.count() > 0
+    assert got_l.exceptAll(want_l).count() == 0
+    # a prefix matching NO dict value prunes everything, returns empty
+    assert scan_table(spark, tbl, [("lang", "prefix", "zzz")]).count() == 0
