@@ -830,6 +830,75 @@ def q_dict_pruned_scan(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level duplicate-line removal (textops/dedup.py
+    `dedup_lines`, the C4/CCNet boilerplate pass).  The flat corpus
+    text has no newlines, so both engines derive the same multi-line
+    documents (lines = consecutive 2-word groups joined with \\n) and
+    DuckDB recomputes the full vote -> anti-join -> ordered-rebuild
+    pipeline; the facet returns the n_removed histogram with per-bucket
+    id checksums and cleaned-text digests, so one wrongly kept or
+    dropped line mismatches.  Non-vacuity asserted (some line must
+    actually repeat across >= 2 docs)."""
+    from parquet_spark.textops.dedup import dedup_lines
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    m = F.ceil(F.size(w) / F.lit(2.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.array_join(F.slice(w, (i - 1) * 2 + 1, 2), " "))
+    docs = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = dedup_lines(docs, min_docs=2).cache()
+    n_hit = out.where(F.col("n_removed") > 0).count()
+    assert n_hit > 0, "vacuous: no cross-doc duplicate lines"
+    res = (out.groupBy("n_removed")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.countDistinct(F.md5("text_clean")).alias("n_cleans"))
+           .orderBy("n_removed"))
+    res = res.cache()
+    res.count()
+    out.unpersist()
+    return res
+
+
+def q_alter_columns(spark, sf_dir):
+    """Metadata-only schema evolution (manifest.alter_table): add a
+    nullable column, rename one, drop one — zero data files touched —
+    then append a second generation that stores the new shape
+    physically, and read the mixed generations back.  DuckDB rebuilds
+    both generations (gen1 with NULL score, no n_chars, source renamed)
+    and must agree on per-origin aggregates including the null-fill
+    count — a wrong translation or fill mismatches immediately."""
+    import tempfile
+
+    from parquet_spark.manifest import (alter_table, read_decoded,
+                                        write_encoded)
+    d = _t(spark, sf_dir, "documents")
+    gen1 = d.where(F.col("doc_id") % 2 == 0)
+    path = tempfile.mkdtemp(prefix="entry_alter_")
+    write_encoded(gen1, path, key=["doc_id"], n_parts=2,
+                  rows_per_chunk=256)
+    alter_table(path, add=[("score", "double")],
+                rename={"source": "origin"}, drop=["n_chars"])
+    gen2 = (d.where(F.col("doc_id") % 2 == 1)
+            .withColumnRenamed("source", "origin").drop("n_chars")
+            .withColumn("score",
+                        (F.col("doc_id") % 100).cast("double")))
+    write_encoded(gen2, path, key=["doc_id"], n_parts=2, part_offset=2,
+                  rows_per_chunk=256)
+    return (read_decoded(spark, path)
+            .groupBy("origin")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.count(F.when(F.col("score").isNull(), 1))
+                 .alias("n_null_score"),
+                 F.sum(F.coalesce(F.col("score"), F.lit(0.0)))
+                 .alias("sum_score"),
+                 F.countDistinct(F.md5("text")).alias("n_texts"))
+            .orderBy("origin"))
+
+
 def q_like_prune(spark, sf_dir):
     """LIKE-'p%' predicate pushdown ((col, "prefix", p) terms): on a
     range-keyed url layout the prefix prunes whole FILES from the
@@ -1875,6 +1944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
+        "alter_columns": q_alter_columns,
+        "line_dedup": q_line_dedup,
         "like_prune": q_like_prune,
         "in_prune": q_in_prune,
         "dict_pruned_scan": q_dict_pruned_scan,
@@ -2571,6 +2642,58 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM documents t JOIN d ON t.lang = d.value
             GROUP BY 1, 2 ORDER BY lang_id""",
+        "line_dedup": """
+            WITH docs AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(
+                         generate_series(1, CAST(CEIL(
+                           len(string_split(text, ' ')) / 2.0) AS INT)),
+                         i -> array_to_string(
+                           string_split(text, ' ')[((i-1)*2+1):(i*2)],
+                           ' ')),
+                       chr(10)) AS text
+              FROM documents),
+            lines AS (
+              SELECT doc_id, i AS ord,
+                     string_split(text, chr(10))[i] AS line
+              FROM docs,
+                   UNNEST(generate_series(1,
+                     len(string_split(text, chr(10))))) AS g(i)),
+            dup AS (SELECT line FROM lines WHERE len(line) >= 1
+                    GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+            kept AS (SELECT l.* FROM lines l ANTI JOIN dup d USING (line)),
+            rebuilt AS (SELECT doc_id,
+                               string_agg(line, chr(10) ORDER BY ord)
+                                 AS clean,
+                               COUNT(*) AS n_kept
+                        FROM kept GROUP BY doc_id),
+            per_doc AS (
+              SELECT d.doc_id,
+                     len(string_split(d.text, chr(10)))
+                       - COALESCE(r.n_kept, 0) AS n_removed,
+                     COALESCE(r.clean, '') AS clean
+              FROM docs d LEFT JOIN rebuilt r USING (doc_id))
+            SELECT CAST(n_removed AS BIGINT) AS n_removed,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   COUNT(DISTINCT md5(clean)) AS n_cleans
+            FROM per_doc GROUP BY 1 ORDER BY 1""",
+        "alter_columns": """
+            WITH gen1 AS (SELECT doc_id, text, lang, source AS origin,
+                                 CAST(NULL AS DOUBLE) AS score
+                          FROM documents WHERE doc_id % 2 = 0),
+            gen2 AS (SELECT doc_id, text, lang, source AS origin,
+                            CAST(doc_id % 100 AS DOUBLE) AS score
+                     FROM documents WHERE doc_id % 2 = 1),
+            u AS (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2)
+            SELECT origin, COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_score,
+                   SUM(COALESCE(score, 0.0)) AS sum_score,
+                   COUNT(DISTINCT md5(text)) AS n_texts
+            FROM u GROUP BY origin ORDER BY origin""",
         "like_prune": f"""
             WITH corpus AS ({_CORPUS_SQL})
             SELECT COUNT(*) AS n_rows,

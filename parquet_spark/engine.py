@@ -582,7 +582,8 @@ def read_encoded_schema(enc_df: DataFrame) -> pa.Schema:
 
 def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
                  columns: list[str] | None = None,
-                 with_part_id: bool = False) -> DataFrame:
+                 with_part_id: bool = False,
+                 renames: dict | None = None) -> DataFrame:
     """Decode chunk rows back to the original table. Narrow (no shuffle).
 
     `with_part_id=True` appends a `_part_id` bigint column carrying
@@ -592,8 +593,19 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
     `columns` is column pruning THROUGH the encoded format: payloads are
     stored per column, so unselected columns are never decompressed or
     decoded — the projection reaches the "scan", like parquet column
-    pruning (a 2-column projection must not pay for `html`)."""
+    pruning (a 2-column projection must not pay for `html`).
+
+    `renames` (not None) switches to the SCHEMA-EVOLUTION decoder
+    (manifest.alter_table): chunk-physical column names are mapped
+    through the dict (value None = dropped/tombstoned), columns in
+    `schema` absent from a chunk decode as all-null (metadata-only
+    add_column), and chunk columns outside `schema` are skipped without
+    decompression (metadata-only drop_column).  `schema` is then
+    REQUIRED and must carry the evolved logical names/types."""
     from pyspark.sql.pandas.types import from_arrow_schema
+    if renames is not None and schema is None:
+        raise ValueError("the schema-evolution decoder needs the "
+                         "snapshot's evolved schema")
     schema = schema or read_encoded_schema(enc_df)
     if columns is not None:
         missing = [c for c in columns if schema.get_field_index(c) < 0]
@@ -604,6 +616,47 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
         schema = schema.append(pa.field("_part_id", pa.int64()))
     spark_schema = from_arrow_schema(schema)
     want = columns
+
+    if renames is not None:
+        out_schema = schema
+        data_fields = [f for f in schema if f.name != "_part_id"]
+        ren = dict(renames)
+
+        def evolved(batches: Iterator[pa.RecordBatch]) \
+                -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                names_col = batch.column(
+                    batch.schema.get_field_index("names"))
+                pay_col = batch.column(
+                    batch.schema.get_field_index("payloads"))
+                pid_col = batch.column(
+                    batch.schema.get_field_index("part_id"))
+                nrows_col = batch.column(
+                    batch.schema.get_field_index("n_rows"))
+                for i in range(batch.num_rows):
+                    names = names_col[i].as_py()
+                    pays = pay_col[i].values
+                    # physical -> logical; None = tombstoned (dropped):
+                    # skipped without decompression, like any column
+                    # outside the projection
+                    keep = {}
+                    for j, n in enumerate(names):
+                        ln = ren.get(n, n)
+                        if ln is not None:
+                            keep[ln] = memoryview(
+                                pays[j].as_buffer()).cast("B")
+                    n_rows = nrows_col[i].as_py()
+                    arrs = [decode_column(keep[f.name], f.type)
+                            if f.name in keep
+                            else pa.nulls(n_rows, f.type)
+                            for f in data_fields]
+                    if with_part_id:
+                        arrs.append(pa.array(np.full(
+                            n_rows, pid_col[i].as_py(), dtype=np.int64)))
+                    yield pa.RecordBatch.from_arrays(arrs,
+                                                     schema=out_schema)
+
+        return enc_df.mapInArrow(evolved, spark_schema)
 
     def decoder(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:

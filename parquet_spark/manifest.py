@@ -879,11 +879,22 @@ def write_encoded(df: DataFrame, table_path: str,
     if schema_ipc is not None and parent is not None and not replace:
         prev = table.schema(parent)
         if prev is not None:
+            new = pa.ipc.read_schema(pa.BufferReader(schema_ipc))
+            if pmeta.get("renames") is not None \
+                    and [f.name for f in new] != [f.name for f in prev]:
+                # the table's schema was evolved by alter_table:
+                # committing an append batch with a DIFFERENT column
+                # set would silently revert the evolution
+                raise ValueError(
+                    "append schema does not match the evolved table "
+                    f"schema: batch has {[f.name for f in new]}, table "
+                    f"has {[f.name for f in prev]} (alter_table "
+                    "evolution applies to appends too — supply every "
+                    "current column)")
             # an APPEND batch may carry stricter nullability (e.g. a
             # literal-filled column): committing its schema verbatim
             # would declare old null-bearing chunks non-nullable and
             # crash decode — unify per-field nullability instead
-            new = pa.ipc.read_schema(pa.BufferReader(schema_ipc))
             if [f.name for f in new] == [f.name for f in prev]:
                 unified = pa.schema(
                     [f.with_nullable(f.nullable or prev.field(i).nullable)
@@ -919,6 +930,10 @@ def write_encoded(df: DataFrame, table_path: str,
     for carry in ("delete_files", "n_deleted"):
         if pmeta.get(carry):
             meta[carry] = pmeta[carry]
+    # schema-evolution state survives appends ({} is meaningful: it
+    # arms the evolution decoder for null-filling added columns)
+    if pmeta.get("renames") is not None:
+        meta["renames"] = pmeta["renames"]
     if replace and parent is not None:
         meta["replaced_snapshot"] = parent["snapshot_id"]
     return table.commit(parts, schema_ipc, parent, meta)
@@ -1210,6 +1225,10 @@ def compact_table(spark: SparkSession, table_path: str,
     for carry in ("mappings", "global_dicts"):
         if (parent.get("meta") or {}).get(carry):
             meta[carry] = parent["meta"][carry]
+    # schema-evolution mapping survives compaction: chunks move (or
+    # rechunk) with their PHYSICAL column names intact
+    if (parent.get("meta") or {}).get("renames") is not None:
+        meta["renames"] = parent["meta"]["renames"]
     return table.commit(parts, None, parent, meta=meta)
 
 
@@ -1456,12 +1475,141 @@ def rewrite_table(spark: SparkSession, table_path: str,
     meta = dict(pmeta)
     meta.pop("delete_files", None)
     meta.pop("n_deleted", None)
+    # the rewrite re-encoded the DECODED frame, so new chunks carry the
+    # logical (post-alter) names: the evolution is now materialized
+    meta.pop("renames", None)
     meta["rewritten_from"] = parent["snapshot_id"]
     meta["layout"] = {"mode": "hash", "key": key, "n_parts": n_parts,
                       "rows_per_chunk": rows_per_chunk,
                       **({"bloom_cols": layout["bloom_cols"]}
                          if layout.get("bloom_cols") else {})}
     return table.commit(parts, None, parent, meta=meta)
+
+
+def alter_table(table_path: str,
+                add: list[tuple] | None = None,
+                drop: list[str] | None = None,
+                rename: dict[str, str] | None = None,
+                backend: CommitBackend | None = None) -> dict:
+    """Metadata-only schema evolution (the Iceberg ALTER TABLE analog):
+    add nullable columns, drop columns, and rename columns by
+    committing ONLY a new snapshot — zero data files touched, O(1)
+    regardless of table size.
+
+    - `add`: [(name, type)] with type a pyarrow DataType or alias
+      string ("int64", "string", ...).  Added columns read as NULL in
+      every pre-alter part and are stored physically by later appends.
+    - `drop`: [name].  The payload bytes stay on disk (time travel to
+      the pre-alter snapshot still sees them) but post-alter reads skip
+      them WITHOUT decompression.
+    - `rename`: {old: new}.  Old parts keep their physical column
+      names; a persisted physical->logical map translates at decode.
+
+    Mechanics: the snapshot's `meta["renames"]` maps chunk-PHYSICAL
+    names to current LOGICAL names (value None = tombstoned drop); its
+    presence arms the evolution decoder in decode_table, and scan_table
+    expands each logical predicate into an AND over the column's
+    physical aliases so zone/bloom/file pruning keeps biting on old
+    parts (absent names keep conservatively, so the conjunction is
+    exact).  Because chunks are name-addressed (no Iceberg field ids),
+    a name that ever existed physically can never be REUSED: re-adding
+    a dropped name (or renaming onto one) would resurrect the old
+    payload bytes under the new logical column — those alters raise,
+    pointing at a fresh name or a full rewrite instead.
+
+    Layout-key columns (hash/range/zorder key, the delete-file
+    identity) cannot be dropped or renamed — use recluster_table to
+    change the layout first.  Reference analog: the reference rewrites
+    the whole file on any schema change (ParquetFile.cs:120-124); this
+    is the scale-path replacement."""
+    table = EncodedTable(table_path, backend=backend)
+    parent = table.current_snapshot()
+    if parent is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    schema = table.schema(parent)
+    if schema is None:
+        raise ValueError(f"{table_path} has no committed schema")
+    add = list(add or [])
+    drop = list(drop or [])
+    rename = dict(rename or {})
+    if not (add or drop or rename):
+        raise ValueError("nothing to alter: pass add/drop/rename")
+    if set(drop) & set(rename):
+        raise ValueError(f"columns {sorted(set(drop) & set(rename))} "
+                         "both dropped and renamed in one alter")
+    meta = dict(parent.get("meta") or {})
+    ren = dict(meta.get("renames") or {})
+    keycols = set((_layout_of(parent) or {}).get("key") or [])
+    logical = set(schema.names)
+    for old in list(rename) + drop:
+        if old not in logical:
+            raise KeyError(f"column {old!r} not in table schema "
+                           f"{sorted(logical)}")
+        if old in keycols:
+            raise ValueError(
+                f"{old!r} is a layout key column (part placement, "
+                "resume identity, delete-file keys); recluster_table "
+                "to a different key before dropping/renaming it")
+    # names that ever existed physically (ren keys) can never be reused
+    used = logical | set(ren)
+    new_names = [n for n, _ in add] + list(rename.values())
+    dups = [n for n in new_names if new_names.count(n) > 1]
+    if dups:
+        raise ValueError(f"duplicate target names in one alter: "
+                         f"{sorted(set(dups))}")
+    for name, _ in add:
+        if name in used:
+            raise ValueError(
+                f"column name {name!r} is (or once was) a physical "
+                "column of this table; chunks are name-addressed, so "
+                "reusing it would resurrect old payload bytes — pick "
+                "a fresh name, or materialize the evolution with a "
+                "full rewrite (read_decoded -> write_encoded)")
+    for old, new in rename.items():
+        # renaming a column BACK to a name it once had physically is
+        # safe exactly when that physical name currently maps to the
+        # column being renamed (it restores the identity mapping)
+        if new in used and ren.get(new) != old:
+            raise ValueError(
+                f"rename target {new!r} is (or once was) a physical "
+                "column of this table; chunks are name-addressed, so "
+                "reusing it would resurrect old payload bytes — pick "
+                "a fresh name, or materialize the evolution with a "
+                "full rewrite (read_decoded -> write_encoded)")
+    fields = list(schema)
+    gd = dict(meta.get("global_dicts") or {})
+    for old, new in rename.items():
+        # every physical alias of `old` — including `old` itself:
+        # parts appended while `old` was the logical name store it
+        # physically, whether or not earlier renames exist
+        phys = [p for p, l in ren.items() if l == old] + [old]
+        for p in phys:
+            if p == new:
+                ren.pop(p, None)   # renamed back to its physical name
+            else:
+                ren[p] = new
+        fields = [pa.field(new, f.type, f.nullable, f.metadata)
+                  if f.name == old else f for f in fields]
+        if old in gd:
+            gd[new] = gd.pop(old)
+    for d in drop:
+        phys = [p for p, l in ren.items() if l == d] + [d]
+        for p in phys:
+            ren[p] = None       # tombstone: skip at decode, forever
+        fields = [f for f in fields if f.name != d]
+        gd.pop(d, None)
+    for name, typ in add:
+        typ = pa.type_for_alias(typ) if isinstance(typ, str) else typ
+        fields.append(pa.field(name, typ, nullable=True))
+    if not fields:
+        raise ValueError("alter would drop every column")
+    meta["renames"] = ren
+    meta["altered_from"] = parent["snapshot_id"]
+    if gd or "global_dicts" in meta:
+        meta["global_dicts"] = gd
+    return table.commit(dict(parent["parts"]),
+                        pa.schema(fields).serialize().to_pybytes(),
+                        parent, meta=meta)
 
 
 def recluster_table(spark: SparkSession, table_path: str, mode: str,
@@ -1619,6 +1767,8 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
                   "rows_per_chunk"):
         if (parent_src.get("meta") or {}).get(carry):
             meta[carry] = parent_src["meta"][carry]
+    if (parent_src.get("meta") or {}).get("renames") is not None:
+        meta["renames"] = parent_src["meta"]["renames"]
     schema_ipc = None
     if parent_src.get("schema_ipc_b64"):
         schema_ipc = base64.b64decode(parent_src["schema_ipc_b64"])
@@ -1811,7 +1961,8 @@ def read_decoded(spark: SparkSession, table_path: str,
     extra = [k for k in key if columns is not None and k not in columns]
     dec_cols = columns + extra if columns is not None and extra else columns
     dec = decode_table(enc, table.schema(snap), columns=dec_cols,
-                       with_part_id=has_deletes)
+                       with_part_id=has_deletes,
+                       renames=meta.get("renames"))
     dec = _restore_global_dicts(
         spark, dec, meta.get("global_dicts") or {}, dec_cols)
     if has_deletes:
@@ -1948,6 +2099,17 @@ def scan_table(spark: SparkSession, table_path: str,
     table = EncodedTable(table_path, backend=backend)
     snap = _resolve_snap(table, snapshot_id, ref)
     gdicts = table.meta(snap).get("global_dicts") or {}
+    renames = table.meta(snap).get("renames") or {}
+
+    def phys_aliases(col):
+        # after alter_table renames, a logical column can live under
+        # several chunk-physical names across part generations; zone/
+        # bloom summaries are keyed physically, so a logical term
+        # expands to an AND over the aliases (a chunk has at most one
+        # alias populated; absent names keep conservatively, making the
+        # conjunction exact per chunk)
+        return [col] + [p for p, l in renames.items()
+                        if l == col and p != col]
 
     def translate(terms):
         out = []
@@ -1957,7 +2119,8 @@ def scan_table(spark: SparkSession, table_path: str,
             if col not in gdicts or t[0] in ("isnull", "notnull"):
                 # null VALUES are stored as null IDS, so null-count
                 # pruning works unchanged on dict columns
-                out.append(term)
+                out.extend((p,) + tuple(term[1:])
+                           for p in phys_aliases(col))
                 continue
             vals = gdicts[col]
             if t[0] == "in":
@@ -1985,7 +2148,8 @@ def scan_table(spark: SparkSession, table_path: str,
                     # residual below still applies
             # empty id-set = no stored value can match: -1 is below
             # every id, so the zone check prunes every chunk
-            out.append((col, "in", ids or [-1]))
+            out.extend((p, "in", ids or [-1])
+                       for p in phys_aliases(col))
         return out
 
     if isinstance(pred, dict):
@@ -2010,7 +2174,8 @@ def scan_table(spark: SparkSession, table_path: str,
     extra = [k for k in key if columns is not None and k not in columns]
     dec_cols = columns + extra if columns is not None and extra else columns
     dec = decode_table(kept, table.schema(snap), columns=dec_cols,
-                       with_part_id=has_deletes)
+                       with_part_id=has_deletes,
+                       renames=table.meta(snap).get("renames"))
     dec = _restore_global_dicts(spark, dec, gdicts, dec_cols)
     if has_deletes:
         dec = _apply_deletes(spark, dec, meta)
@@ -2086,7 +2251,8 @@ def read_increment(spark: SparkSession, table_path: str,
                             backend=backend,
                             snapshot_id=to_snap["snapshot_id"]).limit(0)
     enc = spark.read.schema(ENCODED_DDL).parquet(*new_files)
-    dec = decode_table(enc, table.schema(to_snap), columns=columns)
+    dec = decode_table(enc, table.schema(to_snap), columns=columns,
+                       renames=(to_snap.get("meta") or {}).get("renames"))
     return _restore_global_dicts(
         spark, dec, (to_snap.get("meta") or {}).get("global_dicts") or {},
         columns)

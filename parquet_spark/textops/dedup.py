@@ -307,3 +307,70 @@ def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     losers = (comp.where(F.col("node") != F.col("comp"))
               .select(F.col("node").alias(id_col)))
     return df.join(losers, id_col, "left_anti")
+
+
+_LINE_COLS = ("_pos", "_line", "_n_kept", "_clean")
+
+
+def dedup_lines(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", min_docs: int = 2,
+                sep: str = "\n", min_chars: int = 1,
+                out_col: str | None = None) -> DataFrame:
+    """Corpus-level duplicate-LINE removal (the C4/CCNet boilerplate
+    pass): any line occurring in >= `min_docs` DISTINCT documents is
+    deleted from every document; the per-doc remainder is re-joined in
+    original line order.  Returns df plus `out_col` (default
+    "{text_col}_clean"), `n_lines`, and `n_removed` — a doc whose every
+    line is boilerplate comes back as the empty string, for the caller
+    to drop or keep.
+
+    Lines shorter than `min_chars` (after the split; default 1 = keep
+    empties out of the dup vote) never count as duplicates and are
+    always kept — C4 similarly votes only on "real" lines.
+
+    Scale shape (10^12 docs): everything is line-granular —
+      * the duplicate vote is a hash-shuffle groupBy on the line value
+        with map-side partial count-distinct (no doc payload moves);
+      * membership is a repartition-join of (id, pos, line) against the
+        duplicate-line set (never collected, never broadcast: the set
+        is unbounded at corpus scale), left as a plain shuffle join for
+        AQE to size — ultra-common boilerplate lines are exactly the
+        rows the anti-join DROPS, so the skewed keys vanish at the join
+        rather than concentrating after it;
+      * re-assembly groups by doc id: per-task width is one document's
+        lines (collect_list + array_sort over a single doc — bounded by
+        document size, not corpus size).
+    Three line-level shuffles total, zero UDFs, no driver materialization.
+    """
+    clash = [c for c in _LINE_COLS if c in df.columns]
+    if clash:
+        raise ValueError(f"dedup_lines reserves columns {clash}; "
+                         "rename them first")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    out_col = out_col or f"{text_col}_clean"
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("_pos", "_line"))
+    votable = ex.where(F.length("_line") >= min_chars)
+    dup = (votable.groupBy("_line")
+           .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+           .where(F.col("_nd") >= min_docs)
+           .select("_line"))
+    kept = ex.join(dup, "_line", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("_pos", "_line"))),
+                            lambda s: s["_line"]),
+                        sep).alias("_clean"),
+                    F.count(F.lit(1)).alias("_n_kept")))
+    return (df.join(rebuilt, id_col, "left")
+            .withColumn("n_lines", F.size(F.split(F.col(text_col), sep)))
+            .withColumn(out_col, F.coalesce(F.col("_clean"), F.lit("")))
+            .withColumn("n_removed",
+                        F.col("n_lines")
+                        - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .drop("_clean", "_n_kept"))

@@ -585,3 +585,35 @@ def test_connected_components_unconverged_warns_and_keep_refuses(spark):
                                    F.lit("t").alias("text"))
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_keep(docs, df, max_iters=2)
+
+
+@pytest.mark.spark
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    """dedup_lines: a line in >= min_docs distinct docs disappears from
+    every doc; order of the surviving lines is preserved; fully-
+    boilerplate docs come back empty; short lines never vote."""
+    from parquet_spark.textops.dedup import dedup_lines
+    rows = [
+        (1, "intro one\nSHARED FOOTER\nbody a"),
+        (2, "SHARED FOOTER\nbody b"),
+        (3, "solo text only"),
+        (4, "SHARED FOOTER"),               # -> empty after clean
+        (5, "x\ny"),                         # single-char lines
+        (6, "x\nz"),                         # 'x' repeats across 5,6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_lines(df, min_docs=2, min_chars=2).orderBy("doc_id")
+    got = {r.doc_id: (r.text_clean, r.n_lines, r.n_removed)
+           for r in out.collect()}
+    assert got[1] == ("intro one\nbody a", 3, 1)
+    assert got[2] == ("body b", 2, 1)
+    assert got[3] == ("solo text only", 1, 0)
+    assert got[4] == ("", 1, 1)
+    # 'x' occurs in two docs but is below min_chars: kept everywhere
+    assert got[5] == ("x\ny", 2, 0)
+    assert got[6] == ("x\nz", 2, 0)
+    # reserved internal names are guarded
+    with pytest.raises(ValueError, match="reserves"):
+        dedup_lines(df.withColumn("_pos", F.lit(1)))
+    with pytest.raises(ValueError, match="min_docs"):
+        dedup_lines(df, min_docs=1)
