@@ -830,6 +830,63 @@ def q_dict_pruned_scan(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_domain_mixture(spark, sf_dir):
+    """Target-mixture downsampling (textops/sampling.py `mix_domains`,
+    redistribute=False — the one-pass closed form a second engine can
+    recompute): per-domain keep rate = min(1, budget*w_d/(Σw·n_d)),
+    membership via the module's md5 draw.  DuckDB recomputes the
+    counts, the EXACT double rate arithmetic (same operation order),
+    and every row's draw-vs-rate comparison — row-exact agreement, not
+    a statistical check.  One domain is asserted rate-capped so the
+    LEAST branch is actually exercised."""
+    from parquet_spark.textops.sampling import mix_domains
+    d = _t(spark, sf_dir, "documents")
+    w = {"src0": 10.0, "src1": 2.0, "src2": 1.0}
+    out, plan = mix_domains(d, "doc_id", "source", w, budget_rows=60,
+                            redistribute=False)
+    assert plan["src0"]["rate"] == 1.0, plan          # capped
+    assert 0.0 < plan["src2"]["rate"] < 1.0, plan     # fractional
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.countDistinct(F.md5("text")).alias("n_texts"))
+            .orderBy("source"))
+
+
+def q_wap_publish(spark, sf_dir):
+    """Write-audit-publish (manifest.write_encoded(branch=...) +
+    publish_branch): generation 2 is STAGED on a branch — asserted
+    invisible to published readers while a ref-addressed audit read
+    sees it — then fast-forward-published atomically.  DuckDB
+    recomputes the post-publish table (both generations) from raw
+    data; the pre-publish isolation is asserted inline (a leak of
+    staged rows into the published read fails the facet before the
+    oracle ever runs)."""
+    import tempfile
+
+    from parquet_spark.manifest import (publish_branch, read_decoded,
+                                        write_encoded)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    gen1 = d.where(F.col("doc_id") % 2 == 0)
+    gen2 = d.where(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="entry_wap_")
+    write_encoded(gen1, path, key=["doc_id"], n_parts=2,
+                  rows_per_chunk=256)
+    write_encoded(gen2, path, key=["doc_id"], n_parts=2, part_offset=2,
+                  rows_per_chunk=256, branch="audit")
+    n_pub = read_decoded(spark, path).count()
+    n_stage = read_decoded(spark, path, ref="audit").count()
+    assert n_pub == gen1.count() and n_stage == d.count(), \
+        (n_pub, n_stage)  # staged rows must not leak pre-publish
+    publish_branch(path, "audit")
+    return (read_decoded(spark, path)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("lang"))
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-level duplicate-line removal (textops/dedup.py
     `dedup_lines`, the C4/CCNet boilerplate pass).  The flat corpus
@@ -1945,6 +2002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
         "alter_columns": q_alter_columns,
+        "wap_publish": q_wap_publish,
+        "domain_mixture": q_domain_mixture,
         "line_dedup": q_line_dedup,
         "like_prune": q_like_prune,
         "in_prune": q_in_prune,
@@ -2642,6 +2701,30 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM documents t JOIN d ON t.lang = d.value
             GROUP BY 1, 2 ORDER BY lang_id""",
+        "domain_mixture": """
+            WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+                       GROUP BY source),
+            w AS (SELECT * FROM (VALUES ('src0', 10.0), ('src1', 2.0),
+                                        ('src2', 1.0)) t(source, wt)),
+            r AS (SELECT c.source,
+                         LEAST(CAST(c.n AS DOUBLE), (60 * wt) / 13.0)
+                           / c.n AS rate
+                  FROM c JOIN w USING (source)),
+            kept AS (SELECT d.doc_id, d.source, d.text
+                     FROM documents d JOIN r USING (source)
+                     WHERE (('0x' || substr(md5('42:' ||
+                             CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT)
+                           / 4294967296.0 < r.rate)
+            SELECT source, COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   COUNT(DISTINCT md5(text)) AS n_texts
+            FROM kept GROUP BY source ORDER BY source""",
+        "wap_publish": """
+            SELECT lang, COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY lang ORDER BY lang""",
         "line_dedup": """
             WITH docs AS (
               SELECT doc_id,

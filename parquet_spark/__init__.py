@@ -48,8 +48,16 @@ _EXPORTS = {
     "route_encoded": "manifest", "lineage_df": "manifest",
     "route_encoded_partitioned": "manifest", "read_route": "manifest",
     "vacuum_table": "manifest", "relocate_table": "manifest",
+    "alter_table": "manifest", "publish_branch": "manifest",
+    "create_ref": "manifest", "drop_ref": "manifest",
+    "list_refs": "manifest",
+    "delete_rows": "manifest", "upsert_rows": "manifest",
+    "rewrite_table": "manifest", "recluster_table": "manifest",
+    "read_increment": "manifest", "metadata_stats": "manifest",
+    "dedup_lines": "textops.dedup",
     "EncodedTable": "manifest", "ConcurrentCommitError": "manifest",
     "CommitBackend": "manifest", "PosixCommitBackend": "manifest",
+    "ConditionalPutCommitBackend": "manifest",
     "encode_splits": "splits", "write_encoded_splits": "splits",
     "list_splits": "splits",
     "encode_stream": "streaming", "streaming_dedup": "streaming",

@@ -106,6 +106,24 @@ class CommitBackend:
                expected: str | None) -> None:
         raise NotImplementedError
 
+    # -- optional WAP (write-audit-publish) extensions ----------------
+    def stage(self, name: str, payload: str) -> None:
+        """Persist a snapshot object WITHOUT touching the published
+        pointer (branch staging).  Names are unique per attempt, so no
+        CAS is needed — object stores render this as a plain
+        PUT-IF-ABSENT.  Backends that don't implement it simply can't
+        host WAP branches; everything else works."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support WAP staging")
+
+    def publish(self, name: str, expected: str | None) -> None:
+        """Atomically flip the published pointer to an ALREADY-STAGED
+        snapshot object: verify the pointer equals ``expected``, then
+        point it at ``name`` (which must exist).  The fast-forward half
+        of write-audit-publish; same CAS guarantees as ``commit``."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support WAP publish")
+
 
 class PosixCommitBackend(CommitBackend):
     """Lock-file + rename backend for POSIX filesystems.
@@ -251,6 +269,43 @@ class PosixCommitBackend(CommitBackend):
         finally:
             self._release(token)
 
+    def stage(self, name: str, payload: str) -> None:
+        # unique-per-attempt names need no lock: a stage can only
+        # create a new object, never clobber a committed one
+        os.makedirs(self.snap_dir, exist_ok=True)
+        tmp = os.path.join(self.snap_dir, name + f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(self.snap_dir, name))
+
+    def publish(self, name: str, expected: str | None) -> None:
+        # the staged object must exist before the pointer can name it
+        if not os.path.exists(os.path.join(self.snap_dir, name)):
+            raise ValueError(f"cannot publish {name!r}: not staged")
+        token = self._acquire()
+        try:
+            actual = self.current()
+            if actual != expected:
+                raise ConcurrentCommitError(
+                    f"CURRENT at {self.path} is {actual!r}, expected "
+                    f"{expected!r}: another writer committed; re-read "
+                    "and retry")
+            cur_tmp = os.path.join(self.path,
+                                   f"CURRENT.tmp-{uuid.uuid4().hex}")
+            with open(cur_tmp, "w") as f:
+                f.write(name)
+            if not self._owns(token):
+                try:
+                    os.remove(cur_tmp)
+                except OSError:
+                    pass
+                raise ConcurrentCommitError(
+                    f"commit lock at {self.path} was stolen (writer "
+                    "stalled past the stale window); re-read and retry")
+            os.replace(cur_tmp, os.path.join(self.path, "CURRENT"))
+        finally:
+            self._release(token)
+
 
 class ConditionalPutCommitBackend(CommitBackend):
     """The documented object-store contract, exercised locally: every
@@ -328,6 +383,28 @@ class ConditionalPutCommitBackend(CommitBackend):
         if not self._put_if_absent(self.snap_dir, name, payload):
             raise ConcurrentCommitError(
                 f"snapshot object {name!r} already exists")
+        if not self._put_if_absent(self.ptr_dir, f"gen-{gen + 1:016d}",
+                                   name):
+            raise ConcurrentCommitError(
+                f"generation {gen + 1} at {self.path} was taken by a "
+                "concurrent writer; re-read and retry")
+
+    def stage(self, name: str, payload: str) -> None:
+        # the object-store rendering is literally a conditional PUT of
+        # the immutable snapshot object — no pointer involved at all
+        if not self._put_if_absent(self.snap_dir, name, payload):
+            raise ConcurrentCommitError(
+                f"snapshot object {name!r} already exists")
+
+    def publish(self, name: str, expected: str | None) -> None:
+        if not os.path.exists(os.path.join(self.snap_dir, name)):
+            raise ValueError(f"cannot publish {name!r}: not staged")
+        gen, actual = self._head()
+        if actual != expected:
+            raise ConcurrentCommitError(
+                f"pointer head at {self.path} is {actual!r}, expected "
+                f"{expected!r}: another writer committed; re-read and "
+                "retry")
         if not self._put_if_absent(self.ptr_dir, f"gen-{gen + 1:016d}",
                                    name):
             raise ConcurrentCommitError(
@@ -456,6 +533,15 @@ class EncodedTable:
         overwrite the winner's committed snapshot content (the same
         rationale as unique data-file names; the CAS identity is
         carried solely by the CURRENT pointer's value)."""
+        snap, name, expected = self._build_snapshot(parts, schema_ipc,
+                                                    parent, meta)
+        self.backend.commit(name, json.dumps(snap), expected)
+        snap["_snap_name"] = name  # chained commits CAS against this
+        return snap
+
+    def _build_snapshot(self, parts: dict[str, dict],
+                        schema_ipc: bytes | None, parent: dict | None,
+                        meta: dict | None):
         os.makedirs(self.path, exist_ok=True)
         sid = (parent["snapshot_id"] + 1) if parent else 0
         snap = {
@@ -480,8 +566,20 @@ class EncodedTable:
             # the old deterministic naming
             expected = parent.get("_snap_name") or \
                 f"snap-{parent['snapshot_id']:06d}.json"
-        self.backend.commit(name, json.dumps(snap), expected)
-        snap["_snap_name"] = name  # chained commits CAS against this
+        return snap, name, expected
+
+    def stage_commit(self, parts: dict[str, dict],
+                     schema_ipc: bytes | None, parent: dict | None,
+                     meta: dict | None = None) -> dict:
+        """Persist a snapshot WITHOUT publishing it (the staged half of
+        write-audit-publish): the object lands in the snapshot store,
+        CURRENT never moves, and only a branch ref makes it reachable.
+        No CAS — unique names cannot conflict; the race is resolved at
+        publish time instead."""
+        snap, name, _ = self._build_snapshot(parts, schema_ipc,
+                                             parent, meta)
+        self.backend.stage(name, json.dumps(snap))
+        snap["_snap_name"] = name
         return snap
 
     def data_files(self, snap: dict | None = None) -> list[str]:
@@ -581,8 +679,19 @@ def write_encoded(df: DataFrame, table_path: str,
                   bloom_cols: list[str] | None = None,
                   mode: str = "hash",
                   replace: bool = False,
+                  branch: str | None = None,
                   backend: CommitBackend | None = None) -> dict:
     """Encode df into the table, committing a new snapshot. Resumable.
+
+    `branch="name"` targets a WAP (write-audit-publish) branch instead
+    of the published table: the snapshot is STAGED (CURRENT never
+    moves), the named branch ref is pointed at it, and readers see it
+    only via `ref="name"`.  The branch forks from CURRENT on its first
+    staged commit and chains on its own head afterwards; audit the
+    staged data through `read_decoded/scan_table(..., ref=...)`, then
+    `publish_branch` fast-forwards CURRENT to the audited head
+    atomically (or `drop_ref` abandons it — vacuum reclaims the staged
+    parts once unreferenced).
 
     `replace=True` commits df as the table's ENTIRE new contents under
     this call's layout — the atomic overwrite used by layout evolution
@@ -631,12 +740,22 @@ def write_encoded(df: DataFrame, table_path: str,
     spark = df.sparkSession
     table = EncodedTable(table_path, backend=backend)
     parent = table.current_snapshot()
+    if branch is not None:
+        refs = list_refs(table_path)
+        if branch in refs:
+            if refs[branch].get("kind") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag; tags are "
+                                 "immutable audit pins, not write "
+                                 "targets")
+            # chain on the branch's own head
+            parent = table._load_snapshot(refs[branch]["snap_name"])
+        # else: first staged commit forks from CURRENT (parent as read)
     if replace and (limit_parts is not None or part_offset):
         raise ValueError("replace=True commits the full table in one "
                          "snapshot; limit_parts/part_offset would make "
                          "it a silent partial overwrite")
     done = (set() if replace
-            else set(map(int, table.committed_parts().keys())))
+            else set(map(int, table.committed_parts(parent).keys())))
     # the parent state a REPLACE inherits is lineage only: layout,
     # dictionaries and deletes all restart in the new epoch
     pmeta = {} if replace or parent is None else (parent.get("meta") or {})
@@ -901,7 +1020,7 @@ def write_encoded(df: DataFrame, table_path: str,
                      for i, f in enumerate(new)])
                 schema_ipc = unified.serialize().to_pybytes()
 
-    parts = {} if replace else dict(table.committed_parts())
+    parts = {} if replace else dict(table.committed_parts(parent))
     for row in lineage:
         parts[str(row.part_id)] = {
             "file": row.file, "n_chunks": row.n_chunks, "n_rows": row.n_rows,
@@ -936,6 +1055,10 @@ def write_encoded(df: DataFrame, table_path: str,
         meta["renames"] = pmeta["renames"]
     if replace and parent is not None:
         meta["replaced_snapshot"] = parent["snapshot_id"]
+    if branch is not None:
+        snap = table.stage_commit(parts, schema_ipc, parent, meta)
+        _set_branch_ref(table_path, branch, snap)
+        return snap
     return table.commit(parts, schema_ipc, parent, meta)
 
 
@@ -1828,6 +1951,73 @@ def create_ref(table_path: str, name: str,
             f.write(payload)
         os.replace(tmp, path)
     return ref
+
+
+def _set_branch_ref(table_path: str, name: str, snap: dict) -> dict:
+    """Point the named branch ref at a (possibly staged) snapshot —
+    atomic replace, tag names refused.  Branch pointer moves are
+    last-writer-wins by design (create_ref docstring); the DATA race
+    is resolved by publish's CAS, never here."""
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid ref name {name!r}")
+    ref = {"name": name, "kind": "branch",
+           "snapshot_id": snap["snapshot_id"],
+           "snap_name": snap["_snap_name"],
+           "created_at": time.time()}
+    refs_dir = os.path.join(table_path, "refs")
+    os.makedirs(refs_dir, exist_ok=True)
+    path = os.path.join(refs_dir, f"{name}.json")
+    if os.path.exists(path):
+        old = json.loads(open(path, "rb").read())
+        if old.get("kind") == "tag":
+            raise ValueError(f"ref {name!r} is a tag; tags are "
+                             "immutable (drop_ref first)")
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(ref))
+    os.replace(tmp, path)
+    return ref
+
+
+def publish_branch(table_path: str, name: str,
+                   backend: CommitBackend | None = None) -> dict:
+    """Atomically fast-forward the published table to a WAP branch head
+    (the publish half of write-audit-publish): verifies CURRENT is an
+    ANCESTOR of the branch head — the staged chain must have forked
+    from what is published now — then CAS-flips the pointer to the
+    audited snapshot.  If another writer committed to CURRENT since the
+    branch forked, this raises ConcurrentCommitError instead of
+    silently dropping their commit (re-stage on a fresh branch).  The
+    branch ref remains, now naming a published snapshot; `drop_ref` it
+    when done.  Returns the published snapshot."""
+    table = EncodedTable(table_path, backend=backend)
+    refs = list_refs(table_path)
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} at {table_path} "
+                         f"(have: {sorted(refs)})")
+    if refs[name].get("kind") != "branch":
+        raise ValueError(f"ref {name!r} is a tag, not a branch")
+    head = table._load_snapshot(refs[name]["snap_name"])
+    cur_name = table._current_name()
+    if head["_snap_name"] == cur_name:
+        return head  # already published: no-op
+    # fast-forward check: walk the branch head's parent chain down to
+    # the fork; CURRENT must appear on it (None = fork at table birth)
+    snap = head
+    while True:
+        pn = snap.get("parent_name")
+        if pn == cur_name:
+            break
+        if pn is None:
+            raise ConcurrentCommitError(
+                f"cannot fast-forward: CURRENT ({cur_name!r}) is not "
+                f"an ancestor of branch {name!r} head "
+                f"({head['_snap_name']!r}) — the published table moved "
+                "since the branch forked; re-stage against the new "
+                "head")
+        snap = table._load_snapshot(pn)
+    table.backend.publish(head["_snap_name"], cur_name)
+    return head
 
 
 def list_refs(table_path: str) -> dict[str, dict]:

@@ -82,3 +82,77 @@ def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
     thr = F.lit(float(default)) if thr is None else thr.otherwise(
         float(default))
     return df.where(u < thr)
+
+
+def mix_domains(df: DataFrame, id_col: str, domain_col: str,
+                weights: dict, budget_rows: int, seed: int = 42,
+                redistribute: bool = True):
+    """Target-mixture downsampling (the data-mixing step before
+    pretraining): pick per-domain keep rates so the sample realises
+    `weights` (relative domain proportions, normalized) within
+    `budget_rows`, then apply the deterministic per-domain hash sample.
+    Returns (sampled_df, plan) with plan[domain] =
+    {"available", "target", "rate"} for mixture-report lineage.
+
+    When a domain cannot supply its share (rate would exceed 1),
+    `redistribute=True` water-fills: the starved domain contributes
+    everything it has and the leftover budget is re-split over the
+    remaining domains by their weights (iterated until stable — exact,
+    driver-side, O(domains^2) worst case).  `redistribute=False` caps
+    each rate at 1 independently (one-pass, exactly
+    `min(1, budget*w_d / (sum_w * n_d))` — the form a second engine
+    recomputes in closed form; total sampled rows then undershoot the
+    budget by the starved domains' deficit).
+
+    Expected counts are Bernoulli (hash-sample) approximations of the
+    targets — exact-k per domain would need a per-domain global sort.
+    Scale shape: ONE count aggregate shuffling (domain) pairs (the
+    driver sees #domains rows, never data), then a zero-shuffle
+    scan-stage filter; membership is a pure function of (seed, id), so
+    the mixture is reproducible and append-stable like every sampler
+    in this module.  Domains absent from `weights` are dropped (weight
+    0); unknown weight keys are an error (a typo would silently skew
+    the mixture).
+    """
+    if budget_rows < 1:
+        raise ValueError(f"budget_rows must be >= 1, got {budget_rows}")
+    bad = [k for k, v in weights.items() if v < 0]
+    if bad:
+        raise ValueError(f"negative weights for {bad}")
+    counts = {r[0]: r[1]
+              for r in df.groupBy(domain_col).count().collect()}
+    unknown = [k for k in weights if k not in counts]
+    if unknown:
+        raise ValueError(
+            f"weights name domains absent from {domain_col!r}: "
+            f"{sorted(unknown)} (present: {sorted(map(str, counts))[:20]})")
+    active = {k: float(v) for k, v in weights.items() if v > 0}
+    alloc = {k: 0.0 for k in active}
+    if redistribute:
+        remaining = float(budget_rows)
+        while active and remaining > 0:
+            tot_w = sum(active.values())
+            share = {k: remaining * w / tot_w for k, w in active.items()}
+            starved = {k for k in active if share[k] >= counts[k]}
+            if not starved:
+                for k in active:
+                    alloc[k] += share[k]
+                break
+            for k in starved:
+                remaining -= counts[k] - alloc[k]
+                alloc[k] = float(counts[k])
+                del active[k]
+    else:
+        tot_w = sum(active.values())
+        for k, w in active.items():
+            alloc[k] = min(float(counts[k]),
+                           budget_rows * w / tot_w)
+    plan = {k: {"available": int(counts[k]),
+                "target": alloc[k],
+                "rate": (alloc[k] / counts[k]) if counts[k] else 0.0}
+            for k in alloc}
+    sampled = stratified_hash_sample(
+        df, id_col, domain_col,
+        {k: p["rate"] for k, p in plan.items()},
+        default=0.0, seed=seed)
+    return sampled, plan

@@ -98,3 +98,46 @@ def test_domain_stats_matches_python(spark, docs):
         n, c = want.get(host, (0, 0))
         want[host] = (n + 1, c + len(r.text))
     assert got == want
+
+
+@pytest.mark.spark
+def test_mix_domains_water_filling_and_determinism(spark):
+    """mix_domains: rates realise the target mixture; a starved domain
+    contributes all rows and (redistribute=True) its leftover budget
+    flows to the others by weight; membership is (seed, id)-pure."""
+    from parquet_spark.textops.sampling import mix_domains
+    rows = [(i, "big" if i < 9000 else ("mid" if i < 9900 else "tiny"))
+            for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string").cache()
+    w = {"big": 1.0, "mid": 1.0, "tiny": 1.0}
+    out, plan = mix_domains(df, "doc_id", "dom", w, budget_rows=3000)
+    # tiny (100) AND mid (900) are starved at the equal share of 1000:
+    # both contribute everything; big absorbs the leftover 2000
+    assert plan["tiny"]["rate"] == 1.0 and plan["tiny"]["target"] == 100.0
+    assert plan["mid"]["rate"] == 1.0 and plan["mid"]["target"] == 900.0
+    assert abs(plan["big"]["target"] - 2000.0) < 1e-9
+    assert abs(sum(p["target"] for p in plan.values()) - 3000.0) < 1e-9
+    got = {r.dom: r.n for r in
+           out.groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["tiny"] == 100 and got["mid"] == 900
+    # Bernoulli tolerance: 4 sigma ~ 4*sqrt(2000*.78) ~ 160
+    assert abs(got["big"] - 2000) < 170
+    # one-pass mode: independent caps, budget undershoots by the deficit
+    out2, plan2 = mix_domains(df, "doc_id", "dom", w, budget_rows=3000,
+                              redistribute=False)
+    assert plan2["tiny"]["rate"] == 1.0
+    assert abs(plan2["big"]["target"] - 1000.0) < 1e-9
+    # determinism + append stability: same ids kept on a re-run
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(r.doc_id for r in
+               mix_domains(df, "doc_id", "dom", w, 3000)[0]
+               .select("doc_id").collect())
+    assert a == b
+    # guards
+    with pytest.raises(ValueError, match="absent"):
+        mix_domains(df, "doc_id", "dom", {"nope": 1.0}, 10)
+    with pytest.raises(ValueError, match="negative"):
+        mix_domains(df, "doc_id", "dom", {"big": -1.0}, 10)
+    with pytest.raises(ValueError, match="budget_rows"):
+        mix_domains(df, "doc_id", "dom", w, 0)
+    df.unpersist()
