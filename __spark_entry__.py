@@ -830,6 +830,36 @@ def q_dict_pruned_scan(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_count_pushdown(spark, sf_dir):
+    """COUNT(*) aggregate pushdown (manifest.count_where): chunks the
+    zone metadata PROVES fully inside the predicate contribute their
+    stored n_rows with zero decompression; only boundary chunks decode.
+    The metadata path is asserted to actually fire (interior chunks
+    proven full on the range layout); DuckDB recomputes all three
+    counts — a range, a dict-column equality, and an OR-of-ANDs —
+    exactly."""
+    import tempfile
+
+    from parquet_spark.engine import _pred_zone_conds
+    from parquet_spark.manifest import (count_where, read_encoded,
+                                        write_encoded)
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="entry_count_")
+    write_encoded(d, path, key=["doc_id"], n_parts=4, mode="range",
+                  rows_per_chunk=64, global_dict_cols=["lang"])
+    enc = read_encoded(spark, path)
+    _, full = _pred_zone_conds([("doc_id", 60, 440)])
+    assert enc.where(full).count() > 0  # metadata shortcut fires
+    n_range = count_where(spark, path, [("doc_id", 60, 440)])
+    n_lang = count_where(spark, path, [("lang", "=", "de")])
+    n_any = count_where(spark, path, {"any": [
+        [("doc_id", None, 99)],
+        [("lang", "=", "fr"), ("doc_id", 300, None)]]})
+    return spark.createDataFrame(
+        [(n_range, n_lang, n_any)],
+        "n_range long, n_lang long, n_any long")
+
+
 def q_domain_mixture(spark, sf_dir):
     """Target-mixture downsampling (textops/sampling.py `mix_domains`,
     redistribute=False — the one-pass closed form a second engine can
@@ -2003,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "alter_columns": q_alter_columns,
         "wap_publish": q_wap_publish,
+        "count_pushdown": q_count_pushdown,
         "domain_mixture": q_domain_mixture,
         "line_dedup": q_line_dedup,
         "like_prune": q_like_prune,
@@ -2701,6 +2732,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM documents t JOIN d ON t.lang = d.value
             GROUP BY 1, 2 ORDER BY lang_id""",
+        "count_pushdown": """
+            SELECT (SELECT COUNT(*) FROM documents
+                    WHERE doc_id BETWEEN 60 AND 440) AS n_range,
+                   (SELECT COUNT(*) FROM documents
+                    WHERE lang = 'de') AS n_lang,
+                   (SELECT COUNT(*) FROM documents
+                    WHERE doc_id <= 99
+                       OR (lang = 'fr' AND doc_id >= 300)) AS n_any""",
         "domain_mixture": """
             WITH c AS (SELECT source, COUNT(*) AS n FROM documents
                        GROUP BY source),

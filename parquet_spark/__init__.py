@@ -54,6 +54,7 @@ _EXPORTS = {
     "delete_rows": "manifest", "upsert_rows": "manifest",
     "rewrite_table": "manifest", "recluster_table": "manifest",
     "read_increment": "manifest", "metadata_stats": "manifest",
+    "count_where": "manifest", "count_filtered": "engine",
     "dedup_lines": "textops.dedup",
     "EncodedTable": "manifest", "ConcurrentCommitError": "manifest",
     "CommitBackend": "manifest", "PosixCommitBackend": "manifest",

@@ -1056,6 +1056,127 @@ def _residual_cond(dec: DataFrame, terms) -> "F.Column":
     return cond
 
 
+def _zone_full_term(term: tuple):
+    """Definite-INCLUSION test for one predicate term: TRUE only when
+    zone metadata alone proves EVERY row of the chunk satisfies it —
+    the dual of _zone_keep_term's maybe-test, and the half that turns
+    COUNT(*) into metadata arithmetic (count_filtered).  Anything
+    unknowable is False (the chunk just decodes): absent zone entries,
+    null-bearing chunks (NULL satisfies no comparison), and the DOUBLE
+    zone family entirely — its min/max are NaN-safe (nanmin/nanmax),
+    so a chunk can hide NaN rows inside a covering range and no stored
+    statistic can prove it doesn't."""
+    t = _norm_term(term)
+    if t[0] in ("isnull", "notnull"):
+        _, col = t
+        idx = F.array_position(F.col("zone_cols"), col).cast("int")
+        nulls = F.try_element_at(F.col("zone_nulls"),
+                                 F.when(idx >= 1, idx))
+        want = F.col("n_rows") if t[0] == "isnull" else F.lit(0)
+        return nulls.isNotNull() & (nulls == want)
+    col = t[1]
+    idx = F.array_position(F.col("zone_cols"), col).cast("int")
+    safe_idx = F.when(idx >= 1, idx)
+    nulls = F.try_element_at(F.col("zone_nulls"), safe_idx)
+    no_nulls = nulls.isNotNull() & (nulls == 0)
+    smin = F.try_element_at(F.col("zone_min_str"), safe_idx)
+    smax = F.try_element_at(F.col("zone_max_str"), safe_idx)
+    nmin = F.try_element_at(F.col("zone_min_num"), safe_idx)
+    nmax = F.try_element_at(F.col("zone_max_num"), safe_idx)
+    if t[0] == "prefix":
+        # both stored bounds sharing the prefix proves every value in
+        # [min, max] shares it (truncation is directional: stored_min
+        # <= real_min and real_max <= stored_max, so the stored box
+        # covers the real one)
+        _, _, p = t
+        return (no_nulls & smin.isNotNull() & smax.isNotNull()
+                & smin.startswith(p) & smax.startswith(p))
+    if t[0] == "range":
+        _, _, lo, hi = t
+        numeric = ((lo is not None and _is_numeric_bound(lo))
+                   or (hi is not None and _is_numeric_bound(hi)))
+        if numeric:
+            mn, mx = nmin, nmax
+            lo = _as_num_bound(lo) if lo is not None else None
+            hi = _as_num_bound(hi) if hi is not None else None
+            if isinstance(lo, float) or isinstance(hi, float):
+                return F.lit(False)  # double family: NaN-unsafe
+        else:
+            mn, mx = smin, smax
+        cond = no_nulls & mn.isNotNull() & mx.isNotNull()
+        if lo is not None:
+            cond = cond & (mn >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (mx <= F.lit(hi))
+        return cond
+    # IN / equality: definite only for a constant chunk whose single
+    # value is in the list (stored min == max implies untruncated —
+    # a truncated max is incremented past the truncated min)
+    _, _, vals = t
+    numeric = _is_numeric_bound(vals[0])
+    if numeric:
+        nvals = [_as_num_bound(v) for v in vals]
+        if any(isinstance(v, float) for v in nvals):
+            return F.lit(False)
+        mn, mx = nmin, nmax
+        varr = F.array(*[F.lit(v) for v in nvals])
+    else:
+        mn, mx = smin, smax
+        varr = F.array(*[F.lit(v) for v in vals])
+    return (no_nulls & mn.isNotNull() & (mn == mx)
+            & F.array_contains(varr, mn))
+
+
+def count_filtered(enc_df: DataFrame, pred: list[tuple] | dict,
+                   schema: pa.Schema | None = None) -> int:
+    """COUNT(*) WHERE pred with aggregate pushdown into the zone maps:
+    chunks the metadata PROVES fully matching contribute their stored
+    n_rows without any decompression; only boundary chunks (maybe
+    matching but not provably all-matching) decode and run the exact
+    residual.  On a clustered layout a wide key-range count touches
+    ~2 boundary chunks per part regardless of table size — the same
+    O(metadata) shape as metadata_stats, but for arbitrary predicates.
+    `pred` shapes are scan_filtered's (AND-list or {"any": [...]}).
+    Exactness: the definite test is conservative (unknown = decode),
+    so the result equals scan_filtered(...).count() always."""
+    keep, full = _pred_zone_conds(pred)
+    meta_n = (enc_df.where(full)
+              .agg(F.coalesce(F.sum("n_rows"), F.lit(0))).head()[0])
+    if schema is None:
+        # resolve from the UNFILTERED frame: the boundary set may be
+        # empty (everything proven full or pruned) and an empty frame
+        # has no chunk to read a schema from
+        try:
+            schema = read_encoded_schema(enc_df)
+        except ValueError:
+            return 0  # empty table
+    partial = enc_df.where(keep & ~full)
+    return int(meta_n) + scan_filtered(partial, pred,
+                                       schema=schema).count()
+
+
+def _pred_zone_conds(pred):
+    """(maybe-keep, definitely-full) chunk conditions for a predicate —
+    the two halves count pushdown needs (shared by count_filtered and
+    manifest.count_where)."""
+    def and_cond(terms, f):
+        cond = F.lit(True)
+        for term in terms:
+            cond = cond & f(term)
+        return cond
+
+    if isinstance(pred, dict):
+        full = F.lit(False)
+        keep = F.lit(False)
+        for terms in pred["any"]:
+            full = full | and_cond(terms, _zone_full_term)
+            keep = keep | and_cond(terms, _zone_keep_term)
+    else:
+        full = and_cond(pred, _zone_full_term)
+        keep = and_cond(pred, _zone_keep_term)
+    return keep, full
+
+
 def scan_filtered(enc_df: DataFrame, pred: list[tuple] | dict,
                   columns: list[str] | None = None,
                   schema: pa.Schema | None = None) -> DataFrame:

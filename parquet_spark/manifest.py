@@ -2264,6 +2264,139 @@ def _prune_parts(parts: dict[str, dict],
             if keep(info)]
 
 
+def _translate_pred(pred: list[tuple] | dict, gdicts: dict,
+                    renames: dict, return_complete: bool = False):
+    """Value-space predicate -> zone-space predicate: global-dict
+    column terms become id IN-lists (capped at _GDICT_PRUNE_MAX —
+    wider sets skip pruning, the exact residual still applies), and
+    every term expands over the column's PHYSICAL aliases (alter_table
+    renames) — zone/bloom summaries are keyed physically, a chunk
+    populates at most one alias, and absent names keep conservatively,
+    so the AND over aliases is exact per chunk."""
+    def phys_aliases(col):
+        return [col] + [p for p, l in renames.items()
+                        if l == col and p != col]
+
+    dropped: list[bool] = []
+
+    def translate(terms):
+        out = []
+        dropped.append(False)
+        for term in terms:
+            t = _norm_term(term)
+            col = t[1]
+            if col not in gdicts or t[0] in ("isnull", "notnull"):
+                # null VALUES are stored as null IDS, so null-count
+                # pruning works unchanged on dict columns
+                out.extend((p,) + tuple(term[1:])
+                           for p in phys_aliases(col))
+                continue
+            vals = gdicts[col]
+            if t[0] == "in":
+                index = {v: i for i, v in enumerate(vals)}
+                ids = [index[v] for v in t[2] if v in index]
+                if len(ids) > _GDICT_PRUNE_MAX:
+                    dropped[-1] = True
+                    continue  # a huge IN-list would expand into an
+                    # equally huge literal id array inside the zone-keep
+                    # expression — skip pruning, the exact residual
+                    # still applies
+            elif t[0] == "prefix":
+                ids = [i for i, v in enumerate(vals)
+                       if v is not None and v.startswith(t[2])]
+                if len(ids) > _GDICT_PRUNE_MAX:
+                    dropped[-1] = True
+                    continue  # too many matching dict values: no
+                    # pruning, exact residual still applies
+            else:
+                _, _, lo, hi = t
+                ids = [i for i, v in enumerate(vals)
+                       if v is not None
+                       and (lo is None or v >= lo)
+                       and (hi is None or v <= hi)]
+                if len(ids) > _GDICT_PRUNE_MAX:
+                    dropped[-1] = True
+                    continue  # too wide to enumerate: no pruning, exact
+                    # residual still applies
+            # empty id-set = no stored value can match: -1 is below
+            # every id, so the zone check prunes every chunk
+            out.extend((p, "in", ids or [-1])
+                       for p in phys_aliases(col))
+        return out
+
+    if isinstance(pred, dict):
+        z = {"any": [translate(ts) for ts in pred["any"]]}
+    else:
+        z = translate(pred)
+    if not return_complete:
+        return z
+    # complete = no term of that AND-branch was dropped: only then may
+    # a caller trust the branch's zone AND as a DEFINITE (all-rows)
+    # proof — a dropped term still filters rows in the residual
+    return z, ([not d for d in dropped] if isinstance(pred, dict)
+               else not dropped[0])
+
+
+def count_where(spark: SparkSession, table_path: str,
+                pred: list[tuple] | dict,
+                backend: CommitBackend | None = None,
+                snapshot_id: int | None = None,
+                ref: str | None = None) -> int:
+    """COUNT(*) WHERE pred with full aggregate pushdown — the
+    table-level (dict-aware, rename-aware, file-pruned) analog of
+    engine.count_filtered: files prune from the manifest driver-side,
+    chunks the zone metadata PROVES fully matching contribute their
+    stored n_rows with zero decompression, and only boundary chunks
+    decode for the exact residual.  On a range/zorder layout a wide
+    key-range count costs O(metadata) + ~2 boundary chunks per part at
+    ANY table size.  Pending equality deletes force the exact path
+    (scan_table().count()): stored n_rows can't see deleted rows.
+    Always equals scan_table(...).count()."""
+    from .engine import _pred_zone_conds, _zone_full_term
+    table = EncodedTable(table_path, backend=backend)
+    snap = _resolve_snap(table, snapshot_id, ref)
+    meta = table.meta(snap)
+    if meta.get("delete_files"):
+        return scan_table(spark, table_path, pred, backend=backend,
+                          snapshot_id=snapshot_id, ref=ref).count()
+    gdicts = meta.get("global_dicts") or {}
+    renames = meta.get("renames") or {}
+    zpred, complete = _translate_pred(pred, gdicts, renames,
+                                      return_complete=True)
+    files = _prune_parts(table.committed_parts(snap), zpred)
+    if not files:
+        return 0
+    enc = spark.read.schema(ENCODED_DDL).parquet(*files)
+    keep, full = _pred_zone_conds(zpred)
+    # a zone AND with a DROPPED term (over-cap dict translation) still
+    # over-keeps correctly but can never PROVE all rows match — the
+    # dropped term filters rows only the residual sees
+    if isinstance(zpred, dict):
+        def and_full(terms):
+            c = F.lit(True)
+            for t in terms:
+                c = c & _zone_full_term(t)
+            return c
+        full = F.lit(False)
+        for ts, ok in zip(zpred["any"], complete):
+            if ok:
+                full = full | and_full(ts)
+    elif not complete:
+        full = F.lit(False)
+    meta_n = (enc.where(full)
+              .agg(F.coalesce(F.sum("n_rows"), F.lit(0))).head()[0])
+    dec = decode_table(enc.where(keep & ~full), table.schema(snap),
+                       renames=meta.get("renames"))
+    dec = _restore_global_dicts(spark, dec, gdicts, None)
+    if isinstance(pred, dict):
+        cond = F.lit(False)
+        for terms in pred["any"]:
+            cond = cond | _residual_cond(dec, terms)
+    else:
+        cond = _residual_cond(dec, pred)
+    return int(meta_n) + dec.where(cond).count()
+
+
 def scan_table(spark: SparkSession, table_path: str,
                pred: list[tuple] | dict,
                columns: list[str] | None = None,
@@ -2290,62 +2423,7 @@ def scan_table(spark: SparkSession, table_path: str,
     snap = _resolve_snap(table, snapshot_id, ref)
     gdicts = table.meta(snap).get("global_dicts") or {}
     renames = table.meta(snap).get("renames") or {}
-
-    def phys_aliases(col):
-        # after alter_table renames, a logical column can live under
-        # several chunk-physical names across part generations; zone/
-        # bloom summaries are keyed physically, so a logical term
-        # expands to an AND over the aliases (a chunk has at most one
-        # alias populated; absent names keep conservatively, making the
-        # conjunction exact per chunk)
-        return [col] + [p for p, l in renames.items()
-                        if l == col and p != col]
-
-    def translate(terms):
-        out = []
-        for term in terms:
-            t = _norm_term(term)
-            col = t[1]
-            if col not in gdicts or t[0] in ("isnull", "notnull"):
-                # null VALUES are stored as null IDS, so null-count
-                # pruning works unchanged on dict columns
-                out.extend((p,) + tuple(term[1:])
-                           for p in phys_aliases(col))
-                continue
-            vals = gdicts[col]
-            if t[0] == "in":
-                index = {v: i for i, v in enumerate(vals)}
-                ids = [index[v] for v in t[2] if v in index]
-                if len(ids) > _GDICT_PRUNE_MAX:
-                    continue  # a huge IN-list would expand into an
-                    # equally huge literal id array inside the zone-keep
-                    # expression — skip pruning, the exact residual
-                    # below still applies
-            elif t[0] == "prefix":
-                ids = [i for i, v in enumerate(vals)
-                       if v is not None and v.startswith(t[2])]
-                if len(ids) > _GDICT_PRUNE_MAX:
-                    continue  # too many matching dict values: no
-                    # pruning, exact residual below still applies
-            else:
-                _, _, lo, hi = t
-                ids = [i for i, v in enumerate(vals)
-                       if v is not None
-                       and (lo is None or v >= lo)
-                       and (hi is None or v <= hi)]
-                if len(ids) > _GDICT_PRUNE_MAX:
-                    continue  # too wide to enumerate: no pruning, exact
-                    # residual below still applies
-            # empty id-set = no stored value can match: -1 is below
-            # every id, so the zone check prunes every chunk
-            out.extend((p, "in", ids or [-1])
-                       for p in phys_aliases(col))
-        return out
-
-    if isinstance(pred, dict):
-        zpred: list | dict = {"any": [translate(ts) for ts in pred["any"]]}
-    else:
-        zpred = translate(pred)
+    zpred = _translate_pred(pred, gdicts, renames)
     # file-level prune from the manifest's per-part zone summaries
     # BEFORE any Spark job: skipped part files are never even listed
     files = _prune_parts(table.committed_parts(snap), zpred)

@@ -1,0 +1,118 @@
+"""COUNT(*) aggregate pushdown into zone metadata: provably-full
+chunks contribute stored n_rows without decompression; only boundary
+chunks decode.  Result must always equal the exact scan count.
+"""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_spark.engine import (_pred_zone_conds, count_filtered,
+                                  encode_table, scan_filtered)
+from parquet_spark.manifest import (count_where, delete_rows,
+                                    scan_table, write_encoded)
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.mark.spark
+def test_count_filtered_uses_metadata_for_interior_chunks(spark):
+    d = _docs(spark)
+    enc = encode_table(d, key=["doc_id"], n_parts=2,
+                       rows_per_chunk=50).cache()
+    pred = [("doc_id", 60, 440)]
+    got = count_filtered(enc, pred)
+    want = scan_filtered(enc, pred).count()
+    assert got == want == d.where(F.col("doc_id").between(60, 439 + 1)
+                                  ).count()
+    # the metadata shortcut actually fires: interior chunks are proven
+    # full, and they cover most of the matching rows
+    keep, full = _pred_zone_conds(pred)
+    n_full = enc.where(full).count()
+    n_keep = enc.where(keep).count()
+    assert 0 < n_full < n_keep
+    meta_rows = enc.where(full).agg(F.sum("n_rows")).head()[0]
+    assert meta_rows > want // 2
+    # disjunction: both branches, no double counting
+    got_any = count_filtered(enc, {"any": [[("doc_id", 0, 99)],
+                                           [("doc_id", 400, None)]]})
+    want_any = d.where((F.col("doc_id") <= 99)
+                       | (F.col("doc_id") >= 400)).count()
+    assert got_any == want_any
+    enc.unpersist()
+
+
+@pytest.mark.spark
+def test_count_full_test_is_null_and_nan_safe(spark):
+    # lang has no chunk where every row is 'de', and NULL lang rows
+    # must never be metadata-counted into a notnull/equality result
+    d = _docs(spark)
+    enc = encode_table(d, key=["lang", "doc_id"], n_parts=2,
+                       rows_per_chunk=32).cache()
+    for pred, want in [
+        ([("lang", "=", "de")], d.where(F.col("lang") == "de").count()),
+        ([("lang", "isnull", None)],
+         d.where(F.col("lang").isNull()).count()),
+        ([("lang", "notnull", None)],
+         d.where(F.col("lang").isNotNull()).count()),
+    ]:
+        assert count_filtered(enc, pred) == want
+    # lang-keyed layout gives constant chunks: equality IS provable
+    keep, full = _pred_zone_conds([("lang", "=", "de")])
+    assert enc.where(full).count() > 0
+    enc.unpersist()
+    # double ranges: NaN-unsafe family never metadata-counts, result
+    # still exact
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    enc2 = encode_table(ev, key=["value"], n_parts=2,
+                        rows_per_chunk=100).cache()
+    pred = [("value", 0.0, 50.0)]
+    assert count_filtered(enc2, pred) == \
+        ev.where(F.col("value").between(0.0, 50.0)).count()
+    _, full2 = _pred_zone_conds(pred)
+    assert enc2.where(full2).count() == 0  # doubles: never definite
+    enc2.unpersist()
+
+
+@pytest.mark.spark
+def test_count_where_table_level(spark, monkeypatch):
+    import parquet_spark.manifest as M
+    d = _docs(spark)
+    tbl = tempfile.mkdtemp(prefix="cw_")
+    write_encoded(d, tbl, key=["doc_id"], n_parts=4, mode="range",
+                  rows_per_chunk=50, global_dict_cols=["lang"])
+    want = d.where(F.col("doc_id").between(60, 440)).count()
+    assert count_where(spark, tbl, [("doc_id", 60, 440)]) == want
+    # dict column equality counts exactly through the id translation
+    want_de = d.where(F.col("lang") == "de").count()
+    assert count_where(spark, tbl, [("lang", "=", "de")]) == want_de
+    # over-cap dict translation must disable the metadata shortcut,
+    # never the correctness
+    monkeypatch.setattr(M, "_GDICT_PRUNE_MAX", 0)
+    assert count_where(spark, tbl, [("lang", "=", "de")]) == want_de
+    monkeypatch.undo()
+    # pending deletes force the exact path
+    delete_rows(spark, tbl, [("doc_id", 100, 199)])
+    left = count_where(spark, tbl, [("doc_id", 60, 440)])
+    assert left == scan_table(spark, tbl, [("doc_id", 60, 440)]).count()
+    assert left == want - d.where(F.col("doc_id").between(100, 199)
+                                  ).count()
+
+
+@pytest.mark.spark
+def test_count_where_after_schema_evolution(spark):
+    from parquet_spark.manifest import alter_table
+    d = _docs(spark)
+    tbl = tempfile.mkdtemp(prefix="cw_alter_")
+    write_encoded(d, tbl, key=["doc_id"], n_parts=2, rows_per_chunk=50)
+    alter_table(tbl, rename={"n_chars": "length"},
+                add=[("score", "double")])
+    want = d.where(F.col("n_chars") >= 100).count()
+    assert count_where(spark, tbl, [("length", 100, None)]) == want
+    # added column: all-null in old parts
+    assert count_where(spark, tbl, [("score", "isnull", None)]) == \
+        d.count()
+    assert count_where(spark, tbl, [("score", "notnull", None)]) == 0
