@@ -55,6 +55,8 @@ _EXPORTS = {
     "rewrite_table": "manifest", "recluster_table": "manifest",
     "read_increment": "manifest", "metadata_stats": "manifest",
     "count_where": "manifest", "count_filtered": "engine",
+    "fsck_table": "fsck", "fsck_summary": "fsck",
+    "mix_domains": "textops.sampling",
     "dedup_lines": "textops.dedup",
     "EncodedTable": "manifest", "ConcurrentCommitError": "manifest",
     "CommitBackend": "manifest", "PosixCommitBackend": "manifest",

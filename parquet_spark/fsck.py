@@ -1,0 +1,146 @@
+"""Table integrity audit (fsck): verify that what the manifests claim
+matches what storage holds, without decoding any data.
+
+The commit protocol can only leave two benign artifact classes behind
+(orphan snapshot jsons from losing racers, orphan data files from
+killed writers — both documented in FORMAT.md §2) and vacuum relies on
+that; fsck is the independent check that nothing WORSE happened:
+a referenced file missing (storage loss, over-eager manual cleanup),
+a part whose parquet row count disagrees with its manifest entry, or
+an unreadable snapshot in the reachable chain.  Driver-side metadata
+walk; `deep=True` additionally opens each referenced file's parquet
+FOOTER (row counts only — still no payload decode).
+
+Reference analog: the reference trusts the filesystem entirely
+(ParquetFile.cs opens and throws); at 10^12 rows an auditable
+manifest↔storage contract is the operable replacement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .manifest import CommitBackend, EncodedTable, list_refs
+
+
+def fsck_table(table_path: str, deep: bool = False,
+               backend: CommitBackend | None = None) -> dict:
+    """Audit manifest↔storage consistency.  Returns a report dict:
+
+      ok                 True iff nothing is broken (orphans are not
+                         breakage — they are vacuum's food)
+      snapshots_reachable  snapshots on the CURRENT chain + ref heads
+      missing_files      referenced data files absent from storage
+      size_mismatch      referenced files with zero size
+      row_mismatch       (deep) parts whose parquet footer row count
+                         != the manifest's n_chunks
+      missing_deletes    delete-file dirs a reachable snapshot lists
+                         but storage lacks
+      broken_refs        refs whose snapshot object is unreadable
+      orphan_data        data files no reachable snapshot references
+      orphan_snapshots   snapshot jsons outside every reachable chain
+    """
+    table = EncodedTable(table_path, backend=backend)
+    report: dict = {"ok": True, "snapshots_reachable": 0,
+                    "missing_files": [], "size_mismatch": [],
+                    "row_mismatch": [], "missing_deletes": [],
+                    "broken_refs": [], "orphan_data": [],
+                    "orphan_snapshots": []}
+
+    # -- reachable snapshot set: CURRENT's chain + every ref's chain
+    heads: list[dict] = []
+    cur = table.current_snapshot()
+    if cur is not None:
+        heads.append(cur)
+    for name, ref in list_refs(table_path).items():
+        try:
+            heads.append(table._load_snapshot(ref["snap_name"]))
+        except Exception as ex:  # unreadable/missing snapshot object
+            report["broken_refs"].append(
+                {"ref": name, "snap": ref.get("snap_name"),
+                 "error": str(ex)[:200]})
+    seen: dict[str, dict] = {}
+    for head in heads:
+        snap = head
+        while snap is not None:
+            nm = snap.get("_snap_name")
+            if nm in seen:
+                break
+            seen[nm] = snap
+            try:
+                snap = table._parent_of(snap)
+            except Exception as ex:
+                report["broken_refs"].append(
+                    {"ref": None, "snap": nm,
+                     "error": f"parent walk failed: {str(ex)[:160]}"})
+                break
+    report["snapshots_reachable"] = len(seen)
+
+    # -- referenced files exist (and, deep, agree with their manifest)
+    live: set[str] = set()
+    for snap in seen.values():
+        for pid, info in (snap.get("parts") or {}).items():
+            f = info["file"]
+            live.add(os.path.abspath(f))
+            if not os.path.exists(f):
+                report["missing_files"].append(
+                    {"snapshot": snap["snapshot_id"], "part": pid,
+                     "file": f})
+                continue
+            if os.path.getsize(f) == 0:
+                report["size_mismatch"].append(
+                    {"snapshot": snap["snapshot_id"], "part": pid,
+                     "file": f})
+            elif deep:
+                import pyarrow.parquet as pq
+                n = pq.ParquetFile(f).metadata.num_rows
+                if n != info.get("n_chunks"):
+                    report["row_mismatch"].append(
+                        {"snapshot": snap["snapshot_id"], "part": pid,
+                         "file": f, "footer_chunks": n,
+                         "manifest_chunks": info.get("n_chunks")})
+        for df in (snap.get("meta") or {}).get("delete_files") or []:
+            p = df["path"] if isinstance(df, dict) else df
+            live.add(os.path.abspath(p))
+            if not os.path.exists(p):
+                report["missing_deletes"].append(
+                    {"snapshot": snap["snapshot_id"], "path": p})
+
+    # -- orphans (informational: vacuum's food, not corruption)
+    data_dir = os.path.join(table_path, "data")
+    if os.path.isdir(data_dir):
+        for name in sorted(os.listdir(data_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.abspath(os.path.join(data_dir, name))
+            if p not in live:
+                report["orphan_data"].append(p)
+    snap_dir = os.path.join(table_path, "snapshots")
+    if os.path.isdir(snap_dir):
+        for name in sorted(os.listdir(snap_dir)):
+            if name.endswith(".json") and name not in seen:
+                report["orphan_snapshots"].append(name)
+
+    report["ok"] = not (report["missing_files"]
+                        or report["size_mismatch"]
+                        or report["row_mismatch"]
+                        or report["missing_deletes"]
+                        or report["broken_refs"])
+    return report
+
+
+def fsck_summary(report: dict) -> str:
+    """One-line human rendering of an fsck report."""
+    if report["ok"]:
+        extra = ""
+        if report["orphan_data"] or report["orphan_snapshots"]:
+            extra = (f" ({len(report['orphan_data'])} orphan data, "
+                     f"{len(report['orphan_snapshots'])} orphan "
+                     "snapshots — vacuum candidates)")
+        return (f"OK: {report['snapshots_reachable']} reachable "
+                f"snapshots, all referenced objects present{extra}")
+    bad = {k: len(v) for k, v in report.items()
+           if isinstance(v, list) and v
+           and k not in ("orphan_data", "orphan_snapshots")}
+    return f"BROKEN: {json.dumps(bad)}"
