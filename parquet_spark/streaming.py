@@ -26,8 +26,16 @@ def encode_stream(stream_df: DataFrame, table_path: str,
                   key: list[str] | None = None, n_parts: int = 4,
                   codec: str = "auto",
                   rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
-                  trigger_available_now: bool = True):
+                  trigger_available_now: bool = True,
+                  branch: str | None = None):
     """Start a streaming query encoding micro-batches into the table.
+
+    `branch="name"` makes the ingest a WAP pipeline: every micro-batch
+    commit is STAGED on the branch (published readers never see a
+    partial stream), audited via `ref=` reads, and atomically released
+    with `publish_branch` when the operator signs off — the
+    audit-gated ingest pattern.  Epoch idempotency is unchanged: the
+    branch head's committed parts drive the skip.
 
     Returns the StreamingQuery; callers own awaitTermination/stop."""
 
@@ -36,7 +44,8 @@ def encode_stream(stream_df: DataFrame, table_path: str,
             return
         write_encoded(batch_df, table_path, key=key, n_parts=n_parts,
                       codec=codec, rows_per_chunk=rows_per_chunk,
-                      part_offset=int(epoch_id) * n_parts)
+                      part_offset=int(epoch_id) * n_parts,
+                      branch=branch)
 
     writer = (stream_df.writeStream
               .foreachBatch(sink)

@@ -152,3 +152,31 @@ def test_streaming_dedup_with_ttl_still_dedups_within_window(spark, tmp_path):
     rows = {r.digest: r.doc_id
             for r in spark.sql("select * from ttl_dedup").collect()}
     assert len(rows) == 2 and sorted(rows.values()) == [3, 9]
+
+
+@pytest.mark.spark
+def test_encode_stream_into_wap_branch(spark, tmp_path):
+    """Audit-gated streaming ingest: micro-batch commits stage on a
+    branch (published readers see nothing mid-stream), then one
+    publish releases the whole audited stream atomically."""
+    from parquet_spark.manifest import (EncodedTable, publish_branch,
+                                        read_decoded)
+    from parquet_spark.streaming import encode_stream, file_stream
+    src = str(tmp_path / "in")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").where("doc_id < 200")
+    docs.where("doc_id < 100").coalesce(1).write.parquet(src)
+    docs.where("doc_id >= 100").coalesce(1).write.parquet(src,
+                                                          mode="append")
+    tbl = str(tmp_path / "tbl")
+    ddl = "doc_id long, text string, lang string, source string, " \
+          "n_chars long"
+    q = encode_stream(file_stream(spark, src, ddl), tbl,
+                      str(tmp_path / "ckpt"), key=["doc_id"], n_parts=2,
+                      branch="ingest")
+    q.awaitTermination(120)
+    assert EncodedTable(tbl)._current_name() is None  # nothing published
+    staged = read_decoded(spark, tbl, ref="ingest")
+    assert staged.count() == 200
+    publish_branch(tbl, "ingest")
+    assert read_decoded(spark, tbl).count() == 200
