@@ -860,6 +860,33 @@ def q_count_pushdown(spark, sf_dir):
         "n_range long, n_lang long, n_any long")
 
 
+def q_minmax_pushdown(spark, sf_dir):
+    """Predicate-scoped MIN/MAX/COUNT pushdown (manifest.minmax_where):
+    provably-full chunks contribute stored zone bounds and n_rows with
+    zero decompression; boundary chunks decode exactly.  Timestamps
+    come back in the zone domain (epoch-us int64) — DuckDB recomputes
+    all five values from raw rows with epoch_us()."""
+    import tempfile
+
+    from parquet_spark.manifest import minmax_where, write_encoded
+    ev = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="entry_mm_")
+    write_encoded(ev, path, key=["event_id"], n_parts=4, mode="range",
+                  rows_per_chunk=512)
+    b = ev.agg(F.min("event_id"), F.max("event_id")).head()
+    lo = int(b[0] + (b[1] - b[0]) * 0.1)
+    hi = int(b[0] + (b[1] - b[0]) * 0.8)
+    r = minmax_where(spark, path, [("event_id", lo, hi)],
+                     ["event_id", "ts", "user_id"])
+    return spark.createDataFrame(
+        [(r["n_rows"],
+          r["cols"]["event_id"]["min"], r["cols"]["event_id"]["max"],
+          r["cols"]["ts"]["min"], r["cols"]["ts"]["max"],
+          r["cols"]["user_id"]["min"], r["cols"]["user_id"]["max"])],
+        "n_rows long, min_id long, max_id long, min_ts long, "
+        "max_ts long, min_user long, max_user long")
+
+
 def q_domain_mixture(spark, sf_dir):
     """Target-mixture downsampling (textops/sampling.py `mix_domains`,
     redistribute=False — the one-pass closed form a second engine can
@@ -2034,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alter_columns": q_alter_columns,
         "wap_publish": q_wap_publish,
         "count_pushdown": q_count_pushdown,
+        "minmax_pushdown": q_minmax_pushdown,
         "domain_mixture": q_domain_mixture,
         "line_dedup": q_line_dedup,
         "like_prune": q_like_prune,
@@ -2740,6 +2768,17 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM documents
                     WHERE doc_id <= 99
                        OR (lang = 'fr' AND doc_id >= 300)) AS n_any""",
+        "minmax_pushdown": """
+            WITH b AS (SELECT MIN(event_id) AS mn, MAX(event_id) AS mx
+                       FROM events),
+            r AS (SELECT CAST(FLOOR(mn + (mx - mn) * 0.1) AS BIGINT) AS lo,
+                         CAST(FLOOR(mn + (mx - mn) * 0.8) AS BIGINT) AS hi
+                  FROM b)
+            SELECT COUNT(*) AS n_rows,
+                   MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+                   epoch_us(MIN(ts)) AS min_ts, epoch_us(MAX(ts)) AS max_ts,
+                   MIN(user_id) AS min_user, MAX(user_id) AS max_user
+            FROM events, r WHERE event_id BETWEEN r.lo AND r.hi""",
         "domain_mixture": """
             WITH c AS (SELECT source, COUNT(*) AS n FROM documents
                        GROUP BY source),

@@ -55,6 +55,7 @@ _EXPORTS = {
     "rewrite_table": "manifest", "recluster_table": "manifest",
     "read_increment": "manifest", "metadata_stats": "manifest",
     "count_where": "manifest", "count_filtered": "engine",
+    "minmax_where": "manifest",
     "fsck_table": "fsck", "fsck_summary": "fsck",
     "mix_domains": "textops.sampling",
     "dedup_lines": "textops.dedup",

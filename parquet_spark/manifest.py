@@ -2397,6 +2397,133 @@ def count_where(spark: SparkSession, table_path: str,
     return int(meta_n) + dec.where(cond).count()
 
 
+def minmax_where(spark: SparkSession, table_path: str,
+                 pred: list[tuple] | dict, cols: list[str],
+                 backend: CommitBackend | None = None,
+                 snapshot_id: int | None = None,
+                 ref: str | None = None) -> dict:
+    """Predicate-scoped MIN/MAX/COUNT with aggregate pushdown —
+    metadata_stats generalized from whole-table to WHERE pred: chunks
+    the zone metadata proves fully matching contribute their stored
+    per-column bounds and n_rows with zero decompression; boundary
+    chunks decode and aggregate exactly.  Returns
+    {"n_rows": N, "cols": {c: {"min": m, "max": M}}} with int64 values
+    (timestamps in epoch-us — the zone domain; cast at the edge).
+
+    Restricted to int/timestamp target columns: string zone bounds are
+    TRUNCATED (a 64-char prefix is not the column's min value) and the
+    double family is NaN-ambiguous (nanmin/nanmax vs SQL MIN/MAX NaN
+    ordering) — those columns, and chunks missing a zone entry for any
+    target (fat-column auto-skip), simply fall to the decode side, so
+    the result is exact regardless.  Pending deletes force the exact
+    path.  Equals the full-scan aggregate always."""
+    from .engine import _pred_zone_conds, _residual_col
+    table = EncodedTable(table_path, backend=backend)
+    snap = _resolve_snap(table, snapshot_id, ref)
+    meta = table.meta(snap)
+    schema = table.schema(snap)
+    for c in cols:
+        if schema is not None and schema.get_field_index(c) < 0:
+            raise KeyError(f"column {c!r} not in table schema "
+                           f"{schema.names}")
+        if c in (meta.get("global_dicts") or {}):
+            raise ValueError(
+                f"{c!r} is a global-dict column: its stored ids are "
+                "frequency-ranked, so id bounds are not value bounds — "
+                "aggregate over scan_table instead")
+    gdicts = meta.get("global_dicts") or {}
+    renames = meta.get("renames") or {}
+
+    def exact_fallback():
+        dec = scan_table(spark, table_path, pred, backend=backend,
+                         snapshot_id=snapshot_id, ref=ref)
+        types = {f.name: f.dataType.simpleString()
+                 for f in dec.schema.fields}
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            e = _residual_col(c, types, True)
+            aggs += [F.min(e).alias(f"_mn_{c}"), F.max(e).alias(f"_mx_{c}")]
+        r = dec.agg(*aggs).head()
+        return {"n_rows": int(r["_n"]),
+                "cols": {c: {"min": r[f"_mn_{c}"], "max": r[f"_mx_{c}"]}
+                         for c in cols}}
+
+    if meta.get("delete_files"):
+        return exact_fallback()
+    zpred, complete = _translate_pred(pred, gdicts, renames,
+                                      return_complete=True)
+    files = _prune_parts(table.committed_parts(snap), zpred)
+    if not files:
+        return {"n_rows": 0,
+                "cols": {c: {"min": None, "max": None} for c in cols}}
+    enc = spark.read.schema(ENCODED_DDL).parquet(*files)
+    keep, full = _pred_zone_conds(zpred)
+    if isinstance(zpred, dict):
+        if not all(complete):
+            return exact_fallback()  # rare over-cap branch: stay exact
+    elif not complete:
+        return exact_fallback()
+    # metadata-eligible = predicate-full AND int-family bounds present
+    # for EVERY target column (each target may live under a physical
+    # alias on evolved tables — at most one populated per chunk)
+    def bounds(c):
+        aliases = [c] + [p for p, l in renames.items()
+                         if l == c and p != c]
+        mn = mx = None
+        present = F.lit(False)
+        for a in aliases:
+            idx = F.array_position(F.col("zone_cols"), a).cast("int")
+            si = F.when(idx >= 1, idx)
+            amn = F.try_element_at(F.col("zone_min_num"), si)
+            amx = F.try_element_at(F.col("zone_max_num"), si)
+            mn = amn if mn is None else F.coalesce(mn, amn)
+            mx = amx if mx is None else F.coalesce(mx, amx)
+            present = present | (amn.isNotNull() & amx.isNotNull())
+        return mn, mx, present
+    eligible = full
+    sel = [F.col("n_rows")]
+    for c in cols:
+        mn, mx, present = bounds(c)
+        eligible = eligible & present
+        sel += [mn.alias(f"_mn_{c}"), mx.alias(f"_mx_{c}")]
+    meta_chunks = enc.where(eligible).select(*sel)
+    aggs = [F.coalesce(F.sum("n_rows"), F.lit(0)).alias("_n")]
+    for c in cols:
+        aggs += [F.min(f"_mn_{c}").alias(f"_mn_{c}"),
+                 F.max(f"_mx_{c}").alias(f"_mx_{c}")]
+    m = meta_chunks.agg(*aggs).head()
+    # boundary side: everything kept but not metadata-eligible
+    dec = decode_table(enc.where(keep & ~eligible), schema,
+                       renames=meta.get("renames"))
+    dec = _restore_global_dicts(spark, dec, gdicts, None)
+    if isinstance(pred, dict):
+        cond = F.lit(False)
+        for terms in pred["any"]:
+            cond = cond | _residual_cond(dec, terms)
+    else:
+        cond = _residual_cond(dec, pred)
+    dec = dec.where(cond)
+    types = {f.name: f.dataType.simpleString() for f in dec.schema.fields}
+    paggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        e = _residual_col(c, types, True)
+        paggs += [F.min(e).alias(f"_mn_{c}"), F.max(e).alias(f"_mx_{c}")]
+    p = dec.agg(*paggs).head()
+
+    def fold(fn, a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return fn(a, b)
+    out = {"n_rows": int(m["_n"]) + int(p["_n"]), "cols": {}}
+    for c in cols:
+        out["cols"][c] = {
+            "min": fold(min, m[f"_mn_{c}"], p[f"_mn_{c}"]),
+            "max": fold(max, m[f"_mx_{c}"], p[f"_mx_{c}"])}
+    return out
+
+
 def scan_table(spark: SparkSession, table_path: str,
                pred: list[tuple] | dict,
                columns: list[str] | None = None,

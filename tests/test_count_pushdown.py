@@ -116,3 +116,74 @@ def test_count_where_after_schema_evolution(spark):
     assert count_where(spark, tbl, [("score", "isnull", None)]) == \
         d.count()
     assert count_where(spark, tbl, [("score", "notnull", None)]) == 0
+
+
+@pytest.mark.spark
+def test_minmax_where_matches_exact_scan(spark):
+    from parquet_spark.manifest import minmax_where
+    d = _docs(spark)
+    tbl = tempfile.mkdtemp(prefix="mm_")
+    write_encoded(d, tbl, key=["doc_id"], n_parts=4, mode="range",
+                  rows_per_chunk=50, global_dict_cols=["lang"])
+    r = minmax_where(spark, tbl, [("doc_id", 60, 440)],
+                     ["doc_id", "n_chars"])
+    want = d.where(F.col("doc_id").between(60, 440))
+    w = want.agg(F.count(F.lit(1)), F.min("doc_id"), F.max("doc_id"),
+                 F.min("n_chars"), F.max("n_chars")).head()
+    assert r["n_rows"] == w[0]
+    assert (r["cols"]["doc_id"]["min"], r["cols"]["doc_id"]["max"]) == \
+        (w[1], w[2])
+    assert (r["cols"]["n_chars"]["min"], r["cols"]["n_chars"]["max"]) \
+        == (w[3], w[4])
+    # predicate on the dict column, target int col
+    r2 = minmax_where(spark, tbl, [("lang", "=", "de")], ["doc_id"])
+    w2 = d.where(F.col("lang") == "de").agg(
+        F.count(F.lit(1)), F.min("doc_id"), F.max("doc_id")).head()
+    assert r2["n_rows"] == w2[0]
+    assert (r2["cols"]["doc_id"]["min"],
+            r2["cols"]["doc_id"]["max"]) == (w2[1], w2[2])
+    # empty result: no file survives
+    r3 = minmax_where(spark, tbl, [("doc_id", 10**9, None)], ["doc_id"])
+    assert r3 == {"n_rows": 0, "cols": {"doc_id": {"min": None,
+                                                   "max": None}}}
+    # guards: dict targets and unknown columns fail loudly
+    with pytest.raises(ValueError, match="global-dict"):
+        minmax_where(spark, tbl, [("doc_id", 0, 10)], ["lang"])
+    with pytest.raises(KeyError, match="nope"):
+        minmax_where(spark, tbl, [("doc_id", 0, 10)], ["nope"])
+    # pending deletes: exact path, still correct
+    delete_rows(spark, tbl, [("doc_id", 100, 199)])
+    r4 = minmax_where(spark, tbl, [("doc_id", 60, 440)], ["doc_id"])
+    w4 = d.where(F.col("doc_id").between(60, 440)
+                 & ~F.col("doc_id").between(100, 199)).agg(
+        F.count(F.lit(1)), F.min("doc_id"), F.max("doc_id")).head()
+    assert r4["n_rows"] == w4[0]
+    assert (r4["cols"]["doc_id"]["min"],
+            r4["cols"]["doc_id"]["max"]) == (w4[1], w4[2])
+
+
+@pytest.mark.spark
+def test_minmax_where_metadata_path_fires_and_ts_domain(spark):
+    from parquet_spark.engine import _pred_zone_conds
+    from parquet_spark.manifest import minmax_where, read_encoded
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tbl = tempfile.mkdtemp(prefix="mm_ev_")
+    write_encoded(ev, tbl, key=["event_id"], n_parts=2, mode="range",
+                  rows_per_chunk=200)
+    lo, hi = 100, 4500
+    r = minmax_where(spark, tbl, [("event_id", lo, hi)],
+                     ["event_id", "ts"])
+    want = ev.where(F.col("event_id").between(lo, hi))
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    w = want.agg(F.count(F.lit(1)), F.min("event_id"), F.max("event_id"),
+                 F.min(us), F.max(us)).head()
+    assert r["n_rows"] == w[0]
+    assert (r["cols"]["event_id"]["min"],
+            r["cols"]["event_id"]["max"]) == (w[1], w[2])
+    # timestamps come back in the zone domain: epoch-us int64
+    assert (r["cols"]["ts"]["min"], r["cols"]["ts"]["max"]) == (w[3], w[4])
+    # interior chunks really are metadata-counted
+    enc = read_encoded(spark, tbl)
+    _, full = _pred_zone_conds([("event_id", lo, hi)])
+    assert enc.where(full).count() > 0
