@@ -28,22 +28,29 @@ def fsck_table(table_path: str, deep: bool = False,
                backend: CommitBackend | None = None) -> dict:
     """Audit manifest↔storage consistency.  Returns a report dict:
 
-      ok                 True iff nothing is broken (orphans are not
-                         breakage — they are vacuum's food)
+      ok                 True iff nothing is broken (orphans and
+                         vacuum-expired history are not breakage)
       snapshots_reachable  snapshots on the CURRENT chain + ref heads
-      missing_files      referenced data files absent from storage
-      size_mismatch      referenced files with zero size
-      row_mismatch       (deep) parts whose parquet footer row count
-                         != the manifest's n_chunks
-      missing_deletes    delete-file dirs a reachable snapshot lists
-                         but storage lacks
+      missing_files      data files a LIVE snapshot (CURRENT or a ref
+                         head — exactly vacuum's retention set)
+                         references but storage lacks
+      expired_history    files only ANCESTOR snapshots reference that
+                         are gone — the normal aftermath of
+                         vacuum_table (time travel to those snapshots
+                         is over); informational, not breakage
+      size_mismatch      referenced live files with zero size
+      row_mismatch       (deep) live parts whose parquet footer row
+                         count != the manifest's n_chunks
+      missing_deletes    delete-file dirs a LIVE snapshot lists but
+                         storage lacks
       broken_refs        refs whose snapshot object is unreadable
       orphan_data        data files no reachable snapshot references
       orphan_snapshots   snapshot jsons outside every reachable chain
     """
     table = EncodedTable(table_path, backend=backend)
     report: dict = {"ok": True, "snapshots_reachable": 0,
-                    "missing_files": [], "size_mismatch": [],
+                    "missing_files": [], "expired_history": [],
+                    "size_mismatch": [],
                     "row_mismatch": [], "missing_deletes": [],
                     "broken_refs": [], "orphan_data": [],
                     "orphan_snapshots": []}
@@ -77,16 +84,23 @@ def fsck_table(table_path: str, deep: bool = False,
                 break
     report["snapshots_reachable"] = len(seen)
 
-    # -- referenced files exist (and, deep, agree with their manifest)
+    # -- referenced files exist.  Breakage is judged against the LIVE
+    # set only (head snapshots = vacuum's retention contract); files
+    # referenced solely by ancestors may legitimately be gone.
+    head_names = {h.get("_snap_name") for h in heads}
     live: set[str] = set()
     for snap in seen.values():
+        is_live = snap.get("_snap_name") in head_names
         for pid, info in (snap.get("parts") or {}).items():
             f = info["file"]
             live.add(os.path.abspath(f))
             if not os.path.exists(f):
-                report["missing_files"].append(
+                report["missing_files" if is_live
+                       else "expired_history"].append(
                     {"snapshot": snap["snapshot_id"], "part": pid,
                      "file": f})
+                continue
+            if not is_live:
                 continue
             if os.path.getsize(f) == 0:
                 report["size_mismatch"].append(
@@ -103,7 +117,7 @@ def fsck_table(table_path: str, deep: bool = False,
         for df in (snap.get("meta") or {}).get("delete_files") or []:
             p = df["path"] if isinstance(df, dict) else df
             live.add(os.path.abspath(p))
-            if not os.path.exists(p):
+            if is_live and not os.path.exists(p):
                 report["missing_deletes"].append(
                     {"snapshot": snap["snapshot_id"], "path": p})
 
@@ -138,9 +152,14 @@ def fsck_summary(report: dict) -> str:
             extra = (f" ({len(report['orphan_data'])} orphan data, "
                      f"{len(report['orphan_snapshots'])} orphan "
                      "snapshots — vacuum candidates)")
+        if report["expired_history"]:
+            extra += (f" ({len(report['expired_history'])} "
+                      "ancestor-only files vacuumed — that time "
+                      "travel is over)")
         return (f"OK: {report['snapshots_reachable']} reachable "
-                f"snapshots, all referenced objects present{extra}")
+                f"snapshots, all live objects present{extra}")
     bad = {k: len(v) for k, v in report.items()
            if isinstance(v, list) and v
-           and k not in ("orphan_data", "orphan_snapshots")}
+           and k not in ("orphan_data", "orphan_snapshots",
+                         "expired_history")}
     return f"BROKEN: {json.dumps(bad)}"

@@ -228,9 +228,12 @@ class PosixCommitBackend(CommitBackend):
                 pass
 
     # -- the commit point
-    def commit(self, name: str, payload: str,
-               expected: str | None) -> None:
-        os.makedirs(self.snap_dir, exist_ok=True)
+    def _flip_pointer(self, name: str, expected: str | None,
+                      payload: str | None) -> None:
+        """Shared CAS tail of commit (payload given: persist it first)
+        and publish (payload None: the object must already be staged):
+        verify CURRENT == expected under the lock, optionally write the
+        snapshot object, re-verify lock ownership, flip the pointer."""
         token = self._acquire()
         try:
             actual = self.current()
@@ -239,20 +242,22 @@ class PosixCommitBackend(CommitBackend):
                     f"CURRENT at {self.path} is {actual!r}, expected "
                     f"{expected!r}: another writer committed; re-read "
                     "and retry")
-            tmp = os.path.join(self.snap_dir,
-                               name + f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "w") as f:
-                f.write(payload)
-            # Snapshot names are unique per attempt (EncodedTable.commit
-            # appends a random token), so even a stalled loser's replace
-            # below can only create an ORPHAN file — never overwrite a
-            # winner's committed snapshot.  The ownership re-verify
-            # before the pointer flip is what keeps a stolen-lock loser
-            # from flipping CURRENT itself; a stall in the microseconds
-            # between the check and the replace remains the documented
-            # POSIX residual (object-store backends have none: the
-            # conditional PUT is the whole CAS).
-            os.replace(tmp, os.path.join(self.snap_dir, name))
+            if payload is not None:
+                tmp = os.path.join(self.snap_dir,
+                                   name + f".tmp-{uuid.uuid4().hex}")
+                with open(tmp, "w") as f:
+                    f.write(payload)
+                # Snapshot names are unique per attempt
+                # (EncodedTable.commit appends a random token), so even
+                # a stalled loser's replace below can only create an
+                # ORPHAN file — never overwrite a winner's committed
+                # snapshot.  The ownership re-verify before the pointer
+                # flip is what keeps a stolen-lock loser from flipping
+                # CURRENT itself; a stall in the microseconds between
+                # the check and the replace remains the documented
+                # POSIX residual (object-store backends have none: the
+                # conditional PUT is the whole CAS).
+                os.replace(tmp, os.path.join(self.snap_dir, name))
             cur_tmp = os.path.join(self.path,
                                    f"CURRENT.tmp-{uuid.uuid4().hex}")
             with open(cur_tmp, "w") as f:
@@ -268,6 +273,11 @@ class PosixCommitBackend(CommitBackend):
             os.replace(cur_tmp, os.path.join(self.path, "CURRENT"))
         finally:
             self._release(token)
+
+    def commit(self, name: str, payload: str,
+               expected: str | None) -> None:
+        os.makedirs(self.snap_dir, exist_ok=True)
+        self._flip_pointer(name, expected, payload)
 
     def stage(self, name: str, payload: str) -> None:
         # unique-per-attempt names need no lock: a stage can only
@@ -282,29 +292,7 @@ class PosixCommitBackend(CommitBackend):
         # the staged object must exist before the pointer can name it
         if not os.path.exists(os.path.join(self.snap_dir, name)):
             raise ValueError(f"cannot publish {name!r}: not staged")
-        token = self._acquire()
-        try:
-            actual = self.current()
-            if actual != expected:
-                raise ConcurrentCommitError(
-                    f"CURRENT at {self.path} is {actual!r}, expected "
-                    f"{expected!r}: another writer committed; re-read "
-                    "and retry")
-            cur_tmp = os.path.join(self.path,
-                                   f"CURRENT.tmp-{uuid.uuid4().hex}")
-            with open(cur_tmp, "w") as f:
-                f.write(name)
-            if not self._owns(token):
-                try:
-                    os.remove(cur_tmp)
-                except OSError:
-                    pass
-                raise ConcurrentCommitError(
-                    f"commit lock at {self.path} was stolen (writer "
-                    "stalled past the stale window); re-read and retry")
-            os.replace(cur_tmp, os.path.join(self.path, "CURRENT"))
-        finally:
-            self._release(token)
+        self._flip_pointer(name, expected, None)
 
 
 class ConditionalPutCommitBackend(CommitBackend):
@@ -1701,6 +1689,23 @@ def alter_table(table_path: str,
                 "full rewrite (read_decoded -> write_encoded)")
     fields = list(schema)
     gd = dict(meta.get("global_dicts") or {})
+    lay = dict(meta.get("layout") or {})
+
+    def _relist(key_name, old, new):
+        # layout lists (global_dict_cols / bloom_cols) are the RESUME
+        # fingerprint future appends are checked against — they must
+        # follow the logical name or every later write_encoded would
+        # either fail the layout check (new name) or reference a
+        # column the evolved batch no longer has (old name)
+        vals = lay.get(key_name)
+        if not vals or old not in vals:
+            return
+        if new is None:
+            lay[key_name] = sorted(v for v in vals if v != old)
+        else:
+            lay[key_name] = sorted(new if v == old else v
+                                   for v in vals)
+
     for old, new in rename.items():
         # every physical alias of `old` — including `old` itself:
         # parts appended while `old` was the logical name store it
@@ -1715,12 +1720,16 @@ def alter_table(table_path: str,
                   if f.name == old else f for f in fields]
         if old in gd:
             gd[new] = gd.pop(old)
+        _relist("global_dict_cols", old, new)
+        _relist("bloom_cols", old, new)
     for d in drop:
         phys = [p for p, l in ren.items() if l == d] + [d]
         for p in phys:
             ren[p] = None       # tombstone: skip at decode, forever
         fields = [f for f in fields if f.name != d]
         gd.pop(d, None)
+        _relist("global_dict_cols", d, None)
+        _relist("bloom_cols", d, None)
     for name, typ in add:
         typ = pa.type_for_alias(typ) if isinstance(typ, str) else typ
         fields.append(pa.field(name, typ, nullable=True))
@@ -1730,6 +1739,8 @@ def alter_table(table_path: str,
     meta["altered_from"] = parent["snapshot_id"]
     if gd or "global_dicts" in meta:
         meta["global_dicts"] = gd
+    if lay:
+        meta["layout"] = lay
     return table.commit(dict(parent["parts"]),
                         pa.schema(fields).serialize().to_pybytes(),
                         parent, meta=meta)
@@ -2278,18 +2289,22 @@ def _translate_pred(pred: list[tuple] | dict, gdicts: dict,
                         if l == col and p != col]
 
     dropped: list[bool] = []
+    grouped: list[list[list[tuple]]] = []
 
     def translate(terms):
         out = []
+        groups: list[list[tuple]] = []
         dropped.append(False)
+        grouped.append(groups)
         for term in terms:
             t = _norm_term(term)
             col = t[1]
             if col not in gdicts or t[0] in ("isnull", "notnull"):
                 # null VALUES are stored as null IDS, so null-count
                 # pruning works unchanged on dict columns
-                out.extend((p,) + tuple(term[1:])
-                           for p in phys_aliases(col))
+                g = [(p,) + tuple(term[1:]) for p in phys_aliases(col)]
+                groups.append(g)
+                out.extend(g)
                 continue
             vals = gdicts[col]
             if t[0] == "in":
@@ -2320,8 +2335,9 @@ def _translate_pred(pred: list[tuple] | dict, gdicts: dict,
                     # residual still applies
             # empty id-set = no stored value can match: -1 is below
             # every id, so the zone check prunes every chunk
-            out.extend((p, "in", ids or [-1])
-                       for p in phys_aliases(col))
+            g = [(p, "in", ids or [-1]) for p in phys_aliases(col)]
+            groups.append(g)
+            out.extend(g)
         return out
 
     if isinstance(pred, dict):
@@ -2332,9 +2348,14 @@ def _translate_pred(pred: list[tuple] | dict, gdicts: dict,
         return z
     # complete = no term of that AND-branch was dropped: only then may
     # a caller trust the branch's zone AND as a DEFINITE (all-rows)
-    # proof — a dropped term still filters rows in the residual
-    return z, ([not d for d in dropped] if isinstance(pred, dict)
-               else not dropped[0])
+    # proof — a dropped term still filters rows in the residual.
+    # `grouped` keeps the logical-term -> alias-terms structure: the
+    # definite half must OR within a group (a chunk populates at most
+    # one alias, so exactly one alias test can prove it) and AND
+    # across groups.
+    if isinstance(pred, dict):
+        return z, [not d for d in dropped], grouped
+    return z, not dropped[0], grouped[0]
 
 
 def count_where(spark: SparkSession, table_path: str,
@@ -2352,7 +2373,7 @@ def count_where(spark: SparkSession, table_path: str,
     ANY table size.  Pending equality deletes force the exact path
     (scan_table().count()): stored n_rows can't see deleted rows.
     Always equals scan_table(...).count()."""
-    from .engine import _pred_zone_conds, _zone_full_term
+    from .engine import _pred_zone_conds
     table = EncodedTable(table_path, backend=backend)
     snap = _resolve_snap(table, snapshot_id, ref)
     meta = table.meta(snap)
@@ -2361,33 +2382,22 @@ def count_where(spark: SparkSession, table_path: str,
                           snapshot_id=snapshot_id, ref=ref).count()
     gdicts = meta.get("global_dicts") or {}
     renames = meta.get("renames") or {}
-    zpred, complete = _translate_pred(pred, gdicts, renames,
-                                      return_complete=True)
+    zpred, complete, grouped = _translate_pred(pred, gdicts, renames,
+                                               return_complete=True)
     files = _prune_parts(table.committed_parts(snap), zpred)
     if not files:
         return 0
     enc = spark.read.schema(ENCODED_DDL).parquet(*files)
-    keep, full = _pred_zone_conds(zpred)
-    # a zone AND with a DROPPED term (over-cap dict translation) still
-    # over-keeps correctly but can never PROVE all rows match — the
-    # dropped term filters rows only the residual sees
-    if isinstance(zpred, dict):
-        def and_full(terms):
-            c = F.lit(True)
-            for t in terms:
-                c = c & _zone_full_term(t)
-            return c
-        full = F.lit(False)
-        for ts, ok in zip(zpred["any"], complete):
-            if ok:
-                full = full | and_full(ts)
-    elif not complete:
-        full = F.lit(False)
+    keep, _ = _pred_zone_conds(zpred)
+    full = _grouped_full(grouped, complete, is_any=isinstance(zpred, dict))
     meta_n = (enc.where(full)
               .agg(F.coalesce(F.sum("n_rows"), F.lit(0))).head()[0])
+    # decode ONLY the predicate columns of boundary chunks — counting
+    # must not pay to decompress fat payload columns
     dec = decode_table(enc.where(keep & ~full), table.schema(snap),
+                       columns=_pred_columns(pred),
                        renames=meta.get("renames"))
-    dec = _restore_global_dicts(spark, dec, gdicts, None)
+    dec = _restore_global_dicts(spark, dec, gdicts, dec.columns)
     if isinstance(pred, dict):
         cond = F.lit(False)
         for terms in pred["any"]:
@@ -2395,6 +2405,47 @@ def count_where(spark: SparkSession, table_path: str,
     else:
         cond = _residual_cond(dec, pred)
     return int(meta_n) + dec.where(cond).count()
+
+
+def _pred_columns(pred: list[tuple] | dict) -> list[str]:
+    """The logical column names a predicate touches, in first-seen
+    order (the minimal decode projection for residual evaluation)."""
+    out: list[str] = []
+    branches = pred["any"] if isinstance(pred, dict) else [pred]
+    for terms in branches:
+        for term in terms:
+            c = _norm_term(term)[1]
+            if c not in out:
+                out.append(c)
+    return out
+
+
+def _grouped_full(grouped, complete, is_any: bool):
+    """Definitely-full chunk condition from the grouped translation:
+    OR within a logical term's alias group (a chunk populates at most
+    ONE physical alias, so exactly one alias test can prove it — an
+    AND would be False on every evolved table), AND across groups, OR
+    across any-branches; a branch with a dropped (over-cap) term can
+    never prove fullness — its missing term still filters rows that
+    only the residual sees."""
+    from .engine import _zone_full_term
+
+    def one(groups):
+        c = F.lit(True)
+        for g in groups:
+            gc = F.lit(False)
+            for t in g:
+                gc = gc | _zone_full_term(t)
+            c = c & gc
+        return c
+
+    if is_any:
+        full = F.lit(False)
+        for groups, ok in zip(grouped, complete):
+            if ok:
+                full = full | one(groups)
+        return full
+    return one(grouped) if complete else F.lit(False)
 
 
 def minmax_where(spark: SparkSession, table_path: str,
@@ -2450,19 +2501,16 @@ def minmax_where(spark: SparkSession, table_path: str,
 
     if meta.get("delete_files"):
         return exact_fallback()
-    zpred, complete = _translate_pred(pred, gdicts, renames,
-                                      return_complete=True)
+    zpred, complete, grouped = _translate_pred(pred, gdicts, renames,
+                                               return_complete=True)
     files = _prune_parts(table.committed_parts(snap), zpred)
     if not files:
         return {"n_rows": 0,
                 "cols": {c: {"min": None, "max": None} for c in cols}}
     enc = spark.read.schema(ENCODED_DDL).parquet(*files)
-    keep, full = _pred_zone_conds(zpred)
-    if isinstance(zpred, dict):
-        if not all(complete):
-            return exact_fallback()  # rare over-cap branch: stay exact
-    elif not complete:
-        return exact_fallback()
+    keep, _ = _pred_zone_conds(zpred)
+    full = _grouped_full(grouped, complete,
+                         is_any=isinstance(zpred, dict))
     # metadata-eligible = predicate-full AND int-family bounds present
     # for EVERY target column (each target may live under a physical
     # alias on evolved tables — at most one populated per chunk)
@@ -2492,10 +2540,12 @@ def minmax_where(spark: SparkSession, table_path: str,
         aggs += [F.min(f"_mn_{c}").alias(f"_mn_{c}"),
                  F.max(f"_mx_{c}").alias(f"_mx_{c}")]
     m = meta_chunks.agg(*aggs).head()
-    # boundary side: everything kept but not metadata-eligible
+    # boundary side: everything kept but not metadata-eligible —
+    # decode only the predicate + target columns, never fat payloads
+    proj = list(dict.fromkeys(_pred_columns(pred) + list(cols)))
     dec = decode_table(enc.where(keep & ~eligible), schema,
-                       renames=meta.get("renames"))
-    dec = _restore_global_dicts(spark, dec, gdicts, None)
+                       columns=proj, renames=meta.get("renames"))
+    dec = _restore_global_dicts(spark, dec, gdicts, dec.columns)
     if isinstance(pred, dict):
         cond = F.lit(False)
         for terms in pred["any"]:
@@ -2555,10 +2605,13 @@ def scan_table(spark: SparkSession, table_path: str,
     # BEFORE any Spark job: skipped part files are never even listed
     files = _prune_parts(table.committed_parts(snap), zpred)
     if not files:
-        # no file can match: an empty frame with the right shape (the
-        # residual below is a no-op on zero rows)
+        # no file can match: an empty frame with the RESOLVED
+        # snapshot's shape (ref/tag/branch included — dropping `ref`
+        # here would crash on branch-only tables and return CURRENT's
+        # schema for tag reads)
         dec0 = read_decoded(spark, table_path, columns=columns,
-                            backend=backend, snapshot_id=snapshot_id)
+                            backend=backend, snapshot_id=snapshot_id,
+                            ref=ref)
         return dec0.limit(0)
     enc = spark.read.schema(ENCODED_DDL).parquet(*files)
     kept = prune_chunks_pred(enc, zpred)

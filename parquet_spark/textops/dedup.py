@@ -342,16 +342,21 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id",
         document size, not corpus size).
     Three line-level shuffles total, zero UDFs, no driver materialization.
     """
-    clash = [c for c in _LINE_COLS if c in df.columns]
-    if clash:
-        raise ValueError(f"dedup_lines reserves columns {clash}; "
-                         "rename them first")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     out_col = out_col or f"{text_col}_clean"
+    clash = [c for c in (*_LINE_COLS, "n_lines", "n_removed", out_col)
+             if c in df.columns]
+    if clash:
+        raise ValueError(f"dedup_lines reserves/overwrites columns "
+                         f"{clash}; rename them first")
+    # F.split takes a Java REGEX but array_join re-joins literally:
+    # quote the separator (\Q...\E) so '|', '.', '||' etc. split on
+    # the literal characters they rejoin with
+    sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     ex = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep))
+        F.posexplode(F.split(F.col(text_col), sep_re))
         .alias("_pos", "_line"))
     votable = ex.where(F.length("_line") >= min_chars)
     dup = (votable.groupBy("_line")
@@ -368,7 +373,8 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id",
                         sep).alias("_clean"),
                     F.count(F.lit(1)).alias("_n_kept")))
     return (df.join(rebuilt, id_col, "left")
-            .withColumn("n_lines", F.size(F.split(F.col(text_col), sep)))
+            .withColumn("n_lines",
+                        F.size(F.split(F.col(text_col), sep_re)))
             .withColumn(out_col, F.coalesce(F.col("_clean"), F.lit("")))
             .withColumn("n_removed",
                         F.col("n_lines")

@@ -163,3 +163,31 @@ def test_alter_then_compact_preserves_evolution(spark):
     assert dec.where(F.col("tag").isNull()).count() == d.count()
     assert dec.select("doc_id", "origin").exceptAll(
         d.select("doc_id", "source")).count() == 0
+
+
+@pytest.mark.spark
+def test_append_after_global_dict_rename(spark):
+    """Renaming a global-dict column must keep the table appendable:
+    the layout's global_dict_cols follows the logical name, the
+    committed dictionary applies under it, and both generations
+    restore."""
+    d = _docs(spark)
+    tbl = tempfile.mkdtemp(prefix="alter_gd_app_")
+    write_encoded(d, tbl, key=["doc_id"], n_parts=2, rows_per_chunk=64,
+                  global_dict_cols=["lang"])
+    alter_table(tbl, rename={"lang": "language"})
+    lay = EncodedTable(tbl).meta()["layout"]
+    assert lay["global_dict_cols"] == ["language"]
+    d2 = (d.withColumn("doc_id", F.col("doc_id") + 10000)
+          .withColumnRenamed("lang", "language"))
+    write_encoded(d2, tbl, key=["doc_id"], n_parts=2, rows_per_chunk=64,
+                  part_offset=2, global_dict_cols=["language"])
+    out = read_decoded(spark, tbl)
+    assert out.count() == 2 * d.count()
+    assert out.schema["language"].dataType.simpleString() == "string"
+    want = d.select(F.col("lang").alias("language")).unionAll(
+        d2.select("language"))
+    assert out.select("language").exceptAll(want).count() == 0
+    # value predicates translate across BOTH physical generations
+    got = scan_table(spark, tbl, [("language", "=", "de")])
+    assert got.count() == 2 * d.where(F.col("lang") == "de").count()

@@ -187,3 +187,26 @@ def test_minmax_where_metadata_path_fires_and_ts_domain(spark):
     enc = read_encoded(spark, tbl)
     _, full = _pred_zone_conds([("event_id", lo, hi)])
     assert enc.where(full).count() > 0
+
+
+@pytest.mark.spark
+def test_count_metadata_path_survives_rename(spark):
+    """After alter_table renames the predicate column, the definite
+    test must OR over physical aliases (a chunk populates exactly one)
+    so interior chunks still metadata-count instead of decoding."""
+    from parquet_spark.manifest import (_grouped_full, _translate_pred,
+                                        alter_table, count_where,
+                                        read_encoded)
+    d = _docs(spark)
+    tbl = tempfile.mkdtemp(prefix="cw_ren_")
+    write_encoded(d, tbl, key=["doc_id"], n_parts=2, rows_per_chunk=50)
+    alter_table(tbl, rename={"n_chars": "length"})
+    # predicate on the RENAMED column over old-generation chunks
+    want = d.where(F.col("n_chars").between(0, 10**9)).count()
+    assert count_where(spark, tbl, [("length", 0, 10**9)]) == want
+    ren = {"n_chars": "length"}
+    _, complete, grouped = _translate_pred(
+        [("length", 0, 10**9)], {}, ren, return_complete=True)
+    full = _grouped_full(grouped, complete, is_any=False)
+    enc = read_encoded(spark, tbl)
+    assert enc.where(full).count() > 0  # metadata shortcut fires

@@ -70,3 +70,21 @@ def test_fsck_detects_missing_and_mismatched_files(spark):
     assert not rep3["ok"]
     assert rep3["broken_refs"] and \
         rep3["broken_refs"][0]["snap"] == snap_name
+
+
+@pytest.mark.spark
+def test_fsck_vacuumed_history_is_not_breakage(spark):
+    """vacuum legitimately deletes files only ancestors reference;
+    fsck must report them as expired_history, not BROKEN."""
+    from parquet_spark.manifest import compact_table, vacuum_table
+    d = _docs(spark)
+    tbl = tempfile.mkdtemp(prefix="fsck_vac_")
+    write_encoded(d, tbl, key=["doc_id"], n_parts=4, rows_per_chunk=64)
+    compact_table(spark, tbl, target_parts=1)
+    removed = vacuum_table(tbl, grace_s=0.0)
+    assert removed  # pre-compact parts are gone
+    rep = fsck_table(tbl, deep=True)
+    assert rep["ok"], rep
+    assert len(rep["expired_history"]) == 4
+    assert not rep["missing_files"]
+    assert "time travel is over" in fsck_summary(rep)

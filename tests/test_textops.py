@@ -617,3 +617,20 @@ def test_dedup_lines_removes_cross_doc_boilerplate(spark):
         dedup_lines(df.withColumn("_pos", F.lit(1)))
     with pytest.raises(ValueError, match="min_docs"):
         dedup_lines(df, min_docs=1)
+
+
+@pytest.mark.spark
+def test_dedup_lines_regex_meta_separator_and_clash_guard(spark):
+    """sep is a LITERAL separator even when it contains regex
+    metacharacters ('|', '.'), and output-column clashes fail loudly."""
+    from parquet_spark.textops.dedup import dedup_lines
+    rows = [(1, "keep me|DUP|tail one"), (2, "DUP|other text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text_clean, r.n_lines, r.n_removed)
+           for r in dedup_lines(df, sep="|", min_chars=2).collect()}
+    assert out[1] == ("keep me|tail one", 3, 1)
+    assert out[2] == ("other text", 2, 1)
+    with pytest.raises(ValueError, match="reserves"):
+        dedup_lines(df.withColumn("n_removed", F.lit(0)))
+    with pytest.raises(ValueError, match="reserves"):
+        dedup_lines(df.withColumn("text_clean", F.lit("x")))

@@ -141,3 +141,27 @@ def test_branch_on_fresh_table_publishes_from_nothing(spark):
     assert read_decoded(spark, tbl, ref="init").count() == 100
     publish_branch(tbl, "init")
     assert read_decoded(spark, tbl).count() == 100
+
+
+@pytest.mark.spark
+def test_scan_table_empty_prune_respects_ref(spark):
+    """scan_table's all-files-pruned early return must resolve the
+    SAME ref/snapshot as the normal path: a branch-only table returns
+    an empty frame (not 'no committed snapshot'), and a tag read keeps
+    the tagged snapshot's schema."""
+    from parquet_spark.manifest import alter_table, scan_table
+    d = _docs(spark, 0, 100)
+    tbl = tempfile.mkdtemp(prefix="wap_scan_")
+    write_encoded(d, tbl, key=["doc_id"], n_parts=1, mode="range",
+                  branch="b")
+    out = scan_table(spark, tbl, [("doc_id", 10**9, None)], ref="b")
+    assert out.count() == 0
+    assert set(out.columns) == set(d.columns)
+    # tag pinning a pre-alter snapshot keeps the old shape
+    publish_branch(tbl, "b")
+    create_ref(tbl, "v1", kind="tag")
+    alter_table(tbl, drop=["lang"])
+    old = scan_table(spark, tbl, [("doc_id", 10**9, None)], ref="v1")
+    assert "lang" in old.columns and old.count() == 0
+    new = scan_table(spark, tbl, [("doc_id", 10**9, None)])
+    assert "lang" not in new.columns
