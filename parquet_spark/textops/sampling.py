@@ -84,6 +84,31 @@ def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.where(u < thr)
 
 
+def _water_fill(weights: dict, counts: dict, budget: float) -> dict:
+    """Exact weighted fair allocation with per-domain caps (pure,
+    driver-side): split `budget` over positive-weight domains by
+    weight; any domain whose share exceeds its count contributes
+    everything and the leftover re-splits over the rest, iterated to
+    stability.  Invariants (property-tested): 0 <= alloc_k <= count_k,
+    and Σ alloc == min(budget, Σ counts of weighted domains)."""
+    active = {k: float(v) for k, v in weights.items() if v > 0}
+    alloc = {k: 0.0 for k in active}
+    remaining = float(budget)
+    while active and remaining > 0:
+        tot_w = sum(active.values())
+        share = {k: remaining * w / tot_w for k, w in active.items()}
+        starved = {k for k in active if share[k] >= counts[k]}
+        if not starved:
+            for k in active:
+                alloc[k] += share[k]
+            break
+        for k in starved:
+            remaining -= counts[k] - alloc[k]
+            alloc[k] = float(counts[k])
+            del active[k]
+    return alloc
+
+
 def mix_domains(df: DataFrame, id_col: str, domain_col: str,
                 weights: dict, budget_rows: int, seed: int = 42,
                 redistribute: bool = True):
@@ -126,23 +151,11 @@ def mix_domains(df: DataFrame, id_col: str, domain_col: str,
         raise ValueError(
             f"weights name domains absent from {domain_col!r}: "
             f"{sorted(unknown)} (present: {sorted(map(str, counts))[:20]})")
-    active = {k: float(v) for k, v in weights.items() if v > 0}
-    alloc = {k: 0.0 for k in active}
     if redistribute:
-        remaining = float(budget_rows)
-        while active and remaining > 0:
-            tot_w = sum(active.values())
-            share = {k: remaining * w / tot_w for k, w in active.items()}
-            starved = {k for k in active if share[k] >= counts[k]}
-            if not starved:
-                for k in active:
-                    alloc[k] += share[k]
-                break
-            for k in starved:
-                remaining -= counts[k] - alloc[k]
-                alloc[k] = float(counts[k])
-                del active[k]
+        alloc = _water_fill(weights, counts, budget_rows)
     else:
+        active = {k: float(v) for k, v in weights.items() if v > 0}
+        alloc = {k: 0.0 for k in active}
         tot_w = sum(active.values())
         for k, w in active.items():
             alloc[k] = min(float(counts[k]),

@@ -119,3 +119,46 @@ def test_column_list_roundtrip_any(vals):
     arr = pa.array(vals, type=pa.list_(pa.int64()))
     name, payload = encode_column(arr)
     assert decode_column(payload, arr.type).equals(arr)
+
+
+@settings(**SETTINGS)
+@given(st.text(min_size=1, max_size=24))
+def test_prefix_upper_dominates_every_extension(p):
+    """Every string with prefix p sorts strictly below _prefix_upper(p)
+    (code-point AND utf-8 byte order), and p itself sorts below it —
+    the invariant LIKE-prefix zone pruning rests on."""
+    from parquet_spark.engine import _prefix_upper
+    up = _prefix_upper(p)
+    if up is None:
+        assert all(ord(c) == 0x10FFFF for c in p)
+        return
+    for suffix in ("", "a", "\x00", "\U0010ffff" * 2, p):
+        s = p + suffix
+        assert s < up
+        assert s.encode("utf-8") < up.encode("utf-8")
+    # tightness: the bound is itself a valid string with no prefix p
+    # shorter than it (it differs from p within len(p) chars)
+    assert not up.startswith(p)
+
+
+@settings(**SETTINGS)
+@given(st.dictionaries(st.sampled_from(list("abcdefgh")),
+                       st.floats(0.0, 10.0), min_size=1, max_size=8),
+       st.dictionaries(st.sampled_from(list("abcdefgh")),
+                       st.integers(1, 500), min_size=8, max_size=8),
+       st.integers(1, 2000))
+def test_mix_domains_water_fill_invariants(weights, counts, budget):
+    """Driver-side water-filling algebra: allocations never exceed
+    availability, the budget is exhausted exactly when supply allows,
+    and zero-weight domains get nothing."""
+    from parquet_spark.textops.sampling import _water_fill
+    weights = {k: v for k, v in weights.items() if k in counts}
+    alloc = _water_fill(weights, counts, budget)
+    if not alloc:
+        return
+    total_avail = sum(counts[k] for k in alloc)
+    for k, a in alloc.items():
+        assert -1e-9 <= a <= counts[k] + 1e-9
+    got = sum(alloc.values())
+    want = min(float(budget), float(total_avail))
+    assert abs(got - want) < 1e-6 * max(1.0, want)
