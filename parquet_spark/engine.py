@@ -1140,19 +1140,24 @@ def count_filtered(enc_df: DataFrame, pred: list[tuple] | dict,
     Exactness: the definite test is conservative (unknown = decode),
     so the result equals scan_filtered(...).count() always."""
     keep, full = _pred_zone_conds(pred)
-    meta_n = (enc_df.where(full)
-              .agg(F.coalesce(F.sum("n_rows"), F.lit(0))).head()[0])
+    # one metadata-only job: provably-full rows + boundary-chunk count
+    # (payloads untouched); the decode job launches only when some
+    # chunk is actually boundary
+    st = enc_df.agg(
+        F.coalesce(F.sum(F.when(full, F.col("n_rows"))), F.lit(0)),
+        F.coalesce(F.sum(F.when(keep & ~full, 1)), F.lit(0))).head()
+    meta_n, n_boundary = int(st[0]), int(st[1])
+    if n_boundary == 0:
+        return meta_n
     if schema is None:
-        # resolve from the UNFILTERED frame: the boundary set may be
-        # empty (everything proven full or pruned) and an empty frame
+        # resolve from the UNFILTERED frame: an empty boundary frame
         # has no chunk to read a schema from
         try:
             schema = read_encoded_schema(enc_df)
         except ValueError:
             return 0  # empty table
     partial = enc_df.where(keep & ~full)
-    return int(meta_n) + scan_filtered(partial, pred,
-                                       schema=schema).count()
+    return meta_n + scan_filtered(partial, pred, schema=schema).count()
 
 
 def _pred_zone_conds(pred):

@@ -2390,11 +2390,27 @@ def count_where(spark: SparkSession, table_path: str,
     enc = spark.read.schema(ENCODED_DDL).parquet(*files)
     keep, _ = _pred_zone_conds(zpred)
     full = _grouped_full(grouped, complete, is_any=isinstance(zpred, dict))
-    meta_n = (enc.where(full)
-              .agg(F.coalesce(F.sum("n_rows"), F.lit(0))).head()[0])
-    # decode ONLY the predicate columns of boundary chunks — counting
-    # must not pay to decompress fat payload columns
-    dec = decode_table(enc.where(keep & ~full), table.schema(snap),
+    # ONE metadata-only job: provably-full rows AND the boundary-chunk
+    # count together (neither touches `payloads`, so the parquet scan
+    # reads zone columns only); when no chunk is boundary the decode
+    # job never launches — an all-covered count costs zero payload I/O
+    st = enc.agg(
+        F.coalesce(F.sum(F.when(full, F.col("n_rows"))), F.lit(0))
+        .alias("mn"),
+        F.slice(F.collect_list(F.when(keep & ~full,
+                                      F.struct("part_id", "chunk_id"))),
+                1, _BOUNDARY_PUSH_MAX + 1).alias("pairs")).head()
+    meta_n = int(st["mn"])
+    if not st["pairs"]:
+        return meta_n
+    # decode ONLY the boundary chunks' files and predicate columns —
+    # counting must not pay to decompress fat payloads, and the fat
+    # `payloads` parquet column of files with NO boundary chunk must
+    # not even be read (the zone filter can't push down to parquet, so
+    # the ONE metadata job above also collected the boundary ids)
+    bnd = _boundary_chunks(spark, table, snap, files, enc,
+                           keep & ~full, st["pairs"])
+    dec = decode_table(bnd, table.schema(snap),
                        columns=_pred_columns(pred),
                        renames=meta.get("renames"))
     dec = _restore_global_dicts(spark, dec, gdicts, dec.columns)
@@ -2404,7 +2420,7 @@ def count_where(spark: SparkSession, table_path: str,
             cond = cond | _residual_cond(dec, terms)
     else:
         cond = _residual_cond(dec, pred)
-    return int(meta_n) + dec.where(cond).count()
+    return meta_n + dec.where(cond).count()
 
 
 def _pred_columns(pred: list[tuple] | dict) -> list[str]:
@@ -2418,6 +2434,35 @@ def _pred_columns(pred: list[tuple] | dict) -> list[str]:
             if c not in out:
                 out.append(c)
     return out
+
+
+# boundary sets bigger than this skip the two-phase file re-listing
+# (the pair collect would stop being driver-frugal) and just filter
+_BOUNDARY_PUSH_MAX = 65536
+
+
+def _boundary_chunks(spark, table, snap, files, enc, bnd_cond, pairs):
+    """The boundary chunk rows for aggregate pushdown, read so that
+    files WITHOUT a boundary chunk never surface their payload bytes:
+    the metadata job collected the boundary (part_id, chunk_id) pairs
+    (capped — payloads never touched), so only those parts' files are
+    re-listed and a simple id filter selects the chunks.  Falls back
+    to the direct zone filter over everything when the boundary set
+    exceeded the collect cap."""
+    if len(pairs) > _BOUNDARY_PUSH_MAX:
+        return enc.where(bnd_cond)
+    by_part: dict[int, list[int]] = {}
+    for r in pairs:
+        by_part.setdefault(int(r.part_id), []).append(int(r.chunk_id))
+    parts = table.committed_parts(snap)
+    keep_files = [info["file"] for pid, info in parts.items()
+                  if int(pid) in by_part and info["file"] in set(files)]
+    sub = spark.read.schema(ENCODED_DDL).parquet(*keep_files)
+    cond = F.lit(False)
+    for pid, cids in by_part.items():
+        cond = cond | ((F.col("part_id") == pid)
+                       & F.col("chunk_id").isin(cids))
+    return sub.where(cond)
 
 
 def _grouped_full(grouped, complete, is_any: bool):
@@ -2534,16 +2579,31 @@ def minmax_where(spark: SparkSession, table_path: str,
         mn, mx, present = bounds(c)
         eligible = eligible & present
         sel += [mn.alias(f"_mn_{c}"), mx.alias(f"_mx_{c}")]
-    meta_chunks = enc.where(eligible).select(*sel)
-    aggs = [F.coalesce(F.sum("n_rows"), F.lit(0)).alias("_n")]
+    meta_chunks = enc.select(
+        F.when(keep & ~eligible,
+               F.struct("part_id", "chunk_id")).alias("_bnd"),
+        F.when(eligible, F.col("n_rows")).alias("n_rows"), *sel[1:])
+    aggs = [F.coalesce(F.sum("n_rows"), F.lit(0)).alias("_n"),
+            F.slice(F.collect_list("_bnd"), 1,
+                    _BOUNDARY_PUSH_MAX + 1).alias("_bnd")]
     for c in cols:
-        aggs += [F.min(f"_mn_{c}").alias(f"_mn_{c}"),
-                 F.max(f"_mx_{c}").alias(f"_mx_{c}")]
+        aggs += [F.min(F.when(F.col("n_rows").isNotNull(),
+                              F.col(f"_mn_{c}"))).alias(f"_mn_{c}"),
+                 F.max(F.when(F.col("n_rows").isNotNull(),
+                              F.col(f"_mx_{c}"))).alias(f"_mx_{c}")]
     m = meta_chunks.agg(*aggs).head()
+    if not m["_bnd"]:
+        # every kept chunk proved itself from metadata: no decode job
+        return {"n_rows": int(m["_n"]),
+                "cols": {c: {"min": m[f"_mn_{c}"],
+                             "max": m[f"_mx_{c}"]} for c in cols}}
     # boundary side: everything kept but not metadata-eligible —
-    # decode only the predicate + target columns, never fat payloads
+    # decode only the boundary files' predicate + target columns,
+    # never fat payloads (see _boundary_chunks)
     proj = list(dict.fromkeys(_pred_columns(pred) + list(cols)))
-    dec = decode_table(enc.where(keep & ~eligible), schema,
+    bnd = _boundary_chunks(spark, table, snap, files, enc,
+                           keep & ~eligible, m["_bnd"])
+    dec = decode_table(bnd, schema,
                        columns=proj, renames=meta.get("renames"))
     dec = _restore_global_dicts(spark, dec, gdicts, dec.columns)
     if isinstance(pred, dict):
