@@ -910,6 +910,27 @@ def q_domain_mixture(spark, sf_dir):
             .orderBy("source"))
 
 
+def q_domain_mixture_tokens(spark, sf_dir):
+    """Token-budget mixture (mix_domains size_col=...): the budget and
+    availability are SUM(n_chars) per domain, rates
+    min(1, B*w/(Σw·Σchars)); DuckDB recomputes the sums, the exact
+    double rate arithmetic, and every row's draw — row-exact.  One
+    domain asserted rate-capped."""
+    from parquet_spark.textops.sampling import mix_domains
+    d = _t(spark, sf_dir, "documents")
+    w = {"src0": 10.0, "src1": 2.0, "src2": 1.0}
+    out, plan = mix_domains(d, "doc_id", "source", w,
+                            budget_rows=20000, redistribute=False,
+                            size_col="n_chars")
+    assert plan["src0"]["rate"] == 1.0, plan          # capped
+    assert 0.0 < plan["src2"]["rate"] < 1.0, plan     # fractional
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("source"))
+
+
 def q_wap_publish(spark, sf_dir):
     """Write-audit-publish (manifest.write_encoded(branch=...) +
     publish_branch): generation 2 is STAGED on a branch — asserted
@@ -2063,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_pushdown": q_count_pushdown,
         "minmax_pushdown": q_minmax_pushdown,
         "domain_mixture": q_domain_mixture,
+        "domain_mixture_tokens": q_domain_mixture_tokens,
         "line_dedup": q_line_dedup,
         "like_prune": q_like_prune,
         "in_prune": q_in_prune,
@@ -2796,6 +2818,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n_rows,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
                    COUNT(DISTINCT md5(text)) AS n_texts
+            FROM kept GROUP BY source ORDER BY source""",
+        "domain_mixture_tokens": """
+            WITH c AS (SELECT source, SUM(n_chars) AS n FROM documents
+                       GROUP BY source),
+            w AS (SELECT * FROM (VALUES ('src0', 10.0), ('src1', 2.0),
+                                        ('src2', 1.0)) t(source, wt)),
+            r AS (SELECT c.source,
+                         LEAST(CAST(c.n AS DOUBLE), (20000 * wt) / 13.0)
+                           / c.n AS rate
+                  FROM c JOIN w USING (source)),
+            kept AS (SELECT d.doc_id, d.source, d.n_chars
+                     FROM documents d JOIN r USING (source)
+                     WHERE (('0x' || substr(md5('42:' ||
+                             CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT)
+                           / 4294967296.0 < r.rate)
+            SELECT source, COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM kept GROUP BY source ORDER BY source""",
         "wap_publish": """
             SELECT lang, COUNT(*) AS n_rows,

@@ -111,13 +111,22 @@ def _water_fill(weights: dict, counts: dict, budget: float) -> dict:
 
 def mix_domains(df: DataFrame, id_col: str, domain_col: str,
                 weights: dict, budget_rows: int, seed: int = 42,
-                redistribute: bool = True):
+                redistribute: bool = True,
+                size_col: str | None = None):
     """Target-mixture downsampling (the data-mixing step before
     pretraining): pick per-domain keep rates so the sample realises
     `weights` (relative domain proportions, normalized) within
     `budget_rows`, then apply the deterministic per-domain hash sample.
     Returns (sampled_df, plan) with plan[domain] =
     {"available", "target", "rate"} for mixture-report lineage.
+
+    `size_col` switches the budget's UNIT from rows to that column's
+    sum (the pretraining case: budget and weights in TOKENS, pass the
+    per-doc token count) — per-domain availability becomes
+    SUM(size_col), the allocation is in the same unit, and the
+    Bernoulli keep rate alloc/Σsize realises the token target in
+    expectation (documents are kept or dropped whole; exact-token
+    packing is pack_sequences' job downstream).
 
     When a domain cannot supply its share (rate would exceed 1),
     `redistribute=True` water-fills: the starved domain contributes
@@ -144,8 +153,10 @@ def mix_domains(df: DataFrame, id_col: str, domain_col: str,
     bad = [k for k, v in weights.items() if v < 0]
     if bad:
         raise ValueError(f"negative weights for {bad}")
-    counts = {r[0]: r[1]
-              for r in df.groupBy(domain_col).count().collect()}
+    size = (F.count(F.lit(1)) if size_col is None
+            else F.sum(size_col))
+    counts = {r[0]: r[1] for r in
+              df.groupBy(domain_col).agg(size.alias("n")).collect()}
     unknown = [k for k in weights if k not in counts]
     if unknown:
         raise ValueError(

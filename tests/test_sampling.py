@@ -141,3 +141,32 @@ def test_mix_domains_water_filling_and_determinism(spark):
     with pytest.raises(ValueError, match="budget_rows"):
         mix_domains(df, "doc_id", "dom", w, 0)
     df.unpersist()
+
+
+@pytest.mark.spark
+def test_mix_domains_token_budget(spark):
+    """size_col switches the budget unit to the column's sum: rates
+    realise the TOKEN mixture in expectation, starved domains keep
+    everything, and membership stays (seed, id)-deterministic."""
+    from parquet_spark.textops.sampling import mix_domains
+    rows = [(i,
+             "big" if i < 8000 else ("mid" if i < 9900 else "tiny"),
+             10 + i % 7)
+            for i in range(10000)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, dom string, n_tok long")
+    w = {"big": 1.0, "mid": 1.0, "tiny": 1.0}
+    out, plan = mix_domains(df, "doc_id", "dom", w, budget_rows=30000,
+                            size_col="n_tok")
+    tok = {r.dom: r.s for r in
+           df.groupBy("dom").agg(F.sum("n_tok").alias("s")).collect()}
+    # tiny's full token supply is below its share: all kept
+    assert plan["tiny"]["rate"] == 1.0
+    assert plan["tiny"]["available"] == tok["tiny"]
+    assert abs(sum(p["target"] for p in plan.values()) - 30000) < 1e-6
+    got = {r.dom: r.s for r in
+           out.groupBy("dom").agg(F.sum("n_tok").alias("s")).collect()}
+    assert got["tiny"] == tok["tiny"]
+    # Bernoulli expectation: realized tokens near the target
+    for d in ("big", "mid"):
+        assert abs(got[d] - plan[d]["target"]) < 0.15 * plan[d]["target"]
