@@ -2033,14 +2033,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          (the 12 past r03's cutoff: global-dict format wiring,
          rechunk compaction, relocation, the multi-batch streaming
          dedup rewrite, plus the 8 r02-green encode/roundtrip facets),
-      2. facets whose implementation changed after the r03 run
-         (bounded top-k ranking in all similarity paths, pointer-
-         jumping connected components, global-dict IN-prune cap,
-         temporal guards),
+      2. facets NEW or changed in round 4 (codecs: BSS/ALP/prefix/
+         struct; layouts: zorder/range file pruning, recluster, refs,
+         time travel; mutations: deletes/upsert; curation; schema
+         evolution, LIKE-prefix pushdown, line dedup, WAP publish,
+         count/minmax pushdown, domain mixtures) — every facet without
+         a prior green row sits inside the first ~42 slots,
       3. long-green facets with untouched code, with the most-
-         established micro-facets (green r01→r03, code unchanged)
-         last — those are the safe ones to fall past a 50-slot budget;
-         the union of consecutive rounds covers all 62.
+         established micro-facets last — those are the safe ones to
+         fall past a 50-slot budget; the union of consecutive rounds
+         covers all facets.
     """
     return {
         # -- band 1: never-checked (r03 cutoff) -------------------------
