@@ -141,7 +141,8 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
                          rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
                          limit_parts: int | None = None,
                          block_codec: str = "auto",
-                         backend=None) -> dict:
+                         backend=None,
+                         checkpoint_every: int | None = None) -> dict:
     """Scan-side encode + worker-side part-file write + manifest commit.
 
     part == split (one encoded file per input row group).  Resume
@@ -150,7 +151,19 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
     directories that grow (new files sorting before existing ones) or
     re-enumerate differently between runs can never silently skip or
     duplicate data; new splits get fresh part ids after the committed
-    maximum."""
+    maximum.
+
+    ``checkpoint_every=K`` commits the manifest after every K completed
+    parts instead of once at job end: a run killed mid-job (SIGKILL, OOM,
+    preemption) resumes from the last COMMITTED checkpoint, re-encoding
+    at most K-1 parts plus the in-flight batch — the north-rule contract
+    ("jobs checkpoint ... so a killed run resumes from the last committed
+    partition", BASELINE.json:6).  Each checkpoint is one Spark job + one
+    CAS commit, so pick K large at scale (commits are metadata-sized);
+    ``None`` (default) keeps the single-commit fast path.  Data files of
+    the killed in-flight batch are orphans by construction (unique
+    per-attempt names, never referenced by any snapshot) — ``fsck`` /
+    ``vacuum`` reclaim them."""
     from .codecs.column import validate_block_codec
     validate_block_codec(block_codec)
     table = EncodedTable(table_path, backend=backend)
@@ -177,6 +190,8 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
         splits.append(s)
     if limit_parts is not None:
         splits = splits[:limit_parts]
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1 (or None)")
     data_dir = os.path.join(table_path, "data")
     os.makedirs(data_dir, exist_ok=True)
     # unique per write attempt: concurrent writers must never share file
@@ -214,24 +229,40 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
                     "src_file": d["file"], "src_row_group": d["row_group"],
                 }])
 
-    if splits:
-        lineage = _split_df(spark, splits, n_tasks) \
-            .mapInArrow(writer, SPLITS_LINEAGE_DDL).collect()
-    else:
-        lineage = []
     schema_ipc = None
     if splits:
         first = _normalize_schema(pq.ParquetFile(splits[0]["file"]).schema_arrow)
         schema_ipc = first.serialize().to_pybytes()
-    parts = {str(r.part_id): {
-        "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
-        "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
-        "wall_ms": r.wall_ms, "cpu_ms": r.cpu_ms, "codecs": r.codecs,
-        "src_file": r.src_file, "src_row_group": r.src_row_group,
-    } for r in lineage}
-    all_parts = {**committed, **parts}
-    return table.commit(all_parts, schema_ipc, parent, meta={
-        "mode": "splits", "input": input_path, "layout": layout,
-        "codec": codec, "block_codec": block_codec,
-        "rows_per_chunk": rows_per_chunk,
-        "new_parts": sorted(int(k) for k in parts)})
+    base_meta = {"mode": "splits", "input": input_path, "layout": layout,
+                 "codec": codec, "block_codec": block_codec,
+                 "rows_per_chunk": rows_per_chunk}
+    if not splits:
+        return table.commit(dict(committed), schema_ipc, parent,
+                            meta={**base_meta, "new_parts": []})
+
+    def lineage_parts(lineage) -> dict[str, dict]:
+        return {str(r.part_id): {
+            "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
+            "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
+            "wall_ms": r.wall_ms, "cpu_ms": r.cpu_ms, "codecs": r.codecs,
+            "src_file": r.src_file, "src_row_group": r.src_row_group,
+        } for r in lineage}
+
+    batch_size = checkpoint_every or len(splits)
+    all_parts = dict(committed)
+    snap = None
+    for lo in range(0, len(splits), batch_size):
+        batch = splits[lo:lo + batch_size]
+        lineage = _split_df(spark, batch, n_tasks) \
+            .mapInArrow(writer, SPLITS_LINEAGE_DDL).collect()
+        parts = lineage_parts(lineage)
+        all_parts = {**all_parts, **parts}
+        meta = {**base_meta, "new_parts": sorted(int(k) for k in parts)}
+        if checkpoint_every:
+            meta["checkpoint"] = {"parts_done": lo + len(batch),
+                                  "parts_total": len(splits)}
+        # checkpoint commit: CAS against the previous checkpoint's
+        # snapshot — the commit point a killed run resumes from
+        snap = table.commit(all_parts, schema_ipc, parent, meta=meta)
+        parent, schema_ipc = snap, None  # later commits inherit schema
+    return snap

@@ -134,3 +134,122 @@ def test_compact_splits_table(spark, corpus_path):
     assert len(EncodedTable(tbl).data_files()) == 1
     verify_roundtrip(df, read_decoded(spark, tbl),
                      key=["url"], digest_col="text")
+
+
+@pytest.mark.spark
+def test_checkpoint_every_commits_incrementally(spark, corpus_path):
+    """checkpoint_every=K produces one CAS commit per K parts, each a
+    valid resume point with per-batch new_parts changelog rows (the
+    north-rule checkpoint contract, BASELINE.json:6)."""
+    from parquet_spark.manifest import EncodedTable, read_decoded
+    from parquet_spark.splits import list_splits, write_encoded_splits
+    from parquet_spark.verify import verify_roundtrip
+    n_splits = len(list_splits(corpus_path))
+    assert n_splits >= 3
+    tbl = tempfile.mkdtemp(prefix="splits_ckpt_")
+    snap = write_encoded_splits(spark, corpus_path, tbl, checkpoint_every=2)
+    assert len(snap["parts"]) == n_splits
+    hist = EncodedTable(tbl).history()
+    import math
+    assert len(hist) == math.ceil(n_splits / 2)
+    seen = []
+    for h in hist:
+        assert h["meta"]["checkpoint"]["parts_total"] == n_splits
+        assert len(h["meta"]["new_parts"]) <= 2
+        seen += h["meta"]["new_parts"]
+        # every checkpoint is a coherent resume point: parts present ==
+        # checkpoint progress counter
+        assert len(h["parts"]) == h["meta"]["checkpoint"]["parts_done"]
+    assert sorted(seen) == list(range(n_splits))  # disjoint, complete
+    df = spark.read.parquet(corpus_path)
+    verify_roundtrip(df, read_decoded(spark, tbl),
+                     key=["url"], digest_col="text")
+
+
+_KILL_JOB = r"""
+import sys
+sys.path.insert(0, sys.argv[3])
+from parquet_spark import tune_malloc_for_workers
+tune_malloc_for_workers()
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .appName("kill_resume_job")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.driver.memory", "4g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from parquet_spark.splits import write_encoded_splits
+# gzip:9 slows per-part encode so the parent reliably kills mid-run;
+# checkpoint_every=1 commits after every part
+write_encoded_splits(spark, sys.argv[1], sys.argv[2], n_tasks=1,
+                     checkpoint_every=1, block_codec="gzip:9")
+print("JOB_COMPLETED", flush=True)
+spark.stop()
+"""
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_sigkill_mid_run_resumes_from_last_checkpoint(spark, tmp_path):
+    """The north-rule kill contract, end-to-end with a REAL SIGKILL: a
+    checkpointing encode job killed mid-run leaves a committed prefix;
+    a plain re-run resumes from it (committed part files untouched,
+    byte-for-byte), finishes the remainder, and the table round-trips
+    bit-identical."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.manifest import EncodedTable, read_decoded
+    from parquet_spark.splits import list_splits, write_encoded_splits
+    from parquet_spark.verify import verify_roundtrip
+
+    src = str(tmp_path / "corpus.parquet")
+    gen_corpus(spark, 12000, seed=23, parts=12).write.parquet(src)
+    n_splits = len(list_splits(src))
+    assert n_splits >= 12
+    tbl = str(tmp_path / "table")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _KILL_JOB, src, tbl, repo],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    try:
+        table = EncodedTable(tbl)
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                pytest.fail("encode job finished before the kill landed "
+                            "— enlarge the corpus")
+            snap = table.current_snapshot()
+            if snap and len(snap["parts"]) >= 2:
+                break
+            time.sleep(0.03)
+        else:
+            pytest.fail("no checkpoint observed within 180s")
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    snap_kill = EncodedTable(tbl).current_snapshot()
+    committed = snap_kill["parts"]
+    assert 2 <= len(committed) < n_splits  # a genuine mid-run kill
+    frozen = {p["file"]: (os.path.getsize(p["file"]),
+                          os.stat(p["file"]).st_mtime_ns)
+              for p in committed.values()}
+
+    # resume: same call, no kill — picks up at the committed prefix
+    snap = write_encoded_splits(spark, src, tbl, n_tasks=2,
+                                checkpoint_every=None,
+                                block_codec="gzip:9")
+    assert len(snap["parts"]) == n_splits
+    assert set(snap["meta"]["new_parts"]).isdisjoint(
+        int(k) for k in committed)
+    for f, (size, mtime) in frozen.items():  # resume never rewrote them
+        assert (os.path.getsize(f), os.stat(f).st_mtime_ns) == (size, mtime)
+    df = spark.read.parquet(src)
+    verify_roundtrip(df, read_decoded(spark, tbl),
+                     key=["url"], digest_col="text")
