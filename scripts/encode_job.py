@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--block-codec", default="auto",
                     help="outer block compression: auto|none|zstd[:lvl]|"
                          "snappy|lz4|gzip[:lvl]|brotli[:lvl]")
+    ap.add_argument("--checkpoint-every", type=int, default=None,
+                    help="splits mode: commit the manifest every K parts "
+                         "so a killed run resumes from the last committed "
+                         "checkpoint (default: single commit at job end)")
     ap.add_argument("--mode", choices=("hash", "splits"), default="hash",
                     help="hash: url-hash layout shuffle + encode (layout-"
                          "controlled table); splits: scan-stage encode + "
@@ -78,7 +82,8 @@ def main():
         try:
             snap = write_encoded_splits(spark, args.input, tbl,
                                         n_tasks=args.parts,
-                                        block_codec=args.block_codec)
+                                        block_codec=args.block_codec,
+                                        checkpoint_every=args.checkpoint_every)
             parts = snap["parts"].values()
             return type("R", (), {
                 "bin": sum(p["bytes_in"] for p in parts),
