@@ -1288,6 +1288,55 @@ def q_compact_rechunk(spark, sf_dir):
     return out
 
 
+def q_checkpoint_resume(spark, sf_dir):
+    """North-rule checkpoint contract (BASELINE.json:6) through the
+    oracle: a checkpointed encode (one CAS commit per 2 parts) is CUT
+    SHORT after 3 of 6 parts (limit_parts stands in for the kill — the
+    on-disk state is identical to a SIGKILL between batch commits,
+    which tests/test_splits.py kills for real), then a plain re-run
+    resumes from the committed prefix.  The facet asserts the commit
+    chain's shape (4 checkpoints, disjoint+complete new_parts, coherent
+    progress counters) and returns content aggregates decoded through
+    the resumed table — DuckDB recomputes them from raw parquet, so the
+    committed-prefix + resumed-suffix provably covers every row exactly
+    once across the kill boundary (no loss, no duplication)."""
+    import tempfile
+
+    from parquet_spark.manifest import EncodedTable, read_decoded
+    from parquet_spark.splits import list_splits, write_encoded_splits
+    d = _t(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="entry_ckpt_src_") + "/docs.parquet"
+    d.repartition(6).write.parquet(src)  # 6 files -> 6 splits
+    assert len(list_splits(src)) == 6
+    path = tempfile.mkdtemp(prefix="entry_ckpt_tbl_")
+    # "killed" run: 2 checkpoint commits, 3 of 6 parts committed
+    part1 = write_encoded_splits(spark, src, path,
+                                 checkpoint_every=2, limit_parts=3)
+    assert len(part1["parts"]) == 3
+    # resume: picks up the remaining 3 splits, 2 more checkpoints
+    snap = write_encoded_splits(spark, src, path, checkpoint_every=2)
+    hist = EncodedTable(path).history()
+    assert len(hist) == 4, [h["meta"].get("checkpoint") for h in hist]
+    seen = []
+    for h in hist:
+        seen += h["meta"]["new_parts"]
+        # each checkpoint is a coherent prefix of the final table
+        assert len(h["parts"]) == len(seen)
+    assert sorted(seen) == list(range(6)), seen  # disjoint + complete
+    dec = read_decoded(spark, path)
+    out = dec.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("n_texts"),
+        F.sum("doc_id").alias("sum_ids")).select(
+        F.lit(len(snap["parts"])).cast("int").alias("parts_total"),
+        F.lit(len(hist)).cast("int").alias("n_checkpoints"),
+        "n_rows", "sum_chars", "n_texts", "sum_ids")
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_relocate_range(spark, sf_dir):
     """Chunk-level relocation (compressed chunk rows move, no decode):
     hash-layout corpus -> range layout on url, then a pruned ranged
@@ -2056,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_dict_roundtrip": q_global_dict_roundtrip,
         "relocate_range": q_relocate_range,
         "compact_rechunk": q_compact_rechunk,
+        "checkpoint_resume": q_checkpoint_resume,
         "corpus_encode": q_corpus_encode,
         "streaming_dedup": q_streaming_dedup,
         # -- band 2: new or changed since the r03 run --------------------
@@ -3034,6 +3084,19 @@ def oracle_sql() -> dict[str, str]:
             FROM r""",
         "compact_rechunk": """
             SELECT COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(DISTINCT md5(text)) AS n_texts,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM documents""",
+        # structural constants (6 parts from repartition(6), ceil(3/2)+
+        # ceil(3/2)=4 checkpoint commits) are fixed by the facet's
+        # construction; the content aggregates are the recomputation —
+        # they certify the committed-prefix + resumed-suffix covers
+        # every row exactly once
+        "checkpoint_resume": """
+            SELECT CAST(6 AS INTEGER) AS parts_total,
+                   CAST(4 AS INTEGER) AS n_checkpoints,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    COUNT(DISTINCT md5(text)) AS n_texts,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM documents""",
