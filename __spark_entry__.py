@@ -965,6 +965,37 @@ def q_wap_publish(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_token_search(spark, sf_dir):
+    """Inverted token index (textops/textindex.py): token -> sorted
+    posting list as a range-partitioned encoded table, probed with
+    manifest/zone pruning.  Facet builds the index over documents,
+    searches two probe tokens under AND and OR semantics, and reports
+    vocabulary size + match aggregates — DuckDB recomputes all four by
+    brute-force regex tokenization of the raw text, so the index's
+    build shuffle, posting encoding, pruned probe, and AND/OR algebra
+    must together reproduce exact per-document membership."""
+    import tempfile
+
+    from parquet_spark.manifest import read_decoded
+    from parquet_spark.textops.textindex import (build_token_index,
+                                                 search_tokens)
+    d = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="entry_tokidx_")
+    build_token_index(d, idx, n_parts=4)
+    n_tokens = read_decoded(spark, idx).count()
+    all_df = search_tokens(spark, idx, ["vector", "stream"], mode="all")
+    any_df = search_tokens(spark, idx, ["vector", "stream"], mode="any")
+    a = all_df.agg(F.count(F.lit(1)).alias("n_docs_all"),
+                   F.sum("doc_id").alias("sum_ids_all"))
+    b = any_df.agg(F.count(F.lit(1)).alias("n_docs_any"))
+    out = a.crossJoin(b).select(
+        F.lit(n_tokens).cast("long").alias("n_tokens"),
+        "n_docs_all", "sum_ids_all", "n_docs_any")
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-level duplicate-line removal (textops/dedup.py
     `dedup_lines`, the C4/CCNet boilerplate pass).  The flat corpus
@@ -2138,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": q_domain_mixture,
         "domain_mixture_tokens": q_domain_mixture_tokens,
         "line_dedup": q_line_dedup,
+        "token_search": q_token_search,
         "like_prune": q_like_prune,
         "in_prune": q_in_prune,
         "dict_pruned_scan": q_dict_pruned_scan,
@@ -2932,6 +2964,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
                    COUNT(DISTINCT md5(clean)) AS n_cleans
             FROM per_doc GROUP BY 1 ORDER BY 1""",
+        # brute-force recomputation of the inverted index's answers:
+        # regex tokenization mirrors textindex.TOKEN_PATTERN verbatim
+        "token_search": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_contains(list_filter(string_split_regex(
+                       lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                       'vector') AS has_v,
+                     list_contains(list_filter(string_split_regex(
+                       lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                       'stream') AS has_s
+              FROM documents),
+            vocab AS (
+              SELECT COUNT(DISTINCT x) AS n_tokens
+              FROM documents,
+                   UNNEST(string_split_regex(lower(text),
+                          '[^a-z0-9]+')) AS u(x)
+              WHERE x <> '')
+            SELECT (SELECT n_tokens FROM vocab) AS n_tokens,
+                   COUNT(*) FILTER (WHERE has_v AND has_s) AS n_docs_all,
+                   CAST(SUM(doc_id) FILTER (WHERE has_v AND has_s)
+                        AS BIGINT) AS sum_ids_all,
+                   COUNT(*) FILTER (WHERE has_v OR has_s) AS n_docs_any
+            FROM tok""",
         "alter_columns": """
             WITH gen1 AS (SELECT doc_id, text, lang, source AS origin,
                                  CAST(NULL AS DOUBLE) AS score

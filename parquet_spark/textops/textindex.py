@@ -1,0 +1,109 @@
+"""Inverted token index over a document corpus + pruned token search.
+
+A training-data pipeline hits "which documents contain these terms?"
+constantly — decontamination probes, keyword quality audits, targeted
+corpus slicing.  Scanning 10^12 documents per probe is a non-starter;
+the classic answer is an inverted file: token -> sorted posting list of
+doc ids, stored once, probed in O(tokens) chunk reads.
+
+Scale design (the 100 TB story):
+  * tokenization is scan-stage codegen (`lower`/`split`/`array_distinct`
+    — JVM, no Python) and the only wide exchange is (token, doc_id)
+    pairs into a HashAggregate; partial aggregation combines map-side.
+  * stopword skew is handled by construction: document frequencies are
+    counted first (counts combine map-side, so a hot token costs one
+    long per partition, not a giant group), and tokens with df >
+    `max_df` are dropped via a BROADCAST anti-join — the broadcast side
+    is the over-cap token list, small by Zipf's law precisely because
+    its members are frequent.  With a cutoff in place every posting
+    list is bounded, so no collect_list group can blow a task.
+  * the index itself is an encoded table RANGE-partitioned on token:
+    manifest-level file pruning + zone maps route a probe to the one
+    chunk owning each token; sorted doc_ids delta/FOR-pack inside the
+    list codec.
+  * search explodes only the probed posting rows (|tokens| rows in,
+    Σ df out) — corpus size never appears in the plan.
+
+The reference has no search operator; this extends the encoded format
+the same way its typed columnar cache extends result storage
+(/root/reference/Parquet.Core/Fragment.cs:129-168 stores, never
+queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# lowercase alnum runs; mirrored verbatim by the DuckDB oracle's
+# string_split_regex — keep the two in sync
+TOKEN_PATTERN = "[^a-z0-9]+"
+
+
+def tokens_col(col):
+    """Distinct tokens of a text column as array<string> (codegen)."""
+    return F.array_distinct(
+        F.filter(F.split(F.lower(col), TOKEN_PATTERN),
+                 lambda t: t != F.lit("")))
+
+
+def build_token_index(df: DataFrame, index_path: str,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_df: int | None = None,
+                      n_parts: int = 8,
+                      block_codec: str = "auto") -> dict:
+    """Build the inverted index as an encoded table at ``index_path``.
+
+    Index schema: (token string, df bigint, doc_ids array<bigint>),
+    range-layout on token.  ``max_df`` drops tokens appearing in more
+    than that many documents (selectivity-free stopwords — the rows
+    that would otherwise skew the build and bloat the index); the df
+    column is kept for IDF-style scoring downstream.  Returns the
+    commit snapshot."""
+    from ..manifest import write_encoded
+    pairs = df.select(
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+        F.col(id_col).cast("long").alias("_doc"))
+    if max_df is not None:
+        hot = (pairs.groupBy("token")
+               .agg(F.count(F.lit(1)).alias("_df"))
+               .where(F.col("_df") > max_df)
+               .select("token"))
+        # broadcast ANTI-join: the over-cap set is the small one
+        pairs = pairs.join(F.broadcast(hot), "token", "left_anti")
+    postings = (pairs.groupBy("token")
+                .agg(F.count(F.lit(1)).alias("df"),
+                     F.sort_array(F.collect_list("_doc")).alias("doc_ids")))
+    return write_encoded(postings, index_path, key=["token"],
+                         n_parts=n_parts, mode="range",
+                         block_codec=block_codec)
+
+
+def search_tokens(spark: SparkSession, index_path: str,
+                  tokens: list[str], mode: str = "all",
+                  backend=None) -> DataFrame:
+    """doc_ids matching the probe tokens, via the pruned index.
+
+    ``mode="all"`` (AND): documents containing every probe token;
+    ``mode="any"`` (OR): documents containing at least one.  Tokens are
+    lowercased to match the index's tokenizer.  A token absent from the
+    index (never seen, or dropped by the build's max_df cutoff)
+    contributes no postings — under "all" that makes the result empty,
+    which is the honest answer only if the token truly never occurs;
+    callers that built with max_df are responsible for keeping probes
+    under the cutoff.  Returns a single-column (doc_id) DataFrame."""
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
+    probes = sorted({t.lower() for t in tokens})
+    if not probes:
+        raise ValueError("tokens must name at least one probe token")
+    from ..manifest import scan_table
+    dec = scan_table(spark, index_path, [("token", "in", probes)],
+                     columns=["token", "doc_ids"], backend=backend)
+    hits = dec.select("token", F.explode("doc_ids").alias("doc_id"))
+    if mode == "any":
+        return hits.select("doc_id").distinct()
+    return (hits.groupBy("doc_id")
+            .agg(F.count_distinct("token").alias("_nt"))
+            .where(F.col("_nt") == len(probes))
+            .select("doc_id"))

@@ -634,3 +634,64 @@ def test_dedup_lines_regex_meta_separator_and_clash_guard(spark):
         dedup_lines(df.withColumn("n_removed", F.lit(0)))
     with pytest.raises(ValueError, match="reserves"):
         dedup_lines(df.withColumn("text_clean", F.lit("x")))
+
+
+@pytest.mark.spark
+def test_token_index_build_and_search(spark, tmp_path):
+    """Inverted index answers AND/OR probes exactly; postings are
+    distinct per (token, doc) even when a token repeats in a doc."""
+    from parquet_spark.textops.textindex import (build_token_index,
+                                                 search_tokens)
+    rows = [(1, "Alpha beta GAMMA alpha"), (2, "beta delta"),
+            (3, "gamma epsilon beta"), (4, "zeta!zeta, alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_token_index(df, idx, n_parts=2)
+    allhit = {r.doc_id for r in
+              search_tokens(spark, idx, ["alpha", "beta"]).collect()}
+    assert allhit == {1}
+    anyhit = {r.doc_id for r in
+              search_tokens(spark, idx, ["ALPHA", "beta"],
+                            mode="any").collect()}
+    assert anyhit == {1, 2, 3, 4}
+    # punctuation splits tokens; repeated token posts once
+    from parquet_spark.manifest import read_decoded
+    post = {r.token: (r.df, list(r.doc_ids))
+            for r in read_decoded(spark, idx).collect()}
+    assert post["zeta"] == (1, [4])
+    assert post["alpha"] == (2, [1, 4])
+    assert post["beta"][1] == sorted(post["beta"][1])
+
+
+@pytest.mark.spark
+def test_token_index_max_df_drops_stopwords(spark, tmp_path):
+    from parquet_spark.manifest import read_decoded
+    from parquet_spark.textops.textindex import (build_token_index,
+                                                 search_tokens)
+    rows = [(i, f"the common word{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_token_index(df, idx, max_df=3, n_parts=2)
+    toks = {r.token for r in read_decoded(spark, idx).collect()}
+    assert "the" not in toks and "common" not in toks  # df=6 > 3
+    assert "word2" in toks  # df=1 survives
+    assert search_tokens(spark, idx, ["the"]).count() == 0
+    with pytest.raises(ValueError, match="mode"):
+        search_tokens(spark, idx, ["x"], mode="nope")
+    with pytest.raises(ValueError, match="at least one"):
+        search_tokens(spark, idx, [])
+
+
+@pytest.mark.spark
+def test_token_index_probe_prunes_files(spark, tmp_path):
+    """A single-token probe must touch a strict subset of the index's
+    part files (manifest-level range pruning on token)."""
+    from parquet_spark.manifest import EncodedTable, _prune_parts
+    from parquet_spark.textops.textindex import build_token_index
+    rows = [(i, f"w{i:03d} shared") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_token_index(df, idx, n_parts=4)
+    parts = EncodedTable(idx).committed_parts()
+    kept = _prune_parts(parts, [("token", "=", "w001")])
+    assert 1 <= len(kept) < len(parts)
