@@ -996,6 +996,29 @@ def q_token_search(spark, sf_dir):
     return out
 
 
+def q_token_rank(spark, sf_dir):
+    """Ranked retrieval over the inverted index (textindex.rank_tokens):
+    tf·idf with INTEGER-quantized linear idf, so scores are exact
+    BIGINT sums and the ranking reproduces bit-identically across
+    engines.  DuckDB recomputes term frequencies, document frequencies,
+    the quantized idf (integer //), the per-doc score sums, AND the
+    row_number ranking from the raw text — the index build, posting
+    alignment (doc_ids ∥ tfs), pruned probe, and TakeOrdered top-k
+    must all agree with brute force."""
+    import tempfile
+
+    from parquet_spark.textops.textindex import (build_token_index,
+                                                 rank_tokens)
+    d = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="entry_tokrank_")
+    build_token_index(d, idx, n_parts=4)
+    out = rank_tokens(spark, idx, ["vector", "stream", "window"],
+                      n_docs=d.count(), k=15)
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-level duplicate-line removal (textops/dedup.py
     `dedup_lines`, the C4/CCNet boilerplate pass).  The flat corpus
@@ -2170,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture_tokens": q_domain_mixture_tokens,
         "line_dedup": q_line_dedup,
         "token_search": q_token_search,
+        "token_rank": q_token_rank,
         "like_prune": q_like_prune,
         "in_prune": q_in_prune,
         "dict_pruned_scan": q_dict_pruned_scan,
@@ -2988,6 +3012,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_ids_all,
                    COUNT(*) FILTER (WHERE has_v OR has_s) AS n_docs_any
             FROM tok""",
+        # brute-force tf/df/idf/score/rank recomputation; integer //
+        # quantization (IDF_SCALE=1e6) mirrors textindex.rank_tokens
+        "token_rank": """
+            WITH tf AS (
+              SELECT d.doc_id, t.token,
+                     len(list_filter(string_split_regex(lower(d.text),
+                         '[^a-z0-9]+'), x -> x = t.token)) AS tf
+              FROM documents d,
+                   (VALUES ('stream'), ('vector'), ('window')) t(token)),
+            nz AS (SELECT * FROM tf WHERE tf > 0),
+            dfreq AS (SELECT token, COUNT(*) AS df FROM nz GROUP BY token),
+            scored AS (
+              SELECT nz.doc_id,
+                     CAST(SUM(nz.tf * (((SELECT COUNT(*) FROM documents)
+                          * 1000000) // dfreq.df)) AS BIGINT) AS score
+              FROM nz JOIN dfreq USING (token) GROUP BY nz.doc_id)
+            SELECT CAST(ROW_NUMBER() OVER
+                        (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+                   doc_id, score
+            FROM scored ORDER BY score DESC, doc_id LIMIT 15""",
         "alter_columns": """
             WITH gen1 AS (SELECT doc_id, text, lang, source AS origin,
                                  CAST(NULL AS DOUBLE) AS score

@@ -32,7 +32,7 @@ queries).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # lowercase alnum runs; mirrored verbatim by the DuckDB oracle's
@@ -54,16 +54,27 @@ def build_token_index(df: DataFrame, index_path: str,
                       block_codec: str = "auto") -> dict:
     """Build the inverted index as an encoded table at ``index_path``.
 
-    Index schema: (token string, df bigint, doc_ids array<bigint>),
-    range-layout on token.  ``max_df`` drops tokens appearing in more
-    than that many documents (selectivity-free stopwords — the rows
-    that would otherwise skew the build and bloat the index); the df
-    column is kept for IDF-style scoring downstream.  Returns the
-    commit snapshot."""
+    Index schema: (token string, df bigint, doc_ids array<bigint>,
+    tfs array<bigint>), range-layout on token; ``tfs`` is the term
+    frequency aligned element-wise with the doc_ids posting list, so
+    ranked retrieval (`rank_tokens`) needs no second corpus pass.
+    ``max_df`` drops tokens appearing in more than that many documents
+    (selectivity-free stopwords — the rows that would otherwise skew
+    the build and bloat the index); the df column is kept for IDF
+    scoring.  Returns the commit snapshot.
+
+    The first aggregate groups by (token, doc) — hot tokens spread
+    over their documents, so term-frequency counting is skew-free by
+    construction; only the posting-collect group concentrates a token,
+    and max_df bounds that."""
     from ..manifest import write_encoded
-    pairs = df.select(
-        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    occurrences = df.select(
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)),
+                                   TOKEN_PATTERN),
+                           lambda t: t != F.lit(""))).alias("token"),
         F.col(id_col).cast("long").alias("_doc"))
+    pairs = (occurrences.groupBy("token", "_doc")
+             .agg(F.count(F.lit(1)).alias("_tf")))
     if max_df is not None:
         hot = (pairs.groupBy("token")
                .agg(F.count(F.lit(1)).alias("_df"))
@@ -73,7 +84,13 @@ def build_token_index(df: DataFrame, index_path: str,
         pairs = pairs.join(F.broadcast(hot), "token", "left_anti")
     postings = (pairs.groupBy("token")
                 .agg(F.count(F.lit(1)).alias("df"),
-                     F.sort_array(F.collect_list("_doc")).alias("doc_ids")))
+                     F.sort_array(F.collect_list(
+                         F.struct("_doc", "_tf"))).alias("_p"))
+                .select("token", "df",
+                        F.transform("_p", lambda s: s["_doc"])
+                        .alias("doc_ids"),
+                        F.transform("_p", lambda s: s["_tf"])
+                        .alias("tfs")))
     return write_encoded(postings, index_path, key=["token"],
                          n_parts=n_parts, mode="range",
                          block_codec=block_codec)
@@ -107,3 +124,52 @@ def search_tokens(spark: SparkSession, index_path: str,
             .agg(F.count_distinct("token").alias("_nt"))
             .where(F.col("_nt") == len(probes))
             .select("doc_id"))
+
+
+IDF_SCALE = 1_000_000
+
+
+def rank_tokens(spark: SparkSession, index_path: str,
+                tokens: list[str], n_docs: int, k: int = 10,
+                backend=None) -> DataFrame:
+    """Top-k ranked retrieval over the index: tf·idf with an INTEGER-
+    quantized linear idf — ``weight = tf · (n_docs·IDF_SCALE div df)``,
+    summed per document over the probe tokens.
+
+    Integer quantization is deliberate: scores are order-independent
+    exact BIGINT sums, so rankings reproduce bit-identically across
+    engines and runs (a float ln-idf varies in the last ulp between
+    libm implementations and between summation orders).  ``n_docs`` is
+    the corpus size the caller indexed (idf needs it; the index table
+    stores per-token df only).  Ties rank by doc_id ascending.
+
+    Scale shape: the probe explodes Σ df posting rows, one
+    HashAggregate sums per-doc scores, and the final
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each
+    task keeps a local top-k and the driver merges k·n_parts rows, so
+    no task ever holds more than its own partition's candidates.
+    Returns (rank, doc_id, score)."""
+    if n_docs < 1:
+        raise ValueError("n_docs must be the positive corpus size")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    probes = sorted({t.lower() for t in tokens})
+    if not probes:
+        raise ValueError("tokens must name at least one probe token")
+    from ..manifest import scan_table
+    dec = scan_table(spark, index_path, [("token", "in", probes)],
+                     columns=["token", "df", "doc_ids", "tfs"],
+                     backend=backend)
+    idf = F.expr(f"CAST({n_docs} AS BIGINT) * {IDF_SCALE} div df")
+    hits = (dec.select(idf.alias("_idf"),
+                       F.explode(F.arrays_zip("doc_ids", "tfs"))
+                       .alias("_h"))
+            .select(F.col("_h.doc_ids").alias("doc_id"),
+                    (F.col("_h.tfs") * F.col("_idf")).alias("_w")))
+    scored = (hits.groupBy("doc_id")
+              .agg(F.sum("_w").alias("score"))
+              .orderBy(F.desc("score"), F.asc("doc_id"))
+              .limit(k))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.select(F.row_number().over(w).alias("rank"),
+                         "doc_id", "score")

@@ -695,3 +695,32 @@ def test_token_index_probe_prunes_files(spark, tmp_path):
     parts = EncodedTable(idx).committed_parts()
     kept = _prune_parts(parts, [("token", "=", "w001")])
     assert 1 <= len(kept) < len(parts)
+
+
+@pytest.mark.spark
+def test_rank_tokens_quantized_tfidf(spark, tmp_path):
+    """Exact integer scoring: weight = tf * (n_docs*1e6 div df), ties
+    break by doc_id; guards reject bad inputs."""
+    from parquet_spark.manifest import read_decoded
+    from parquet_spark.textops.textindex import (build_token_index,
+                                                 rank_tokens)
+    rows = [(1, "alpha beta alpha alpha"), (2, "beta beta gamma"),
+            (3, "alpha gamma"), (4, "delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_token_index(df, idx, n_parts=2)
+    # tfs align with doc_ids in the postings
+    post = {r.token: (list(r.doc_ids), list(r.tfs))
+            for r in read_decoded(spark, idx).collect()}
+    assert post["alpha"] == ([1, 3], [3, 1])
+    assert post["beta"] == ([1, 2], [1, 2])
+    got = [(r.rank, r.doc_id, r.score)
+           for r in rank_tokens(spark, idx, ["alpha", "beta"],
+                                n_docs=4, k=3).collect()]
+    # idf(alpha)=idf(beta)=4e6 div 2=2_000_000
+    assert got == [(1, 1, 8_000_000), (2, 2, 4_000_000),
+                   (3, 3, 2_000_000)]
+    with pytest.raises(ValueError, match="n_docs"):
+        rank_tokens(spark, idx, ["alpha"], n_docs=0)
+    with pytest.raises(ValueError, match="k must"):
+        rank_tokens(spark, idx, ["alpha"], n_docs=4, k=0)
