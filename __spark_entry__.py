@@ -1257,6 +1257,30 @@ def q_sessionize(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_gap_fill(spark, sf_dir):
+    """Gap-filled bucketed aggregation with LOCF (temporal.gap_fill,
+    the TimescaleDB time_bucket_gapfill idiom): 6-hour buckets per
+    event_type, missing buckets materialized between each type's first
+    and last observation, counts and decimal-exact value sums carried
+    forward.  DuckDB rebuilds the bucket aggregate, the
+    generate_series grid, the gap join, AND the IGNORE NULLS
+    carry-forward window — the whole operator, not just totals."""
+    from parquet_spark.temporal import gap_fill
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "val3", F.round(F.col("value"), 3).cast("decimal(20,3)"))
+    g = gap_fill(ev, "ts", 21600, by=["event_type"],
+                 aggs={"n": ("*", "count"),
+                       "sum_value": ("val3", "sum")},
+                 fill="locf")
+    bucket_s = (F.expr(_EPOCH_US.format(col="bucket")) /
+                F.lit(1_000_000)).cast("long")
+    return (g.select("event_type", bucket_s.alias("bucket_s"),
+                     "is_gap", "n",
+                     F.col("sum_value").cast("decimal(38,3)")
+                     .alias("sum_value"))
+            .orderBy("event_type", "bucket_s"))
+
+
 def q_range_join(spark, sf_dir):
     """Range (point-in-interval) join rendered as an EQUI-join via
     grid-cell bucketing (vs Catalyst's nested-loop for the naive
@@ -2184,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_pinned_read": q_ref_pinned_read,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "gap_fill": q_gap_fill,
         "time_rollup": q_time_rollup,
         "alter_columns": q_alter_columns,
         "wap_publish": q_wap_publish,
@@ -3168,6 +3193,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_events,
                    CAST(MAX(session) + 1 AS BIGINT) AS n_sessions
             FROM t GROUP BY user_id ORDER BY user_id""",
+        # full gap_fill recomputation: bucket agg, generate_series
+        # grid, gap left-join, IGNORE NULLS carry-forward window
+        "gap_fill": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 21600000000 AS BIGINT) * 21600
+                       AS bucket_s,
+                     COUNT(*) AS n,
+                     SUM(CAST(ROUND(CAST(value AS DOUBLE), 3)
+                         AS DECIMAL(20,3))) AS sum_value
+              FROM events GROUP BY 1, 2),
+            g AS (
+              SELECT event_type,
+                     UNNEST(generate_series(MIN(bucket_s), MAX(bucket_s),
+                            CAST(21600 AS BIGINT))) AS bucket_s
+              FROM b GROUP BY event_type),
+            j AS (
+              SELECT g.event_type, g.bucket_s,
+                     b.n IS NULL AS is_gap, b.n, b.sum_value
+              FROM g LEFT JOIN b USING (event_type, bucket_s))
+            SELECT event_type, bucket_s, is_gap,
+                   last_value(n IGNORE NULLS) OVER w AS n,
+                   last_value(sum_value IGNORE NULLS) OVER w AS sum_value
+            FROM j
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket_s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY event_type, bucket_s""",
         "zone_prune_ts": """
             WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
             b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),

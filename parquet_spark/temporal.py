@@ -288,3 +288,81 @@ def time_rollup(df: DataFrame, time_col: str = "ts",
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def gap_fill(df: DataFrame, time_col: str = "ts", step_s: int = 3600,
+             by: list[str] | None = None,
+             aggs: dict[str, tuple] | None = None,
+             fill: str = "locf") -> DataFrame:
+    """Gap-filled bucketed aggregation (the TimescaleDB
+    `time_bucket_gapfill` + `locf` idiom): aggregate into fixed
+    `step_s`-second buckets per `by` entity, then materialize every
+    missing bucket between each entity's first and last observation,
+    filling the aggregate columns by `fill`:
+
+      * ``"locf"`` — last observation carried forward (gauge series),
+      * ``"zero"`` — absence means zero (count/sum series),
+      * ``"null"`` — leave gaps NULL (caller interpolates).
+
+    `aggs` maps output name -> (column, fn), fn in count/sum/min/max
+    (default {"n": ("*", "count")}).  Output columns: (*by, bucket,
+    is_gap, *aggs) — `is_gap` marks generated rows, `bucket` keeps the
+    input's timestamp flavor (or stays integer seconds for a numeric
+    time column).
+
+    Scale shape: one shuffle into the bucket aggregate (map-side
+    combined; group count = entities x buckets, not event count), a
+    metadata-sized grid exchange (per-entity min/max -> sequence
+    explode, |grid| = time-range/step per entity), one equi-join of
+    grid to buckets, and for locf a per-entity window.  With ``by``
+    empty that window is a single partition — safe here, unlike a
+    row-level sort, because its input is the GRID (bounded by
+    time-range/step, independent of corpus size), but prefer a `by`
+    key when one exists."""
+    by = list(by or [])
+    if step_s <= 0:
+        raise ValueError(f"step_s must be a positive number of "
+                         f"seconds, got {step_s}")
+    if fill not in ("locf", "zero", "null"):
+        raise ValueError(f"fill must be locf/zero/null, got {fill!r}")
+    aggs = aggs or {"n": ("*", "count")}
+    for name, (c, fn) in aggs.items():
+        if fn not in ("count", "sum", "min", "max"):
+            raise ValueError(f"agg {name}: unsupported fn {fn!r} "
+                             "(count/sum/min/max)")
+        if name in ("bucket", "is_gap"):
+            raise ValueError(f"agg name {name!r} collides with a "
+                             "gap_fill output column")
+    for r in ("bucket", "is_gap", "_bsec", "_present"):
+        if r in df.columns:
+            raise ValueError(f"gap_fill reserves column {r!r}; rename "
+                             "it on the input")
+    t_type = df.schema[time_col].dataType
+    bsec = (F.floor(_epoch_sec(time_col, df) / step_s)
+            * step_s).cast("long")
+    exprs = [getattr(F, fn)(F.lit(1) if c == "*" else F.col(c)).alias(n)
+             for n, (c, fn) in aggs.items()]
+    agg1 = (df.groupBy(*by, bsec.alias("_bsec")).agg(*exprs)
+            .withColumn("_present", F.lit(True)))
+    grid = (agg1.groupBy(*by).agg(F.min("_bsec").alias("_lo"),
+                                  F.max("_bsec").alias("_hi"))
+            .select(*by, F.explode(F.sequence(
+                F.col("_lo"), F.col("_hi"),
+                F.lit(step_s).cast("long"))).alias("_bsec")))
+    full = grid.join(agg1, by + ["_bsec"], "left")
+    if fill == "locf":
+        w = (Window.partitionBy(*by) if by
+             else Window.partitionBy(F.lit(1)))
+        w = w.orderBy("_bsec").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+        vals = [F.last(F.col(n), ignorenulls=True).over(w).alias(n)
+                for n in aggs]
+    elif fill == "zero":
+        vals = [F.coalesce(F.col(n), F.lit(0)).alias(n) for n in aggs]
+    else:
+        vals = [F.col(n) for n in aggs]
+    bucket = (F.timestamp_seconds(F.col("_bsec")).cast(t_type)
+              if _is_ts(df, time_col) else F.col("_bsec"))
+    return full.select(
+        *by, bucket.alias("bucket"),
+        F.col("_present").isNull().alias("is_gap"), *vals)

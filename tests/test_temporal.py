@@ -252,3 +252,56 @@ def test_time_rollup_granularity_nesting_validated(spark, sides):
     # valid: day -> week (week terminal) and hour -> day -> month
     assert time_rollup(left, "ts", ("day", "week")).count() > 0
     assert time_rollup(left, "ts", ("hour", "day", "month")).count() > 0
+
+
+@pytest.mark.spark
+def test_gap_fill_locf_zero_null(spark):
+    import datetime as dt
+
+    from parquet_spark.temporal import gap_fill
+    rows = [("a", dt.datetime(2024, 1, 1, 0, 5), 1.0),
+            ("a", dt.datetime(2024, 1, 1, 0, 20), 2.0),
+            ("a", dt.datetime(2024, 1, 1, 3, 10), 5.0),
+            ("b", dt.datetime(2024, 1, 1, 1, 0), 7.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    aggs = {"n": ("*", "count"), "sv": ("v", "sum")}
+    out = {(r.k, r.bucket.hour): (r.is_gap, r.n, r.sv)
+           for r in gap_fill(df, "ts", 3600, by=["k"], aggs=aggs,
+                             fill="locf").collect()}
+    assert out[("a", 0)] == (False, 2, 3.0)
+    assert out[("a", 1)] == (True, 2, 3.0)   # carried forward
+    assert out[("a", 2)] == (True, 2, 3.0)
+    assert out[("a", 3)] == (False, 1, 5.0)
+    assert out[("b", 1)] == (False, 1, 7.0)  # no gaps for b
+    assert len(out) == 5
+    z = {(r.k, r.bucket.hour): r.n
+         for r in gap_fill(df, "ts", 3600, by=["k"],
+                           fill="zero").collect()}
+    assert z[("a", 1)] == 0 and z[("a", 0)] == 2
+    nu = {(r.k, r.bucket.hour): r.sv
+          for r in gap_fill(df, "ts", 3600, by=["k"], aggs=aggs,
+                            fill="null").collect()}
+    assert nu[("a", 2)] is None and nu[("a", 3)] == 5.0
+
+
+@pytest.mark.spark
+def test_gap_fill_numeric_time_and_guards(spark):
+    from parquet_spark.temporal import gap_fill
+    df = spark.createDataFrame([(1, 10.0), (31, 20.0)],
+                               "t long, v double")
+    got = {r.bucket: (r.is_gap, r.n)
+           for r in gap_fill(df, "t", 10, fill="zero").collect()}
+    # numeric time keeps integer-second buckets; keyless by is allowed
+    # (grid-sized window, not row-sized)
+    assert got == {0: (False, 1), 10: (True, 0), 20: (True, 0),
+                   30: (False, 1)}
+    with pytest.raises(ValueError, match="step_s"):
+        gap_fill(df, "t", 0)
+    with pytest.raises(ValueError, match="fill"):
+        gap_fill(df, "t", 10, fill="interp")
+    with pytest.raises(ValueError, match="unsupported fn"):
+        gap_fill(df, "t", 10, aggs={"a": ("v", "avg")})
+    with pytest.raises(ValueError, match="collides"):
+        gap_fill(df, "t", 10, aggs={"is_gap": ("v", "sum")})
+    with pytest.raises(ValueError, match="reserves"):
+        gap_fill(df.withColumn("bucket", df.v), "t", 10)
