@@ -1281,6 +1281,23 @@ def q_gap_fill(spark, sf_dir):
             .orderBy("event_type", "bucket_s"))
 
 
+def q_gap_fill_interp(spark, sf_dir):
+    """gap_fill's LINEAR interpolation path: per-type 6h bucket counts
+    with gaps filled by pv + (nv-pv)·(t-pt)/(nt-pt).  The operands are
+    exact integers, so the IEEE float expression — mirrored verbatim
+    in the DuckDB oracle — must reproduce every interpolated double
+    bit-for-bit (hash compare, no rounding)."""
+    from parquet_spark.temporal import gap_fill
+    ev = _t(spark, sf_dir, "events")
+    g = gap_fill(ev, "ts", 21600, by=["event_type"],
+                 aggs={"n": ("*", "count")}, fill="interp")
+    bucket_s = (F.expr(_EPOCH_US.format(col="bucket")) /
+                F.lit(1_000_000)).cast("long")
+    return (g.select("event_type", bucket_s.alias("bucket_s"),
+                     "is_gap", "n")
+            .orderBy("event_type", "bucket_s"))
+
+
 def q_range_join(spark, sf_dir):
     """Range (point-in-interval) join rendered as an EQUI-join via
     grid-cell bucketing (vs Catalyst's nested-loop for the naive
@@ -2209,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "gap_fill": q_gap_fill,
+        "gap_fill_interp": q_gap_fill_interp,
         "time_rollup": q_time_rollup,
         "alter_columns": q_alter_columns,
         "wap_publish": q_wap_publish,
@@ -3221,6 +3239,46 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND CURRENT ROW)
             ORDER BY event_type, bucket_s""",
+        # linear interpolation mirrored operand-for-operand: IEEE ops
+        # on identical exact-integer inputs are bit-identical doubles
+        "gap_fill_interp": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 21600000000 AS BIGINT) * 21600
+                       AS bucket_s,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            g AS (
+              SELECT event_type,
+                     UNNEST(generate_series(MIN(bucket_s), MAX(bucket_s),
+                            CAST(21600 AS BIGINT))) AS bucket_s
+              FROM b GROUP BY event_type),
+            j AS (
+              SELECT g.event_type, g.bucket_s,
+                     b.n IS NULL AS is_gap,
+                     CAST(b.n AS DOUBLE) AS v,
+                     CASE WHEN b.n IS NOT NULL
+                          THEN CAST(g.bucket_s AS DOUBLE) END AS obs_t
+              FROM g LEFT JOIN b USING (event_type, bucket_s)),
+            w AS (
+              SELECT event_type, bucket_s, is_gap, v,
+                     CAST(bucket_s AS DOUBLE) AS t,
+                     last_value(v IGNORE NULLS) OVER wb AS pv,
+                     last_value(obs_t IGNORE NULLS) OVER wb AS pt,
+                     first_value(v IGNORE NULLS) OVER wf AS nv,
+                     first_value(obs_t IGNORE NULLS) OVER wf AS nt
+              FROM j
+              WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW),
+                     wf AS (PARTITION BY event_type ORDER BY bucket_s
+                            ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING))
+            SELECT event_type, bucket_s, is_gap,
+                   CASE WHEN v IS NOT NULL THEN v
+                        ELSE pv + (nv - pv) * ((t - pt) / (nt - pt))
+                   END AS n
+            FROM w ORDER BY event_type, bucket_s""",
         "zone_prune_ts": """
             WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
             b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),

@@ -302,7 +302,12 @@ def gap_fill(df: DataFrame, time_col: str = "ts", step_s: int = 3600,
 
       * ``"locf"`` — last observation carried forward (gauge series),
       * ``"zero"`` — absence means zero (count/sum series),
-      * ``"null"`` — leave gaps NULL (caller interpolates).
+      * ``"null"`` — leave gaps NULL (caller interpolates),
+      * ``"interp"`` — LINEAR interpolation between the surrounding
+        observations (the TimescaleDB ``interpolate()`` companion):
+        gap value = prev + (next-prev)·(t-tprev)/(tnext-tprev), cast
+        to double; leading/trailing gaps (no observation on one side)
+        stay NULL, exactly as TimescaleDB leaves them.
 
     `aggs` maps output name -> (column, fn), fn in count/sum/min/max
     (default {"n": ("*", "count")}).  Output columns: (*by, bucket,
@@ -323,8 +328,9 @@ def gap_fill(df: DataFrame, time_col: str = "ts", step_s: int = 3600,
     if step_s <= 0:
         raise ValueError(f"step_s must be a positive number of "
                          f"seconds, got {step_s}")
-    if fill not in ("locf", "zero", "null"):
-        raise ValueError(f"fill must be locf/zero/null, got {fill!r}")
+    if fill not in ("locf", "zero", "null", "interp"):
+        raise ValueError(
+            f"fill must be locf/zero/null/interp, got {fill!r}")
     aggs = aggs or {"n": ("*", "count")}
     for name, (c, fn) in aggs.items():
         if fn not in ("count", "sum", "min", "max"):
@@ -357,6 +363,28 @@ def gap_fill(df: DataFrame, time_col: str = "ts", step_s: int = 3600,
                                            Window.currentRow)
         vals = [F.last(F.col(n), ignorenulls=True).over(w).alias(n)
                 for n in aggs]
+    elif fill == "interp":
+        base = (Window.partitionBy(*by) if by
+                else Window.partitionBy(F.lit(1))).orderBy("_bsec")
+        wb = base.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+        wf = base.rowsBetween(Window.currentRow,
+                              Window.unboundedFollowing)
+        t = F.col("_bsec").cast("double")
+        obs_t = F.when(F.col("_present").isNotNull(), t)
+
+        def interp(n):
+            v = F.col(n).cast("double")
+            pv = F.last(v, ignorenulls=True).over(wb)
+            pt = F.last(obs_t, ignorenulls=True).over(wb)
+            nv = F.first(v, ignorenulls=True).over(wf)
+            nt = F.first(obs_t, ignorenulls=True).over(wf)
+            # operand shape mirrored verbatim by the DuckDB oracle:
+            # IEEE ops on identical operands are bit-identical
+            return F.when(v.isNotNull(), v).otherwise(
+                pv + (nv - pv) * ((t - pt) / (nt - pt))).alias(n)
+
+        vals = [interp(n) for n in aggs]
     elif fill == "zero":
         vals = [F.coalesce(F.col(n), F.lit(0)).alias(n) for n in aggs]
     else:

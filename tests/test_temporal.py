@@ -298,10 +298,33 @@ def test_gap_fill_numeric_time_and_guards(spark):
     with pytest.raises(ValueError, match="step_s"):
         gap_fill(df, "t", 0)
     with pytest.raises(ValueError, match="fill"):
-        gap_fill(df, "t", 10, fill="interp")
+        gap_fill(df, "t", 10, fill="spline")
     with pytest.raises(ValueError, match="unsupported fn"):
         gap_fill(df, "t", 10, aggs={"a": ("v", "avg")})
     with pytest.raises(ValueError, match="collides"):
         gap_fill(df, "t", 10, aggs={"is_gap": ("v", "sum")})
     with pytest.raises(ValueError, match="reserves"):
         gap_fill(df.withColumn("bucket", df.v), "t", 10)
+
+
+@pytest.mark.spark
+def test_gap_fill_interp_linear_and_edges(spark):
+    import datetime as dt
+
+    from parquet_spark.temporal import gap_fill
+    rows = [("a", dt.datetime(2024, 1, 1, 0, 5), 1.0),
+            ("a", dt.datetime(2024, 1, 1, 3, 10), 7.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r.bucket.hour: (r.is_gap, r.sv)
+           for r in gap_fill(df, "ts", 3600, by=["k"],
+                             aggs={"sv": ("v", "sum")},
+                             fill="interp").collect()}
+    assert out == {0: (False, 1.0), 1: (True, 3.0), 2: (True, 5.0),
+                   3: (False, 7.0)}
+    # uneven spacing interpolates by time, not by row position
+    rows2 = [(0, 0.0), (40, 8.0)]
+    df2 = spark.createDataFrame(rows2, "t long, v double")
+    got = {r.bucket: r.sv
+           for r in gap_fill(df2, "t", 10, aggs={"sv": ("v", "sum")},
+                             fill="interp").collect()}
+    assert got == {0: 0.0, 10: 2.0, 20: 4.0, 30: 6.0, 40: 8.0}
