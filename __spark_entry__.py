@@ -1281,6 +1281,36 @@ def q_gap_fill(spark, sf_dir):
             .orderBy("event_type", "bucket_s"))
 
 
+def q_kmv_ndv(spark, sf_dir):
+    """KMV bottom-k distinct-count sketch (sketch.py): exact below k,
+    ~1/sqrt(k) error above, mergeable (union = merge + re-truncate).
+    The facet asserts the sketch algebra in-line — sub-k columns
+    estimate EXACTLY, the high-cardinality estimate lands within 25%,
+    and sketching two disjoint halves then merging yields the
+    byte-identical sketch of the whole — and returns the exact
+    distinct counts for DuckDB to recompute (the estimates' ground
+    truth is what the oracle certifies)."""
+    from parquet_spark.sketch import kmv_estimate, kmv_merge, kmv_sketch
+    d = _t(spark, sf_dir, "documents")
+    out = d.agg(F.countDistinct("lang").alias("ndv_lang"),
+                F.countDistinct("source").alias("ndv_source"),
+                F.countDistinct("doc_id").alias("ndv_doc"))
+    out = out.cache()
+    row = out.collect()[0]
+    s_lang = kmv_sketch(d, "lang")
+    assert s_lang["exact"] and kmv_estimate(s_lang) == row.ndv_lang
+    s_src = kmv_sketch(d, "source")
+    assert s_src["exact"] and kmv_estimate(s_src) == row.ndv_source
+    k = 128
+    whole = kmv_sketch(d, "doc_id", k=k)
+    est = kmv_estimate(whole)
+    assert abs(est / row.ndv_doc - 1) < 0.25, (est, row.ndv_doc)
+    halves = [kmv_sketch(d.where(F.col("doc_id") % 2 == i),
+                         "doc_id", k=k) for i in (0, 1)]
+    assert kmv_merge(*halves)["hashes"] == whole["hashes"]
+    return out
+
+
 def q_gap_fill_interp(spark, sf_dir):
     """gap_fill's LINEAR interpolation path: per-type 6h bucket counts
     with gaps filled by pv + (nv-pv)·(t-pt)/(nt-pt).  The operands are
@@ -2227,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "gap_fill": q_gap_fill,
         "gap_fill_interp": q_gap_fill_interp,
+        "kmv_ndv": q_kmv_ndv,
         "time_rollup": q_time_rollup,
         "alter_columns": q_alter_columns,
         "wap_publish": q_wap_publish,
@@ -3279,6 +3310,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE pv + (nv - pv) * ((t - pt) / (nt - pt))
                    END AS n
             FROM w ORDER BY event_type, bucket_s""",
+        # the sketch's ground truth; estimate accuracy, sub-k
+        # exactness, and merge identity are asserted inside the facet
+        "kmv_ndv": """
+            SELECT COUNT(DISTINCT lang) AS ndv_lang,
+                   COUNT(DISTINCT source) AS ndv_source,
+                   COUNT(DISTINCT doc_id) AS ndv_doc
+            FROM documents""",
         "zone_prune_ts": """
             WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
             b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),

@@ -1,0 +1,93 @@
+"""KMV (k-minimum-values) distinct-count sketch.
+
+The classic bottom-k estimator (Bar-Yossef et al. 2002; Beyer et al.
+SIGMOD 2007): hash every value, keep the k smallest DISTINCT hashes;
+the k-th smallest hash's position in the hash space estimates the
+distinct count as ndv ~= (k-1) / fraction_of_space_covered.  Error is
+~1/sqrt(k) (k=256 -> ~6%).  Sketches are tiny (k longs), exact below k
+distinct values, and mergeable — union = merge the hash sets and
+re-truncate to k — so per-split/per-day sketches roll up without
+rescanning.
+
+Scale shape: a partition-local numpy kernel keeps each input
+partition's k smallest distinct hashes (bounded memory, no shuffle of
+data), a global `orderBy(h).limit(k)` over the n_parts x k survivors
+compiles to TakeOrderedAndProject (per-task top-k, driver merges), and
+the driver dedupes/truncates k longs.  Corpus size never crosses the
+pipe — this is the honest alternative to COUNT(DISTINCT) when the
+column has 10^9+ distincts and an exact answer would shuffle them all.
+
+Spark's own approx_count_distinct (HLL++) answers the same question
+inside a query; KMV here is the FORMAT-friendly variant: the sketch is
+a value you can store per table/snapshot/day and merge later, which
+HLL inside an agg expression is not.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+_SPACE = 2.0 ** 64  # xxhash64 is signed int64; offset by 2^63 below
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> dict:
+    """Build a KMV sketch of a column's distinct count.
+
+    Returns ``{"k": k, "hashes": [k smallest distinct xxhash64 values,
+    ascending], "exact": bool}`` — ``exact`` is True when the column
+    had fewer than k distinct values, in which case the sketch IS the
+    distinct set and the estimate is exact."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def local_min_k(batches: Iterator[pa.RecordBatch]) \
+            -> Iterator[pa.RecordBatch]:
+        best: np.ndarray | None = None
+        for batch in batches:
+            h = batch.column(0).to_numpy(zero_copy_only=False)
+            u = np.unique(h)  # sorted distinct
+            best = u[:k] if best is None else \
+                np.unique(np.concatenate([best, u]))[:k]
+        if best is not None and len(best):
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(best, type=pa.int64())], ["h"])
+
+    hashed = df.where(F.col(col).isNotNull()) \
+        .select(F.xxhash64(F.col(col)).alias("h"))
+    survivors = hashed.mapInArrow(local_min_k, "h bigint")
+    # TakeOrderedAndProject: each task keeps its local k, driver merges
+    rows = survivors.orderBy("h").limit(k).collect()
+    hashes = sorted({r.h for r in rows})[:k]
+    return {"k": k, "hashes": hashes, "exact": len(hashes) < k}
+
+
+def kmv_merge(*sketches: dict) -> dict:
+    """Union sketches (same k): merge hash sets, keep the k smallest.
+    The merged sketch estimates the distinct count of the UNION of the
+    inputs — per-partition/per-day sketches roll up losslessly."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    ks = {s["k"] for s in sketches}
+    if len(ks) != 1:
+        raise ValueError(f"cannot merge sketches with different k: {ks}")
+    k = ks.pop()
+    merged = sorted({h for s in sketches for h in s["hashes"]})[:k]
+    # the union is exact only if NO input was truncated AND the merge
+    # itself kept everything (below k)
+    exact = all(s["exact"] for s in sketches) and len(merged) < k
+    return {"k": k, "hashes": merged, "exact": exact}
+
+
+def kmv_estimate(sketch: dict) -> float:
+    """Distinct-count estimate: exact cardinality below k, else
+    (k-1) / fraction of the hash space covered by the k-th smallest."""
+    hashes = sketch["hashes"]
+    if sketch["exact"] or len(hashes) < sketch["k"]:
+        return float(len(hashes))
+    kth = hashes[sketch["k"] - 1]
+    frac = (kth + 2.0 ** 63 + 1.0) / _SPACE
+    return (sketch["k"] - 1) / frac

@@ -1,0 +1,47 @@
+"""KMV bottom-k distinct-count sketch: exactness, accuracy, merge
+algebra, null handling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.mark.spark
+def test_kmv_exact_below_k(spark):
+    from parquet_spark.sketch import kmv_estimate, kmv_sketch
+    df = spark.range(0, 1000).select((F.col("id") % 37).alias("v"))
+    s = kmv_sketch(df, "v", k=256)
+    assert s["exact"] and kmv_estimate(s) == 37.0
+
+
+@pytest.mark.spark
+def test_kmv_estimate_accuracy_and_nulls(spark):
+    from parquet_spark.sketch import kmv_estimate, kmv_sketch
+    df = spark.range(0, 20000).select(
+        F.when(F.col("id") % 100 == 0, None)
+        .otherwise(F.col("id")).alias("v"))
+    true = df.where("v is not null").distinct().count()
+    s = kmv_sketch(df, "v", k=256)
+    assert not s["exact"] and len(s["hashes"]) == 256
+    assert abs(kmv_estimate(s) / true - 1) < 0.20
+    # all-null column -> empty, exact 0
+    empty = kmv_sketch(df.where("v is null"), "v")
+    assert empty["exact"] and kmv_estimate(empty) == 0.0
+
+
+@pytest.mark.spark
+def test_kmv_merge_identity_and_guards(spark):
+    from parquet_spark.sketch import kmv_merge, kmv_sketch
+    df = spark.range(0, 5000).select(F.col("id").alias("v"))
+    whole = kmv_sketch(df, "v", k=64)
+    parts = [kmv_sketch(df.where(F.col("v") % 3 == i), "v", k=64)
+             for i in range(3)]
+    assert kmv_merge(*parts)["hashes"] == whole["hashes"]
+    # duplicate values across inputs collapse in the union
+    twice = kmv_merge(whole, whole)
+    assert twice["hashes"] == whole["hashes"]
+    with pytest.raises(ValueError, match="different k"):
+        kmv_merge(whole, kmv_sketch(df, "v", k=32))
+    with pytest.raises(ValueError, match="at least one"):
+        kmv_merge()
+    with pytest.raises(ValueError, match="k must"):
+        kmv_sketch(df, "v", k=1)
