@@ -31,6 +31,35 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .codecs import decode_column, encode_column
 
+
+def file_digest(path: str) -> str:
+    """Streaming blake2b-64 of a file's bytes (integrity lineage)."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=8)
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
+def write_part_atomic(tbl: pa.Table, final: str) -> str:
+    """Write a part file via tmp-name + atomic rename, returning the
+    blake2b-64 digest of its bytes.  Every data-file writer funnels
+    through here so the manifest can carry a per-part `file_hash`
+    that `fsck_table(deep=True)` re-verifies — the bit-rot /
+    truncated-upload detector the commit protocol itself cannot be
+    (CAS protects the pointer, not the object bytes)."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(tbl, tmp, compression="none")  # payloads pre-compressed
+    digest = file_digest(tmp)
+    os.replace(tmp, final)
+    return digest
+
+
 ENCODED_DDL = ("part_id bigint, chunk_id bigint, n_rows bigint, "
                "schema_ipc binary, names array<string>, "
                "codecs array<string>, payloads array<binary>, "

@@ -41,6 +41,14 @@ def fsck_table(table_path: str, deep: bool = False,
       size_mismatch      referenced live files with zero size
       row_mismatch       (deep) live parts whose parquet footer row
                          count != the manifest's n_chunks
+      checksum_mismatch  (deep) live parts whose file bytes no longer
+                         hash to the manifest's `file_hash` lineage —
+                         bit rot / truncated upload / in-place edit.
+                         Parts written by builds predating file_hash
+                         carry none and are skipped (reported in
+                         unhashed_parts)
+      unhashed_parts     (deep) count of live parts without a stored
+                         file_hash (informational)
       missing_deletes    delete-file dirs a LIVE snapshot lists but
                          storage lacks
       broken_refs        refs whose snapshot object is unreadable
@@ -51,7 +59,8 @@ def fsck_table(table_path: str, deep: bool = False,
     report: dict = {"ok": True, "snapshots_reachable": 0,
                     "missing_files": [], "expired_history": [],
                     "size_mismatch": [],
-                    "row_mismatch": [], "missing_deletes": [],
+                    "row_mismatch": [], "checksum_mismatch": [],
+                    "unhashed_parts": 0, "missing_deletes": [],
                     "broken_refs": [], "orphan_data": [],
                     "orphan_snapshots": []}
 
@@ -114,6 +123,17 @@ def fsck_table(table_path: str, deep: bool = False,
                         {"snapshot": snap["snapshot_id"], "part": pid,
                          "file": f, "footer_chunks": n,
                          "manifest_chunks": info.get("n_chunks")})
+                want = info.get("file_hash")
+                if not want:
+                    report["unhashed_parts"] += 1
+                else:
+                    from .engine import file_digest
+                    got = file_digest(f)
+                    if got != want:
+                        report["checksum_mismatch"].append(
+                            {"snapshot": snap["snapshot_id"],
+                             "part": pid, "file": f,
+                             "expected": want, "actual": got})
         for df in (snap.get("meta") or {}).get("delete_files") or []:
             p = df["path"] if isinstance(df, dict) else df
             live.add(os.path.abspath(p))
@@ -139,6 +159,7 @@ def fsck_table(table_path: str, deep: bool = False,
     report["ok"] = not (report["missing_files"]
                         or report["size_mismatch"]
                         or report["row_mismatch"]
+                        or report["checksum_mismatch"]
                         or report["missing_deletes"]
                         or report["broken_refs"])
     return report

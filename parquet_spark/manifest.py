@@ -42,6 +42,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .engine import (DEFAULT_ROWS_PER_CHUNK, ENCODED_DDL,
+                     write_part_atomic,
                      _as_num_bound, _chunk_rows_to_batch,
                      _is_numeric_bound, _norm_term, _prefix_upper,
                      _residual_cond,
@@ -51,7 +52,7 @@ from .engine import (DEFAULT_ROWS_PER_CHUNK, ENCODED_DDL,
 
 LINEAGE_DDL = ("part_id bigint, file string, n_chunks bigint, n_rows bigint, "
                "bytes_in bigint, bytes_out bigint, wall_ms double, "
-               "codecs string, zones string")
+               "codecs string, zones string, file_hash string")
 
 # Snapshot manifest format version.  v1: round-1 snapshots (no version
 # field, no layout fingerprint).  v2 adds format_version, a layout
@@ -941,9 +942,7 @@ def write_encoded(df: DataFrame, table_path: str,
                 [_chunk_rows_to_batch(st["chunks"])])
             final = os.path.join(data_dir,
                                  f"part-{pid:05d}-{token}.parquet")
-            tmp = final + f".tmp-{uuid.uuid4().hex}"
-            pq.write_table(tbl, tmp, compression="none")  # payloads pre-compressed
-            os.replace(tmp, final)
+            fhash = write_part_atomic(tbl, final)
             codec_mix = sorted({c for ch in st["chunks"] for c in ch["codecs"]})
             return pa.RecordBatch.from_pylist([{
                 "part_id": pid, "file": final,
@@ -954,6 +953,7 @@ def write_encoded(df: DataFrame, table_path: str,
                 "wall_ms": (time.monotonic() - st["t0"]) * 1000.0,
                 "codecs": ",".join(codec_mix),
                 "zones": part_zone_summary(st["chunks"]),
+                "file_hash": fhash,
             }])
 
         for batch in batches:
@@ -1015,6 +1015,7 @@ def write_encoded(df: DataFrame, table_path: str,
             "bytes_in": row.bytes_in, "bytes_out": row.bytes_out,
             "wall_ms": row.wall_ms, "codecs": row.codecs,
             "zones": json.loads(row.zones) if row.zones else {},
+            "file_hash": row.file_hash,
         }
     meta = {"key": key, "n_parts": n_parts, "codec": codec,
             "block_codec": block_codec,
@@ -1295,9 +1296,7 @@ def compact_table(spark: SparkSession, table_path: str,
                                 bloom_cols=bloom_cols)
         final = os.path.join(data_dir,
                              f"compact-{new_sid:06d}-{pid:05d}.parquet")
-        tmp = final + f".tmp-{uuid.uuid4().hex}"
-        pq.write_table(tbl, tmp, compression="none")
-        os.replace(tmp, final)
+        fhash = write_part_atomic(tbl, final)
         cmix = sorted({c for ch in tbl.column("codecs") for c in ch.as_py()})
         yield pa.RecordBatch.from_pylist([{
             "part_id": pid, "file": final,
@@ -1308,6 +1307,7 @@ def compact_table(spark: SparkSession, table_path: str,
             "wall_ms": (time.monotonic() - t0) * 1000.0,
             "codecs": ",".join(cmix),
             "zones": part_zone_summary_from_chunkrows(tbl),
+            "file_hash": fhash,
         }])
 
     lineage = (enc.repartition(target_parts, "part_id")
@@ -1317,7 +1317,8 @@ def compact_table(spark: SparkSession, table_path: str,
         "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
         "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
         "wall_ms": r.wall_ms, "codecs": r.codecs,
-        "zones": json.loads(r.zones) if r.zones else {}} for r in lineage}
+        "zones": json.loads(r.zones) if r.zones else {},
+        "file_hash": r.file_hash} for r in lineage}
     new_layout: dict = {"mode": "compacted"}
     if bloom_cols:
         new_layout["bloom_cols"] = bloom_cols
@@ -1557,9 +1558,7 @@ def rewrite_table(spark: SparkSession, table_path: str,
         tbl = pa.Table.from_batches(rows)
         final = os.path.join(
             data_dir, f"rewrite-{new_sid:06d}-{pid:05d}.parquet")
-        tmp = final + f".tmp-{uuid.uuid4().hex}"
-        pq.write_table(tbl, tmp, compression="none")
-        os.replace(tmp, final)
+        fhash = write_part_atomic(tbl, final)
         cmix = sorted({c for ch in tbl.column("codecs")
                        for c in ch.as_py()})
         yield pa.RecordBatch.from_pylist([{
@@ -1573,6 +1572,7 @@ def rewrite_table(spark: SparkSession, table_path: str,
             "wall_ms": (time.monotonic() - t0) * 1000.0,
             "codecs": ",".join(cmix),
             "zones": part_zone_summary_from_chunkrows(tbl),
+            "file_hash": fhash,
         }])
 
     lineage = (enc.repartition(n_parts, "part_id")
@@ -1582,7 +1582,8 @@ def rewrite_table(spark: SparkSession, table_path: str,
         "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
         "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
         "wall_ms": r.wall_ms, "codecs": r.codecs,
-        "zones": json.loads(r.zones) if r.zones else {}} for r in lineage}
+        "zones": json.loads(r.zones) if r.zones else {},
+        "file_hash": r.file_hash} for r in lineage}
     meta = dict(pmeta)
     meta.pop("delete_files", None)
     meta.pop("n_deleted", None)
@@ -1870,9 +1871,7 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
             pa.array(np.arange(n, dtype=np.int64)))
         final = os.path.join(data_dir,
                              f"part-{pid:05d}-{token}.parquet")
-        tmp = final + f".tmp-{uuid.uuid4().hex}"
-        pq.write_table(tbl, tmp, compression="none")
-        os.replace(tmp, final)
+        fhash = write_part_atomic(tbl, final)
         cmix = sorted({c for ch in tbl.column("codecs") for c in ch.as_py()})
         yield pa.RecordBatch.from_pylist([{
             "part_id": pid, "file": final, "n_chunks": n,
@@ -1882,6 +1881,7 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
             "wall_ms": (time.monotonic() - t0) * 1000.0,
             "codecs": ",".join(cmix),
             "zones": part_zone_summary_from_chunkrows(tbl),
+            "file_hash": fhash,
         }])
 
     lineage = dfp.mapInArrow(writer, LINEAGE_DDL).collect()
@@ -1889,7 +1889,8 @@ def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
         "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
         "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
         "wall_ms": r.wall_ms, "codecs": r.codecs,
-        "zones": json.loads(r.zones) if r.zones else {}} for r in lineage}
+        "zones": json.loads(r.zones) if r.zones else {},
+        "file_hash": r.file_hash} for r in lineage}
     dst = EncodedTable(dst_path, backend=dst_backend)
     meta = {"relocated_from": src_path,
             "src_snapshot_id": parent_src["snapshot_id"],

@@ -34,6 +34,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 from .engine import (DEFAULT_ROWS_PER_CHUNK, ENCODED_DDL,
+                     write_part_atomic,
                      _chunk_rows_to_batch, encode_chunk)
 from .manifest import EncodedTable, _check_resume_layout
 
@@ -45,7 +46,8 @@ SPLIT_DDL = "split_id bigint, file string, row_group int, n_rows bigint"
 SPLITS_LINEAGE_DDL = ("part_id bigint, file string, n_chunks bigint, "
                       "n_rows bigint, bytes_in bigint, bytes_out bigint, "
                       "wall_ms double, cpu_ms double, codecs string, "
-                      "src_file string, src_row_group bigint")
+                      "src_file string, src_row_group bigint, "
+                      "file_hash string")
 
 
 def list_splits(input_path: str) -> list[dict]:
@@ -209,9 +211,7 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
                     [_chunk_rows_to_batch(chunks)])
                 final = os.path.join(
                     data_dir, f"part-{d['split_id']:05d}-{token}.parquet")
-                tmp = final + f".tmp-{uuid.uuid4().hex}"
-                pq.write_table(tbl, tmp, compression="none")
-                os.replace(tmp, final)
+                fhash = write_part_atomic(tbl, final)
                 codec_mix = sorted({c for ch in chunks for c in ch["codecs"]})
                 yield pa.RecordBatch.from_pylist([{
                     "part_id": d["split_id"], "file": final,
@@ -227,6 +227,7 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
                     "cpu_ms": (time.process_time() - c0) * 1000.0,
                     "codecs": ",".join(codec_mix),
                     "src_file": d["file"], "src_row_group": d["row_group"],
+                    "file_hash": fhash,
                 }])
 
     schema_ipc = None
@@ -246,6 +247,7 @@ def write_encoded_splits(spark: SparkSession, input_path: str,
             "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
             "wall_ms": r.wall_ms, "cpu_ms": r.cpu_ms, "codecs": r.codecs,
             "src_file": r.src_file, "src_row_group": r.src_row_group,
+            "file_hash": r.file_hash,
         } for r in lineage}
 
     batch_size = checkpoint_every or len(splits)

@@ -88,3 +88,33 @@ def test_fsck_vacuumed_history_is_not_breakage(spark):
     assert len(rep["expired_history"]) == 4
     assert not rep["missing_files"]
     assert "time travel is over" in fsck_summary(rep)
+
+
+@pytest.mark.spark
+def test_fsck_deep_detects_bit_rot(spark, tmp_path):
+    """file_hash lineage: deep fsck re-hashes every live part and
+    flags a single flipped byte; an untouched table verifies clean
+    with zero unhashed parts."""
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.fsck import fsck_summary, fsck_table
+    from parquet_spark.manifest import EncodedTable
+    from parquet_spark.splits import write_encoded_splits
+    src = str(tmp_path / "c.parquet")
+    gen_corpus(spark, 800, seed=7, parts=2).write.parquet(src)
+    tbl = str(tmp_path / "t")
+    write_encoded_splits(spark, src, tbl, n_tasks=2)
+    rep = fsck_table(tbl, deep=True)
+    assert rep["ok"] and not rep["checksum_mismatch"]
+    assert rep["unhashed_parts"] == 0  # every part carries file_hash
+    victim = EncodedTable(tbl).data_files()[0]
+    with open(victim, "r+b") as f:
+        f.seek(100)
+        b = f.read(1)
+        f.seek(100)
+        f.write(bytes([b[0] ^ 0xFF]))
+    rep = fsck_table(tbl, deep=True)
+    assert not rep["ok"]
+    assert [m["file"] for m in rep["checksum_mismatch"]] == [victim]
+    assert "BROKEN" in fsck_summary(rep)
+    # shallow fsck cannot see byte-level rot (size unchanged)
+    assert fsck_table(tbl, deep=False)["ok"]
