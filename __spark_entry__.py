@@ -2211,8 +2211,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          struct; layouts: zorder/range file pruning, recluster, refs,
          time travel; mutations: deletes/upsert; curation; schema
          evolution, LIKE-prefix pushdown, line dedup, WAP publish,
-         count/minmax pushdown, domain mixtures) — every facet without
-         a prior green row sits inside the first ~42 slots,
+         count/minmax pushdown, domain mixtures; session-3 additions:
+         checkpointed-encode resume, inverted token index search +
+         rank, gap_fill + linear interp, KMV distinct sketch) — every
+         facet without a prior green row sits inside the first 50
+         slots (45 of 50 as of session 3; verified by the coverage
+         check in the repo history),
       3. long-green facets with untouched code, with the most-
          established micro-facets last — those are the safe ones to
          fall past a 50-slot budget; the union of consecutive rounds
