@@ -344,6 +344,10 @@ def gap_fill(df: DataFrame, time_col: str = "ts", step_s: int = 3600,
             raise ValueError(f"gap_fill reserves column {r!r}; rename "
                              "it on the input")
     t_type = df.schema[time_col].dataType
+    # rows with a NULL time have no bucket; drop them explicitly (the
+    # alternative — a null bucket group silently vanishing in the grid
+    # stage — is the same outcome by accident)
+    df = df.where(F.col(time_col).isNotNull())
     bsec = (F.floor(_epoch_sec(time_col, df) / step_s)
             * step_s).cast("long")
     exprs = [getattr(F, fn)(F.lit(1) if c == "*" else F.col(c)).alias(n)

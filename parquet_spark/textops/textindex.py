@@ -114,7 +114,10 @@ def search_tokens(spark: SparkSession, index_path: str,
     probes = sorted({t.lower() for t in tokens})
     if not probes:
         raise ValueError("tokens must name at least one probe token")
-    from ..manifest import scan_table
+    from ..manifest import EncodedTable, scan_table
+    if EncodedTable(index_path, backend=backend).schema() is None:
+        # index built over an empty corpus: committed, but schema-less
+        return spark.createDataFrame([], "doc_id bigint")
     dec = scan_table(spark, index_path, [("token", "in", probes)],
                      columns=["token", "doc_ids"], backend=backend)
     hits = dec.select("token", F.explode("doc_ids").alias("doc_id"))
@@ -156,7 +159,10 @@ def rank_tokens(spark: SparkSession, index_path: str,
     probes = sorted({t.lower() for t in tokens})
     if not probes:
         raise ValueError("tokens must name at least one probe token")
-    from ..manifest import scan_table
+    from ..manifest import EncodedTable, scan_table
+    if EncodedTable(index_path, backend=backend).schema() is None:
+        return spark.createDataFrame(
+            [], "rank int, doc_id bigint, score bigint")
     dec = scan_table(spark, index_path, [("token", "in", probes)],
                      columns=["token", "df", "doc_ids", "tfs"],
                      backend=backend)

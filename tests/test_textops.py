@@ -724,3 +724,18 @@ def test_rank_tokens_quantized_tfidf(spark, tmp_path):
         rank_tokens(spark, idx, ["alpha"], n_docs=0)
     with pytest.raises(ValueError, match="k must"):
         rank_tokens(spark, idx, ["alpha"], n_docs=4, k=0)
+
+
+@pytest.mark.spark
+def test_token_index_empty_corpus(spark, tmp_path):
+    """An index built over zero documents commits (resumable no-op) and
+    probes answer empty instead of failing on the schema-less table."""
+    from parquet_spark.textops.textindex import (build_token_index,
+                                                 rank_tokens,
+                                                 search_tokens)
+    df = spark.createDataFrame([], "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    snap = build_token_index(df, idx, n_parts=2)
+    assert snap["parts"] == {}
+    assert search_tokens(spark, idx, ["x"]).count() == 0
+    assert rank_tokens(spark, idx, ["x"], n_docs=1).count() == 0
