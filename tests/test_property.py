@@ -162,3 +162,53 @@ def test_mix_domains_water_fill_invariants(weights, counts, budget):
     got = sum(alloc.values())
     want = min(float(budget), float(total_avail))
     assert abs(got - want) < 1e-6 * max(1.0, want)
+
+
+def _mk_sketch(hashes, k):
+    hs = sorted(set(hashes))[:k]
+    return {"k": k, "hashes": hs, "exact": len(hs) < k}
+
+
+@given(st.lists(st.integers(-2**63, 2**63 - 1), max_size=60),
+       st.lists(st.integers(-2**63, 2**63 - 1), max_size=60),
+       st.lists(st.integers(-2**63, 2**63 - 1), max_size=60),
+       st.integers(2, 16))
+def test_kmv_merge_algebra(a, b, c, k):
+    """Merge is commutative, associative, idempotent, and equals the
+    sketch of the concatenated input — the property that makes
+    per-split sketches roll up losslessly."""
+    from parquet_spark.sketch import kmv_merge
+    sa, sb, sc = (_mk_sketch(x, k) for x in (a, b, c))
+    ab = kmv_merge(sa, sb)
+    assert ab["hashes"] == kmv_merge(sb, sa)["hashes"]
+    assert kmv_merge(ab, sc)["hashes"] == \
+        kmv_merge(sa, kmv_merge(sb, sc))["hashes"]
+    assert kmv_merge(sa, sa)["hashes"] == sa["hashes"]
+    # merge of truncated parts == truncation of the union ONLY when the
+    # parts are untruncated sketches of disjoint/overlapping data; with
+    # pre-truncated parts the union sketch is still a superset-safe
+    # bottom-k: every merged hash is among the true union's smallest
+    union = _mk_sketch(a + b + c, k)
+    merged_all = kmv_merge(sa, sb, sc)
+    assert set(merged_all["hashes"]) <= set(sorted(set(a + b + c)))
+    if all(s["exact"] for s in (sa, sb, sc)):
+        assert merged_all["hashes"] == union["hashes"]
+
+
+@given(st.integers(2, 64), st.integers(0, 4096))
+def test_kmv_estimate_monotone_nonneg(k, n):
+    """Estimates are non-negative, exact below k, and grow with a
+    denser bottom-k (smaller k-th hash => larger estimate)."""
+    from parquet_spark.sketch import kmv_estimate
+    import random
+    rnd = random.Random(k * 7919 + n)
+    hs = sorted(rnd.sample(range(-2**40, 2**40), min(n, k)))
+    s = {"k": k, "hashes": hs, "exact": len(hs) < k}
+    est = kmv_estimate(s)
+    assert est >= 0.0
+    if len(hs) < k:
+        assert est == float(len(hs))
+    else:
+        tighter = {"k": k, "hashes": [h - 2**41 for h in hs],
+                   "exact": False}
+        assert kmv_estimate(tighter) >= est
