@@ -129,6 +129,27 @@ def search_tokens(spark: SparkSession, index_path: str,
             .select("doc_id"))
 
 
+def search_prefix(spark: SparkSession, index_path: str,
+                  prefix: str, backend=None) -> DataFrame:
+    """doc_ids of documents containing ANY token starting with
+    ``prefix`` (wildcard probe, e.g. "vect" -> vector/vectors/...).
+    Rides the engine's LIKE-prefix pushdown: the [prefix,
+    prefix_upper) zone range prunes index files/chunks driver-side,
+    so the probe touches only the token range's chunks — same plan
+    shape as an exact-token probe.  Returns (doc_id) distinct."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty (an empty prefix "
+                         "matches the whole index — scan it directly)")
+    from ..manifest import EncodedTable, scan_table
+    if EncodedTable(index_path, backend=backend).schema() is None:
+        return spark.createDataFrame([], "doc_id bigint")
+    dec = scan_table(spark, index_path,
+                     [("token", "prefix", prefix.lower())],
+                     columns=["token", "doc_ids"], backend=backend)
+    return (dec.select(F.explode("doc_ids").alias("doc_id"))
+            .distinct())
+
+
 IDF_SCALE = 1_000_000
 
 

@@ -739,3 +739,21 @@ def test_token_index_empty_corpus(spark, tmp_path):
     assert snap["parts"] == {}
     assert search_tokens(spark, idx, ["x"]).count() == 0
     assert rank_tokens(spark, idx, ["x"], n_docs=1).count() == 0
+
+
+@pytest.mark.spark
+def test_token_index_prefix_search(spark, tmp_path):
+    from parquet_spark.textops.textindex import (build_token_index,
+                                                 search_prefix)
+    rows = [(1, "vector vectors"), (2, "vecna stream"), (3, "velvet"),
+            (4, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_token_index(df, idx, n_parts=2)
+    assert {r.doc_id for r in
+            search_prefix(spark, idx, "vec").collect()} == {1, 2}
+    assert {r.doc_id for r in
+            search_prefix(spark, idx, "VE").collect()} == {1, 2, 3}
+    assert search_prefix(spark, idx, "zz").count() == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        search_prefix(spark, idx, "")
