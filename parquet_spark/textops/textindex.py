@@ -167,6 +167,12 @@ def rank_tokens(spark: SparkSession, index_path: str,
     the corpus size the caller indexed (idf needs it; the index table
     stores per-token df only).  Ties rank by doc_id ascending.
 
+    Exactness envelope: a per-token weight is tf · (n_docs·10^6 div
+    df), so the int64 sum stays exact while max_tf · (n_docs·10^6) <
+    2^63 — comfortably true per shard (n_docs ≤ 10^9 allows tf up to
+    ~9·10^3 even for df=1 singletons); at 10^12 docs rank per shard
+    and merge, or lower IDF_SCALE.
+
     Scale shape: the probe explodes Σ df posting rows, one
     HashAggregate sums per-doc scores, and the final
     ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each
