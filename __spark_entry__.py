@@ -887,6 +887,56 @@ def q_minmax_pushdown(spark, sf_dir):
         "max_ts long, min_user long, max_user long")
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """Exact distributed quantiles (stats.exact_quantiles): multi-pass
+    histogram narrowing over the encoded table — pass 0 is the
+    metadata-only minmax/notnull count, every later pass scans only
+    the zone-pruned active ranges and shuffles bucket-count rows, so
+    the column decodes once and no sort ever runs.  Ranks are
+    IEEE-double ceil(q*n) (percentile_disc); DuckDB recomputes each
+    value as the rank-th row of the sorted column.  doc_id runs the
+    default 1024 buckets, n_chars runs buckets=16 to force genuinely
+    multi-pass narrowing."""
+    import tempfile
+
+    from parquet_spark.manifest import write_encoded
+    from parquet_spark.stats import exact_quantiles
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="entry_quant_")
+    write_encoded(d, path, key=["doc_id"], n_parts=4, mode="range",
+                  rows_per_chunk=64)
+    qs = [0.05, 0.25, 0.5, 0.75, 0.9, 1.0]
+    rid = exact_quantiles(spark, path, "doc_id", qs)
+    rch = exact_quantiles(spark, path, "n_chars", qs, buckets=16)
+    return spark.createDataFrame(
+        [(float(q), rid[q], rch[q]) for q in qs],
+        "q double, doc_id_q long, n_chars_q long")
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (sketch.heavy_hitters): partition-local
+    Misra-Gries summaries (bounded counters; by pigeonhole their union
+    is a SUPERSET of every value with global freq > n/k) generate the
+    candidates, then ONE broadcast-join aggregation counts candidates
+    exactly and totals n, so the final integer cnt*k > n filter is
+    exact and partitioning-independent.  The token stream is the
+    whitespace-split document text plus a per-doc unique tail token —
+    ~5k-value vocabulary, so the MG decrement path genuinely fires
+    (counters=2k << vocab) and the threshold excludes most values.
+    DuckDB brute-force recomputes the full frequency table and
+    filter."""
+    from parquet_spark.sketch import heavy_hitters
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+            .where(F.col("tok") != "")
+            .unionAll(d.select(
+                F.concat(F.lit("u"), F.col("doc_id")).alias("tok"))))
+    hh = heavy_hitters(toks, "tok", 40)
+    n_hh = hh.count()
+    assert 0 < n_hh < 40, n_hh  # non-vacuous: some in, most out
+    return hh.orderBy("tok")
+
+
 def q_domain_mixture(spark, sf_dir):
     """Target-mixture downsampling (textops/sampling.py `mix_domains`,
     redistribute=False — the one-pass closed form a second engine can
@@ -2203,6 +2253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     roughly the FIRST 50 entries per round, so the queue is priority-
     ordered, cheapest-first within each band —
 
+      0. facets new in session 4 (exact_quantiles, heavy_hitters) —
+         never checked anywhere; the two facets they push past slot
+         50 (in_prune, dict_pruned_scan) are r03-green, so the
+         consecutive-round union still covers everything,
       1. facets never driver-checked or whose r03 row is stale
          (the 12 past r03's cutoff: global-dict format wiring,
          rechunk compaction, relocation, the multi-batch streaming
@@ -2223,6 +2277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          covers all facets.
     """
     return {
+        # -- band 0: new this session, never checked --------------------
+        "exact_quantiles": q_exact_quantiles,
+        "heavy_hitters": q_heavy_hitters,
         # -- band 1: never-checked (r03 cutoff) -------------------------
         "hierarchy_rows": q_hierarchy_rows,
         "codec_selection": q_codec_selection,
@@ -2968,6 +3025,34 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM documents t JOIN d ON t.lang = d.value
             GROUP BY 1, 2 ORDER BY lang_id""",
+        "exact_quantiles": """
+            WITH qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES
+                        (0.05), (0.25), (0.5), (0.75), (0.9), (1.0))
+                        t(q)),
+            si AS (SELECT doc_id AS v,
+                          ROW_NUMBER() OVER (ORDER BY doc_id) AS r
+                   FROM documents WHERE doc_id IS NOT NULL),
+            sc AS (SELECT n_chars AS v,
+                          ROW_NUMBER() OVER (ORDER BY n_chars) AS r
+                   FROM documents WHERE n_chars IS NOT NULL),
+            ni AS (SELECT COUNT(*) AS n FROM si),
+            nc AS (SELECT COUNT(*) AS n FROM sc)
+            SELECT q,
+                   (SELECT v FROM si WHERE r = GREATEST(1,
+                        CAST(CEIL(q * ni.n) AS BIGINT))) AS doc_id_q,
+                   (SELECT v FROM sc WHERE r = GREATEST(1,
+                        CAST(CEIL(q * nc.n) AS BIGINT))) AS n_chars_q
+            FROM qs, ni, nc ORDER BY q""",
+        "heavy_hitters": """
+            WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+            t AS (SELECT tok FROM toks WHERE tok <> ''
+                  UNION ALL
+                  SELECT 'u' || CAST(doc_id AS VARCHAR) FROM documents),
+            c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+            n AS (SELECT COUNT(*) AS n FROM t)
+            SELECT tok, cnt FROM c, n WHERE cnt * 40 > n
+            ORDER BY tok""",
         "count_pushdown": """
             SELECT (SELECT COUNT(*) FROM documents
                     WHERE doc_id BETWEEN 60 AND 440) AS n_range,

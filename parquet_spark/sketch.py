@@ -91,3 +91,86 @@ def kmv_estimate(sketch: dict) -> float:
     kth = hashes[sketch["k"] - 1]
     frac = (kth + 2.0 ** 63 + 1.0) / _SPACE
     return (sketch["k"] - 1) / frac
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int,
+                  counters: int | None = None) -> DataFrame:
+    """EXACT heavy hitters: every value of ``col`` whose frequency
+    strictly exceeds n/k (n = non-null rows), with its exact count —
+    in two data passes and bounded memory, never a full groupBy of the
+    value space.
+
+    Pass 1 runs Misra-Gries (1982) per input partition inside a
+    mapInArrow kernel: ``counters`` (default 2k) running counters,
+    batch-merged the "mergeable summaries" way (Agarwal et al., PODS
+    2012) — add a batch's exact counts, then subtract the
+    (counters+1)-th largest residual from all and drop the
+    non-positives.  The summary undercounts any value by at most
+    n_p/(counters+1), so every value with LOCAL frequency >
+    n_p/(counters+1) survives; a GLOBAL heavy hitter (freq > n/k =
+    sum n_p/k) must by pigeonhole exceed n_p/k >= n_p/(counters+1) in
+    some partition, so the UNION of per-partition survivor sets is a
+    superset of the true answer — no false negatives, at most
+    n_parts * counters candidates ever materialize.
+
+    Pass 2 broadcast-left-joins the column against the candidate set
+    and computes, in ONE aggregation, the exact count of every
+    candidate AND the total n (non-candidates collapse into a single
+    NULL-keyed row — the value space never shuffles).  The final
+    integer filter ``cnt * k > n`` is exact, so the result is
+    deterministic and partitioning-independent even though the
+    intermediate candidate set is not.
+
+    Returns a DataFrame (``col``, ``cnt`` long) of the true heavy
+    hitters.  NULLs are ignored (SQL frequency semantics).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    m = counters if counters is not None else 2 * k
+    if m < k:
+        raise ValueError(f"counters={m} must be >= k={k}: Misra-Gries "
+                         f"error n_p/(counters+1) must not exceed the "
+                         f"n_p/k detection threshold")
+    vals = df.where(F.col(col).isNotNull()).select(col)
+    vddl = vals.schema[0].dataType.simpleString()
+
+    def mg_partition(batches: Iterator[pa.RecordBatch]) \
+            -> Iterator[pa.RecordBatch]:
+        counts: dict = {}
+        typ = None
+        for batch in batches:
+            arr = batch.column(0).drop_null()
+            typ = arr.type
+            if len(arr) == 0:
+                continue
+            vc = arr.value_counts()  # exact batch summary, Arrow-side
+            for v, c in zip(vc.field("values").to_pylist(),
+                            vc.field("counts").to_pylist()):
+                counts[v] = counts.get(v, 0) + c
+            if len(counts) > m:
+                # subtract the (m+1)-th largest residual from all:
+                # kills >= m+1 counter-mass per unit, the MG invariant
+                med = sorted(counts.values(), reverse=True)[m]
+                counts = {v: c - med for v, c in counts.items()
+                          if c - med > 0}
+        if counts:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(counts.keys()), type=typ)], [col])
+
+    cands = vals.mapInArrow(mg_partition, f"{col} {vddl}").distinct() \
+        .withColumnRenamed(col, "_hh_cand")
+    tagged = vals.join(F.broadcast(cands),
+                       F.col(col) == F.col("_hh_cand"), "left")
+    # one aggregation produces candidate counts AND (as the NULL-keyed
+    # row) the non-candidate mass; localCheckpoint materializes the
+    # <= n_parts*counters + 1 row summary once so the total-n branch
+    # does not rescan the corpus, and nothing candidate-sized ever
+    # funnels through a single task or the driver
+    per = (tagged.groupBy("_hh_cand")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .localCheckpoint())
+    tot = per.agg(F.sum("cnt").alias("_n"))
+    return (per.where(F.col("_hh_cand").isNotNull())
+            .crossJoin(F.broadcast(tot))
+            .where(F.col("cnt") * k > F.col("_n"))
+            .select(F.col("_hh_cand").alias(col), "cnt"))

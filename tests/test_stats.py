@@ -1,0 +1,141 @@
+"""Exact quantiles (multi-pass histogram narrowing) and exact heavy
+hitters (Misra-Gries candidates + exact verify)."""
+
+import math
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _disc(vals, q):
+    """Reference percentile_disc: value at rank max(1, ceil(q*n)) of
+    the sorted non-null values (IEEE double rank arithmetic, matching
+    the module)."""
+    s = sorted(vals)
+    return s[max(1, math.ceil(q * len(s))) - 1]
+
+
+def _encode(spark, df, key, **kw):
+    from parquet_spark.manifest import write_encoded
+    path = tempfile.mkdtemp(prefix="stats_t_")
+    write_encoded(df, path, key=[key], n_parts=4, mode="range",
+                  rows_per_chunk=64, **kw)
+    return path
+
+
+@pytest.mark.spark
+def test_exact_quantiles_vs_reference(spark):
+    from parquet_spark.stats import exact_quantiles
+    rng = np.random.RandomState(7)
+    vals = rng.randint(-10_000, 10_000, size=2000).tolist()
+    vals += [vals[0]] * 50  # heavy duplicate
+    rows = [(i, int(v), None if i % 17 == 0 else int(v * 3))
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid long, v long, w long")
+    path = _encode(spark, df, "rid")
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = exact_quantiles(spark, path, "v", qs)
+    assert got == {q: _disc(vals, q) for q in qs}
+    # nullable column: ranks over non-null values only
+    wvals = [r[2] for r in rows if r[2] is not None]
+    gw = exact_quantiles(spark, path, "w", [0.5, 1.0])
+    assert gw == {0.5: _disc(wvals, 0.5), 1.0: _disc(wvals, 1.0)}
+
+
+@pytest.mark.spark
+def test_exact_quantiles_multipass_and_edges(spark):
+    from parquet_spark.stats import exact_quantiles, quantiles_df
+    df = spark.range(0, 500).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 37 % 1000 - 500).alias("v"),
+        F.lit(42).alias("c"))
+    path = _encode(spark, df, "rid")
+    vals = [r.v for r in df.select("v").collect()]
+    # buckets=4 forces many narrowing passes; must agree with the
+    # single-ish-pass default
+    for b in (4, 16, 1024):
+        got = exact_quantiles(spark, path, "v", [0.1, 0.5, 0.99],
+                              buckets=b)
+        assert got == {q: _disc(vals, q) for q in (0.1, 0.5, 0.99)}
+    # constant column, q extremes
+    assert exact_quantiles(spark, path, "c", [0.0, 1.0]) == \
+        {0.0: 42, 1.0: 42}
+    qdf = quantiles_df(spark, path, "v", [0.5, 0.25])
+    assert [tuple(r) for r in qdf.collect()] == \
+        [(0.25, _disc(vals, 0.25)), (0.5, _disc(vals, 0.5))]
+
+
+@pytest.mark.spark
+def test_exact_quantiles_rejections(spark):
+    from parquet_spark.stats import exact_quantiles
+    df = spark.range(0, 10).select(
+        F.col("id").alias("rid"), F.lit("x").alias("s"),
+        F.lit(None).cast("long").alias("z"))
+    path = _encode(spark, df, "rid")
+    with pytest.raises(TypeError, match="integer-domain"):
+        exact_quantiles(spark, path, "s", [0.5])
+    with pytest.raises(ValueError, match="no non-null"):
+        exact_quantiles(spark, path, "z", [0.5])
+    with pytest.raises(ValueError, match="outside"):
+        exact_quantiles(spark, path, "rid", [1.5])
+    with pytest.raises(ValueError, match="non-empty"):
+        exact_quantiles(spark, path, "rid", [])
+
+
+@pytest.mark.spark
+def test_heavy_hitters_exact_and_bounded(spark):
+    from parquet_spark.sketch import heavy_hitters
+    # Zipf-ish corpus: token t_i has frequency ~ 3000/i
+    rows = []
+    rid = 0
+    for i in range(1, 200):
+        for _ in range(3000 // i):
+            rows.append((rid, f"t{i:03d}"))
+            rid += 1
+    # scatter nulls (ignored) and shuffle deterministically
+    rng = np.random.RandomState(3)
+    rng.shuffle(rows)
+    rows = [(r[0], None if r[0] % 97 == 0 else r[1]) for r in rows]
+    df = spark.createDataFrame(rows, "rid long, tok string") \
+        .repartition(8, "rid")
+    exact = {r.tok: r.c for r in
+             df.where("tok is not null").groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(exact.values())
+    for k in (10, 50):
+        got = {r.tok: r.cnt for r in
+               heavy_hitters(df, "tok", k).collect()}
+        want = {t: c for t, c in exact.items() if c * k > n}
+        assert got == want and len(want) > 0
+    # everything below threshold -> empty result, no error
+    uni = spark.range(0, 1000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("tok"))
+    assert heavy_hitters(uni, "tok", 5).count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(df, "tok", 1)
+    with pytest.raises(ValueError, match="counters"):
+        heavy_hitters(df, "tok", 10, counters=5)
+
+
+@pytest.mark.spark
+def test_heavy_hitters_no_false_negatives_property(spark):
+    """Adversarial partitioning: one partition holds nothing but rare
+    values; the pigeonhole guarantee must still surface every true
+    heavy hitter through the other partitions."""
+    from parquet_spark.sketch import heavy_hitters
+    hot = [(i, "hot") for i in range(400)]
+    warm = [(10_000 + i, f"w{i % 7}") for i in range(700)]
+    rare = [(20_000 + i, f"r{i}") for i in range(900)]
+    df = spark.createDataFrame(hot + warm + rare, "rid long, tok string") \
+        .repartition(6, "rid")
+    n = 400 + 700 + 900
+    got = {r.tok: r.cnt for r in heavy_hitters(df, "tok", 6).collect()}
+    assert got.get("hot") == 400  # 400*6 > 2000
+    for t, c in got.items():
+        assert c * 6 > n  # nothing under-threshold leaks through
+    # integers work too (type-generic kernel)
+    di = spark.range(0, 1000).select((F.col("id") % 3).alias("v"))
+    gi = {r.v: r.cnt for r in heavy_hitters(di, "v", 4).collect()}
+    assert gi == {0: 334, 1: 333, 2: 333}
