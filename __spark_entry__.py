@@ -937,6 +937,46 @@ def q_heavy_hitters(spark, sf_dir):
     return hh.orderBy("tok")
 
 
+def q_analyze_stats(spark, sf_dir):
+    """ANALYZE sidecar (stats.analyze_table / table_stats): one agg
+    pass for counts/bounds, one KMV bottom-k pass per column for ndv,
+    exact-quantile narrowing for int columns; persisted as an
+    Iceberg-Puffin-style snapshot-keyed sidecar and read back (the
+    roundtrip is asserted).  Emits one row per column; ndv is reported
+    only where the sketch is EXACT (true ndv < k) — DuckDB recomputes
+    that with CASE WHEN COUNT(DISTINCT) < k, the quantiles as
+    sorted-row ranks, and the dict-suggestion rule from exact ndv
+    (the KMV estimate sits far from the threshold, and is
+    deterministic regardless)."""
+    import json
+    import tempfile
+
+    from parquet_spark.manifest import write_encoded
+    from parquet_spark.stats import analyze_table, table_stats
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="entry_an_")
+    write_encoded(d, path, key=["doc_id"], n_parts=4, mode="range",
+                  rows_per_chunk=64)
+    st = analyze_table(spark, path, quantile_qs=(0.25, 0.5, 0.75))
+    assert table_stats(path) == json.loads(json.dumps(st))  # sidecar
+    rows = []
+    for c, e in st["cols"].items():
+        is_num = isinstance(e["min"], int) and not isinstance(e["min"], bool)
+        qs = e["quantiles"] or {}
+        rows.append((
+            c, e["n"], e["nulls"],
+            e["min"] if is_num else None, e["max"] if is_num else None,
+            None if is_num else e["min"], None if is_num else e["max"],
+            int(e["ndv_est"]) if e["ndv_exact"] else None,
+            qs.get(0.25), qs.get(0.5), qs.get(0.75),
+            e["dict_suggested"]))
+    return spark.createDataFrame(
+        rows, "col string, n_nonnull long, n_nulls long, "
+              "min_num long, max_num long, min_str string, "
+              "max_str string, ndv long, q25 long, q50 long, "
+              "q75 long, dict_sugg boolean").orderBy("col")
+
+
 def q_domain_mixture(spark, sf_dir):
     """Target-mixture downsampling (textops/sampling.py `mix_domains`,
     redistribute=False — the one-pass closed form a second engine can
@@ -2280,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- band 0: new this session, never checked --------------------
         "exact_quantiles": q_exact_quantiles,
         "heavy_hitters": q_heavy_hitters,
+        "analyze_stats": q_analyze_stats,
         # -- band 1: never-checked (r03 cutoff) -------------------------
         "hierarchy_rows": q_hierarchy_rows,
         "codec_selection": q_codec_selection,
@@ -3053,6 +3094,88 @@ def oracle_sql() -> dict[str, str]:
             n AS (SELECT COUNT(*) AS n FROM t)
             SELECT tok, cnt FROM c, n WHERE cnt * 40 > n
             ORDER BY tok""",
+        "analyze_stats": """
+            WITH tot AS (SELECT COUNT(*) AS nr FROM documents)
+            SELECT 'doc_id' AS col, COUNT(doc_id) AS n_nonnull,
+                   nr - COUNT(doc_id) AS n_nulls,
+                   MIN(doc_id) AS min_num, MAX(doc_id) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str,
+                   CASE WHEN COUNT(DISTINCT doc_id) < 256
+                        THEN COUNT(DISTINCT doc_id) END AS ndv,
+                   (SELECT v FROM (SELECT doc_id AS v, ROW_NUMBER()
+                        OVER (ORDER BY doc_id) AS r FROM documents
+                        WHERE doc_id IS NOT NULL)
+                    WHERE r = GREATEST(1, CAST(CEIL(0.25 *
+                        (SELECT COUNT(doc_id) FROM documents))
+                        AS BIGINT))) AS q25,
+                   (SELECT v FROM (SELECT doc_id AS v, ROW_NUMBER()
+                        OVER (ORDER BY doc_id) AS r FROM documents
+                        WHERE doc_id IS NOT NULL)
+                    WHERE r = GREATEST(1, CAST(CEIL(0.5 *
+                        (SELECT COUNT(doc_id) FROM documents))
+                        AS BIGINT))) AS q50,
+                   (SELECT v FROM (SELECT doc_id AS v, ROW_NUMBER()
+                        OVER (ORDER BY doc_id) AS r FROM documents
+                        WHERE doc_id IS NOT NULL)
+                    WHERE r = GREATEST(1, CAST(CEIL(0.75 *
+                        (SELECT COUNT(doc_id) FROM documents))
+                        AS BIGINT))) AS q75,
+                   CAST(NULL AS BOOLEAN) AS dict_sugg
+            FROM documents, tot GROUP BY nr
+            UNION ALL
+            SELECT 'n_chars', COUNT(n_chars), nr - COUNT(n_chars),
+                   MIN(n_chars), MAX(n_chars), NULL, NULL,
+                   CASE WHEN COUNT(DISTINCT n_chars) < 256
+                        THEN COUNT(DISTINCT n_chars) END,
+                   (SELECT v FROM (SELECT n_chars AS v, ROW_NUMBER()
+                        OVER (ORDER BY n_chars) AS r FROM documents
+                        WHERE n_chars IS NOT NULL)
+                    WHERE r = GREATEST(1, CAST(CEIL(0.25 *
+                        (SELECT COUNT(n_chars) FROM documents))
+                        AS BIGINT))),
+                   (SELECT v FROM (SELECT n_chars AS v, ROW_NUMBER()
+                        OVER (ORDER BY n_chars) AS r FROM documents
+                        WHERE n_chars IS NOT NULL)
+                    WHERE r = GREATEST(1, CAST(CEIL(0.5 *
+                        (SELECT COUNT(n_chars) FROM documents))
+                        AS BIGINT))),
+                   (SELECT v FROM (SELECT n_chars AS v, ROW_NUMBER()
+                        OVER (ORDER BY n_chars) AS r FROM documents
+                        WHERE n_chars IS NOT NULL)
+                    WHERE r = GREATEST(1, CAST(CEIL(0.75 *
+                        (SELECT COUNT(n_chars) FROM documents))
+                        AS BIGINT))),
+                   CAST(NULL AS BOOLEAN)
+            FROM documents, tot GROUP BY nr
+            UNION ALL
+            SELECT 'lang', COUNT(lang), nr - COUNT(lang),
+                   NULL, NULL, MIN(lang), MAX(lang),
+                   CASE WHEN COUNT(DISTINCT lang) < 256
+                        THEN COUNT(DISTINCT lang) END,
+                   NULL, NULL, NULL,
+                   (COUNT(DISTINCT lang) <= 4096 AND
+                    COUNT(DISTINCT lang) <= 0.5 * COUNT(lang))
+            FROM documents, tot GROUP BY nr
+            UNION ALL
+            SELECT 'source', COUNT(source), nr - COUNT(source),
+                   NULL, NULL, MIN(source), MAX(source),
+                   CASE WHEN COUNT(DISTINCT source) < 256
+                        THEN COUNT(DISTINCT source) END,
+                   NULL, NULL, NULL,
+                   (COUNT(DISTINCT source) <= 4096 AND
+                    COUNT(DISTINCT source) <= 0.5 * COUNT(source))
+            FROM documents, tot GROUP BY nr
+            UNION ALL
+            SELECT 'text', COUNT(text), nr - COUNT(text),
+                   NULL, NULL, MIN(text), MAX(text),
+                   CASE WHEN COUNT(DISTINCT text) < 256
+                        THEN COUNT(DISTINCT text) END,
+                   NULL, NULL, NULL,
+                   (COUNT(DISTINCT text) <= 4096 AND
+                    COUNT(DISTINCT text) <= 0.5 * COUNT(text))
+            FROM documents, tot GROUP BY nr
+            ORDER BY col""",
         "count_pushdown": """
             SELECT (SELECT COUNT(*) FROM documents
                     WHERE doc_id BETWEEN 60 AND 440) AS n_range,

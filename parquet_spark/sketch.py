@@ -11,9 +11,10 @@ rescanning.
 
 Scale shape: a partition-local numpy kernel keeps each input
 partition's k smallest distinct hashes (bounded memory, no shuffle of
-data), a global `orderBy(h).limit(k)` over the n_parts x k survivors
-compiles to TakeOrderedAndProject (per-task top-k, driver merges), and
-the driver dedupes/truncates k longs.  Corpus size never crosses the
+data); a global `distinct().orderBy(h).limit(k)` over the n_parts x k
+survivors collapses cross-partition duplicate hashes in a small
+HashAggregate, then TakeOrderedAndProject keeps per-task top-k and the
+driver merges k longs.  Corpus size never crosses the
 pipe — this is the honest alternative to COUNT(DISTINCT) when the
 column has 10^9+ distincts and an exact answer would shuffle them all.
 
@@ -59,9 +60,15 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> dict:
     hashed = df.where(F.col(col).isNotNull()) \
         .select(F.xxhash64(F.col(col)).alias("h"))
     survivors = hashed.mapInArrow(local_min_k, "h bigint")
-    # TakeOrderedAndProject: each task keeps its local k, driver merges
-    rows = survivors.orderBy("h").limit(k).collect()
-    hashes = sorted({r.h for r in rows})[:k]
+    # DISTINCT before the top-k: the same value surfaces from every
+    # partition that holds it, and bottom-k ROWS of a multiset is not
+    # bottom-k DISTINCT hashes — without the dedup a value repeated
+    # across partitions crowds real survivors out of the limit and the
+    # sketch under-counts (and can falsely claim exactness).  The
+    # dedup HashAggregate runs over <= n_parts*k longs, then
+    # TakeOrderedAndProject keeps per-task top-k and the driver merges.
+    rows = survivors.distinct().orderBy("h").limit(k).collect()
+    hashes = sorted(r.h for r in rows)[:k]
     return {"k": k, "hashes": hashes, "exact": len(hashes) < k}
 
 

@@ -150,3 +150,185 @@ def quantiles_df(spark: SparkSession, table_path: str, col: str,
     r = exact_quantiles(spark, table_path, col, qs, **kw)
     rows = [(float(q), int(r[q])) for q in sorted(r)]
     return spark.createDataFrame(rows, "q double, value long")
+
+
+# --------------------------------------------------------- table statistics
+#
+# Iceberg-Puffin-style statistics sidecars: ANALYZE computes per-column
+# stats (counts, bounds, a mergeable KMV ndv sketch, optional exact
+# quantiles) in a bounded number of passes and persists them under
+# <table>/stats/ keyed by snapshot id — readable later without touching
+# data, mergeable across tables/snapshots via the stored sketches, and
+# usable to pre-tune writes (suggest_write_options).  The sidecar dir is
+# invisible to the manifest (like Puffin files, it is advisory: losing
+# it loses nothing but the stats).
+
+_NDV_DICT_MAX = 4096      # suggest a global dict below this cardinality
+_NDV_DICT_RATIO = 0.5     # ... and only when ndv <= ratio * rows
+
+
+def analyze_table(spark: SparkSession, table_path: str,
+                  cols: list[str] | None = None, *, ndv_k: int = 256,
+                  quantile_qs: tuple = (0.25, 0.5, 0.75),
+                  backend: CommitBackend | None = None,
+                  snapshot_id: int | None = None,
+                  ref: str | None = None, write: bool = True) -> dict:
+    """ANALYZE: per-column statistics of a committed table, persisted
+    as a snapshot-keyed sidecar (see module comment).
+
+    Cost: ONE decoded scan aggregates every column's count/nulls/
+    min/max map-side (a single-row result); each column adds one KMV
+    bottom-k pass (bounded survivors, no data shuffle); integer
+    columns add exact-quantile narrowing passes that decode the column
+    range-pruned.  Returns the stats dict::
+
+        {"snapshot_id": ..., "n_rows": ..., "ndv_k": ...,
+         "cols": {name: {"n": nonnull, "nulls": ..., "min": v,
+                         "max": v, "ndv_est": float, "ndv_exact": bool,
+                         "kmv": [bottom-k hashes],
+                         "quantiles": {q: v} | None,
+                         "dict_suggested": bool | None}}}
+
+    ``dict_suggested`` marks string columns worth ``global_dict_cols``
+    (ndv <= _NDV_DICT_MAX and <= _NDV_DICT_RATIO * rows); it is None
+    for non-string columns.  min/max of string columns follow Spark's
+    binary UTF-8 ordering."""
+    from .manifest import EncodedTable, _resolve_snap, read_decoded
+    from .sketch import kmv_estimate, kmv_sketch
+
+    table = EncodedTable(table_path, backend=backend)
+    snap = _resolve_snap(table, snapshot_id, ref)
+    dec = read_decoded(spark, table_path, backend=backend,
+                       snapshot_id=snap["snapshot_id"])
+    names = [f.name for f in dec.schema.fields]
+    if cols is not None:
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"analyze_table: columns {missing} not in "
+                             f"table schema {names}")
+        names = [c for c in names if c in cols]
+    types = {f.name: f.dataType.simpleString() for f in dec.schema.fields}
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in names:
+        aggs += [F.count(F.col(c)).alias(f"n__{c}"),
+                 F.min(F.col(c)).alias(f"mn__{c}"),
+                 F.max(F.col(c)).alias(f"mx__{c}")]
+    row = dec.agg(*aggs).head()
+    n_rows = int(row["_n"])
+
+    stats: dict = {"snapshot_id": int(snap["snapshot_id"]),
+                   "n_rows": n_rows, "ndv_k": ndv_k, "cols": {}}
+    int_types = ("tinyint", "smallint", "int", "bigint")
+    for c in names:
+        nn = int(row[f"n__{c}"])
+        s = kmv_sketch(dec, c, k=ndv_k) if nn else \
+            {"k": ndv_k, "hashes": [], "exact": True}
+        est = kmv_estimate(s)
+        ent = {"n": nn, "nulls": n_rows - nn,
+               "min": row[f"mn__{c}"], "max": row[f"mx__{c}"],
+               "ndv_est": est, "ndv_exact": bool(s["exact"]),
+               "kmv": s["hashes"], "quantiles": None,
+               "dict_suggested": None}
+        if types[c] == "string":
+            ent["dict_suggested"] = bool(
+                est <= _NDV_DICT_MAX and est <= _NDV_DICT_RATIO * max(nn, 1))
+        if types[c] in int_types and nn and quantile_qs:
+            qv = exact_quantiles(spark, table_path, c, list(quantile_qs),
+                                 backend=backend,
+                                 snapshot_id=snap["snapshot_id"])
+            ent["quantiles"] = {float(q): int(v) for q, v in qv.items()}
+        stats["cols"][c] = ent
+    if write:
+        _write_stats(table_path, stats)
+    return stats
+
+
+def _stats_dir(table_path: str) -> str:
+    import os
+    return os.path.join(table_path, "stats")
+
+
+def _write_stats(table_path: str, stats: dict) -> str:
+    """Atomic sidecar write: tmp + rename, uuid-unique name so racing
+    ANALYZEs never clobber; readers take the lexicographically last
+    file for a snapshot (re-ANALYZE supersedes)."""
+    import json
+    import os
+    import uuid
+    d = _stats_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    sid = stats["snapshot_id"]
+    name = f"stats-{sid:06d}-{uuid.uuid4().hex[:12]}.json"
+
+    def _default(v):
+        import datetime
+        import decimal
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
+        raise TypeError(f"unserializable stat value {type(v)}")
+
+    tmp = os.path.join(d, f".tmp-{name}")
+    with open(tmp, "w") as f:
+        json.dump(stats, f, default=_default)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(d, name))
+    return name
+
+
+def table_stats(table_path: str, snapshot_id: int | None = None,
+                backend: CommitBackend | None = None,
+                ref: str | None = None) -> dict | None:
+    """Read back the newest persisted stats for a snapshot (CURRENT
+    when unspecified) without touching data.  None when that snapshot
+    was never ANALYZEd."""
+    import json
+    import os
+
+    from .manifest import EncodedTable, _resolve_snap
+    table = EncodedTable(table_path, backend=backend)
+    snap = _resolve_snap(table, snapshot_id, ref)
+    d = _stats_dir(table_path)
+    prefix = f"stats-{snap['snapshot_id']:06d}-"
+    try:
+        cands = sorted(n for n in os.listdir(d)
+                       if n.startswith(prefix) and n.endswith(".json"))
+    except OSError:
+        return None
+    if not cands:
+        return None
+    with open(os.path.join(d, cands[-1])) as f:
+        return json.load(f)
+
+
+def suggest_write_options(stats: dict) -> dict:
+    """Stats-driven write tuning: a pure, deterministic function of an
+    :func:`analyze_table` dict.  Returns kwargs for ``write_encoded``:
+
+      global_dict_cols  string columns whose ndv estimate clears the
+                        dict gate (<= _NDV_DICT_MAX values and <=
+                        _NDV_DICT_RATIO of rows) — table-scope dicts
+                        compress AND unlock per-value id pruning
+      key               the analyzed column with the highest ndv whose
+                        values are integers (best range-layout spread;
+                        ties break by column order)
+
+    Advisory: the per-chunk codec auto-selector still samples real
+    chunk bytes at write time — this only pre-picks the table-scope
+    choices a single chunk cannot see."""
+    gdict = [c for c, e in stats["cols"].items() if e["dict_suggested"]]
+    best, best_ndv = None, -1.0
+    for c, e in stats["cols"].items():
+        if isinstance(e["min"], bool) or not isinstance(e["min"], int):
+            continue
+        if e["ndv_est"] > best_ndv:
+            best, best_ndv = c, e["ndv_est"]
+    out: dict = {"global_dict_cols": gdict}
+    if best is not None:
+        out["key"] = [best]
+    return out

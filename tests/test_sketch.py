@@ -45,3 +45,29 @@ def test_kmv_merge_identity_and_guards(spark):
         kmv_merge()
     with pytest.raises(ValueError, match="k must"):
         kmv_sketch(df, "v", k=1)
+
+
+@pytest.mark.spark
+def test_kmv_cross_partition_duplicates_regression(spark):
+    """A value repeated across partitions must not crowd distinct
+    survivors out of the global bottom-k: with true ndv 313 >= k=256
+    the sketch must hold exactly k distinct hashes and NOT claim
+    exactness (regression: the pre-dedup limit(k) collected duplicate
+    rows and under-counted)."""
+    from parquet_spark.sketch import kmv_estimate, kmv_sketch
+    df = spark.range(0, 5000).select((F.col("id") % 313).alias("v")) \
+        .repartition(8)
+    s = kmv_sketch(df, "v", k=256)
+    assert len(s["hashes"]) == 256 and len(set(s["hashes"])) == 256
+    assert not s["exact"]
+    assert abs(kmv_estimate(s) / 313.0 - 1) < 0.25
+    # just past k: still inexact, still k survivors
+    d2 = spark.range(0, 2000).select((F.col("id") % 257).alias("v")) \
+        .repartition(8)
+    s2 = kmv_sketch(d2, "v", k=256)
+    assert len(s2["hashes"]) == 256 and not s2["exact"]
+    # exactly at k-1: exact
+    d3 = spark.range(0, 2000).select((F.col("id") % 255).alias("v")) \
+        .repartition(8)
+    s3 = kmv_sketch(d3, "v", k=256)
+    assert s3["exact"] and kmv_estimate(s3) == 255.0

@@ -139,3 +139,74 @@ def test_heavy_hitters_no_false_negatives_property(spark):
     di = spark.range(0, 1000).select((F.col("id") % 3).alias("v"))
     gi = {r.v: r.cnt for r in heavy_hitters(di, "v", 4).collect()}
     assert gi == {0: 334, 1: 333, 2: 333}
+
+
+@pytest.mark.spark
+def test_analyze_table_stats_and_roundtrip(spark):
+    from parquet_spark.fsck import fsck_table
+    from parquet_spark.stats import (analyze_table, suggest_write_options,
+                                     table_stats)
+    rows = [(i, f"w{i % 7}", None if i % 10 == 0 else i * 3,
+             f"t{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "rid long, w string, v long, t string")
+    path = _encode(spark, df, "rid")
+    st = analyze_table(spark, path, quantile_qs=(0.5,))
+    assert st["n_rows"] == 400
+    cw = st["cols"]["w"]
+    assert (cw["n"], cw["nulls"], cw["min"], cw["max"]) == \
+        (400, 0, "w0", "w6")
+    assert cw["ndv_exact"] and cw["ndv_est"] == 7.0
+    assert cw["dict_suggested"] is True
+    ct = st["cols"]["t"]
+    assert not ct["ndv_exact"] and ct["dict_suggested"] is False
+    cv = st["cols"]["v"]
+    assert (cv["n"], cv["nulls"]) == (360, 40)
+    vals = [r[2] for r in rows if r[2] is not None]
+    assert cv["quantiles"] == {0.5: _disc(vals, 0.5)}
+    assert st["cols"]["rid"]["quantiles"] == {0.5: _disc(range(400), 0.5)}
+    assert st["cols"]["rid"]["dict_suggested"] is None
+    # persisted sidecar reads back identical (json normalizes tuples)
+    back = table_stats(path)
+    import json
+    assert back == json.loads(json.dumps(st))
+    # suggestion: dict the low-card string, key the highest-ndv int
+    sug = suggest_write_options(st)
+    assert sug["global_dict_cols"] == ["w"]
+    assert sug["key"] == ["rid"]
+    # the sidecar dir is invisible to fsck (advisory, like Puffin)
+    rep = fsck_table(path)
+    assert rep["ok"] and not rep["orphan_data"]
+
+
+@pytest.mark.spark
+def test_analyze_snapshot_keyed_and_supersede(spark):
+    from parquet_spark.manifest import EncodedTable, write_encoded
+    from parquet_spark.stats import analyze_table, table_stats
+    import tempfile
+    df1 = spark.range(0, 100).select(F.col("id").alias("rid"),
+                                     F.lit("a").alias("s"))
+    path = tempfile.mkdtemp(prefix="stats_snap_")
+    write_encoded(df1, path, key=["rid"], n_parts=2, mode="range",
+                  rows_per_chunk=64)
+    s1 = EncodedTable(path).current_snapshot()["snapshot_id"]
+    a1 = analyze_table(spark, path, quantile_qs=())
+    df2 = spark.range(100, 300).select(F.col("id").alias("rid"),
+                                       F.lit("b").alias("s"))
+    write_encoded(df2, path, key=["rid"], n_parts=2, mode="range",
+                  rows_per_chunk=64, part_offset=2)
+    # old snapshot's stats still resolve; new snapshot has none yet
+    assert table_stats(path, snapshot_id=s1)["n_rows"] == 100
+    assert table_stats(path) is None
+    a2 = analyze_table(spark, path, quantile_qs=())
+    assert table_stats(path)["n_rows"] == 300
+    assert a1["cols"]["s"]["ndv_est"] == 1.0
+    assert a2["cols"]["s"]["ndv_est"] == 2.0
+    # re-ANALYZE supersedes (newest sidecar wins)
+    analyze_table(spark, path, cols=["rid"], quantile_qs=())
+    assert list(table_stats(path)["cols"]) == ["rid"]
+    # unknown column fails loudly; write=False persists nothing
+    with pytest.raises(ValueError, match="not in"):
+        analyze_table(spark, path, cols=["nope"])
+    before = table_stats(path)
+    analyze_table(spark, path, cols=["s"], quantile_qs=(), write=False)
+    assert table_stats(path) == before
