@@ -959,6 +959,12 @@ def q_analyze_stats(spark, sf_dir):
                   rows_per_chunk=64)
     st = analyze_table(spark, path, quantile_qs=(0.25, 0.5, 0.75))
     assert table_stats(path) == json.loads(json.dumps(st))  # sidecar
+    return _stats_facet_df(spark, st)
+
+
+def _stats_facet_df(spark, st):
+    """Shared rendering of an analyze dict as the oracle-compared
+    frame (one row per column; ndv only where the sketch is exact)."""
     rows = []
     for c, e in st["cols"].items():
         is_num = isinstance(e["min"], int) and not isinstance(e["min"], bool)
@@ -975,6 +981,33 @@ def q_analyze_stats(spark, sf_dir):
               "min_num long, max_num long, min_str string, "
               "max_str string, ndv long, q25 long, q50 long, "
               "q75 long, dict_sugg boolean").orderBy("col")
+
+
+def q_analyze_incremental(spark, sf_dir):
+    """Incremental ANALYZE (stats.analyze_incremental): stats refresh
+    that scans ONLY the appended parts (read_increment's manifest
+    diff) and merges — counts/nulls/bounds add, ndv merges via the
+    KMV union algebra, the dict rule recomputes, quantiles re-narrow
+    exactly.  The facet splits documents into two appends, ANALYZEs
+    the first, refreshes after the second, and asserts the merge path
+    actually ran (incremental_from set); DuckDB recomputes every
+    emitted stat over the FULL table — merged must equal recomputed."""
+    import tempfile
+
+    from parquet_spark.manifest import write_encoded
+    from parquet_spark.stats import analyze_incremental, analyze_table
+    d = _t(spark, sf_dir, "documents")
+    mid = d.approxQuantile("doc_id", [0.5], 0.0)[0]
+    path = tempfile.mkdtemp(prefix="entry_aninc_")
+    write_encoded(d.where(F.col("doc_id") < mid), path, key=["doc_id"],
+                  n_parts=2, mode="range", rows_per_chunk=64)
+    analyze_table(spark, path, quantile_qs=())
+    write_encoded(d.where(F.col("doc_id") >= mid), path, key=["doc_id"],
+                  n_parts=2, mode="range", rows_per_chunk=64,
+                  part_offset=2)
+    st = analyze_incremental(spark, path, quantile_qs=(0.25, 0.5, 0.75))
+    assert st["incremental_from"] is not None  # merge path, not fallback
+    return _stats_facet_df(spark, st)
 
 
 def q_domain_mixture(spark, sf_dir):
@@ -2325,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "heavy_hitters": q_heavy_hitters,
         "analyze_stats": q_analyze_stats,
+        "analyze_incremental": q_analyze_incremental,
         # -- band 1: never-checked (r03 cutoff) -------------------------
         "hierarchy_rows": q_hierarchy_rows,
         "codec_selection": q_codec_selection,
@@ -3102,6 +3136,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok, cnt FROM c, n WHERE cnt * 40 > n
             ORDER BY tok""",
         "analyze_stats": """
+            WITH tot AS (SELECT COUNT(*) AS nr FROM documents)
+            SELECT 'doc_id' AS col, COUNT(doc_id) AS n_nonnull,
+                   nr - COUNT(doc_id) AS n_nulls,
+                   MIN(doc_id) AS min_num, MAX(doc_id) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str,
+                   CASE WHEN COUNT(DISTINCT doc_id) < 256
+                        THEN COUNT(DISTINCT doc_id) END AS ndv,
+                   (SELECT v FROM (SELECT doc_id AS v, ROW_NUMBER()
+                        OVER (ORDER BY doc_id) AS r FROM documents
+                        WHERE doc_id IS NOT NULL)
+                    WHERE r = GREATEST(1, CAST(CEIL(0.25 *
+                        (SELECT COUNT(doc_id) FROM documents))
+                        AS BIGINT))) AS q25,
+                   (SELECT v FROM (SELECT doc_id AS v, ROW_NUMBER()
+                        OVER (ORDER BY doc_id) AS r FROM documents
+                        WHERE doc_id IS NOT NULL)
+                    WHERE r = GREATEST(1, CAST(CEIL(0.5 *
+                        (SELECT COUNT(doc_id) FROM documents))
+                        AS BIGINT))) AS q50,
+                   (SELECT v FROM (SELECT doc_id AS v, ROW_NUMBER()
+                        OVER (ORDER BY doc_id) AS r FROM documents
+                        WHERE doc_id IS NOT NULL)
+                    WHERE r = GREATEST(1, CAST(CEIL(0.75 *
+                        (SELECT COUNT(doc_id) FROM documents))
+                        AS BIGINT))) AS q75,
+                   CAST(NULL AS BOOLEAN) AS dict_sugg
+            FROM documents, tot GROUP BY nr
+            UNION ALL
+            SELECT 'n_chars', COUNT(n_chars), nr - COUNT(n_chars),
+                   MIN(n_chars), MAX(n_chars), NULL, NULL,
+                   CASE WHEN COUNT(DISTINCT n_chars) < 256
+                        THEN COUNT(DISTINCT n_chars) END,
+                   (SELECT v FROM (SELECT n_chars AS v, ROW_NUMBER()
+                        OVER (ORDER BY n_chars) AS r FROM documents
+                        WHERE n_chars IS NOT NULL)
+                    WHERE r = GREATEST(1, CAST(CEIL(0.25 *
+                        (SELECT COUNT(n_chars) FROM documents))
+                        AS BIGINT))),
+                   (SELECT v FROM (SELECT n_chars AS v, ROW_NUMBER()
+                        OVER (ORDER BY n_chars) AS r FROM documents
+                        WHERE n_chars IS NOT NULL)
+                    WHERE r = GREATEST(1, CAST(CEIL(0.5 *
+                        (SELECT COUNT(n_chars) FROM documents))
+                        AS BIGINT))),
+                   (SELECT v FROM (SELECT n_chars AS v, ROW_NUMBER()
+                        OVER (ORDER BY n_chars) AS r FROM documents
+                        WHERE n_chars IS NOT NULL)
+                    WHERE r = GREATEST(1, CAST(CEIL(0.75 *
+                        (SELECT COUNT(n_chars) FROM documents))
+                        AS BIGINT))),
+                   CAST(NULL AS BOOLEAN)
+            FROM documents, tot GROUP BY nr
+            UNION ALL
+            SELECT 'lang', COUNT(lang), nr - COUNT(lang),
+                   NULL, NULL, MIN(lang), MAX(lang),
+                   CASE WHEN COUNT(DISTINCT lang) < 256
+                        THEN COUNT(DISTINCT lang) END,
+                   NULL, NULL, NULL,
+                   (COUNT(DISTINCT lang) <= 4096 AND
+                    COUNT(DISTINCT lang) <= 0.5 * COUNT(lang))
+            FROM documents, tot GROUP BY nr
+            UNION ALL
+            SELECT 'source', COUNT(source), nr - COUNT(source),
+                   NULL, NULL, MIN(source), MAX(source),
+                   CASE WHEN COUNT(DISTINCT source) < 256
+                        THEN COUNT(DISTINCT source) END,
+                   NULL, NULL, NULL,
+                   (COUNT(DISTINCT source) <= 4096 AND
+                    COUNT(DISTINCT source) <= 0.5 * COUNT(source))
+            FROM documents, tot GROUP BY nr
+            UNION ALL
+            SELECT 'text', COUNT(text), nr - COUNT(text),
+                   NULL, NULL, MIN(text), MAX(text),
+                   CASE WHEN COUNT(DISTINCT text) < 256
+                        THEN COUNT(DISTINCT text) END,
+                   NULL, NULL, NULL,
+                   (COUNT(DISTINCT text) <= 4096 AND
+                    COUNT(DISTINCT text) <= 0.5 * COUNT(text))
+            FROM documents, tot GROUP BY nr
+            ORDER BY col""",
+        "analyze_incremental": """
             WITH tot AS (SELECT COUNT(*) AS nr FROM documents)
             SELECT 'doc_id' AS col, COUNT(doc_id) AS n_nonnull,
                    nr - COUNT(doc_id) AS n_nulls,

@@ -209,6 +209,26 @@ def analyze_table(spark: SparkSession, table_path: str,
         names = [c for c in names if c in cols]
     types = {f.name: f.dataType.simpleString() for f in dec.schema.fields}
 
+    n_rows, partial = _df_stats(dec, names, ndv_k)
+    stats: dict = {"snapshot_id": int(snap["snapshot_id"]),
+                   "n_rows": n_rows, "ndv_k": ndv_k, "cols": {}}
+    for c in names:
+        stats["cols"][c] = _finish_col(
+            spark, table_path, c, partial[c], types[c], quantile_qs,
+            backend=backend, snapshot_id=snap["snapshot_id"])
+    if write:
+        _write_stats(table_path, stats)
+    return stats
+
+
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _df_stats(dec: DataFrame, names: list[str], ndv_k: int):
+    """The per-DataFrame half of ANALYZE: one agg pass for
+    count/nulls/min/max of every column, one KMV pass per column.
+    Returns (n_rows, {col: entry-without-quantiles/dict-rule})."""
+    from .sketch import kmv_estimate, kmv_sketch
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in names:
         aggs += [F.count(F.col(c)).alias(f"n__{c}"),
@@ -216,32 +236,139 @@ def analyze_table(spark: SparkSession, table_path: str,
                  F.max(F.col(c)).alias(f"mx__{c}")]
     row = dec.agg(*aggs).head()
     n_rows = int(row["_n"])
-
-    stats: dict = {"snapshot_id": int(snap["snapshot_id"]),
-                   "n_rows": n_rows, "ndv_k": ndv_k, "cols": {}}
-    int_types = ("tinyint", "smallint", "int", "bigint")
+    out = {}
     for c in names:
         nn = int(row[f"n__{c}"])
         s = kmv_sketch(dec, c, k=ndv_k) if nn else \
             {"k": ndv_k, "hashes": [], "exact": True}
-        est = kmv_estimate(s)
-        ent = {"n": nn, "nulls": n_rows - nn,
-               "min": row[f"mn__{c}"], "max": row[f"mx__{c}"],
-               "ndv_est": est, "ndv_exact": bool(s["exact"]),
-               "kmv": s["hashes"], "quantiles": None,
+        out[c] = {"n": nn, "nulls": n_rows - nn,
+                  "min": row[f"mn__{c}"], "max": row[f"mx__{c}"],
+                  "ndv_est": kmv_estimate(s),
+                  "ndv_exact": bool(s["exact"]), "kmv": s["hashes"],
+                  "quantiles": None, "dict_suggested": None}
+    return n_rows, out
+
+
+def _finish_col(spark, table_path, c, ent, typ, quantile_qs, *,
+                backend, snapshot_id):
+    """Apply the stats that need table context: the dict-gate rule for
+    strings, exact quantiles for int columns."""
+    if typ == "string":
+        ent["dict_suggested"] = bool(
+            ent["ndv_est"] <= _NDV_DICT_MAX
+            and ent["ndv_est"] <= _NDV_DICT_RATIO * max(ent["n"], 1))
+    if typ in _INT_TYPES and ent["n"] and quantile_qs:
+        qv = exact_quantiles(spark, table_path, c, list(quantile_qs),
+                             backend=backend, snapshot_id=snapshot_id)
+        ent["quantiles"] = {float(q): int(v) for q, v in qv.items()}
+    return ent
+
+
+def analyze_incremental(spark: SparkSession, table_path: str, *,
+                        quantile_qs: tuple = (0.25, 0.5, 0.75),
+                        backend: CommitBackend | None = None,
+                        write: bool = True) -> dict:
+    """Refresh CURRENT's statistics from the newest ANALYZEd ancestor
+    by scanning ONLY the parts appended since it — the incremental
+    companion to :func:`analyze_table`.
+
+    Counts, nulls and bounds add/extremize; ndv merges losslessly via
+    the KMV sketch algebra (`kmv_merge` — union = merge hash sets,
+    re-truncate); the dict-gate rule recomputes from the merged
+    figures.  Quantiles are the one stat with no merge rule: int
+    columns recompute them exactly via the (zone-pruned, one-column)
+    narrowing passes when ``quantile_qs`` is non-empty — pass ``()``
+    to stay strictly increment-sized.  The merged dict persists for
+    CURRENT with an ``incremental_from`` lineage field.
+
+    Falls back to a FULL :func:`analyze_table` when (and records
+    ``incremental_from: None``): no ancestor has stats, the ancestor
+    stats used a different ``ndv_k`` or column subset, or the history
+    since it is not append-only (compaction / row-level deletes —
+    `read_increment` refuses to diff those).  Bounds merge compares
+    JSON-normalized values (timestamps as ISO strings), matching what
+    the sidecar stores."""
+    import json
+
+    from .manifest import EncodedTable, read_increment
+    table = EncodedTable(table_path, backend=backend)
+    cur = table.current_snapshot()
+    if cur is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    cur_sid = int(cur["snapshot_id"])
+
+    base = None
+    snap = table._parent_of(cur)
+    while snap is not None:
+        base = table_stats(table_path, snapshot_id=snap["snapshot_id"],
+                           backend=backend)
+        if base is not None:
+            break
+        snap = table._parent_of(snap)
+
+    def _full():
+        st = analyze_table(spark, table_path, quantile_qs=quantile_qs,
+                           backend=backend, write=write)
+        st["incremental_from"] = None
+        return st
+
+    if base is None:
+        return _full()
+    try:
+        inc = read_increment(spark, table_path,
+                             from_snapshot_id=base["snapshot_id"],
+                             backend=backend)
+    except ValueError:
+        return _full()  # rewritten/deleted history: diff would lie
+    names = list(base["cols"].keys())
+    types = {f.name: f.dataType.simpleString()
+             for f in inc.schema.fields}
+    if any(c not in types for c in names):
+        return _full()  # schema evolved the analyzed columns away
+    ndv_k = base["ndv_k"]
+    n_new, new = _df_stats(inc.select(*names), names, ndv_k)
+
+    from .sketch import kmv_estimate, kmv_merge
+    norm = json.loads(json.dumps(new, default=_json_default))
+    stats: dict = {"snapshot_id": cur_sid,
+                   "n_rows": base["n_rows"] + n_new, "ndv_k": ndv_k,
+                   "incremental_from": base["snapshot_id"], "cols": {}}
+    for c in names:
+        b, w = base["cols"][c], norm[c]
+        merged_kmv = kmv_merge(
+            {"k": ndv_k, "hashes": b["kmv"], "exact": b["ndv_exact"]},
+            {"k": ndv_k, "hashes": w["kmv"], "exact": w["ndv_exact"]})
+        mins = [v for v in (b["min"], w["min"]) if v is not None]
+        maxs = [v for v in (b["max"], w["max"]) if v is not None]
+        ent = {"n": b["n"] + w["n"], "nulls": b["nulls"] + w["nulls"],
+               "min": min(mins) if mins else None,
+               "max": max(maxs) if maxs else None,
+               "ndv_est": kmv_estimate(merged_kmv),
+               "ndv_exact": bool(merged_kmv["exact"]),
+               "kmv": merged_kmv["hashes"], "quantiles": None,
                "dict_suggested": None}
-        if types[c] == "string":
-            ent["dict_suggested"] = bool(
-                est <= _NDV_DICT_MAX and est <= _NDV_DICT_RATIO * max(nn, 1))
-        if types[c] in int_types and nn and quantile_qs:
-            qv = exact_quantiles(spark, table_path, c, list(quantile_qs),
-                                 backend=backend,
-                                 snapshot_id=snap["snapshot_id"])
-            ent["quantiles"] = {float(q): int(v) for q, v in qv.items()}
-        stats["cols"][c] = ent
+        stats["cols"][c] = _finish_col(
+            spark, table_path, c, ent, types[c], quantile_qs,
+            backend=backend, snapshot_id=cur_sid)
     if write:
         _write_stats(table_path, stats)
     return stats
+
+
+def _json_default(v):
+    """Sidecar value normalization: timestamps/dates to ISO strings
+    (lexicographic order preserves chronology), decimals to strings,
+    bytes to hex.  Incremental merges normalize fresh Spark values
+    through the same function so both sides compare like-for-like."""
+    import datetime
+    import decimal
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    raise TypeError(f"unserializable stat value {type(v)}")
 
 
 def _stats_dir(table_path: str) -> str:
@@ -260,21 +387,9 @@ def _write_stats(table_path: str, stats: dict) -> str:
     os.makedirs(d, exist_ok=True)
     sid = stats["snapshot_id"]
     name = f"stats-{sid:06d}-{uuid.uuid4().hex[:12]}.json"
-
-    def _default(v):
-        import datetime
-        import decimal
-        if isinstance(v, (datetime.datetime, datetime.date)):
-            return v.isoformat()
-        if isinstance(v, decimal.Decimal):
-            return str(v)
-        if isinstance(v, (bytes, bytearray)):
-            return bytes(v).hex()
-        raise TypeError(f"unserializable stat value {type(v)}")
-
     tmp = os.path.join(d, f".tmp-{name}")
     with open(tmp, "w") as f:
-        json.dump(stats, f, default=_default)
+        json.dump(stats, f, default=_json_default)
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, os.path.join(d, name))

@@ -210,3 +210,61 @@ def test_analyze_snapshot_keyed_and_supersede(spark):
     before = table_stats(path)
     analyze_table(spark, path, cols=["s"], quantile_qs=(), write=False)
     assert table_stats(path) == before
+
+
+@pytest.mark.spark
+def test_analyze_incremental_merges_like_full(spark):
+    """Append-only refresh: merged stats must equal a full re-ANALYZE
+    on every mergeable field (counts, nulls, bounds, exact ndv, the
+    KMV hash set itself, quantiles, dict rule)."""
+    import tempfile
+    from parquet_spark.manifest import write_encoded
+    from parquet_spark.stats import (analyze_incremental, analyze_table,
+                                     table_stats)
+    rows1 = [(i, f"w{i % 5}", None if i % 9 == 0 else i * 2)
+             for i in range(300)]
+    rows2 = [(i, f"w{i % 11}", i * 2) for i in range(300, 700)]
+    ddl = "rid long, w string, v long"
+    path = tempfile.mkdtemp(prefix="stats_inc_")
+    write_encoded(spark.createDataFrame(rows1, ddl), path, key=["rid"],
+                  n_parts=2, mode="range", rows_per_chunk=64)
+    analyze_table(spark, path, quantile_qs=(0.5,))
+    write_encoded(spark.createDataFrame(rows2, ddl), path, key=["rid"],
+                  n_parts=2, mode="range", rows_per_chunk=64,
+                  part_offset=2)
+    inc = analyze_incremental(spark, path, quantile_qs=(0.5,))
+    full = analyze_table(spark, path, quantile_qs=(0.5,), write=False)
+    assert inc["incremental_from"] is not None
+    assert inc["n_rows"] == full["n_rows"] == 700
+    for c in ("rid", "w", "v"):
+        for f in ("n", "nulls", "min", "max", "ndv_est", "ndv_exact",
+                  "kmv", "quantiles", "dict_suggested"):
+            assert inc["cols"][c][f] == full["cols"][c][f], (c, f)
+    # the incremental result persisted for CURRENT
+    assert table_stats(path)["incremental_from"] == \
+        inc["incremental_from"]
+
+
+@pytest.mark.spark
+def test_analyze_incremental_fallbacks(spark):
+    import tempfile
+    from parquet_spark.manifest import (compact_table, write_encoded)
+    from parquet_spark.stats import analyze_incremental, analyze_table
+    ddl = "rid long, s string"
+    path = tempfile.mkdtemp(prefix="stats_incf_")
+    write_encoded(spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(200)], ddl), path,
+        key=["rid"], n_parts=2, mode="range", rows_per_chunk=64)
+    # no ancestor stats at all -> full analyze, lineage None
+    st = analyze_incremental(spark, path, quantile_qs=())
+    assert st["incremental_from"] is None and st["n_rows"] == 200
+    # append, then compact: history is no longer append-only ->
+    # read_increment refuses and the refresh falls back to full
+    write_encoded(spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(200, 500)], ddl), path,
+        key=["rid"], n_parts=2, mode="range", rows_per_chunk=64,
+        part_offset=2)
+    compact_table(spark, path)
+    st2 = analyze_incremental(spark, path, quantile_qs=())
+    assert st2["incremental_from"] is None and st2["n_rows"] == 500
+    assert st2["cols"]["s"]["ndv_est"] == 3.0
