@@ -80,6 +80,12 @@ def exact_quantiles(spark: SparkSession, table_path: str, col: str,
         raise TypeError(
             f"exact_quantiles needs an integer-domain column; "
             f"{col!r} has zone bounds of type {type(mn).__name__}")
+    # timestamp columns: the zone domain (and minmax_where) is
+    # epoch-MICROSECONDS int64, but a Spark long-cast of a timestamp
+    # yields SECONDS — extract with unix_micros so the scan-side value
+    # lives in the same domain as the [mn, mx] bounds; results are
+    # returned in epoch-us (the zone domain, like minmax_where)
+    is_ts = _is_ts_col(table_path, col, backend, snapshot_id, ref)
 
     # state per quantile: (lo, hi, rank_rem) — the value lies in
     # [lo, hi] and is the rank_rem-th smallest row inside that range
@@ -110,7 +116,9 @@ def exact_quantiles(spark: SparkSession, table_path: str, col: str,
         dec = scan_table(spark, table_path, pred, columns=[col],
                          backend=backend, snapshot_id=snapshot_id,
                          ref=ref)
-        hist = (dec.select(F.col(col).cast("long").alias("_v"))
+        vexpr = (F.unix_micros(F.col(col)) if is_ts
+                 else F.col(col).cast("long"))
+        hist = (dec.select(vexpr.alias("_v"))
                 .select(F.expr(f"CASE {arms} END").alias("_b"))
                 .where(F.col("_b").isNotNull())
                 .groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
@@ -141,6 +149,29 @@ def exact_quantiles(spark: SparkSession, table_path: str, col: str,
     raise RuntimeError(
         f"exact_quantiles did not converge in {max_passes} passes "
         f"(buckets={buckets}); raise max_passes")
+
+
+def _is_ts_col(table_path, col, backend, snapshot_id, ref) -> bool:
+    """Whether `col` decodes as a timestamp (logical schema of the
+    resolved snapshot, rename-aware via the stored Arrow schema)."""
+    import pyarrow as pa
+
+    from .manifest import EncodedTable, _resolve_snap
+    table = EncodedTable(table_path, backend=backend)
+    snap = _resolve_snap(table, snapshot_id, ref)
+    sch = table.schema(snap)
+    if sch is None:
+        return False
+    # the stored Arrow schema usually speaks logical names already;
+    # for older parts the meta["renames"] physical->logical map is the
+    # fallback (the caller always speaks logical)
+    name = col
+    if name not in sch.names:
+        renames = (snap.get("meta") or {}).get("renames") or {}
+        name = next((p for p, lg in renames.items() if lg == col), col)
+    if name not in sch.names:
+        return False
+    return pa.types.is_timestamp(sch.field(name).type)
 
 
 def quantiles_df(spark: SparkSession, table_path: str, col: str,
@@ -257,7 +288,9 @@ def _finish_col(spark, table_path, c, ent, typ, quantile_qs, *,
         ent["dict_suggested"] = bool(
             ent["ndv_est"] <= _NDV_DICT_MAX
             and ent["ndv_est"] <= _NDV_DICT_RATIO * max(ent["n"], 1))
-    if typ in _INT_TYPES and ent["n"] and quantile_qs:
+    if (typ in _INT_TYPES or typ.startswith("timestamp")) \
+            and ent["n"] and quantile_qs:
+        # timestamps report quantiles in epoch-us (the zone domain)
         qv = exact_quantiles(spark, table_path, c, list(quantile_qs),
                              backend=backend, snapshot_id=snapshot_id)
         ent["quantiles"] = {float(q): int(v) for q, v in qv.items()}

@@ -268,3 +268,32 @@ def test_analyze_incremental_fallbacks(spark):
     st2 = analyze_incremental(spark, path, quantile_qs=())
     assert st2["incremental_from"] is None and st2["n_rows"] == 500
     assert st2["cols"]["s"]["ndv_est"] == 3.0
+
+
+@pytest.mark.spark
+def test_exact_quantiles_timestamp_epoch_us(spark):
+    """Timestamp columns: zone bounds are epoch-us int64 while a Spark
+    long-cast yields SECONDS — the extraction must use unix_micros or
+    every bucket is empty.  Quantiles come back in epoch-us; ANALYZE
+    picks them up for timestamp columns too, and a renamed timestamp
+    column still resolves its physical type."""
+    import tempfile
+    from parquet_spark.manifest import alter_table, write_encoded
+    from parquet_spark.stats import analyze_table, exact_quantiles
+    df = spark.sql("""
+        SELECT id AS rid,
+               timestamp_micros(1600000000000000 + id * 987654321) AS ts
+        FROM range(0, 500)""")
+    path = tempfile.mkdtemp(prefix="stats_ts_")
+    write_encoded(df, path, key=["rid"], n_parts=4, mode="range",
+                  rows_per_chunk=64)
+    micros = sorted(
+        r.u for r in df.select(F.unix_micros("ts").alias("u")).collect())
+    got = exact_quantiles(spark, path, "ts", [0.1, 0.5, 1.0])
+    assert got == {q: _disc(micros, q) for q in (0.1, 0.5, 1.0)}
+    st = analyze_table(spark, path, quantile_qs=(0.5,), write=False)
+    assert st["cols"]["ts"]["quantiles"] == {0.5: _disc(micros, 0.5)}
+    # rename-aware: logical name maps back to the physical ts column
+    alter_table(path, rename={"ts": "event_ts"})
+    got2 = exact_quantiles(spark, path, "event_ts", [0.5])
+    assert got2 == {0.5: _disc(micros, 0.5)}
