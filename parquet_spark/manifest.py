@@ -2100,6 +2100,39 @@ def vacuum_table(table_path: str, grace_s: float = 3600.0,
         except OSError:
             continue
         removed.append(p)
+    # ANALYZE sidecars (stats.analyze_table) are advisory but keyed by
+    # snapshot id — keep a snapshot's stats exactly as long as the
+    # snapshot stays READABLE, i.e. every data file it references
+    # survived this vacuum (append-only ancestors keep theirs; a
+    # compacted-away ancestor just lost its files, so its stats
+    # describe a table nobody can read again).  Same grace window (a
+    # racing ANALYZE writes before its snapshot is necessarily visible
+    # on this reader's chain walk).
+    reachable: set[int] = set()
+    heads = [table.current_snapshot()] + [
+        table._load_snapshot(r["snap_name"])
+        for r in list_refs(table_path).values()]
+    for snap in heads:
+        while snap is not None:
+            files = {os.path.abspath(f) for f in table.data_files(snap)}
+            if files <= live:
+                reachable.add(int(snap["snapshot_id"]))
+            snap = table._parent_of(snap)
+    stats_dir = os.path.join(table_path, "stats")
+    if os.path.isdir(stats_dir):
+        import re
+        for name in sorted(os.listdir(stats_dir)):
+            m = re.match(r"stats-(\d+)-.*\.json$", name)
+            if not m or int(m.group(1)) in reachable:
+                continue
+            p = os.path.join(stats_dir, name)
+            try:
+                if os.path.getmtime(p) > cutoff:
+                    continue
+                os.remove(p)
+            except OSError:
+                continue
+            removed.append(os.path.abspath(p))
     return removed
 
 

@@ -131,6 +131,9 @@ def heavy_hitters(df: DataFrame, col: str, k: int,
     Returns a DataFrame (``col``, ``cnt`` long) of the true heavy
     hitters.  NULLs are ignored (SQL frequency semantics).
     """
+    if col == "_hh_cand":
+        raise ValueError("column name '_hh_cand' is reserved by "
+                         "heavy_hitters' candidate join; rename it")
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     m = counters if counters is not None else 2 * k

@@ -404,22 +404,56 @@ def _json_default(v):
     raise TypeError(f"unserializable stat value {type(v)}")
 
 
+def analyze_df(df: DataFrame, cols: list[str] | None = None, *,
+               ndv_k: int = 256) -> dict:
+    """Profile a raw DataFrame BEFORE it is ever encoded — the
+    pre-write companion to :func:`analyze_table` (same entry shape,
+    no snapshot/quantiles: there is no table to narrow against).
+    Feed the result to :func:`suggest_write_options` to pick
+    ``global_dict_cols``/``key`` for the first ``write_encoded`` from
+    one bounded sampling pass instead of guessing."""
+    names = [f.name for f in df.schema.fields]
+    if cols is not None:
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"analyze_df: columns {missing} not in "
+                             f"schema {names}")
+        names = [c for c in names if c in cols]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    n_rows, partial = _df_stats(df, names, ndv_k)
+    stats: dict = {"snapshot_id": None, "n_rows": n_rows,
+                   "ndv_k": ndv_k, "cols": {}}
+    for c in names:
+        ent = partial[c]
+        if types[c] == "string":
+            ent["dict_suggested"] = bool(
+                ent["ndv_est"] <= _NDV_DICT_MAX
+                and ent["ndv_est"] <= _NDV_DICT_RATIO * max(ent["n"], 1))
+        stats["cols"][c] = ent
+    return stats
+
+
 def _stats_dir(table_path: str) -> str:
     import os
     return os.path.join(table_path, "stats")
 
 
 def _write_stats(table_path: str, stats: dict) -> str:
-    """Atomic sidecar write: tmp + rename, uuid-unique name so racing
-    ANALYZEs never clobber; readers take the lexicographically last
-    file for a snapshot (re-ANALYZE supersedes)."""
+    """Atomic sidecar write: tmp + rename.  The name embeds a
+    zero-padded wall-clock nanosecond stamp so the reader's
+    lexicographically-last pick IS the newest write (re-ANALYZE
+    deterministically supersedes — a bare uuid token here once made
+    supersede a coin flip), plus a uuid tail so racing same-instant
+    ANALYZEs never clobber each other."""
     import json
     import os
+    import time
     import uuid
     d = _stats_dir(table_path)
     os.makedirs(d, exist_ok=True)
     sid = stats["snapshot_id"]
-    name = f"stats-{sid:06d}-{uuid.uuid4().hex[:12]}.json"
+    name = (f"stats-{sid:06d}-{time.time_ns():020d}-"
+            f"{uuid.uuid4().hex[:8]}.json")
     tmp = os.path.join(d, f".tmp-{name}")
     with open(tmp, "w") as f:
         json.dump(stats, f, default=_json_default)

@@ -297,3 +297,49 @@ def test_exact_quantiles_timestamp_epoch_us(spark):
     alter_table(path, rename={"ts": "event_ts"})
     got2 = exact_quantiles(spark, path, "event_ts", [0.5])
     assert got2 == {0.5: _disc(micros, 0.5)}
+
+
+@pytest.mark.spark
+def test_analyze_df_and_vacuum_prunes_stats(spark):
+    """analyze_df profiles a raw frame pre-encode; vacuum_table
+    reclaims stats sidecars of snapshots expired off every reachable
+    chain, and keeps the reachable ones."""
+    import os
+    import tempfile
+    from parquet_spark.manifest import (EncodedTable, compact_table,
+                                        vacuum_table, write_encoded)
+    from parquet_spark.stats import (analyze_df, analyze_table,
+                                     suggest_write_options, table_stats)
+    df = spark.range(0, 300).select(
+        F.col("id").alias("rid"), (F.col("id") % 4).cast("string")
+        .alias("cat"), F.concat(F.lit("u"), F.col("id")).alias("u"))
+    st = analyze_df(df)
+    assert st["snapshot_id"] is None and st["n_rows"] == 300
+    assert st["cols"]["cat"]["dict_suggested"] is True
+    assert st["cols"]["u"]["dict_suggested"] is False
+    sug = suggest_write_options(st)
+    assert sug["global_dict_cols"] == ["cat"] and sug["key"] == ["rid"]
+    with pytest.raises(ValueError, match="not in"):
+        analyze_df(df, cols=["zz"])
+    # sidecar lifecycle: stats of a compacted-away ancestor vacuum out
+    path = tempfile.mkdtemp(prefix="stats_vac_")
+    write_encoded(df, path, key=sug["key"], n_parts=2, mode="range",
+                  rows_per_chunk=64, global_dict_cols=sug["global_dict_cols"])
+    t = EncodedTable(path)
+    s1 = t.current_snapshot()["snapshot_id"]
+    analyze_table(spark, path, quantile_qs=())
+    write_encoded(df.withColumn("rid", F.col("rid") + 300), path,
+                  key=["rid"], n_parts=2, mode="range",
+                  rows_per_chunk=64, part_offset=2,
+                  global_dict_cols=sug["global_dict_cols"])
+    compact_table(spark, path)  # rewrites: ancestors become orphaned
+    analyze_table(spark, path, quantile_qs=())
+    cur = t.current_snapshot()["snapshot_id"]
+    sdir = os.path.join(path, "stats")
+    before = sorted(os.listdir(sdir))
+    removed = vacuum_table(path, grace_s=0.0)
+    after = sorted(os.listdir(sdir))
+    assert any(f"stats-{s1:06d}-" in r for r in removed)
+    assert not any(n.startswith(f"stats-{s1:06d}-") for n in after)
+    assert table_stats(path, snapshot_id=cur)["n_rows"] == 600
+    assert len(after) < len(before)
