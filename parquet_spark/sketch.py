@@ -184,3 +184,61 @@ def heavy_hitters(df: DataFrame, col: str, k: int,
             .crossJoin(F.broadcast(tot))
             .where(F.col("cnt") * k > F.col("_n"))
             .select(F.col("_hh_cand").alias(col), "cnt"))
+
+
+def kmv_sketch_many(df: DataFrame, cols: list[str],
+                    k: int = 256) -> dict[str, dict]:
+    """KMV sketches of MANY columns in ONE pass over the data — the
+    ANALYZE building block (per-column :func:`kmv_sketch` calls would
+    re-scan the table once per column; at 100 TB a wide table must not
+    cost C full scans for C sketches).
+
+    All hashing happens JVM-side (one xxhash64 per column, NULL-gated
+    so nulls never hash); a single mapInArrow kernel keeps every
+    column's k smallest distinct hashes (bounded memory: cols x k
+    longs per partition) and emits (col_idx, h) survivor rows; one
+    bounded shuffle (groupBy col_idx over <= cols x n_parts x k rows)
+    takes each column's k smallest distinct survivors via
+    array_sort(collect_set)[:k].  Results are IDENTICAL to per-column
+    kmv_sketch — same hashes, same exactness flags — just one scan.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not cols:
+        raise ValueError("cols must be a non-empty list")
+    hashed = df.select(*[
+        F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c)))
+        .alias(f"h{i}") for i, c in enumerate(cols)])
+
+    n_cols = len(cols)
+
+    def local_min_k(batches: Iterator[pa.RecordBatch]) \
+            -> Iterator[pa.RecordBatch]:
+        best: list = [None] * n_cols
+        for batch in batches:
+            for i in range(n_cols):
+                arr = batch.column(i).drop_null()
+                if len(arr) == 0:
+                    continue
+                u = np.unique(arr.to_numpy(zero_copy_only=False))[:k]
+                best[i] = u if best[i] is None else \
+                    np.unique(np.concatenate([best[i], u]))[:k]
+        idx, hs = [], []
+        for i, b in enumerate(best):
+            if b is not None and len(b):
+                idx.extend([i] * len(b))
+                hs.extend(b.tolist())
+        if idx:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(idx, type=pa.int32()),
+                 pa.array(hs, type=pa.int64())], ["i", "h"])
+
+    rows = (hashed.mapInArrow(local_min_k, "i int, h bigint")
+            .groupBy("i")
+            .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k)
+                 .alias("hs"))
+            .collect())
+    by_i = {int(r["i"]): [int(h) for h in r["hs"]] for r in rows}
+    return {c: {"k": k, "hashes": by_i.get(i, []),
+                "exact": len(by_i.get(i, [])) < k}
+            for i, c in enumerate(cols)}

@@ -256,10 +256,14 @@ _INT_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
 def _df_stats(dec: DataFrame, names: list[str], ndv_k: int):
-    """The per-DataFrame half of ANALYZE: one agg pass for
-    count/nulls/min/max of every column, one KMV pass per column.
-    Returns (n_rows, {col: entry-without-quantiles/dict-rule})."""
-    from .sketch import kmv_estimate, kmv_sketch
+    """The per-DataFrame half of ANALYZE: TWO passes total regardless
+    of width — one agg for count/nulls/min/max of every column, one
+    multi-column KMV scan (kmv_sketch_many) for every ndv sketch.  A
+    per-column sketch loop would cost C full scans on a C-column
+    table; at 100 TB that is the difference between ANALYZE being
+    routine and being a weekend.  Returns (n_rows,
+    {col: entry-without-quantiles/dict-rule})."""
+    from .sketch import kmv_estimate, kmv_sketch_many
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in names:
         aggs += [F.count(F.col(c)).alias(f"n__{c}"),
@@ -267,11 +271,11 @@ def _df_stats(dec: DataFrame, names: list[str], ndv_k: int):
                  F.max(F.col(c)).alias(f"mx__{c}")]
     row = dec.agg(*aggs).head()
     n_rows = int(row["_n"])
+    sketches = kmv_sketch_many(dec, names, k=ndv_k)
     out = {}
     for c in names:
         nn = int(row[f"n__{c}"])
-        s = kmv_sketch(dec, c, k=ndv_k) if nn else \
-            {"k": ndv_k, "hashes": [], "exact": True}
+        s = sketches[c]
         out[c] = {"n": nn, "nulls": n_rows - nn,
                   "min": row[f"mn__{c}"], "max": row[f"mx__{c}"],
                   "ndv_est": kmv_estimate(s),

@@ -71,3 +71,27 @@ def test_kmv_cross_partition_duplicates_regression(spark):
         .repartition(8)
     s3 = kmv_sketch(d3, "v", k=256)
     assert s3["exact"] and kmv_estimate(s3) == 255.0
+
+
+@pytest.mark.spark
+def test_kmv_sketch_many_identical_to_per_column(spark):
+    """The one-pass multi-column sketch must produce BIT-identical
+    hashes and exactness flags to per-column kmv_sketch — same
+    estimator, one scan instead of C."""
+    from parquet_spark.sketch import (kmv_estimate, kmv_sketch,
+                                      kmv_sketch_many)
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 313).alias("a"),                      # ndv > k
+        (F.col("id") % 37).cast("string").alias("b"),        # exact
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.col("id")).alias("c"),                  # nulls
+        F.lit(None).cast("string").alias("d")).repartition(8)
+    many = kmv_sketch_many(df, ["a", "b", "c", "d"], k=256)
+    for c in ("a", "b", "c", "d"):
+        one = kmv_sketch(df, c, k=256)
+        assert many[c] == one, c
+    assert many["b"]["exact"] and kmv_estimate(many["b"]) == 37.0
+    assert many["d"] == {"k": 256, "hashes": [], "exact": True}
+    assert not many["a"]["exact"] and len(many["a"]["hashes"]) == 256
+    with pytest.raises(ValueError, match="non-empty"):
+        kmv_sketch_many(df, [])
