@@ -1010,6 +1010,43 @@ def q_analyze_incremental(spark, sf_dir):
     return _stats_facet_df(spark, st)
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source (warc.read_warc, ISO 28500): documents rows are
+    written as REAL WARC archives — one plain, one with Common Crawl's
+    record-per-gzip-member framing — then re-ingested by the
+    distributed binaryFile + mapInArrow reader (HTTP envelope
+    unwrapped).  DuckDB recomputes every field from the documents
+    table via the same deterministic construction (url format, date
+    arithmetic, utf-8 byte length, md5 of the body bytes), so the
+    parser is checked against an independent derivation, not against
+    its own writer."""
+    import datetime
+    import tempfile
+
+    from parquet_spark.warc import read_warc, write_warc_bytes
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select("doc_id", "source", "text").collect()
+    t0 = datetime.datetime(2020, 1, 1)
+
+    def rec(r):
+        return {"url": f"https://{r.source}.example/{r.doc_id}",
+                "ts": t0 + datetime.timedelta(seconds=r.doc_id),
+                "body": r.text.encode("utf-8")}
+    plain = [rec(r) for r in rows if r.doc_id % 2 == 0]
+    gzed = [rec(r) for r in rows if r.doc_id % 2 == 1]
+    assert plain and gzed
+    dirp = tempfile.mkdtemp(prefix="entry_warc_")
+    with open(f"{dirp}/a.warc", "wb") as f:
+        f.write(write_warc_bytes(plain))
+    with open(f"{dirp}/b.warc.gz", "wb") as f:
+        f.write(write_warc_bytes(gzed, per_record_gzip=True))
+    w = read_warc(spark, dirp + "/*.warc*")
+    return (w.select(
+        "url", F.unix_micros("warc_ts").alias("ts_us"),
+        F.col("body_length").alias("body_len"),
+        F.md5("html").alias("body_md5")).orderBy("url"))
+
+
 def q_domain_mixture(spark, sf_dir):
     """Target-mixture downsampling (textops/sampling.py `mix_domains`,
     redistribute=False — the one-pass closed form a second engine can
@@ -2327,13 +2364,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered, cheapest-first within each band —
 
       0. facets new in session 4 (exact_quantiles, heavy_hitters,
-         analyze_stats) — never checked anywhere; the facets they
+         analyze_stats, analyze_incremental, warc_roundtrip) — never
+         checked anywhere; the facets they
          displace past slot 50 (in_prune, dict_pruned_scan,
          time_rollup, moved below the never-checked block) are
          r03-green, so the consecutive-round union still covers
-         everything (invariant re-verified: zero never-checked
-         facets past slot 50, asof_join/range_join the remaining
-         in-budget slack),
+         everything (invariant re-verified after each addition:
+         zero never-checked facets past slot 50; the 50-slot budget
+         is now exactly saturated with never-checked facets),
       1. facets never driver-checked or whose r03 row is stale
          (the 12 past r03's cutoff: global-dict format wiring,
          rechunk compaction, relocation, the multi-batch streaming
@@ -2359,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "analyze_stats": q_analyze_stats,
         "analyze_incremental": q_analyze_incremental,
+        "warc_roundtrip": q_warc_roundtrip,
         # -- band 1: never-checked (r03 cutoff) -------------------------
         "hierarchy_rows": q_hierarchy_rows,
         "codec_selection": q_codec_selection,
@@ -3299,6 +3338,14 @@ def oracle_sql() -> dict[str, str]:
                     COUNT(DISTINCT text) <= 0.5 * COUNT(text))
             FROM documents, tot GROUP BY nr
             ORDER BY col""",
+        "warc_roundtrip": """
+            SELECT 'https://' || source || '.example/' ||
+                       CAST(doc_id AS VARCHAR) AS url,
+                   epoch_us(TIMESTAMP '2020-01-01 00:00:00'
+                            + doc_id * INTERVAL 1 SECOND) AS ts_us,
+                   octet_length(CAST(text AS BLOB)) AS body_len,
+                   md5(text) AS body_md5
+            FROM documents ORDER BY url""",
         "count_pushdown": """
             SELECT (SELECT COUNT(*) FROM documents
                     WHERE doc_id BETWEEN 60 AND 440) AS n_range,

@@ -343,3 +343,36 @@ def test_analyze_df_and_vacuum_prunes_stats(spark):
     assert not any(n.startswith(f"stats-{s1:06d}-") for n in after)
     assert table_stats(path, snapshot_id=cur)["n_rows"] == 600
     assert len(after) < len(before)
+
+
+@pytest.mark.spark
+def test_concurrent_analyze_never_clobbers(spark):
+    """Racing ANALYZEs of the same snapshot: per-attempt tokens mean
+    both sidecars land; the reader deterministically takes the newest
+    (ns-stamped names), and every sidecar is intact JSON."""
+    import json
+    import os
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+    from parquet_spark.manifest import write_encoded
+    from parquet_spark.stats import analyze_table, table_stats
+    df = spark.range(0, 200).select(F.col("id").alias("rid"),
+                                    (F.col("id") % 7).alias("v"))
+    path = tempfile.mkdtemp(prefix="stats_race_")
+    write_encoded(df, path, key=["rid"], n_parts=2, mode="range",
+                  rows_per_chunk=64)
+    with ThreadPoolExecutor(4) as ex:
+        rs = list(ex.map(
+            lambda i: analyze_table(spark, path, quantile_qs=()),
+            range(4)))
+    sdir = os.path.join(path, "stats")
+    files = [n for n in os.listdir(sdir) if n.endswith(".json")]
+    assert len(files) == 4          # nobody clobbered anybody
+    for n in files:                  # all intact (atomic writes)
+        with open(os.path.join(sdir, n)) as f:
+            assert json.load(f)["n_rows"] == 200
+    newest = table_stats(path)
+    assert newest == json.loads(json.dumps(rs[0], default=str)) or \
+        newest["n_rows"] == 200     # same content from every racer
+    assert sorted(files)[-1].split("-")[2] == \
+        max(n.split("-")[2] for n in files)  # reader pick == newest ns
