@@ -2107,24 +2107,36 @@ def vacuum_table(table_path: str, grace_s: float = 3600.0,
     # compacted-away ancestor just lost its files, so its stats
     # describe a table nobody can read again).  Same grace window (a
     # racing ANALYZE writes before its snapshot is necessarily visible
-    # on this reader's chain walk).
-    reachable: set[int] = set()
-    heads = [table.current_snapshot()] + [
-        table._load_snapshot(r["snap_name"])
-        for r in list_refs(table_path).values()]
-    for snap in heads:
-        while snap is not None:
-            files = {os.path.abspath(f) for f in table.data_files(snap)}
-            if files <= live:
-                reachable.add(int(snap["snapshot_id"]))
-            snap = table._parent_of(snap)
+    # on this reader's chain walk).  The whole walk is skipped for
+    # never-ANALYZEd tables, and shared ancestors are visited once
+    # across heads — vacuum must stay a cheap orphan sweep.
     stats_dir = os.path.join(table_path, "stats")
     if os.path.isdir(stats_dir):
         import re
+        reachable: set[int] = set()
+        seen_snaps: set[str] = set()
+        heads = [table.current_snapshot()] + [
+            table._load_snapshot(r["snap_name"])
+            for r in list_refs(table_path).values()]
+        for snap in heads:
+            while snap is not None:
+                nm = snap.get("_snap_name")
+                if nm in seen_snaps:
+                    break
+                seen_snaps.add(nm)
+                files = {os.path.abspath(f)
+                         for f in table.data_files(snap)}
+                if files <= live:
+                    reachable.add(int(snap["snapshot_id"]))
+                snap = table._parent_of(snap)
         for name in sorted(os.listdir(stats_dir)):
             m = re.match(r"stats-(\d+)-.*\.json$", name)
-            if not m or int(m.group(1)) in reachable:
+            if m and int(m.group(1)) in reachable:
                 continue
+            if not m and not name.startswith(".tmp-stats-"):
+                continue  # keep: a crashed writer's .tmp-stats-* is
+                # an orphan (table_stats never reads it) and IS swept;
+                # anything else in stats/ is not ours to delete
             p = os.path.join(stats_dir, name)
             try:
                 if os.path.getmtime(p) > cutoff:

@@ -49,7 +49,7 @@ from .manifest import CommitBackend, minmax_where, scan_table
 
 def exact_quantiles(spark: SparkSession, table_path: str, col: str,
                     qs: list[float], *, buckets: int = 1024,
-                    max_passes: int = 16,
+                    max_passes: int | None = None,
                     backend: CommitBackend | None = None,
                     snapshot_id: int | None = None,
                     ref: str | None = None) -> dict[float, int]:
@@ -87,6 +87,16 @@ def exact_quantiles(spark: SparkSession, table_path: str, col: str,
     # returned in epoch-us (the zone domain, like minmax_where)
     is_ts = _is_ts_col(table_path, col, backend, snapshot_id, ref)
 
+    if max_passes is None:
+        # exact pass count for this span: each pass shrinks a range's
+        # width to ceil(width/buckets), resolving at width <= buckets
+        # (bucket size 1).  +2 headroom; callers can still pin it.
+        w, p = int(mx) - int(mn) + 1, 1
+        while w > buckets:
+            w = -(-w // buckets)
+            p += 1
+        max_passes = p + 2
+
     # state per quantile: (lo, hi, rank_rem) — the value lies in
     # [lo, hi] and is the rank_rem-th smallest row inside that range
     state: dict[float, tuple[int, int, int]] = {}
@@ -107,11 +117,24 @@ def exact_quantiles(spark: SparkSession, table_path: str, col: str,
                 if len(ranges) > 1 else
                 [(col, ranges[0][0], ranges[0][1])])
         bszs = [max(1, -((lo - hi - 1) // buckets)) for lo, hi in ranges]
-        # integer bucket arithmetic via DIV: double rounding would
-        # misbin values once |v| crosses 2^53
+        # integer bucket arithmetic: double rounding would misbin past
+        # 2^53, and the naive `(_v - lo) DIV bsz` overflows int64 when
+        # the column SPANS more than 2^63 (e.g. hash-valued bigints:
+        # lo near -2^63, _v near 2^63-1).  Use the floor-div identity
+        #   floor((v-lo)/b) = fdiv(v,b) - (lo//b) - [fmod(v,b) < lo%b]
+        # whose intermediates (truncated DIV/% plus small corrections,
+        # Python-side lo//b and lo%b as literals) all stay in int64.
+        def _bucket(lo, bsz):
+            flo, lom = lo // bsz, lo % bsz  # Python floor semantics
+            neg = f"CASE WHEN _v % {bsz} < 0 THEN 1 ELSE 0 END"
+            fmod = (f"(_v % {bsz} + CASE WHEN _v % {bsz} < 0 "
+                    f"THEN {bsz} ELSE 0 END)")
+            return (f"((_v DIV {bsz}) - ({neg}) - ({flo}) - "
+                    f"(CASE WHEN {fmod} < {lom} THEN 1 ELSE 0 END))")
+
         arms = " ".join(
             f"WHEN _v >= {lo} AND _v <= {hi} "
-            f"THEN {i} * {buckets} + ((_v - ({lo})) DIV {bsz})"
+            f"THEN {i} * {buckets} + {_bucket(lo, bsz)}"
             for i, ((lo, hi), bsz) in enumerate(zip(ranges, bszs)))
         dec = scan_table(spark, table_path, pred, columns=[col],
                          backend=backend, snapshot_id=snapshot_id,
@@ -225,7 +248,6 @@ def analyze_table(spark: SparkSession, table_path: str,
     for non-string columns.  min/max of string columns follow Spark's
     binary UTF-8 ordering."""
     from .manifest import EncodedTable, _resolve_snap, read_decoded
-    from .sketch import kmv_estimate, kmv_sketch
 
     table = EncodedTable(table_path, backend=backend)
     snap = _resolve_snap(table, snapshot_id, ref)
@@ -284,14 +306,19 @@ def _df_stats(dec: DataFrame, names: list[str], ndv_k: int):
     return n_rows, out
 
 
+def _dict_gate(ent: dict) -> bool:
+    """THE dict-suggestion rule — one definition so analyze_table and
+    analyze_df can never diverge."""
+    return bool(ent["ndv_est"] <= _NDV_DICT_MAX
+                and ent["ndv_est"] <= _NDV_DICT_RATIO * max(ent["n"], 1))
+
+
 def _finish_col(spark, table_path, c, ent, typ, quantile_qs, *,
                 backend, snapshot_id):
     """Apply the stats that need table context: the dict-gate rule for
     strings, exact quantiles for int columns."""
     if typ == "string":
-        ent["dict_suggested"] = bool(
-            ent["ndv_est"] <= _NDV_DICT_MAX
-            and ent["ndv_est"] <= _NDV_DICT_RATIO * max(ent["n"], 1))
+        ent["dict_suggested"] = _dict_gate(ent)
     if (typ in _INT_TYPES or typ.startswith("timestamp")) \
             and ent["n"] and quantile_qs:
         # timestamps report quantiles in epoch-us (the zone domain)
@@ -360,8 +387,13 @@ def analyze_incremental(spark: SparkSession, table_path: str, *,
     names = list(base["cols"].keys())
     types = {f.name: f.dataType.simpleString()
              for f in inc.schema.fields}
-    if any(c not in types for c in names):
-        return _full()  # schema evolved the analyzed columns away
+    if any(c not in types for c in names) \
+            or any(c not in base["cols"] for c in types):
+        # column subset changed in EITHER direction — analyzed columns
+        # vanished, or the schema grew columns the ancestor never
+        # sketched (merging would silently omit them forever): the
+        # docstring's contract is a full re-ANALYZE
+        return _full()
     ndv_k = base["ndv_k"]
     n_new, new = _df_stats(inc.select(*names), names, ndv_k)
 
@@ -430,9 +462,7 @@ def analyze_df(df: DataFrame, cols: list[str] | None = None, *,
     for c in names:
         ent = partial[c]
         if types[c] == "string":
-            ent["dict_suggested"] = bool(
-                ent["ndv_est"] <= _NDV_DICT_MAX
-                and ent["ndv_est"] <= _NDV_DICT_RATIO * max(ent["n"], 1))
+            ent["dict_suggested"] = _dict_gate(ent)
         stats["cols"][c] = ent
     return stats
 

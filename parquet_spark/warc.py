@@ -104,6 +104,13 @@ def parse_warc_records(buf: bytes, http_unwrap: bool = True,
             if strict:
                 raise ValueError("WARC record without Content-Length")
             return
+        if clen < 0:
+            # a negative length would move the cursor BACKWARDS and
+            # re-parse the same record forever — one crafted/corrupt
+            # record must not wedge an executor
+            if strict:
+                raise ValueError(f"negative Content-Length {clen}")
+            return
         body_start = hdr_end + 4
         if body_start + clen > n:
             if strict:

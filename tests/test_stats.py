@@ -376,3 +376,67 @@ def test_concurrent_analyze_never_clobbers(spark):
         newest["n_rows"] == 200     # same content from every racer
     assert sorted(files)[-1].split("-")[2] == \
         max(n.split("-")[2] for n in files)  # reader pick == newest ns
+
+
+@pytest.mark.spark
+def test_exact_quantiles_full_int64_span(spark):
+    """Hash-valued bigints: the column spans more than 2^63, so the
+    naive `(_v - lo) DIV bsz` bucket arithmetic overflows int64
+    (ANSI: ARITHMETIC_OVERFLOW; non-ANSI: wrapped negatives and a
+    corrupt-table RuntimeError).  The floor-div-identity form must
+    place every bucket exactly."""
+    from parquet_spark.stats import exact_quantiles
+    vals = [-(2 ** 63), -(2 ** 62) - 12345, -999, 0, 7,
+            2 ** 61, 2 ** 62 + 777, 2 ** 63 - 1] * 25
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid long, v long")
+    path = _encode(spark, df, "rid")
+    qs = [0.0, 0.3, 0.5, 0.9, 1.0]
+    got = exact_quantiles(spark, path, "v", qs)
+    assert got == {q: _disc(vals, q) for q in qs}
+    # small buckets force many passes across the huge span
+    got4 = exact_quantiles(spark, path, "v", [0.5], buckets=4)
+    assert got4 == {0.5: _disc(vals, 0.5)}
+
+
+@pytest.mark.spark
+def test_analyze_incremental_full_on_new_columns(spark):
+    """Schema grows a column after the base ANALYZE: the refresh must
+    fall back to a FULL analyze (merging would omit the new column
+    from the sidecar forever), per the documented contract."""
+    import tempfile
+    from parquet_spark.manifest import alter_table, write_encoded
+    from parquet_spark.stats import analyze_incremental, analyze_table
+    ddl = "rid long, s string"
+    path = tempfile.mkdtemp(prefix="stats_grow_")
+    write_encoded(spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], ddl), path,
+        key=["rid"], n_parts=2, mode="range", rows_per_chunk=64)
+    analyze_table(spark, path, quantile_qs=())
+    alter_table(path, add=[("extra", "int64")])
+    st = analyze_incremental(spark, path, quantile_qs=())
+    assert st["incremental_from"] is None          # full path ran
+    assert "extra" in st["cols"]                   # new column present
+    assert st["cols"]["extra"]["nulls"] == 100
+
+
+@pytest.mark.spark
+def test_vacuum_sweeps_crashed_tmp_sidecar(spark):
+    import os
+    import tempfile
+    from parquet_spark.manifest import vacuum_table, write_encoded
+    from parquet_spark.stats import analyze_table, table_stats
+    path = tempfile.mkdtemp(prefix="stats_tmp_")
+    write_encoded(spark.range(0, 50).select(F.col("id").alias("rid")),
+                  path, key=["rid"], n_parts=1, mode="range",
+                  rows_per_chunk=64)
+    analyze_table(spark, path, quantile_qs=())
+    sdir = os.path.join(path, "stats")
+    crash = os.path.join(sdir, ".tmp-stats-000001-x.json")
+    alien = os.path.join(sdir, "NOTES.txt")
+    open(crash, "w").write("{par")   # crashed mid-write
+    open(alien, "w").write("keep")   # not ours: never touched
+    removed = vacuum_table(path, grace_s=0.0)
+    assert crash in removed and not os.path.exists(crash)
+    assert os.path.exists(alien)
+    assert table_stats(path)["n_rows"] == 50  # live sidecar kept
