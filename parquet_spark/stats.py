@@ -22,10 +22,15 @@ BigQuery's exact quantiles and Greenwald-Khanna's exact variants):
 A quantile resolves when its range's bucket width hits 1 (the bin IS
 the value).  Every pass shuffles only ``ranges x buckets`` count rows
 (map-side combined), so the full column is decoded exactly once (pass
-1 spans [min, max]); later passes touch only chunks whose zones
-intersect the shrunken ranges — at 100 TB that is a handful of row
-groups per pass.  Total passes <= ceil(log_buckets(max - min + 1)),
-i.e. <= 7 for the full int64 domain at the default 1024 buckets.
+1 spans [min, max]); later passes decode only chunks whose zones
+intersect the shrunken ranges — a handful of row groups per pass WHEN
+the column correlates with the table layout (the sort/range/z-order
+key).  On a layout-uncorrelated column every chunk's zone spans the
+domain, so later passes still decode the (single, narrow) column but
+filter inside codegen — no sort and no shuffle either way; measured
+pass anatomy in BENCH.md.  Total passes <=
+ceil(log_buckets(max - min + 1)), i.e. <= 7 for the full int64 domain
+at the default 1024 buckets.
 
 Semantics are ``percentile_disc``: the returned value is the smallest
 PRESENT value v with  count(col <= v) >= max(1, ceil(q * n_nonnull)),
