@@ -89,6 +89,27 @@ _EXPORTS = {
     "repetition_stats": "textops.textstats",
     "top_vocabulary": "textops.textstats",
     "lang_id": "textops.textstats",
+    "gap_fill": "temporal",
+    "kmv_sketch": "sketch", "kmv_sketch_many": "sketch",
+    "kmv_merge": "sketch", "kmv_estimate": "sketch",
+    "heavy_hitters": "sketch",
+    "exact_quantiles": "stats", "quantiles_df": "stats",
+    "analyze_table": "stats", "analyze_incremental": "stats",
+    "analyze_df": "stats", "table_stats": "stats",
+    "suggest_write_options": "stats",
+    "read_warc": "warc", "parse_warc_records": "warc",
+    "write_warc_bytes": "warc",
+    "build_token_index": "textops.textindex",
+    "search_tokens": "textops.textindex",
+    "search_prefix": "textops.textindex",
+    "rank_tokens": "textops.textindex",
+    "ngram_contamination": "textops.curation",
+    "pii_scrub": "textops.curation",
+    "pack_sequences": "textops.curation",
+    "media_metadata": "textops.multimodal",
+    "resize_image": "textops.multimodal",
+    "audio_features": "textops.multimodal",
+    "sample_frames": "textops.multimodal",
 }
 
 

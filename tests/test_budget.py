@@ -16,3 +16,11 @@ def test_facet_budget_invariant():
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "OK" in r.stdout
+
+
+def test_every_lazy_export_resolves():
+    """parquet_spark._EXPORTS is the public API index — a renamed or
+    moved function must fail the suite, not a user's import."""
+    import parquet_spark as P
+    for name in P._EXPORTS:
+        assert getattr(P, name) is not None, name
