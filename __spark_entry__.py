@@ -113,8 +113,11 @@ def q_explode_pad(spark, sf_dir):
     return ex.agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.sum("pos").alias("sum_pos"),
-        F.sum(F.round(F.col("val").cast("double"), 3)
-              .cast("decimal(20,3)")).cast("double").alias("sum_val"))
+        # FLOOR of the identical IEEE product is bit-portable across
+        # Spark/DuckDB; ROUND(double,3)->DECIMAL is not (representation
+        # ties — see tests/test_oracle_portability.py)
+        F.sum(F.floor(F.col("val").cast("double") * 1000)
+              .cast("long")).cast("long").alias("sum_val"))
 
 
 def q_scalar_broadcast(spark, sf_dir):
@@ -1421,23 +1424,30 @@ def q_gap_fill(spark, sf_dir):
     """Gap-filled bucketed aggregation with LOCF (temporal.gap_fill,
     the TimescaleDB time_bucket_gapfill idiom): 6-hour buckets per
     event_type, missing buckets materialized between each type's first
-    and last observation, counts and decimal-exact value sums carried
+    and last observation, counts and integer-exact value sums carried
     forward.  DuckDB rebuilds the bucket aggregate, the
     generate_series grid, the gap join, AND the IGNORE NULLS
-    carry-forward window — the whole operator, not just totals."""
+    carry-forward window — the whole operator, not just totals.
+
+    Measure portability (round-4 driver hash fail): the old measure
+    ROUND(value,3)→DECIMAL stacked two representation-tie conversions
+    (HALF_UP over the double's exact binary expansion in Spark vs
+    scaled-double rounding in DuckDB 1.0.0 — ~29% of .xxx5-adjacent
+    doubles disagree, see tests/test_oracle_portability.py).  FLOOR of
+    the identical IEEE product is bit-portable, so the measure is now
+    FLOOR(value*1000) summed as BIGINT — engine-exact, tie-free."""
     from parquet_spark.temporal import gap_fill
     ev = _t(spark, sf_dir, "events").withColumn(
-        "val3", F.round(F.col("value"), 3).cast("decimal(20,3)"))
+        "valq", F.floor(F.col("value") * 1000).cast("long"))
     g = gap_fill(ev, "ts", 21600, by=["event_type"],
                  aggs={"n": ("*", "count"),
-                       "sum_value": ("val3", "sum")},
+                       "sum_value": ("valq", "sum")},
                  fill="locf")
     bucket_s = (F.expr(_EPOCH_US.format(col="bucket")) /
                 F.lit(1_000_000)).cast("long")
     return (g.select("event_type", bucket_s.alias("bucket_s"),
                      "is_gap", "n",
-                     F.col("sum_value").cast("decimal(38,3)")
-                     .alias("sum_value"))
+                     F.col("sum_value").cast("long").alias("sum_value"))
             .orderBy("event_type", "bucket_s"))
 
 
@@ -2821,8 +2831,8 @@ def oracle_sql() -> dict[str, str]:
                                generate_subscripts(embedding, 1) - 1 AS pos,
                                unnest(embedding) AS val FROM embeddings)
             SELECT COUNT(*) AS n_cells, CAST(SUM(pos) AS BIGINT) AS sum_pos,
-                   CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE), 3) AS DECIMAL(20,3)))
-                        AS DOUBLE) AS sum_val
+                   CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000)
+                        AS BIGINT)) AS BIGINT) AS sum_val
             FROM ex""",
         "scalar_broadcast": """
             SELECT r.r_name AS region_name, COUNT(*) AS n_nations
@@ -3632,8 +3642,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(epoch_us(ts) // 21600000000 AS BIGINT) * 21600
                        AS bucket_s,
                      COUNT(*) AS n,
-                     SUM(CAST(ROUND(CAST(value AS DOUBLE), 3)
-                         AS DECIMAL(20,3))) AS sum_value
+                     CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1000)
+                         AS BIGINT)) AS BIGINT) AS sum_value
               FROM events GROUP BY 1, 2),
             g AS (
               SELECT event_type,

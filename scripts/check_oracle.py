@@ -1,6 +1,21 @@
 """Dev harness mimicking the driver's correctness gate: run every
 queries() entry under Spark at sf0.01 and its oracle_sql() under DuckDB,
-compare row count, column names, and order-insensitive values."""
+compare row count, column names, and order-insensitive values.
+
+KNOWN BLIND SPOT (root cause of the round-4 gap_fill discrepancy —
+this sweep said OK, the driver said hash fail): a measure that is only
+*conditionally* portable can pass here yet fail under the driver's
+environment.  The concrete class: ROUND(double, n) at representation
+ties — Spark rounds HALF_UP over the exact binary expansion, DuckDB
+1.0.0 rounds in scaled-double space, so .xxx5-adjacent doubles can
+legally differ in the last digit (~29%% of the tie class diverges; see
+tests/test_oracle_portability.py).  Whether any tie value actually
+OCCURS depends on the data instance and library builds, so a green
+local sweep proves nothing about tie-free-ness.  Defense: facet
+measures must be unconditionally bit-portable (integer/decimal-exact
+arithmetic, or FLOOR/CEIL of an identical IEEE expression — never
+ROUND of a double feeding a hash-compared value); the lint
+test_no_round_decimal_sum_in_oracles enforces the banned pattern."""
 
 import os
 import sys
