@@ -833,6 +833,53 @@ def q_dict_pruned_scan(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_datasource_read(spark, sf_dir):
+    """Catalyst-visible read surface (datasource.py): the encoded table
+    is read back through `spark.read.format("parquet_spark")` — the
+    Python DataSource V2 API — with a `columns` projection option, a
+    Catalyst-pushed filter driving driver-side FILE pruning (asserted
+    to bite: the filtered scan plans fewer input partitions than the
+    full scan), worker-side chunk zone pruning, and executor-side
+    global-dict restore.  DuckDB recomputes the aggregate from the raw
+    parquet — certifying the whole SQL-visible read path end to end.
+    This closes the read-side gap the reference left open
+    (/root/reference/README.md:29-30 'Reading Parquet files ... is yet
+    to be implemented'; its only reader is the test-scoped
+    Parquet.Tests/Reader.cs:6-66)."""
+    import tempfile
+
+    from parquet_spark.datasource import register
+    from parquet_spark.manifest import write_encoded
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="entry_dsv2_")
+    write_encoded(d, path, key=["doc_id"], n_parts=4, mode="range",
+                  global_dict_cols=["lang"])
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled",
+                         "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        register(spark)
+        reader = (spark.read.format("parquet_spark")
+                  .option("columns", "doc_id,lang,n_chars"))
+        full = reader.load(path)
+        filt = reader.load(path).where(F.col("doc_id") <= 149)
+        # Catalyst -> pushFilters -> partitions(): file-level pruning
+        # must actually bite on the range layout
+        n_full = full.rdd.getNumPartitions()
+        n_filt = filt.rdd.getNumPartitions()
+        assert 0 < n_filt < n_full, (n_filt, n_full)
+        out = (filt.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("doc_id").alias("sum_ids"),
+                    F.sum("n_chars").alias("sum_chars"))
+               .orderBy("lang"))
+        out = out.cache()
+        out.count()
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+    return out
+
+
 def q_count_pushdown(spark, sf_dir):
     """COUNT(*) aggregate pushdown (manifest.count_where): chunks the
     zone metadata PROVES fully inside the predicate contribute their
@@ -2455,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_search": q_token_search,
         "token_rank": q_token_rank,
         "like_prune": q_like_prune,
+        "datasource_read": q_datasource_read,
         # r03-green band-3 facets (asof_join/range_join/time_rollup)
         # moved below the never-checked block so the 50-slot budget
         # covers every facet without a prior green row
@@ -3531,6 +3579,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents WHERE lang IN ('de', 'fr')
+            GROUP BY lang ORDER BY lang""",
+        # the DataSource V2 read path: projection + pushed filter +
+        # global-dict restore must reproduce the raw-table aggregate
+        "datasource_read": """
+            SELECT lang, COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE doc_id <= 149
             GROUP BY lang ORDER BY lang""",
         "route_partitioned": """
             SELECT source, COUNT(*) AS n_rows,

@@ -68,6 +68,8 @@ _EXPORTS = {
     "windowed_ingest_stats": "streaming", "file_stream": "streaming",
     "verify_roundtrip": "verify",
     "gen_corpus": "corpus",
+    "register_datasource": "datasource",
+    "EncodedTableDataSource": "datasource",
     "merge_tables": "merge",
     "exact_dedup": "textops.dedup", "minhash_signatures": "textops.dedup",
     "lsh_candidate_pairs": "textops.dedup", "ngram_jaccard": "textops.dedup",

@@ -1,0 +1,296 @@
+"""Catalyst-visible read surface for encoded tables: the Python
+DataSource V2 API (``pyspark.sql.datasource``, PySpark 4.x), so any
+Spark consumer — SQL, DataFrame, another language binding going through
+the session — can read an encoded table without touching this package's
+Python API:
+
+    from parquet_spark.datasource import register
+    register(spark)
+    df = (spark.read.format("parquet_spark")
+          .option("columns", "doc_id,lang")       # optional projection
+          .option("snapshot_id", "3")             # optional time travel
+          .load("/path/to/table"))
+    df.where(df.doc_id < 100).show()
+
+This closes the read-side gap the reference itself left open: the C#
+library is write-only ("Reading Parquet files ... is yet to be
+implemented", /root/reference/README.md:29-30; its only reader is the
+test-scoped /root/reference/Parquet.Tests/Reader.cs:6-66).
+
+Execution shape (scale notes):
+
+* ``partitions()`` — one input partition per committed PART FILE, the
+  same unit the encode job parallelizes over, after DRIVER-SIDE
+  file-level pruning against the manifest's per-part zone summaries
+  (manifest._prune_parts — O(parts) metadata, zero Spark jobs, skipped
+  files are never listed, exactly like the scan_table path).
+* ``pushFilters()`` — Catalyst hands down the WHERE clause; supported
+  terms (=, IN, </<=/>/>=, IS [NOT] NULL, startswith) are translated
+  to the engine's predicate tuples and drive BOTH file-level and
+  chunk-level zone pruning.  Every filter is also returned as
+  "unsupported", so Spark re-applies the exact predicate on the decoded
+  rows — pruning only has to be conservative, never exact, and
+  semantics like null-handling and collation stay Spark's.
+* ``read(partition)`` — executor-side: pyarrow reads ONLY the needed
+  top-level columns of the chunk container (names/payloads/n_rows +
+  zone arrays when filters were pushed), each chunk row is zone-tested
+  in pure python (the per-part summary test _part_keep_term applied at
+  chunk granularity; Bloom filters are skipped — conservative), and
+  surviving chunks decode straight to Arrow RecordBatches via
+  ``decode_column`` — the identical kernels decode_table uses, so the
+  two read paths cannot diverge.  Column projection prunes DECODE and
+  DECOMPRESSION per column (payloads are per-column), matching
+  decode_table's contract.
+* Global-dict columns are restored executor-side with one
+  ``pa.compute.take`` over the snapshot-persisted dictionary
+  (metadata-sized by the _GDICT_MAX_META write cap) — null ids stay
+  null, mirroring manifest._restore_global_dicts' null guard.
+* Schema-evolution renames/drops are honored through the same
+  physical->logical mapping the evolved decoder uses
+  (engine.decode_table `renames` path); metadata-only added columns
+  decode as nulls.
+
+Not supported here (use read_decoded, which routes through Spark-side
+joins): tables with pending equality deletes — the reader raises
+rather than silently resurrecting deleted rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    EqualTo, GreaterThan,
+                                    GreaterThanOrEqual, In, InputPartition,
+                                    IsNotNull, IsNull, LessThan,
+                                    LessThanOrEqual, StringStartsWith)
+
+_FORMAT_NAME = "parquet_spark"
+
+
+def _load_table_state(options) -> dict:
+    """Driver-side: resolve the snapshot once and flatten everything the
+    (picklable) reader needs into plain dicts/bytes."""
+    from .manifest import EncodedTable, _resolve_snap
+    path = options.get("path")
+    if not path:
+        raise ValueError("parquet_spark datasource needs a path: "
+                         ".load('/path/to/encoded/table')")
+    sid = options.get("snapshot_id")
+    table = EncodedTable(path)
+    snap = _resolve_snap(table, int(sid) if sid is not None else None,
+                         options.get("ref"))
+    if snap is None:
+        raise ValueError(f"no committed snapshot at {path}")
+    meta = table.meta(snap)
+    if meta.get("delete_files"):
+        raise ValueError(
+            "table has pending equality deletes; the datasource reader "
+            "is a per-file decoder and cannot apply the delete "
+            "anti-join — read it via parquet_spark.manifest.read_decoded "
+            "or compact with rewrite_table first")
+    schema = table.schema(snap)
+    cols_opt = options.get("columns")
+    columns = ([c.strip() for c in cols_opt.split(",") if c.strip()]
+               if cols_opt else None)
+    if columns:
+        missing = [c for c in columns if schema.get_field_index(c) < 0]
+        if missing:
+            raise KeyError(f"columns not in table schema: {missing}")
+        schema = pa.schema([schema.field(c) for c in columns])
+    return {
+        "parts": table.committed_parts(snap),
+        "schema_ipc": schema.serialize().to_pybytes(),
+        "gdicts": meta.get("global_dicts") or {},
+        "renames": meta.get("renames") or {},
+    }
+
+
+def _logical_schema(state: dict) -> pa.Schema:
+    """The reader-facing Arrow schema: global-dict columns surface as
+    their VALUE type (string), not the stored int ids."""
+    phys = pa.ipc.read_schema(pa.BufferReader(state["schema_ipc"]))
+    return pa.schema([pa.field(f.name, pa.string()) if f.name
+                      in state["gdicts"] else f for f in phys])
+
+
+def _translate_filter(f):
+    """One supported V2 filter -> one engine predicate tuple, or None.
+    Bounds are INCLUSIVE supersets where the filter is strict — legal,
+    because pruning is conservative and Spark re-applies the exact
+    filter post-scan."""
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return None  # nested column paths carry no zone summaries
+    col = attr[0]
+
+    def bound(v):
+        # zone maps store timestamps as epoch-us ints; Catalyst hands
+        # datetime literals for timestamp comparisons
+        import datetime
+        if isinstance(v, datetime.datetime):
+            epoch = datetime.datetime(
+                1970, 1, 1, tzinfo=v.tzinfo if v.tzinfo else None)
+            return int((v - epoch).total_seconds() * 1_000_000)
+        return v
+
+    if isinstance(f, EqualTo):
+        return (col, "=", bound(f.value))
+    if isinstance(f, In):
+        vals = [bound(v) for v in f.value if v is not None]
+        return (col, "in", vals) if vals else None
+    if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+        return (col, bound(f.value), None)
+    if isinstance(f, (LessThan, LessThanOrEqual)):
+        return (col, None, bound(f.value))
+    if isinstance(f, IsNull):
+        return (col, "isnull", None)
+    if isinstance(f, IsNotNull):
+        return (col, "notnull", None)
+    if isinstance(f, StringStartsWith):
+        return (col, "prefix", f.value)
+    return None
+
+
+class _EncodedTableReader(DataSourceReader):
+    def __init__(self, state: dict):
+        self._state = state
+        self._pred: list[tuple] = []
+
+    # ---- planning (driver) -------------------------------------------
+    def pushFilters(self, filters):
+        for f in filters:
+            try:
+                t = _translate_filter(f)
+            except Exception:
+                t = None  # unexpected literal shape: just don't prune
+            if t is not None:
+                self._pred.append(t)
+        # hand every filter back: Spark applies the exact residual on
+        # decoded rows, we only use them to prune files and chunks
+        return iter(filters)
+
+    def _zpred(self):
+        from .manifest import _translate_pred
+        if not self._pred:
+            return None
+        try:
+            return _translate_pred(self._pred, self._state["gdicts"],
+                                   self._state["renames"])
+        except Exception:
+            return None  # e.g. a mixed-type IN-list: prune nothing
+
+    def partitions(self):
+        from .manifest import _prune_parts
+        parts = self._state["parts"]
+        zpred = self._zpred()
+        if zpred is not None:
+            files = _prune_parts(parts, zpred)
+        else:
+            files = [info["file"] for _, info in
+                     sorted(parts.items(), key=lambda kv: int(kv[0]))]
+        # keep the executor pickle O(columns), not O(parts): the part
+        # manifest was only needed for driver-side file pruning
+        self._state = {k: v for k, v in self._state.items()
+                       if k != "parts"}
+        self._zone_pred = zpred
+        return [InputPartition(f) for f in files]
+
+    # ---- execution (executor) ----------------------------------------
+    def read(self, partition):
+        if partition is None or partition.value is None:
+            # Spark invokes read(None) when partitions() pruned to zero
+            # files — nothing to produce
+            return
+        import pyarrow.parquet as pq
+
+        from .codecs import decode_column
+        from .manifest import _part_keep_term
+
+        state = self._state
+        zpred = getattr(self, "_zone_pred", None) or self._zpred()
+        out_schema = _logical_schema(state)
+        phys = pa.ipc.read_schema(pa.BufferReader(state["schema_ipc"]))
+        ren = state["renames"]
+        gdicts = {c: pa.array(v, pa.string())
+                  for c, v in state["gdicts"].items()}
+
+        need = ["names", "payloads", "n_rows"]
+        if zpred is not None:
+            need += ["zone_cols", "zone_min_str", "zone_max_str",
+                     "zone_min_num", "zone_max_num", "zone_min_dbl",
+                     "zone_max_dbl", "zone_nulls"]
+        tbl = pq.read_table(partition.value, columns=need)
+
+        def chunk_keep(row, n_rows):
+            zones = {}
+            zc = row.get("zone_cols")
+            if zc is not None:
+                for j, c in enumerate(zc):
+                    zones[c] = (row["zone_min_str"][j],
+                                row["zone_max_str"][j],
+                                row["zone_min_num"][j],
+                                row["zone_max_num"][j],
+                                row["zone_min_dbl"][j],
+                                row["zone_max_dbl"][j],
+                                row["zone_nulls"][j], n_rows)
+            if isinstance(zpred, dict):
+                return any(all(_part_keep_term(zones, n_rows, t)
+                               for t in ts) for ts in zpred["any"])
+            return all(_part_keep_term(zones, n_rows, t) for t in zpred)
+
+        for batch in tbl.to_batches():
+            names_col = batch.column(batch.schema.get_field_index("names"))
+            pay_col = batch.column(batch.schema.get_field_index("payloads"))
+            nrows_col = batch.column(batch.schema.get_field_index("n_rows"))
+            for i in range(batch.num_rows):
+                n_rows = nrows_col[i].as_py()
+                if zpred is not None:
+                    row = {c: batch.column(
+                        batch.schema.get_field_index(c))[i].as_py()
+                        for c in need if c.startswith("zone")}
+                    if not chunk_keep(row, n_rows):
+                        continue
+                names = names_col[i].as_py()
+                pays = pay_col[i].values
+                # physical->logical; None = tombstoned (dropped column)
+                keep = {}
+                for j, n in enumerate(names):
+                    ln = ren.get(n, n)
+                    if ln is not None:
+                        keep[ln] = memoryview(pays[j].as_buffer()).cast("B")
+                arrs = []
+                for f in phys:
+                    arr = (decode_column(keep[f.name], f.type)
+                           if f.name in keep else pa.nulls(n_rows, f.type))
+                    if f.name in gdicts:
+                        arr = pc.take(gdicts[f.name], arr)
+                    arrs.append(arr)
+                yield pa.RecordBatch.from_arrays(arrs, schema=out_schema)
+
+
+class EncodedTableDataSource(DataSource):
+    """``spark.read.format("parquet_spark").load(path)``.  Options:
+    ``columns`` (comma list, projection), ``snapshot_id`` (time
+    travel), ``ref`` (named tag/branch)."""
+
+    def __init__(self, options):
+        super().__init__(options)
+        self._state = _load_table_state(options)
+
+    @classmethod
+    def name(cls):
+        return _FORMAT_NAME
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+        return from_arrow_schema(_logical_schema(self._state))
+
+    def reader(self, schema):
+        return _EncodedTableReader(self._state)
+
+
+def register(spark) -> None:
+    """Register the format with a session (idempotent)."""
+    spark.dataSource.register(EncodedTableDataSource)

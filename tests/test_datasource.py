@@ -1,0 +1,153 @@
+"""Python DataSource V2 read surface (parquet_spark/datasource.py):
+`spark.read.format("parquet_spark")` over encoded tables, with driver-
+side file pruning from pushed filters, executor-side chunk pruning and
+decode, projection, global-dict restore, schema evolution, and time
+travel — the read path the reference never implemented
+(/root/reference/README.md:29-30)."""
+
+import tempfile
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_spark.datasource import (_EncodedTableReader,
+                                      _load_table_state, register)
+from parquet_spark.manifest import read_decoded, write_encoded
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _pushdown(spark):
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    yield
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def table(spark, docs):
+    path = tempfile.mkdtemp(prefix="dsv2_")
+    write_encoded(docs, path, key=["doc_id"], n_parts=4, mode="range",
+                  global_dict_cols=["lang"])
+    return path
+
+
+def _sym_diff(a, b):
+    return a.exceptAll(b).count() + b.exceptAll(a).count()
+
+
+def test_full_read_matches_source(spark, docs, table):
+    df = spark.read.format("parquet_spark").load(table)
+    assert df.columns == docs.columns
+    assert _sym_diff(df, docs) == 0
+
+
+def test_projection_and_filter_exact(spark, docs, table):
+    df = (spark.read.format("parquet_spark")
+          .option("columns", "doc_id,lang").load(table))
+    assert df.columns == ["doc_id", "lang"]
+    got = df.where(F.col("doc_id").between(100, 199))
+    exp = docs.select("doc_id", "lang").where(
+        F.col("doc_id").between(100, 199))
+    assert _sym_diff(got, exp) == 0
+
+
+def test_file_pruning_bites_on_range_layout(spark, table):
+    st = _load_table_state({"path": table})
+    n_all = len(_EncodedTableReader(st).partitions())
+    st = _load_table_state({"path": table})
+    r = _EncodedTableReader(st)
+    r._pred = [("doc_id", None, 50)]
+    n_kept = len(r.partitions())
+    assert 0 < n_kept < n_all, (n_kept, n_all)
+
+
+def test_sql_path_prunes_partitions(spark, docs, table):
+    """Catalyst -> pushFilters -> partitions(): the physical scan of a
+    filtered read plans fewer input partitions than the full read."""
+    full = spark.read.format("parquet_spark").load(table)
+    filt = (spark.read.format("parquet_spark").load(table)
+            .where(F.col("doc_id") < 50))
+    assert filt.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+    exp = docs.where(F.col("doc_id") < 50)
+    assert _sym_diff(filt, exp) == 0
+
+
+def test_gdict_value_space_filter(spark, docs, table):
+    df = spark.read.format("parquet_spark").load(table)
+    got = df.where(F.col("lang") == "de").select("doc_id", "lang")
+    exp = docs.where(F.col("lang") == "de").select("doc_id", "lang")
+    assert _sym_diff(got, exp) == 0
+
+
+def test_string_prefix_and_null_filters(spark, docs, table):
+    df = spark.read.format("parquet_spark").load(table)
+    got = df.where(F.col("source").startswith("src1"))
+    exp = docs.where(F.col("source").startswith("src1"))
+    assert exp.count() > 0
+    assert _sym_diff(got, exp) == 0
+    # a prefix matching nothing prunes every file -> empty, not an error
+    assert df.where(F.col("source").startswith("zzz")).count() == 0
+    got = df.where(F.col("lang").isNotNull())
+    exp = docs.where(F.col("lang").isNotNull())
+    assert got.count() == exp.count()
+
+
+def test_sql_registered_view(spark, docs, table):
+    (spark.read.format("parquet_spark").load(table)
+     .createOrReplaceTempView("dsv2_docs"))
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM dsv2_docs WHERE n_chars > 100"
+    ).collect()[0].n
+    assert n == docs.where(F.col("n_chars") > 100).count()
+
+
+def test_time_travel_option(spark, docs, table):
+    """snapshot_id pins the read; appending later rows must not leak
+    into a snapshot-0 read."""
+    extra = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 10_000)
+    path = tempfile.mkdtemp(prefix="dsv2_tt_")
+    write_encoded(docs, path, key=["doc_id"], n_parts=2)
+    write_encoded(extra, path, key=["doc_id"], n_parts=2, part_offset=2)
+    cur = spark.read.format("parquet_spark").load(path)
+    old = (spark.read.format("parquet_spark")
+           .option("snapshot_id", "0").load(path))
+    assert cur.count() == docs.count() + 10
+    assert old.count() == docs.count()
+
+
+def test_schema_evolution_rename_and_add(spark, docs):
+    from parquet_spark.manifest import alter_table
+    path = tempfile.mkdtemp(prefix="dsv2_evo_")
+    write_encoded(docs.select("doc_id", "lang", "n_chars"), path,
+                  key=["doc_id"], n_parts=2)
+    alter_table(path, rename={"lang": "language"})
+    alter_table(path, add=[("note", pa.string())])
+    df = spark.read.format("parquet_spark").load(path)
+    assert set(df.columns) == {"doc_id", "language", "n_chars", "note"}
+    assert df.where(F.col("note").isNull()).count() == docs.count()
+    got = df.select(F.col("language").alias("lang"))
+    assert _sym_diff(got, docs.select("lang")) == 0
+
+
+def test_deletes_refused(spark, docs):
+    from parquet_spark.manifest import delete_rows
+    path = tempfile.mkdtemp(prefix="dsv2_del_")
+    write_encoded(docs.select("doc_id", "lang"), path,
+                  key=["doc_id"], n_parts=2)
+    delete_rows(spark, path, [("doc_id", "=", 5)])
+    with pytest.raises(Exception, match="delete"):
+        spark.read.format("parquet_spark").load(path).count()
+
+
+def test_matches_read_decoded(spark, table):
+    """The two read paths share decode kernels — byte-equal results."""
+    via_ds = spark.read.format("parquet_spark").load(table)
+    via_api = read_decoded(spark, table)
+    assert _sym_diff(via_ds, via_api) == 0
