@@ -833,6 +833,49 @@ def q_dict_pruned_scan(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_alter_widen(spark, sf_dir):
+    """Metadata-only type widening (alter_table `widen`, Iceberg's
+    int->long / float->double promotion matrix): a column written as
+    int32 widens to int64 without touching a data file, an append then
+    stores values only the wide type can hold (2^35+), and a pushed
+    scan over the mixed-width table decodes each chunk at its OWN
+    encoded width (width-sensitive codecs like BSS would corrupt
+    otherwise) before the exact upcast.  DuckDB rebuilds the same
+    two-generation union from raw data.  Reference analog: the C#
+    library rewrites the whole file on ANY schema change
+    (ParquetFile.cs:120-124)."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from parquet_spark.manifest import (EncodedTable, alter_table,
+                                        scan_table, write_encoded)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    gen1 = d.withColumn("v", F.col("n_chars").cast("int"))
+    path = tempfile.mkdtemp(prefix="entry_widen_")
+    write_encoded(gen1, path, key=["doc_id"], n_parts=2,
+                  rows_per_chunk=256)
+    t = EncodedTable(path)
+    assert t.schema().field("v").type == pa.int32()
+    alter_table(path, widen={"v": "int64"})
+    assert EncodedTable(path).schema().field("v").type == pa.int64()
+    big = 2 ** 35
+    gen2 = (d.withColumn("doc_id", F.col("doc_id") + 100_000)
+            .withColumn("v", (F.col("n_chars") + F.lit(big))
+                        .cast("bigint")))
+    write_encoded(gen2, path, key=["doc_id"], n_parts=2,
+                  rows_per_chunk=256, part_offset=2)
+    out = (scan_table(spark, path, [("v", 100, None)])
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum("v").alias("sum_v"),
+                F.sum("doc_id").alias("sum_ids"))
+           .orderBy("lang"))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_datasource_read(spark, sf_dir):
     """Catalyst-visible read surface (datasource.py): the encoded table
     is read back through `spark.read.format("parquet_spark")` — the
@@ -2503,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rank": q_token_rank,
         "like_prune": q_like_prune,
         "datasource_read": q_datasource_read,
+        "alter_widen": q_alter_widen,
         # r03-green band-3 facets (asof_join/range_join/time_rollup)
         # moved below the never-checked block so the 50-slot budget
         # covers every facet without a prior green row
@@ -3580,6 +3624,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents WHERE lang IN ('de', 'fr')
             GROUP BY lang ORDER BY lang""",
+        # the widened two-generation union rebuilt from raw data; the
+        # WHERE mirrors the pushed scan predicate
+        "alter_widen": """
+            WITH u AS (
+              SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, lang,
+                     CAST(n_chars + 34359738368 AS BIGINT)
+              FROM documents)
+            SELECT lang, COUNT(*) AS n_rows,
+                   CAST(SUM(v) AS BIGINT) AS sum_v,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM u WHERE v >= 100 GROUP BY lang ORDER BY lang""",
         # the DataSource V2 read path: projection + pushed filter +
         # global-dict restore must reproduce the raw-table aggregate
         "datasource_read": """

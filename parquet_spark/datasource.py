@@ -216,7 +216,7 @@ class _EncodedTableReader(DataSourceReader):
         gdicts = {c: pa.array(v, pa.string())
                   for c, v in state["gdicts"].items()}
 
-        need = ["names", "payloads", "n_rows"]
+        need = ["names", "payloads", "n_rows", "schema_ipc"]
         if zpred is not None:
             need += ["zone_cols", "zone_min_str", "zone_max_str",
                      "zone_min_num", "zone_max_num", "zone_min_dbl",
@@ -244,6 +244,8 @@ class _EncodedTableReader(DataSourceReader):
             names_col = batch.column(batch.schema.get_field_index("names"))
             pay_col = batch.column(batch.schema.get_field_index("payloads"))
             nrows_col = batch.column(batch.schema.get_field_index("n_rows"))
+            ipc_col = batch.column(
+                batch.schema.get_field_index("schema_ipc"))
             for i in range(batch.num_rows):
                 n_rows = nrows_col[i].as_py()
                 if zpred is not None:
@@ -254,16 +256,31 @@ class _EncodedTableReader(DataSourceReader):
                         continue
                 names = names_col[i].as_py()
                 pays = pay_col[i].values
+                # the chunk's own schema carries the PHYSICAL types:
+                # widened columns (alter_table `widen`) decode at their
+                # encoded width (BSS etc. parse width-sensitively),
+                # then upcast exactly — mirrors engine.decode_table
+                chunk_schema = pa.ipc.read_schema(
+                    pa.BufferReader(ipc_col[i].as_buffer()))
                 # physical->logical; None = tombstoned (dropped column)
                 keep = {}
                 for j, n in enumerate(names):
                     ln = ren.get(n, n)
                     if ln is not None:
-                        keep[ln] = memoryview(pays[j].as_buffer()).cast("B")
+                        fi = chunk_schema.get_field_index(n)
+                        keep[ln] = (
+                            memoryview(pays[j].as_buffer()).cast("B"),
+                            chunk_schema.field(fi).type if fi >= 0
+                            else None)
                 arrs = []
                 for f in phys:
-                    arr = (decode_column(keep[f.name], f.type)
-                           if f.name in keep else pa.nulls(n_rows, f.type))
+                    if f.name in keep:
+                        pay, pt = keep[f.name]
+                        arr = decode_column(pay, pt or f.type)
+                        if arr.type != f.type:
+                            arr = arr.cast(f.type)
+                    else:
+                        arr = pa.nulls(n_rows, f.type)
                     if f.name in gdicts:
                         arr = pc.take(gdicts[f.name], arr)
                     arrs.append(arr)
@@ -292,5 +309,10 @@ class EncodedTableDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Register the format with a session (idempotent)."""
+    """Register the format with a session (idempotent).  Also enables
+    Python-datasource filter pushdown (off by default in Spark 4.1;
+    runtime-settable): without it the planner REFUSES any reader that
+    implements pushFilters, and with it Catalyst feeds the WHERE clause
+    to the file/chunk pruners."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(EncodedTableDataSource)

@@ -654,6 +654,8 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
         def evolved(batches: Iterator[pa.RecordBatch]) \
                 -> Iterator[pa.RecordBatch]:
             for batch in batches:
+                ipc_col = batch.column(
+                    batch.schema.get_field_index("schema_ipc"))
                 names_col = batch.column(
                     batch.schema.get_field_index("names"))
                 pay_col = batch.column(
@@ -665,6 +667,13 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
                 for i in range(batch.num_rows):
                     names = names_col[i].as_py()
                     pays = pay_col[i].values
+                    # the chunk's OWN schema carries the physical types:
+                    # type-widened columns (alter_table `widen`) must
+                    # decode at their ENCODED width — several codecs
+                    # (BSS byte-stream-split foremost) parse payloads
+                    # width-sensitively — and upcast afterwards
+                    chunk_schema = pa.ipc.read_schema(
+                        pa.BufferReader(ipc_col[i].as_buffer()))
                     # physical -> logical; None = tombstoned (dropped):
                     # skipped without decompression, like any column
                     # outside the projection
@@ -672,11 +681,22 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
                     for j, n in enumerate(names):
                         ln = ren.get(n, n)
                         if ln is not None:
-                            keep[ln] = memoryview(
-                                pays[j].as_buffer()).cast("B")
+                            fi = chunk_schema.get_field_index(n)
+                            keep[ln] = (
+                                memoryview(pays[j].as_buffer()).cast("B"),
+                                chunk_schema.field(fi).type
+                                if fi >= 0 else None)
                     n_rows = nrows_col[i].as_py()
-                    arrs = [decode_column(keep[f.name], f.type)
-                            if f.name in keep
+
+                    def dec(f):
+                        pay, pt = keep[f.name]
+                        arr = decode_column(pay, pt or f.type)
+                        # exact widening (int32->int64, float->double);
+                        # safe cast raises on anything lossy
+                        return arr if arr.type == f.type \
+                            else arr.cast(f.type)
+
+                    arrs = [dec(f) if f.name in keep
                             else pa.nulls(n_rows, f.type)
                             for f in data_fields]
                     if with_part_id:

@@ -1598,10 +1598,25 @@ def rewrite_table(spark: SparkSession, table_path: str,
     return table.commit(parts, None, parent, meta=meta)
 
 
+_INT_WIDTH = {pa.int8(): 8, pa.int16(): 16, pa.int32(): 32,
+              pa.int64(): 64}
+
+
+def _is_legal_widening(old: pa.DataType, new: pa.DataType) -> bool:
+    """Exact (lossless, order-preserving) type promotions only —
+    Iceberg's evolution matrix for the types this format encodes."""
+    if old.equals(new):
+        return False  # no-op "widening" is a caller bug, reject loudly
+    if old in _INT_WIDTH and new in _INT_WIDTH:
+        return _INT_WIDTH[old] < _INT_WIDTH[new]
+    return old.equals(pa.float32()) and new.equals(pa.float64())
+
+
 def alter_table(table_path: str,
                 add: list[tuple] | None = None,
                 drop: list[str] | None = None,
                 rename: dict[str, str] | None = None,
+                widen: dict[str, "pa.DataType | str"] | None = None,
                 backend: CommitBackend | None = None) -> dict:
     """Metadata-only schema evolution (the Iceberg ALTER TABLE analog):
     add nullable columns, drop columns, and rename columns by
@@ -1616,6 +1631,19 @@ def alter_table(table_path: str,
       them WITHOUT decompression.
     - `rename`: {old: new}.  Old parts keep their physical column
       names; a persisted physical->logical map translates at decode.
+    - `widen`: {col: wider_type} — Iceberg-parity type promotion
+      (int8/16/32 -> any wider signed int, float32 -> float64), also
+      metadata-only: the snapshot schema changes, old chunks keep their
+      encoded payloads, and the evolution decoder decodes each chunk at
+      its OWN physical width (several codecs — BSS byte-stream-split
+      foremost — parse payloads width-sensitively) before an exact
+      upcast.  Narrowing or cross-family changes raise.  Appends after
+      the widen must supply the widened type.  Layout-key columns
+      cannot be widened: part placement hashes the key's BYTES, so the
+      same value would land in a different part after promotion,
+      breaking the placement invariants upsert/resume rely on —
+      recluster first.  Global-dict columns hold dictionary ids
+      physically; widening the VALUE type is meaningless there.
 
     Mechanics: the snapshot's `meta["renames"]` maps chunk-PHYSICAL
     names to current LOGICAL names (value None = tombstoned drop); its
@@ -1644,8 +1672,9 @@ def alter_table(table_path: str,
     add = list(add or [])
     drop = list(drop or [])
     rename = dict(rename or {})
-    if not (add or drop or rename):
-        raise ValueError("nothing to alter: pass add/drop/rename")
+    widen = dict(widen or {})
+    if not (add or drop or rename or widen):
+        raise ValueError("nothing to alter: pass add/drop/rename/widen")
     if set(drop) & set(rename):
         raise ValueError(f"columns {sorted(set(drop) & set(rename))} "
                          "both dropped and renamed in one alter")
@@ -1734,6 +1763,32 @@ def alter_table(table_path: str,
     for name, typ in add:
         typ = pa.type_for_alias(typ) if isinstance(typ, str) else typ
         fields.append(pa.field(name, typ, nullable=True))
+    if widen:
+        current = {f.name: f for f in fields}
+        for col, typ in widen.items():
+            typ = pa.type_for_alias(typ) if isinstance(typ, str) else typ
+            if col not in current:
+                raise KeyError(f"column {col!r} not in table schema "
+                               f"{sorted(current)}")
+            if col in keycols:
+                raise ValueError(
+                    f"{col!r} is a layout key column: part placement "
+                    "hashes its bytes, so widening would re-place the "
+                    "same value — recluster_table first")
+            if col in gd:
+                raise ValueError(
+                    f"{col!r} is a global-dict column (stored as "
+                    "dictionary ids); its value type has no physical "
+                    "width to widen")
+            if not _is_legal_widening(current[col].type, typ):
+                raise ValueError(
+                    f"cannot widen {col!r} from {current[col].type} to "
+                    f"{typ}: only exact promotions are allowed "
+                    "(int8/16/32 -> wider signed int, float -> double); "
+                    "narrowing or cross-family changes need a full "
+                    "rewrite (read_decoded -> write_encoded)")
+            fields = [pa.field(col, typ, f.nullable, f.metadata)
+                      if f.name == col else f for f in fields]
     if not fields:
         raise ValueError("alter would drop every column")
     meta["renames"] = ren

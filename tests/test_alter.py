@@ -191,3 +191,92 @@ def test_append_after_global_dict_rename(spark):
     # value predicates translate across BOTH physical generations
     got = scan_table(spark, tbl, [("language", "=", "de")])
     assert got.count() == 2 * d.where(F.col("lang") == "de").count()
+
+
+# ---------------------------------------------------------------- widening
+
+@pytest.mark.spark
+def test_widen_int_and_float_metadata_only(spark):
+    """int32->int64 and float32->float64 promotion: snapshot schema
+    changes, zero data files touched, old chunks decode at their
+    encoded width and upcast exactly."""
+    import pyarrow as pa
+    d = (_docs(spark)
+         .withColumn("small", F.col("n_chars").cast("int"))
+         .withColumn("ratio", (F.col("n_chars") / 1000).cast("float")))
+    tbl = tempfile.mkdtemp(prefix="alter_widen_")
+    write_encoded(d, tbl, key=["doc_id"], n_parts=2, rows_per_chunk=64)
+    t = EncodedTable(tbl)
+    files_before = sorted(t.data_files())
+    assert t.schema().field("small").type == pa.int32()
+    assert t.schema().field("ratio").type == pa.float32()
+    alter_table(tbl, widen={"small": "int64", "ratio": "float64"})
+    t = EncodedTable(tbl)
+    assert t.schema().field("small").type == pa.int64()
+    assert t.schema().field("ratio").type == pa.float64()
+    assert sorted(t.data_files()) == files_before  # metadata-only
+    dec = read_decoded(spark, tbl)
+    assert dict(dec.dtypes)["small"] == "bigint"
+    assert dict(dec.dtypes)["ratio"] == "double"
+    exp = (d.withColumn("small", F.col("small").cast("bigint"))
+           .withColumn("ratio", F.col("ratio").cast("double")))
+    assert dec.exceptAll(exp).count() == 0 and dec.count() == exp.count()
+
+
+@pytest.mark.spark
+def test_widen_then_append_wide_values(spark):
+    """Post-widen appends store the wide type physically; a value that
+    only fits the widened type round-trips next to old narrow chunks."""
+    d = _docs(spark).withColumn("v", F.col("n_chars").cast("int"))
+    tbl = tempfile.mkdtemp(prefix="alter_widen_app_")
+    write_encoded(d, tbl, key=["doc_id"], n_parts=2, rows_per_chunk=64)
+    alter_table(tbl, widen={"v": "int64"})
+    big = 2**40
+    d2 = (d.withColumn("doc_id", F.col("doc_id") + 10_000)
+          .withColumn("v", (F.col("doc_id") + big).cast("bigint")))
+    write_encoded(d2, tbl, key=["doc_id"], n_parts=2, rows_per_chunk=64,
+                  part_offset=2)
+    dec = read_decoded(spark, tbl)
+    assert dec.count() == 2 * d.count()
+    assert dec.where(F.col("v") >= big).count() == d.count()
+    # zone pruning on the widened column still bites and stays exact
+    got = scan_table(spark, tbl, [("v", big, None)])
+    assert got.count() == d.count()
+
+
+@pytest.mark.spark
+def test_widen_rejects_illegal(spark):
+    d = (_docs(spark)
+         .withColumn("small", F.col("n_chars").cast("int")))
+    tbl = tempfile.mkdtemp(prefix="alter_widen_bad_")
+    write_encoded(d, tbl, key=["doc_id"], n_parts=2,
+                  global_dict_cols=["lang"])
+    with pytest.raises(ValueError, match="widen"):
+        alter_table(tbl, widen={"n_chars": "int32"})     # narrowing
+    with pytest.raises(ValueError, match="widen"):
+        alter_table(tbl, widen={"text": "int64"})        # cross-family
+    with pytest.raises(ValueError, match="widen"):
+        alter_table(tbl, widen={"small": "int32"})       # no-op
+    with pytest.raises(ValueError, match="layout key"):
+        alter_table(tbl, widen={"doc_id": "int64"})      # key column
+    with pytest.raises(ValueError, match="global-dict"):
+        alter_table(tbl, widen={"lang": "int64"})        # dict column
+    with pytest.raises(KeyError):
+        alter_table(tbl, widen={"nope": "int64"})
+
+
+@pytest.mark.spark
+def test_widen_visible_through_datasource(spark):
+    """The DataSource V2 reader decodes widened tables with the same
+    chunk-physical-width rule."""
+    from parquet_spark.datasource import register
+    d = _docs(spark).withColumn("ratio",
+                                (F.col("n_chars") / 1000).cast("float"))
+    tbl = tempfile.mkdtemp(prefix="alter_widen_ds_")
+    write_encoded(d, tbl, key=["doc_id"], n_parts=2)
+    alter_table(tbl, widen={"ratio": "float64"})
+    register(spark)
+    df = spark.read.format("parquet_spark").load(tbl)
+    assert dict(df.dtypes)["ratio"] == "double"
+    exp = d.withColumn("ratio", F.col("ratio").cast("double"))
+    assert df.exceptAll(exp).count() == 0 and df.count() == exp.count()
