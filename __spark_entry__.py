@@ -1838,6 +1838,26 @@ def q_media_features(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def q_png_features(spark, sf_dir):
+    """REAL PNG decode (multimodal.parse_png: stdlib-zlib inflate +
+    pure-numpy reverse filtering, CRC-verified chunks): byte-valid
+    deterministic PNGs are synthesized per doc with the scanline filter
+    type CYCLING 0..4 by row — every reverse-filter path (None/Sub/Up/
+    Average/Paeth) participates in every image — then parsed and
+    reduced to exact per-channel means.  The oracle recomputes the
+    means from the closed-form raster formula, so one flipped byte
+    anywhere in deflate/unfilter fails the hash."""
+    from parquet_spark.textops.multimodal import (image_features,
+                                                  synth_png_df)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 16) \
+        .select("doc_id")
+    blobs = synth_png_df(d, "doc_id", width=8, height=8)
+    feats = image_features(blobs, "media_id", "blob")
+    return (feats.select("media_id", "width", "height",
+                         "mean_r", "mean_g", "mean_b")
+            .orderBy("media_id"))
+
+
 def q_hierarchy_rows(spark, sf_dir):
     """O20 run-tree row identity: deterministic md5 guids over natural
     keys with parent links (the reference's ResultName/Guid/Parent/
@@ -2547,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "like_prune": q_like_prune,
         "datasource_read": q_datasource_read,
         "alter_widen": q_alter_widen,
+        "png_features": q_png_features,
         # r03-green band-3 facets (asof_join/range_join/time_rollup)
         # moved below the never-checked block so the 50-slot budget
         # covers every facet without a prior green row
@@ -4056,6 +4077,21 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_g,
                    list_sum(list_transform(range(0, 16),
                        j -> CAST((doc_id * 16 + j * 3 + 2) % 256 AS DOUBLE))) / 16
+                       AS mean_b
+            FROM documents WHERE doc_id < 16 ORDER BY media_id""",
+        # PNG raster byte j = (doc_id*16 + j) % 256 over an 8x8 RGB
+        # image (192 bytes, 64 px/channel) — the decode path must
+        # reproduce these exact means through deflate + unfiltering
+        "png_features": """
+            SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+                   list_sum(list_transform(range(0, 64),
+                       j -> CAST((doc_id * 16 + j * 3) % 256 AS DOUBLE))) / 64
+                       AS mean_r,
+                   list_sum(list_transform(range(0, 64),
+                       j -> CAST((doc_id * 16 + j * 3 + 1) % 256 AS DOUBLE))) / 64
+                       AS mean_g,
+                   list_sum(list_transform(range(0, 64),
+                       j -> CAST((doc_id * 16 + j * 3 + 2) % 256 AS DOUBLE))) / 64
                        AS mean_b
             FROM documents WHERE doc_id < 16 ORDER BY media_id""",
         "hierarchy_rows": """

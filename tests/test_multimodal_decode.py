@@ -64,8 +64,12 @@ def test_bmp_roundtrip(bpp, top_down):
 
 def test_decode_pixels_dispatch_and_unknown_magic():
     assert decode_pixels(synth_ppm(1)).shape == (4, 4, 3)
-    with pytest.raises(NotImplementedError):
+    # PNG is decoded for real now; a truncated body is a ValueError
+    with pytest.raises(ValueError):
         decode_pixels(b"\x89PNG\r\n\x1a\n....")
+    # JPEG stays honestly unsupported (no image library in-container)
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 def test_decode_image_real_feature_vector():
@@ -142,3 +146,88 @@ def test_wav_rejects_non_pcm():
     from parquet_spark.textops.multimodal import parse_wav
     with pytest.raises(ValueError):
         parse_wav(b"OggS" + b"\x00" * 64)
+
+
+# ------------------------------------------------------------------- PNG
+
+def test_png_roundtrip_all_color_types_and_filters():
+    """synth_png cycles filter types 0..4 by row, so any odd-height
+    image exercises every reverse-filter path; all four non-palette
+    color types and non-square shapes round-trip byte-exactly."""
+    from parquet_spark.textops.multimodal import parse_png, synth_png
+    for ct, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        for w, h in [(8, 8), (5, 11), (1, 1), (16, 3)]:
+            px = parse_png(synth_png(9, w, h, ct))
+            j = np.arange(h * w * ch, dtype=np.int64)
+            exp = ((9 * 16 + j) % 256).astype(np.uint8).reshape(h, w, ch)
+            assert np.array_equal(px, exp), (ct, w, h)
+
+
+def test_png_palette_and_rgb_normalization():
+    import zlib
+
+    from parquet_spark.textops.multimodal import decode_pixels, parse_png
+
+    def chunk(t, d):
+        return (len(d).to_bytes(4, "big") + t + d
+                + zlib.crc32(t + d).to_bytes(4, "big"))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = ((3).to_bytes(4, "big") + (2).to_bytes(4, "big")
+            + bytes([8, 3, 0, 0, 0]))
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    idat = zlib.compress(bytes([0, 0, 1, 0]) + bytes([0, 1, 0, 1]))
+    blob = (sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    px = parse_png(blob)
+    assert px.shape == (2, 3, 3) and tuple(px[0, 1]) == (0, 255, 0)
+    # decode_pixels normalizes gray/alpha variants to HxWx3
+    from parquet_spark.textops.multimodal import synth_png
+    for ct in (0, 2, 4, 6):
+        assert decode_pixels(synth_png(3, 4, 4, ct)).shape == (4, 4, 3)
+
+
+def test_png_rejects_corruption_and_unsupported():
+    from parquet_spark.textops.multimodal import parse_png, synth_png
+    bad = bytearray(synth_png(5))
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(bad))
+    with pytest.raises(ValueError):
+        parse_png(b"\x89PNG\r\n\x1a\nnot-chunks")
+    # 16-bit depth: honest NotImplementedError, not silent garbage
+    import zlib
+
+    def chunk(t, d):
+        return (len(d).to_bytes(4, "big") + t + d
+                + zlib.crc32(t + d).to_bytes(4, "big"))
+
+    ihdr = ((1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + bytes([16, 0, 0, 0, 0]))
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="depth"):
+        parse_png(blob)
+
+
+def test_png_spark_feature_path(spark):
+    """synth_png_df -> image_features over mapInPandas: exact integer
+    means from the closed-form raster."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parquet_spark.textops.multimodal import (image_features,
+                                                  synth_png_df)
+    d = spark.range(6).select(F.col("id").alias("doc_id"))
+    feats = image_features(synth_png_df(d, "doc_id", 8, 8), "media_id",
+                           "blob")
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 6
+    for mid, r in rows.items():
+        j = np.arange(192, dtype=np.int64)
+        raster = (mid * 16 + j) % 256
+        assert r.width == 8 and r.height == 8
+        assert r.mean_r == raster[0::3].sum() / 64
+        assert r.mean_g == raster[1::3].sum() / 64
+        assert r.mean_b == raster[2::3].sum() / 64
