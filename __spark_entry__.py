@@ -833,6 +833,43 @@ def q_dict_pruned_scan(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_auto_tuned_write(spark, sf_dir):
+    """Stats-driven auto-tuned write (write_encoded(auto_tune=True)
+    consuming stats.suggest_write_options): one bounded analyze_df
+    sampling pass picks the layout key (highest-ndv int column ->
+    doc_id) and the global-dict columns (strings clearing the ndv
+    gate -> lang, source) with no caller hints.  The facet asserts the
+    suggestions reached the FORMAT (dict ids stored as ints, doc_id
+    key), then answers a value-space dict-pruned scan whose aggregate
+    DuckDB recomputes from raw data — proof the tuned table both
+    round-trips and prunes."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from parquet_spark.manifest import (EncodedTable, scan_table,
+                                        write_encoded)
+    d = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="entry_autotune_")
+    write_encoded(d, path, n_parts=4, auto_tune=True)
+    t = EncodedTable(path)
+    lay = t.meta()["layout"]
+    assert lay["key"] == ["doc_id"], lay
+    assert "lang" in (lay.get("global_dict_cols") or []), lay
+    assert pa.types.is_integer(t.schema().field("lang").type)
+    out = (scan_table(spark, path, [("lang", "in", ["de", "en"]),
+                                    ("doc_id", None, 3999)])
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.sum("n_chars").alias("sum_chars"))
+           .orderBy("lang"))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_alter_widen(spark, sf_dir):
     """Metadata-only type widening (alter_table `widen`, Iceberg's
     int->long / float->double promotion matrix): a column written as
@@ -2568,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_read": q_datasource_read,
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
+        "auto_tuned_write": q_auto_tuned_write,
         # r03-green band-3 facets (asof_join/range_join/time_rollup)
         # moved below the never-checked block so the 50-slot budget
         # covers every facet without a prior green row
@@ -3644,6 +3682,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents WHERE lang IN ('de', 'fr')
+            GROUP BY lang ORDER BY lang""",
+        # the auto-tuned table's pruned scan vs the raw table
+        "auto_tuned_write": """
+            SELECT lang, COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE lang IN ('de', 'en') AND doc_id <= 3999
             GROUP BY lang ORDER BY lang""",
         # the widened two-generation union rebuilt from raw data; the
         # WHERE mirrors the pushed scan predicate

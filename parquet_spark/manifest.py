@@ -669,6 +669,7 @@ def write_encoded(df: DataFrame, table_path: str,
                   mode: str = "hash",
                   replace: bool = False,
                   branch: str | None = None,
+                  auto_tune: "bool | int" = False,
                   backend: CommitBackend | None = None) -> dict:
     """Encode df into the table, committing a new snapshot. Resumable.
 
@@ -723,7 +724,18 @@ def write_encoded(df: DataFrame, table_path: str,
     application join is an explicit broadcast (the big side never
     shuffles); on RESUME the committed dictionary is reused and new
     values it lacks fail loudly (silently null-ing them would lose
-    data)."""
+    data).
+
+    `auto_tune` (stats-driven writes): profile a bounded sample of df
+    with :func:`stats.analyze_df` and adopt
+    :func:`stats.suggest_write_options`'s picks for whichever of
+    `key` / `global_dict_cols` the caller left unset — explicit
+    arguments always win.  True caps the profiling pass at 65536 rows
+    via limit(); pass an int to size the cap yourself (limit() reads
+    the plan's head, so feed a bigger cap or pre-shuffled input when
+    the head is unrepresentative).  On RESUME/append the committed
+    layout governs instead — nothing is re-analyzed, so a sample that
+    would disagree with the first commit cannot refuse the append."""
     from .codecs.column import validate_block_codec
     validate_block_codec(block_codec)
     spark = df.sparkSession
@@ -749,6 +761,24 @@ def write_encoded(df: DataFrame, table_path: str,
     # dictionaries and deletes all restart in the new epoch
     pmeta = {} if replace or parent is None else (parent.get("meta") or {})
 
+    if auto_tune:
+        committed_layout = None if replace else _layout_of(parent)
+        if committed_layout is None:
+            cap = 65536 if auto_tune is True else int(auto_tune)
+            from .stats import analyze_df, suggest_write_options
+            sug = suggest_write_options(analyze_df(df.limit(cap)))
+            if key is None and sug.get("key"):
+                key = sug["key"]
+            if global_dict_cols is None and sug.get("global_dict_cols"):
+                global_dict_cols = sug["global_dict_cols"]
+        else:
+            # resume: committed choices ARE the tuning; re-deriving
+            # from a fresh sample could disagree and refuse the append
+            if key is None:
+                key = committed_layout.get("key")
+            if global_dict_cols is None:
+                global_dict_cols = committed_layout.get(
+                    "global_dict_cols") or None
     key = key or [df.columns[0]]
     n_parts = n_parts or spark.sparkContext.defaultParallelism
     if mode not in ("hash", "range", "zorder"):

@@ -440,3 +440,43 @@ def test_vacuum_sweeps_crashed_tmp_sidecar(spark):
     assert crash in removed and not os.path.exists(crash)
     assert os.path.exists(alien)
     assert table_stats(path)["n_rows"] == 50  # live sidecar kept
+
+
+# --------------------------------------------------- stats-driven writes
+
+@pytest.mark.spark
+def test_write_encoded_auto_tune_applies_suggestions(spark):
+    """auto_tune=True profiles a bounded sample and adopts the
+    suggested key + global-dict columns; explicit args still win;
+    resume appends reuse the committed tuning."""
+    import tempfile
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from parquet_spark.manifest import (EncodedTable, read_decoded,
+                                        write_encoded)
+    d = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+         .select("doc_id", "lang", "source", "n_chars", "text"))
+    path = tempfile.mkdtemp(prefix="auto_tune_")
+    write_encoded(d, path, n_parts=2, auto_tune=True)
+    t = EncodedTable(path)
+    lay = (t.meta().get("layout") or {})
+    assert lay["key"] == ["doc_id"]          # highest-ndv int column
+    gcols = set(lay.get("global_dict_cols") or [])
+    assert "lang" in gcols and "source" in gcols and "text" not in gcols
+    # the suggestion actually reached the format: ids stored as ints
+    assert pa.types.is_integer(t.schema().field("lang").type)
+    dec = read_decoded(spark, path)
+    assert dec.exceptAll(d).count() == 0 and dec.count() == d.count()
+    # resume append: committed tuning governs, no refusal
+    d2 = d.withColumn("doc_id", F.col("doc_id") + 10_000)
+    write_encoded(d2, path, n_parts=2, part_offset=2, auto_tune=True)
+    assert read_decoded(spark, path).count() == 2 * d.count()
+    # explicit args beat the advisor
+    path2 = tempfile.mkdtemp(prefix="auto_tune_explicit_")
+    write_encoded(d, path2, key=["n_chars"], n_parts=2, auto_tune=True,
+                  global_dict_cols=["source"])
+    lay2 = EncodedTable(path2).meta()["layout"]
+    assert lay2["key"] == ["n_chars"]
+    assert lay2.get("global_dict_cols") == ["source"]
