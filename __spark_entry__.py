@@ -2518,97 +2518,40 @@ def q_time_travel(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Facet order is deliberate: the driver's correctness gate checks
     roughly the FIRST 50 entries per round, so the queue is priority-
-    ordered, cheapest-first within each band —
+    ordered for round 5 —
 
-      0. facets new in session 4 (exact_quantiles, heavy_hitters,
-         analyze_stats, analyze_incremental, warc_roundtrip) — never
-         checked anywhere; the facets they
-         displace past slot 50 (in_prune, dict_pruned_scan,
-         time_rollup, moved below the never-checked block) are
-         r03-green, so the consecutive-round union still covers
-         everything (invariant re-verified after each addition:
-         zero never-checked facets past slot 50; the 50-slot budget
-         is now exactly saturated with never-checked facets),
-      1. facets never driver-checked or whose r03 row is stale
-         (the 12 past r03's cutoff: global-dict format wiring,
-         rechunk compaction, relocation, the multi-batch streaming
-         dedup rewrite, plus the 8 r02-green encode/roundtrip facets),
-      2. facets NEW or changed in round 4 (codecs: BSS/ALP/prefix/
-         struct; layouts: zorder/range file pruning, recluster, refs,
-         time travel; mutations: deletes/upsert; curation; schema
-         evolution, LIKE-prefix pushdown, line dedup, WAP publish,
-         count/minmax pushdown, domain mixtures; session-3 additions:
-         checkpointed-encode resume, inverted token index search +
-         rank, gap_fill + linear interp, KMV distinct sketch) — every
-         facet without a prior green row sits inside the first 50
-         slots (45 of 50 as of session 3; verified by the coverage
-         check in the repo history),
-      3. long-green facets with untouched code, with the most-
-         established micro-facets last — those are the safe ones to
-         fall past a 50-slot budget; the union of consecutive rounds
-         covers all facets.
+      0. facets NEW in session 5, never driver-checked (datasource_read,
+         alter_widen, png_features, auto_tuned_write);
+      1. facets whose ORACLE MEASURE changed this session and therefore
+         need a fresh driver row: gap_fill (r04 hash FAIL — the
+         ROUND-at-representation-tie measure was replaced by the
+         bit-portable FLOOR quantization, see
+         tests/test_oracle_portability.py) and explode_pad (same
+         tie-free rewrite applied preemptively);
+      2. the 44 highest-value members of the r03-checked pool — their
+         latest driver row is two rounds old, so re-checking them keeps
+         the staleness invariant (`no facet's latest row older than two
+         rounds`) for everything except five multi-round-green
+         micro-facets (dict_gate, run_length_lang, for_bitpack_width,
+         merge_union_nullfill, scalar_broadcast) that don't fit in the
+         50-slot budget; those five are one-expression facets green in
+         r01/r02/r03 with untouched code — the safest possible residue;
+      3. the r04-green band (checked last round, code unchanged) at the
+         back, followed by the five-facet micro residue.
+
+    Invariant (scripts/check_budget.py): zero never-checked facets past
+    slot 50, and the union of consecutive rounds covers all facets.
     """
     return {
-        # -- band 0: new this session, never checked --------------------
-        "exact_quantiles": q_exact_quantiles,
-        "heavy_hitters": q_heavy_hitters,
-        "analyze_stats": q_analyze_stats,
-        "analyze_incremental": q_analyze_incremental,
-        "warc_roundtrip": q_warc_roundtrip,
-        # -- band 1: never-checked (r03 cutoff) -------------------------
-        "hierarchy_rows": q_hierarchy_rows,
-        "codec_selection": q_codec_selection,
-        "media_features": q_media_features,
-        "audio_features": q_audio_features,
-        "route_encoded": q_route_encoded,
-        "splits_lineage": q_splits_lineage,
-        "roundtrip_documents": q_roundtrip_documents,
-        "global_dict_roundtrip": q_global_dict_roundtrip,
-        "relocate_range": q_relocate_range,
-        "compact_rechunk": q_compact_rechunk,
-        "checkpoint_resume": q_checkpoint_resume,
-        "corpus_encode": q_corpus_encode,
-        "streaming_dedup": q_streaming_dedup,
-        # -- band 2: new or changed since the r03 run --------------------
-        "bss_roundtrip": q_bss_roundtrip,
-        "alp_roundtrip": q_alp_roundtrip,
-        "prefix_roundtrip": q_prefix_roundtrip,
-        "incremental_read": q_incremental_read,
-        "meta_agg": q_meta_agg,
-        "zorder_prune": q_zorder_prune,
-        "struct_roundtrip": q_struct_roundtrip,
-        "range_file_prune": q_range_file_prune,
-        "decontamination": q_decontamination,
-        "pii_scrub": q_pii_scrub,
-        "pack_sequences": q_pack_sequences,
-        "time_travel": q_time_travel,
-        "zone_prune_dbl": q_zone_prune_dbl,
-        "bloom_prune": q_bloom_prune,
-        "null_prune": q_null_prune,
-        "row_deletes": q_row_deletes,
-        "upsert": q_upsert,
-        "recluster_scan": q_recluster_scan,
-        "ref_pinned_read": q_ref_pinned_read,
-        "gap_fill": q_gap_fill,
-        "gap_fill_interp": q_gap_fill_interp,
-        "kmv_ndv": q_kmv_ndv,
-        "alter_columns": q_alter_columns,
-        "wap_publish": q_wap_publish,
-        "count_pushdown": q_count_pushdown,
-        "minmax_pushdown": q_minmax_pushdown,
-        "domain_mixture": q_domain_mixture,
-        "domain_mixture_tokens": q_domain_mixture_tokens,
-        "line_dedup": q_line_dedup,
-        "token_search": q_token_search,
-        "token_rank": q_token_rank,
-        "like_prune": q_like_prune,
+        # -- band 0: new in session 5, never checked --------------------
         "datasource_read": q_datasource_read,
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
-        # r03-green band-3 facets (asof_join/range_join/time_rollup)
-        # moved below the never-checked block so the 50-slot budget
-        # covers every facet without a prior green row
+        # -- band 1: oracle measure changed in session 5 ----------------
+        "gap_fill": q_gap_fill,
+        "explode_pad": q_explode_pad,
+        # -- band 2: r03-checked pool due for re-check (staleness) ------
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -2622,7 +2565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "pq_topk": q_pq_topk,
         "pq_recall": q_pq_recall,
-        # -- band 3: green in r03, code unchanged ------------------------
         "schema_evolution": q_schema_evolution,
         "zone_prune_ts": q_zone_prune_ts,
         "zone_prune_multi": q_zone_prune_multi,
@@ -2648,19 +2590,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "pipeline_curation": q_pipeline_curation,
         "streaming_window_stats": q_streaming_window_stats,
-        # -- band 3 tail: multi-round green micro-facets (safe to fall
-        # past the driver's ~50-slot budget; re-front-loaded next round) --
         "zone_prune": q_zone_prune,
         "salted_counts_source": q_salted_counts_source,
         "chunk_partition_stats": q_chunk_partition_stats,
         "token_counts": q_token_counts,
         "rolling_fp": q_rolling_fp,
         "fingerprint": q_fingerprint,
+        # -- band 3: green in r04, code unchanged (re-check pool for a
+        # hypothetical r06) ---------------------------------------------
+        "exact_quantiles": q_exact_quantiles,
+        "heavy_hitters": q_heavy_hitters,
+        "analyze_stats": q_analyze_stats,
+        "analyze_incremental": q_analyze_incremental,
+        "warc_roundtrip": q_warc_roundtrip,
+        "hierarchy_rows": q_hierarchy_rows,
+        "codec_selection": q_codec_selection,
+        "media_features": q_media_features,
+        "audio_features": q_audio_features,
+        "route_encoded": q_route_encoded,
+        "splits_lineage": q_splits_lineage,
+        "roundtrip_documents": q_roundtrip_documents,
+        "global_dict_roundtrip": q_global_dict_roundtrip,
+        "relocate_range": q_relocate_range,
+        "compact_rechunk": q_compact_rechunk,
+        "checkpoint_resume": q_checkpoint_resume,
+        "corpus_encode": q_corpus_encode,
+        "streaming_dedup": q_streaming_dedup,
+        "bss_roundtrip": q_bss_roundtrip,
+        "alp_roundtrip": q_alp_roundtrip,
+        "prefix_roundtrip": q_prefix_roundtrip,
+        "incremental_read": q_incremental_read,
+        "meta_agg": q_meta_agg,
+        "zorder_prune": q_zorder_prune,
+        "struct_roundtrip": q_struct_roundtrip,
+        "range_file_prune": q_range_file_prune,
+        "decontamination": q_decontamination,
+        "pii_scrub": q_pii_scrub,
+        "pack_sequences": q_pack_sequences,
+        "time_travel": q_time_travel,
+        "zone_prune_dbl": q_zone_prune_dbl,
+        "bloom_prune": q_bloom_prune,
+        "null_prune": q_null_prune,
+        "row_deletes": q_row_deletes,
+        "upsert": q_upsert,
+        "recluster_scan": q_recluster_scan,
+        "ref_pinned_read": q_ref_pinned_read,
+        "gap_fill_interp": q_gap_fill_interp,
+        "kmv_ndv": q_kmv_ndv,
+        "alter_columns": q_alter_columns,
+        "wap_publish": q_wap_publish,
+        "count_pushdown": q_count_pushdown,
+        "minmax_pushdown": q_minmax_pushdown,
+        "domain_mixture": q_domain_mixture,
+        "domain_mixture_tokens": q_domain_mixture_tokens,
+        "line_dedup": q_line_dedup,
+        "token_search": q_token_search,
+        "token_rank": q_token_rank,
+        "like_prune": q_like_prune,
+        # -- tail: multi-round green micro-facets (r01/r02/r03 green,
+        # untouched one-expression facets — the safe staleness residue) --
         "dict_gate": q_dict_gate,
         "run_length_lang": q_run_length_lang,
         "for_bitpack_width": q_for_bitpack_width,
         "merge_union_nullfill": q_merge_union_nullfill,
-        "explode_pad": q_explode_pad,
         "scalar_broadcast": q_scalar_broadcast,
     }
 
