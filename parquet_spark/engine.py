@@ -631,7 +631,7 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
     add_column), and chunk columns outside `schema` are skipped without
     decompression (metadata-only drop_column).  `schema` is then
     REQUIRED and must carry the evolved logical names/types."""
-    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
     if renames is not None and schema is None:
         raise ValueError("the schema-evolution decoder needs the "
                          "snapshot's evolved schema")
@@ -644,6 +644,19 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
     if with_part_id:
         schema = schema.append(pa.field("_part_id", pa.int64()))
     spark_schema = from_arrow_schema(schema)
+    # Conform decoded batches to the Arrow schema Spark EXPECTS for the
+    # declared types (timestamp[us, tz=UTC] for TIMESTAMP).  Stored
+    # tz-NAIVE timestamps otherwise reach Spark as naive arrays, which
+    # mapInArrow ingestion localizes by spark.sql.session.timeZone —
+    # silently shifting every value under a non-UTC session.  The
+    # naive->tz=UTC Arrow cast is metadata-only (int64 micros unchanged,
+    # interpreted as UTC — the zone-domain convention), so decode is
+    # session-timezone-independent and effectively free.
+    _expect = to_arrow_schema(spark_schema)
+
+    def _conform(b: pa.RecordBatch) -> pa.RecordBatch:
+        return b if b.schema.equals(_expect) else b.cast(_expect)
+
     want = columns
 
     if renames is not None:
@@ -702,8 +715,8 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
                     if with_part_id:
                         arrs.append(pa.array(np.full(
                             n_rows, pid_col[i].as_py(), dtype=np.int64)))
-                    yield pa.RecordBatch.from_arrays(arrs,
-                                                     schema=out_schema)
+                    yield _conform(pa.RecordBatch.from_arrays(
+                        arrs, schema=out_schema))
 
         return enc_df.mapInArrow(evolved, spark_schema)
 
@@ -740,7 +753,7 @@ def decode_table(enc_df: DataFrame, schema: pa.Schema | None = None,
                         schema=pa.schema([*out.schema,
                                           pa.field("_part_id",
                                                    pa.int64())]))
-                yield out
+                yield _conform(out)
 
     return enc_df.mapInArrow(decoder, spark_schema)
 

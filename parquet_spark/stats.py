@@ -87,10 +87,15 @@ def exact_quantiles(spark: SparkSession, table_path: str, col: str,
             f"{col!r} has zone bounds of type {type(mn).__name__}")
     # timestamp columns: the zone domain (and minmax_where) is
     # epoch-MICROSECONDS int64, but a Spark long-cast of a timestamp
-    # yields SECONDS — extract with unix_micros so the scan-side value
-    # lives in the same domain as the [mn, mx] bounds; results are
-    # returned in epoch-us (the zone domain, like minmax_where)
-    is_ts = _is_ts_col(table_path, col, backend, snapshot_id, ref)
+    # yields SECONDS — extract micros so the scan-side value lives in
+    # the same domain as the [mn, mx] bounds; results are returned in
+    # epoch-us (the zone domain, like minmax_where).  The extraction
+    # must match the DECODED Spark type: tz-aware Arrow timestamps
+    # decode as TIMESTAMP (LTZ, unix_micros), tz-naive ones as
+    # TIMESTAMP_NTZ, which unix_micros rejects — those use the
+    # timezone-free timestampdiff form (same branch as
+    # engine._residual_col / temporal._epoch_sec).
+    ts_kind = _ts_col_kind(table_path, col, backend, snapshot_id, ref)
 
     if max_passes is None:
         # exact pass count for this span: each pass shrinks a range's
@@ -144,8 +149,7 @@ def exact_quantiles(spark: SparkSession, table_path: str, col: str,
         dec = scan_table(spark, table_path, pred, columns=[col],
                          backend=backend, snapshot_id=snapshot_id,
                          ref=ref)
-        vexpr = (F.unix_micros(F.col(col)) if is_ts
-                 else F.col(col).cast("long"))
+        vexpr = _micros_expr(col, ts_kind)
         hist = (dec.select(vexpr.alias("_v"))
                 .select(F.expr(f"CASE {arms} END").alias("_b"))
                 .where(F.col("_b").isNotNull())
@@ -179,9 +183,12 @@ def exact_quantiles(spark: SparkSession, table_path: str, col: str,
         f"(buckets={buckets}); raise max_passes")
 
 
-def _is_ts_col(table_path, col, backend, snapshot_id, ref) -> bool:
-    """Whether `col` decodes as a timestamp (logical schema of the
-    resolved snapshot, rename-aware via the stored Arrow schema)."""
+def _ts_col_kind(table_path, col, backend, snapshot_id, ref) -> str | None:
+    """How `col` decodes on the Spark side (logical schema of the
+    resolved snapshot, rename-aware via the stored Arrow schema):
+    ``"ltz"`` for tz-aware Arrow timestamps (Spark TIMESTAMP),
+    ``"ntz"`` for tz-naive ones (Spark TIMESTAMP_NTZ), None for
+    non-timestamp columns."""
     import pyarrow as pa
 
     from .manifest import EncodedTable, _resolve_snap
@@ -189,7 +196,7 @@ def _is_ts_col(table_path, col, backend, snapshot_id, ref) -> bool:
     snap = _resolve_snap(table, snapshot_id, ref)
     sch = table.schema(snap)
     if sch is None:
-        return False
+        return None
     # the stored Arrow schema usually speaks logical names already;
     # for older parts the meta["renames"] physical->logical map is the
     # fallback (the caller always speaks logical)
@@ -198,8 +205,38 @@ def _is_ts_col(table_path, col, backend, snapshot_id, ref) -> bool:
         renames = (snap.get("meta") or {}).get("renames") or {}
         name = next((p for p, lg in renames.items() if lg == col), col)
     if name not in sch.names:
-        return False
-    return pa.types.is_timestamp(sch.field(name).type)
+        return None
+    t = sch.field(name).type
+    if not pa.types.is_timestamp(t):
+        return None
+    # mirror the DECODE path's type mapping exactly: decode_table goes
+    # through from_arrow_schema, which (with its default
+    # prefer_timestamp_ntz=False) maps BOTH naive and tz-aware Arrow
+    # timestamps to Spark TIMESTAMP (LTZ) — and the decode kernel
+    # conforms naive storage to tz=UTC arrays, so the scan-side values
+    # are UTC micros in either case.  Deriving the kind from
+    # from_arrow_schema (not from t.tz) keeps this function correct by
+    # construction if the decode mapping ever changes.
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import from_arrow_schema
+    st = from_arrow_schema(pa.schema([sch.field(name)]))[0].dataType
+    if isinstance(st, T.TimestampNTZType):
+        return "ntz"
+    return "ltz" if isinstance(st, T.TimestampType) else None
+
+
+def _micros_expr(col: str, ts_kind: str | None):
+    """Epoch-microseconds extraction matching the decoded Spark type.
+
+    unix_micros handles LTZ only; TIMESTAMP_NTZ goes through
+    timestampdiff (no timezone math — NTZ wall-clock == UTC micros by
+    the zone-domain convention, mirroring engine._residual_col)."""
+    if ts_kind == "ltz":
+        return F.unix_micros(F.col(col))
+    if ts_kind == "ntz":
+        return F.expr(f"timestampdiff(MICROSECOND, "
+                      f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`)")
+    return F.col(col).cast("long")
 
 
 def quantiles_df(spark: SparkSession, table_path: str, col: str,

@@ -300,6 +300,39 @@ def test_exact_quantiles_timestamp_epoch_us(spark):
 
 
 @pytest.mark.spark
+def test_exact_quantiles_timestamp_ntz_non_utc_session(spark):
+    """TIMESTAMP_NTZ columns (tz-naive Arrow timestamps) decode as
+    NTZ, which unix_micros rejects outright — and an implicit NTZ->LTZ
+    cast would shift by the session timezone, silently corrupting the
+    epoch-us bucket domain under any non-UTC session.  The extraction
+    must go through the timezone-free timestampdiff branch (same as
+    engine._residual_col); analyze_table must survive an NTZ table."""
+    import tempfile
+    from parquet_spark.manifest import write_encoded
+    from parquet_spark.stats import analyze_table, exact_quantiles
+    df = spark.sql("""
+        SELECT id AS rid,
+               CAST(timestamp_micros(1600000000000000 + id * 987654321)
+                    AS TIMESTAMP_NTZ) AS ts
+        FROM range(0, 300)""")
+    path = tempfile.mkdtemp(prefix="stats_ntz_")
+    write_encoded(df, path, key=["rid"], n_parts=4, mode="range",
+                  rows_per_chunk=64)
+    # the NTZ wall-clock equals the UTC micros it was cast from
+    micros = sorted(1600000000000000 + i * 987654321 for i in range(300))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/New_York")
+        got = exact_quantiles(spark, path, "ts", [0.1, 0.5, 1.0])
+        assert got == {q: _disc(micros, q) for q in (0.1, 0.5, 1.0)}
+        st = analyze_table(spark, path, quantile_qs=(0.5,), write=False)
+        assert st["cols"]["ts"]["quantiles"] == {0.5: _disc(micros, 0.5)}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+@pytest.mark.spark
 def test_analyze_df_and_vacuum_prunes_stats(spark):
     """analyze_df profiles a raw frame pre-encode; vacuum_table
     reclaims stats sidecars of snapshots expired off every reachable
