@@ -130,6 +130,16 @@ def heavy_hitters(df: DataFrame, col: str, k: int,
 
     Returns a DataFrame (``col``, ``cnt`` long) of the true heavy
     hitters.  NULLs are ignored (SQL frequency semantics).
+
+    ``df`` must be DETERMINISTIC under recomputation (standard Spark
+    lineage semantics): the candidate pass and the exact-count pass
+    each scan the input once, so a source that yields different rows
+    per scan — ``df.sample``/``rand()`` filters without a seeded
+    checkpoint, or storage mutated between the two jobs — voids the
+    no-false-negative guarantee exactly as it voids any two-action
+    Spark program.  For such inputs, materialize first
+    (``df.localCheckpoint()`` or write/reread) and pass the pinned
+    frame.
     """
     if col == "_hh_cand":
         raise ValueError("column name '_hh_cand' is reserved by "

@@ -371,6 +371,7 @@ def _finish_col(spark, table_path, c, ent, typ, quantile_qs, *,
 
 
 def analyze_incremental(spark: SparkSession, table_path: str, *,
+                        ndv_k: int | None = None,
                         quantile_qs: tuple = (0.25, 0.5, 0.75),
                         backend: CommitBackend | None = None,
                         write: bool = True) -> dict:
@@ -387,13 +388,18 @@ def analyze_incremental(spark: SparkSession, table_path: str, *,
     to stay strictly increment-sized.  The merged dict persists for
     CURRENT with an ``incremental_from`` lineage field.
 
+    ``ndv_k`` defaults to None = adopt the ancestor sidecar's k (KMV
+    sketches only merge losslessly at equal k); pass an explicit k to
+    change sketch precision — when it differs from the ancestor's, the
+    call falls back to a full re-ANALYZE at the requested k.
+
     Falls back to a FULL :func:`analyze_table` when (and records
-    ``incremental_from: None``): no ancestor has stats, the ancestor
-    stats used a different ``ndv_k`` or column subset, or the history
-    since it is not append-only (compaction / row-level deletes —
-    `read_increment` refuses to diff those).  Bounds merge compares
-    JSON-normalized values (timestamps as ISO strings), matching what
-    the sidecar stores."""
+    ``incremental_from: None``): no ancestor has stats, the requested
+    ``ndv_k`` differs from the ancestor's, the column subset changed,
+    or the history since it is not append-only (compaction / row-level
+    deletes — `read_increment` refuses to diff those).  Bounds merge
+    compares JSON-normalized values (timestamps as ISO strings),
+    matching what the sidecar stores."""
     import json
 
     from .manifest import EncodedTable, read_increment
@@ -413,8 +419,9 @@ def analyze_incremental(spark: SparkSession, table_path: str, *,
         snap = table._parent_of(snap)
 
     def _full():
+        kw = {} if ndv_k is None else {"ndv_k": ndv_k}
         st = analyze_table(spark, table_path, quantile_qs=quantile_qs,
-                           backend=backend, write=write)
+                           backend=backend, write=write, **kw)
         st["incremental_from"] = None
         return st
 
@@ -436,7 +443,11 @@ def analyze_incremental(spark: SparkSession, table_path: str, *,
         # sketched (merging would silently omit them forever): the
         # docstring's contract is a full re-ANALYZE
         return _full()
-    ndv_k = base["ndv_k"]
+    if ndv_k is not None and int(ndv_k) != int(base["ndv_k"]):
+        # KMV sketches merge losslessly only at equal k — a different
+        # requested precision needs a full re-sketch
+        return _full()
+    ndv_k = int(base["ndv_k"])
     n_new, new = _df_stats(inc.select(*names), names, ndv_k)
 
     from .sketch import kmv_estimate, kmv_merge

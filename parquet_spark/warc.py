@@ -65,14 +65,49 @@ def _parse_warc_date(s: str) -> datetime.datetime | None:
     return None
 
 
+def _resync(buf: bytes, start: int, stats: dict, from_pos: int) -> int:
+    """Scan forward from ``start`` for the next record anchor and
+    account the skipped bytes.  An anchor is ``WARC/`` followed by a
+    version-line shape (digits/dots then CRLF, e.g. ``WARC/1.0\\r\\n``)
+    — the shape check rejects a literal "WARC/" inside skipped payload
+    bytes; a surviving false anchor only fails header parsing and
+    resyncs again, strictly forward.  Returns the anchor offset, or
+    len(buf) when none remains (tail counted as truncated)."""
+    i = start
+    while True:
+        i = buf.find(b"WARC/", i)
+        if i < 0:
+            stats["truncated"] += 1
+            stats["bytes_skipped"] += len(buf) - from_pos
+            return len(buf)
+        eol = buf.find(b"\r\n", i + 5, i + 12)
+        if eol > i + 5 and \
+                all(c in b"0123456789." for c in buf[i + 5:eol]):
+            stats["resyncs"] += 1
+            stats["bytes_skipped"] += i - from_pos
+            return i
+        i += 5
+
+
 def parse_warc_records(buf: bytes, http_unwrap: bool = True,
-                       strict: bool = False) -> Iterator[dict]:
+                       strict: bool = False,
+                       stats: dict | None = None) -> Iterator[dict]:
     """Yield ``{url, warc_ts, warc_type, html, body_length}`` per
     record of one WARC archive (bytes).  Gzip (including Common
     Crawl's record-per-member framing) is sniffed and decompressed.
-    Malformed tails are skipped unless ``strict`` (a truncated upload
-    should not poison a 10^5-file ingest; fsck-style auditing is the
-    place to count them)."""
+
+    Malformed records raise under ``strict``; otherwise the parser
+    RESYNCS — it scans forward for the next ``WARC/`` line anchor so
+    one corrupt record (bad/missing Content-Length, garbage between
+    records) cannot silently drop every well-formed record after it
+    in a 10^5-file ingest.  Pass ``stats`` (a dict) to receive the
+    audit counts: ``resyncs``, ``bytes_skipped``, ``truncated``;
+    :func:`warc_audit` surfaces the same counts distributedly."""
+    if stats is None:
+        stats = {}
+    stats.setdefault("resyncs", 0)
+    stats.setdefault("bytes_skipped", 0)
+    stats.setdefault("truncated", 0)
     if buf[:2] == b"\x1f\x8b":
         buf = gzip.decompress(buf)  # multi-member streams supported
     pos, n = 0, len(buf)
@@ -85,11 +120,15 @@ def parse_warc_records(buf: bytes, http_unwrap: bool = True,
         if not buf.startswith(b"WARC/", pos):
             if strict:
                 raise ValueError(f"not a WARC record at offset {pos}")
-            return
+            pos = _resync(buf, pos, stats, pos)
+            continue
         hdr_end = buf.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
+            # no complete header remains anywhere past pos
             if strict:
                 raise ValueError("truncated WARC header")
+            stats["truncated"] += 1
+            stats["bytes_skipped"] += n - pos
             return
         headers: dict[str, str] = {}
         lines = buf[pos:hdr_end].split(b"\r\n")
@@ -103,19 +142,24 @@ def parse_warc_records(buf: bytes, http_unwrap: bool = True,
         except ValueError:
             if strict:
                 raise ValueError("WARC record without Content-Length")
-            return
+            pos = _resync(buf, hdr_end + 4, stats, pos)
+            continue
         if clen < 0:
             # a negative length would move the cursor BACKWARDS and
             # re-parse the same record forever — one crafted/corrupt
             # record must not wedge an executor
             if strict:
                 raise ValueError(f"negative Content-Length {clen}")
-            return
+            pos = _resync(buf, hdr_end + 4, stats, pos)
+            continue
         body_start = hdr_end + 4
         if body_start + clen > n:
+            # truncated archive OR a lying Content-Length: a later
+            # anchor means the length was garbage — resync to it
             if strict:
                 raise ValueError("truncated WARC payload")
-            return
+            pos = _resync(buf, body_start, stats, pos)
+            continue
         payload = buf[body_start:body_start + clen]
         pos = body_start + clen
         wtype = headers.get("warc-type", "")
@@ -169,6 +213,52 @@ def read_warc(spark: SparkSession, path: str,
                     schema=_OUT_SCHEMA)
 
     return files.mapInArrow(parse_files, _OUT_DDL)
+
+
+_AUDIT_SCHEMA = pa.schema([
+    pa.field("src_file", pa.string()),
+    pa.field("records", pa.int64()),
+    pa.field("resyncs", pa.int64()),
+    pa.field("bytes_skipped", pa.int64()),
+    pa.field("truncated", pa.int64()),
+])
+_AUDIT_DDL = ("src_file string, records bigint, resyncs bigint, "
+              "bytes_skipped bigint, truncated bigint")
+
+
+def warc_audit(spark: SparkSession, path: str) -> DataFrame:
+    """Data-loss audit for a WARC ingest: one row per archive with the
+    record count and the non-strict parser's resync/skip accounting
+    (``resyncs``, ``bytes_skipped``, ``truncated``).  Run it over the
+    same glob as :func:`read_warc` to quantify exactly what a 10^5-file
+    ingest silently skipped; an all-zero audit proves the ingest was
+    lossless.  Same parallelism unit as read_warc (one task per
+    archive via binaryFile)."""
+    files = (spark.read.format("binaryFile").load(path)
+             .select("path", "content"))
+
+    def audit_files(batches: Iterator[pa.RecordBatch]) \
+            -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            paths = batch.column(0).to_pylist()
+            blobs = batch.column(1).to_pylist()
+            rows: dict[str, list] = {f.name: [] for f in _AUDIT_SCHEMA}
+            for p, blob in zip(paths, blobs):
+                st: dict = {}
+                n_rec = sum(1 for _ in parse_warc_records(
+                    blob, http_unwrap=False, stats=st))
+                rows["src_file"].append(p)
+                rows["records"].append(n_rec)
+                rows["resyncs"].append(st["resyncs"])
+                rows["bytes_skipped"].append(st["bytes_skipped"])
+                rows["truncated"].append(st["truncated"])
+            if rows["src_file"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(rows[f.name], type=f.type)
+                     for f in _AUDIT_SCHEMA],
+                    schema=_AUDIT_SCHEMA)
+
+    return files.mapInArrow(audit_files, _AUDIT_DDL)
 
 
 def write_warc_bytes(records: list[dict], http_wrap: bool = True,

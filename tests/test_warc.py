@@ -60,6 +60,60 @@ def test_parser_edges():
                                              500000)
 
 
+def test_parser_resyncs_past_malformed_records():
+    """One corrupt record must not drop the rest of the archive: the
+    non-strict parser scans to the next WARC/ anchor and accounts the
+    loss in `stats` (ADVICE r04: no silent mid-archive truncation)."""
+    good = _recs(3)
+    a, b, c = (write_warc_bytes([r]) for r in good)
+    # (1) garbage BETWEEN records
+    st = {}
+    got = list(parse_warc_records(a + b"\x00GARBAGE\x00" + b + c,
+                                  stats=st))
+    assert [g["url"] for g in got] == [r["url"] for r in good]
+    assert st["resyncs"] == 1 and st["bytes_skipped"] > 0
+    assert st["truncated"] == 0
+    # (2) non-numeric Content-Length in the middle record
+    bad = b.replace(b"Content-Length: ", b"Content-Length: xx")
+    st = {}
+    got = list(parse_warc_records(a + bad + c, stats=st))
+    assert [g["url"] for g in got] == [good[0]["url"], good[2]["url"]]
+    assert st["resyncs"] == 1
+    # (3) lying (too-large) Content-Length swallows into the next
+    # record; resync recovers the third
+    lying = b.replace(b"Content-Length: ",
+                      b"Content-Length: 99999\r\nX-Pad: ")
+    st = {}
+    got = list(parse_warc_records(a + lying + c, stats=st))
+    assert good[2]["url"] in [g["url"] for g in got]
+    # (4) strict still raises at the first malformed record
+    with pytest.raises(ValueError):
+        list(parse_warc_records(a + bad + c, strict=True))
+    # (5) clean archive audits all-zero
+    st = {}
+    assert len(list(parse_warc_records(a + b + c, stats=st))) == 3
+    assert st == {"resyncs": 0, "bytes_skipped": 0, "truncated": 0}
+
+
+@pytest.mark.spark
+def test_warc_audit_distributed(spark, tmp_path):
+    from parquet_spark.warc import warc_audit
+    clean = write_warc_bytes(_recs(4))
+    dirty = (write_warc_bytes(_recs(2, base=50)) + b"\xffJUNK\xff"
+             + write_warc_bytes(_recs(1, base=60)))
+    (tmp_path / "clean.warc").write_bytes(clean)
+    (tmp_path / "dirty.warc").write_bytes(dirty)
+    rows = {os.path.basename(r.src_file.replace("file:", "")): r
+            for r in warc_audit(spark,
+                                str(tmp_path) + "/*.warc").collect()}
+    assert rows["clean.warc"].records == 4
+    assert rows["clean.warc"].resyncs == 0
+    assert rows["clean.warc"].bytes_skipped == 0
+    assert rows["dirty.warc"].records == 3
+    assert rows["dirty.warc"].resyncs == 1
+    assert rows["dirty.warc"].bytes_skipped > 0
+
+
 @pytest.mark.spark
 def test_read_warc_distributed(spark, tmp_path):
     # two archives, one plain + one gzip, plus a metadata record that
