@@ -316,3 +316,8 @@ def register(spark) -> None:
     to the file/chunk pruners."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(EncodedTableDataSource)
+
+
+# package-root export name (`parquet_spark.register_datasource`):
+# unambiguous where bare `register` would not be
+register_datasource = register
