@@ -211,6 +211,14 @@ class _EncodedTableReader(DataSourceReader):
         state = self._state
         zpred = getattr(self, "_zone_pred", None) or self._zpred()
         out_schema = _logical_schema(state)
+        # conform to the Arrow schema Spark expects for the declared
+        # types: tz-naive stored timestamps surface as
+        # timestamp[us, tz=UTC] (metadata-only cast — micros unchanged,
+        # the zone-map domain) so ingestion never localizes them by
+        # spark.sql.session.timeZone; same rule as engine.decode_table
+        from pyspark.sql.pandas.types import (from_arrow_schema,
+                                              to_arrow_schema)
+        expect = to_arrow_schema(from_arrow_schema(out_schema))
         phys = pa.ipc.read_schema(pa.BufferReader(state["schema_ipc"]))
         ren = state["renames"]
         gdicts = {c: pa.array(v, pa.string())
@@ -284,7 +292,8 @@ class _EncodedTableReader(DataSourceReader):
                     if f.name in gdicts:
                         arr = pc.take(gdicts[f.name], arr)
                     arrs.append(arr)
-                yield pa.RecordBatch.from_arrays(arrs, schema=out_schema)
+                out = pa.RecordBatch.from_arrays(arrs, schema=out_schema)
+                yield out if out.schema.equals(expect) else out.cast(expect)
 
 
 class EncodedTableDataSource(DataSource):

@@ -151,3 +151,26 @@ def test_matches_read_decoded(spark, table):
     via_ds = spark.read.format("parquet_spark").load(table)
     via_api = read_decoded(spark, table)
     assert _sym_diff(via_ds, via_api) == 0
+
+
+def test_timestamp_session_tz_independent(spark):
+    """tz-naive stored timestamps must surface as UTC micros through
+    the DataSource no matter the session timezone (same conform rule
+    as engine.decode_table): under America/New_York the epoch value
+    read back must equal the one written, not shift by the offset."""
+    df = spark.sql("""
+        SELECT id AS rid,
+               timestamp_micros(1600000000000000 + id * 1000000) AS ts
+        FROM range(0, 50)""")
+    path = tempfile.mkdtemp(prefix="dsv2_ts_")
+    write_encoded(df, path, key=["rid"], n_parts=2)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = (spark.read.format("parquet_spark").load(path)
+               .select(F.unix_micros("ts").alias("u")).orderBy("u")
+               .collect())
+        assert [r.u for r in got] == \
+            [1600000000000000 + i * 1000000 for i in range(50)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
