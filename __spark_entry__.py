@@ -960,6 +960,62 @@ def q_datasource_read(spark, sf_dir):
     return out
 
 
+def q_datasource_write(spark, sf_dir):
+    """Catalyst-visible WRITE surface (datasource.py
+    _EncodedTableWriter): documents are committed through
+    `df.write.format("parquet_spark")` — each input partition encodes
+    one part via the same chunk kernels as write_encoded, the driver
+    performs the manifest's single CAS snapshot commit — then APPENDED
+    to (second epoch, disjoint part ids) and read back through BOTH
+    read paths.  Zone summaries from DS-written parts must prune
+    (asserted: the pushed filter plans fewer input partitions), and
+    the decoded aggregate must match DuckDB on the raw parquet.
+    Together with q_datasource_read this certifies the full
+    read+write SQL surface the reference never had (its C# library is
+    write-only, /root/reference/README.md:29-30)."""
+    import tempfile
+
+    from parquet_spark.datasource import register
+    register(spark)
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="entry_dsw_")
+    half1 = d.where(F.col("doc_id") % 2 == 0)
+    half2 = d.where(F.col("doc_id") % 2 == 1)
+    (half1.repartitionByRange(3, "doc_id")
+     .sortWithinPartitions("doc_id")
+     .write.format("parquet_spark").option("key", "doc_id")
+     .mode("append").save(path))
+    (half2.repartitionByRange(2, "doc_id")
+     .sortWithinPartitions("doc_id")
+     .write.format("parquet_spark").option("key", "doc_id")
+     .mode("append").save(path))
+    from parquet_spark.manifest import EncodedTable
+    snap = EncodedTable(path).current_snapshot()
+    assert snap["meta"]["layout"]["mode"] == "external"
+    assert sorted(map(int, snap["parts"])) == [0, 1, 2, 3, 4]
+    assert snap["meta"]["new_parts"] == [3, 4]
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled",
+                         "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        register(spark)
+        full = spark.read.format("parquet_spark").load(path)
+        filt = full.where(F.col("doc_id") <= 149)
+        n_full = full.rdd.getNumPartitions()
+        n_filt = filt.select("doc_id").rdd.getNumPartitions()
+        assert 0 < n_filt < n_full, (n_filt, n_full)
+        out = (filt.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("doc_id").alias("sum_ids"),
+                    F.sum("n_chars").alias("sum_chars"))
+               .orderBy("lang"))
+        out = out.cache()
+        out.count()
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+    return out
+
+
 def q_count_pushdown(spark, sf_dir):
     """COUNT(*) aggregate pushdown (manifest.count_where): chunks the
     zone metadata PROVES fully inside the predicate contribute their
@@ -2521,21 +2577,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered for round 5 —
 
       0. facets NEW in session 5, never driver-checked (datasource_read,
-         alter_widen, png_features, auto_tuned_write);
+         datasource_write, alter_widen, png_features, auto_tuned_write);
       1. facets whose ORACLE MEASURE changed this session and therefore
          need a fresh driver row: gap_fill (r04 hash FAIL — the
          ROUND-at-representation-tie measure was replaced by the
          bit-portable FLOOR quantization, see
          tests/test_oracle_portability.py) and explode_pad (same
          tie-free rewrite applied preemptively);
-      2. the 44 highest-value members of the r03-checked pool — their
+      2. the 43 highest-value members of the r03-checked pool — their
          latest driver row is two rounds old, so re-checking them keeps
          the staleness invariant (`no facet's latest row older than two
-         rounds`) for everything except five multi-round-green
-         micro-facets (dict_gate, run_length_lang, for_bitpack_width,
-         merge_union_nullfill, scalar_broadcast) that don't fit in the
-         50-slot budget; those five are one-expression facets green in
-         r01/r02/r03 with untouched code — the safest possible residue;
+         rounds`) for everything except six multi-round-green
+         micro-facets (fingerprint, dict_gate, run_length_lang,
+         for_bitpack_width, merge_union_nullfill, scalar_broadcast)
+         that don't fit in the 50-slot budget; those six are
+         one-expression facets green in r01/r02/r03 with untouched
+         code — the safest possible residue;
       3. the r04-green band (checked last round, code unchanged) at the
          back, followed by the five-facet micro residue.
 
@@ -2545,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- band 0: new in session 5, never checked --------------------
         "datasource_read": q_datasource_read,
+        "datasource_write": q_datasource_write,
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
@@ -2595,7 +2653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_partition_stats": q_chunk_partition_stats,
         "token_counts": q_token_counts,
         "rolling_fp": q_rolling_fp,
-        "fingerprint": q_fingerprint,
         # -- band 3: green in r04, code unchanged (re-check pool for a
         # hypothetical r06) ---------------------------------------------
         "exact_quantiles": q_exact_quantiles,
@@ -2649,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "like_prune": q_like_prune,
         # -- tail: multi-round green micro-facets (r01/r02/r03 green,
         # untouched one-expression facets — the safe staleness residue) --
+        "fingerprint": q_fingerprint,
         "dict_gate": q_dict_gate,
         "run_length_lang": q_run_length_lang,
         "for_bitpack_width": q_for_bitpack_width,
@@ -3700,6 +3758,12 @@ def oracle_sql() -> dict[str, str]:
         # the DataSource V2 read path: projection + pushed filter +
         # global-dict restore must reproduce the raw-table aggregate
         "datasource_read": """
+            SELECT lang, COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE doc_id <= 149
+            GROUP BY lang ORDER BY lang""",
+        "datasource_write": """
             SELECT lang, COUNT(*) AS n_rows,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars

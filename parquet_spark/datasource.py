@@ -60,11 +60,12 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    EqualTo, GreaterThan,
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader, EqualTo, GreaterThan,
                                     GreaterThanOrEqual, In, InputPartition,
                                     IsNotNull, IsNull, LessThan,
-                                    LessThanOrEqual, StringStartsWith)
+                                    LessThanOrEqual, StringStartsWith,
+                                    WriterCommitMessage)
 
 _FORMAT_NAME = "parquet_spark"
 
@@ -296,14 +297,242 @@ class _EncodedTableReader(DataSourceReader):
                 yield out if out.schema.equals(expect) else out.cast(expect)
 
 
+class _PartMessage(WriterCommitMessage):
+    """Picklable per-task lineage: one written part (or an empty
+    task)."""
+
+    def __init__(self, part_id=None, file=None, n_chunks=0, n_rows=0,
+                 bytes_in=0, bytes_out=0, wall_ms=0.0, codecs="",
+                 zones="{}", file_hash=None):
+        self.part_id = part_id
+        self.file = file
+        self.n_chunks = n_chunks
+        self.n_rows = n_rows
+        self.bytes_in = bytes_in
+        self.bytes_out = bytes_out
+        self.wall_ms = wall_ms
+        self.codecs = codecs
+        self.zones = zones
+        self.file_hash = file_hash
+
+
+class _EncodedTableWriter(DataSourceArrowWriter):
+    """``df.write.format("parquet_spark").save(path)`` — the write half
+    of the Catalyst surface.
+
+    Execution shape: each Spark input partition encodes into exactly
+    ONE part file through the same chunk kernels as ``write_encoded``
+    (`engine.encode_chunk`: rows_per_chunk rebatch, per-column codec
+    auto-selection, zone summaries, optional blooms, atomic
+    write+hash); the driver's ``commit()`` then performs the manifest's
+    single CAS snapshot commit — all-or-nothing exactly like the Python
+    API, and a failed/aborted job leaves only unreferenced temp-named
+    files (``abort`` also deletes them eagerly).
+
+    The committed layout mode is ``"external"``: part placement is
+    whatever the upstream plan's partitioning was (the caller owns
+    `repartition`/`sortWithinPartitions`).  Zone/bloom/file pruning
+    works unchanged — min/max pruning never assumed disjoint placement
+    — but the key-addressed part-id namespaces (write_encoded resume,
+    streaming epochs, upsert) refuse external tables, and DS appends
+    are only accepted onto external tables, so the two id namespaces
+    can never interleave.
+
+    Options: ``key`` (comma list: zone/sort key recorded in the
+    layout; default first column), ``rows_per_chunk``, ``codec``,
+    ``block_codec``, ``bloom_cols`` (comma list).  ``mode("append")``
+    appends (or creates); ``mode("overwrite")`` commits df as the
+    table's entire new contents (replace epoch, parent kept readable
+    for time travel until vacuum)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        import uuid as _uuid
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from .manifest import DEFAULT_ROWS_PER_CHUNK, EncodedTable
+        from .codecs.column import validate_block_codec
+        path = options.get("path")
+        if not path:
+            raise ValueError("parquet_spark writer needs a path: "
+                             ".save('/path/to/encoded/table')")
+        self._path = path
+        self._overwrite = overwrite
+        self._schema = schema
+        arrow_schema = to_arrow_schema(schema)
+        self._schema_ipc = arrow_schema.serialize().to_pybytes()
+        cols = [f.name for f in arrow_schema]
+        key_opt = options.get("key")
+        self._key = ([c.strip() for c in key_opt.split(",") if c.strip()]
+                     if key_opt else [cols[0]])
+        missing = [c for c in self._key if c not in cols]
+        if missing:
+            raise KeyError(f"key columns not in schema: {missing}")
+        self._rows_per_chunk = int(options.get("rows_per_chunk")
+                                   or DEFAULT_ROWS_PER_CHUNK)
+        self._codec = options.get("codec") or "auto"
+        self._block_codec = options.get("block_codec") or "auto"
+        validate_block_codec(self._block_codec)
+        bc = options.get("bloom_cols")
+        self._bloom_cols = ([c.strip() for c in bc.split(",") if c.strip()]
+                            if bc else None)
+        self._token = _uuid.uuid4().hex[:12]
+
+        # plan against the CURRENT snapshot; commit() CASes on it, so a
+        # concurrent commit in between fails the job cleanly (retry)
+        table = EncodedTable(path)
+        self._parent = table.current_snapshot()
+        self._part_base = 0
+        if self._parent is not None and not overwrite:
+            meta = self._parent.get("meta") or {}
+            layout = meta.get("layout") or {}
+            if layout.get("mode") != "external":
+                raise ValueError(
+                    f"append via the datasource writer needs an "
+                    f"'external'-layout table; {path} has layout "
+                    f"{layout.get('mode')!r} (its part-id namespace is "
+                    "key-addressed — append with "
+                    "parquet_spark.write_encoded, or overwrite)")
+            committed = table.schema(self._parent)
+            if committed is not None and \
+                    [f.name for f in committed] != cols:
+                raise ValueError(
+                    f"append schema {cols} does not match table schema "
+                    f"{[f.name for f in committed]}")
+            if committed is not None:
+                # a stricter-nullability batch must not flip the
+                # table schema non-nullable (old chunks carry nulls)
+                unified = pa.schema([
+                    f.with_nullable(f.nullable
+                                    or committed.field(i).nullable)
+                    for i, f in enumerate(arrow_schema)])
+                self._schema_ipc = unified.serialize().to_pybytes()
+            self._part_base = 1 + max(
+                (int(p) for p in self._parent["parts"]), default=-1)
+
+    # ---- executor ----------------------------------------------------
+    def write(self, iterator):
+        import time as _time
+
+        from pyspark import TaskContext
+
+        from .engine import (_chunk_rows_to_batch, encode_chunk,
+                             part_zone_summary, take_full_batches,
+                             write_part_atomic)
+        pid = self._part_base + TaskContext.get().partitionId()
+        t0 = _time.monotonic()
+        chunks: list[dict] = []
+        buf: list[pa.RecordBatch] = []
+        buffered = 0
+        plan: dict = {}
+
+        def drain(final: bool):
+            nonlocal buf, buffered
+            full, buf, buffered = take_full_batches(
+                buf, buffered, self._rows_per_chunk, final)
+            for head in full:
+                chunks.append(encode_chunk(
+                    head, pid, len(chunks), self._codec,
+                    plan if self._codec == "auto" else None,
+                    zone_key=self._key[0],
+                    block_codec=self._block_codec,
+                    bloom_cols=self._bloom_cols))
+
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            buf.append(batch)
+            buffered += batch.num_rows
+            drain(final=False)
+        drain(final=True)
+        if not chunks:
+            return _PartMessage()  # empty partition: no part file
+        import os as _os
+        data_dir = _os.path.join(self._path, "data")
+        _os.makedirs(data_dir, exist_ok=True)
+        tbl = pa.Table.from_batches([_chunk_rows_to_batch(chunks)])
+        final = _os.path.join(data_dir,
+                              f"part-{pid:05d}-{self._token}.parquet")
+        fhash = write_part_atomic(tbl, final)
+        return _PartMessage(
+            part_id=pid, file=final, n_chunks=len(chunks),
+            n_rows=int(sum(c["n_rows"] for c in chunks)),
+            bytes_in=int(sum(sum(c["bytes_in"]) for c in chunks)),
+            bytes_out=int(sum(sum(c["bytes_out"]) for c in chunks)),
+            wall_ms=(_time.monotonic() - t0) * 1000.0,
+            codecs=",".join(sorted({c for ch in chunks
+                                    for c in ch["codecs"]})),
+            zones=part_zone_summary(chunks), file_hash=fhash)
+
+    # ---- driver ------------------------------------------------------
+    def commit(self, messages):
+        import json as _json
+
+        from .manifest import EncodedTable
+        written = [m for m in messages
+                   if m is not None and m.part_id is not None]
+        table = EncodedTable(self._path)
+        parent = self._parent
+        pmeta = ({} if self._overwrite or parent is None
+                 else (parent.get("meta") or {}))
+        parts = ({} if self._overwrite or parent is None
+                 else dict(parent["parts"]))
+        for m in written:
+            parts[str(m.part_id)] = {
+                "file": m.file, "n_chunks": m.n_chunks,
+                "n_rows": m.n_rows, "bytes_in": m.bytes_in,
+                "bytes_out": m.bytes_out, "wall_ms": m.wall_ms,
+                "codecs": m.codecs,
+                "zones": _json.loads(m.zones) if m.zones else {},
+                "file_hash": m.file_hash,
+            }
+        meta = {"key": self._key, "n_parts": len(parts),
+                "codec": self._codec, "block_codec": self._block_codec,
+                "rows_per_chunk": self._rows_per_chunk,
+                "layout": {"mode": "external", "key": self._key,
+                           "rows_per_chunk": self._rows_per_chunk,
+                           **({"bloom_cols": sorted(self._bloom_cols)}
+                              if self._bloom_cols else {})},
+                "new_parts": sorted(m.part_id for m in written)}
+        # append commits carry forward evolution/dict/delete state
+        # exactly like write_encoded (deletes are part-id scoped, and
+        # every new part postdates them)
+        for carry in ("mappings", "global_dicts", "global_dict_fallback",
+                      "delete_files", "n_deleted"):
+            if pmeta.get(carry):
+                meta[carry] = pmeta[carry]
+        if pmeta.get("renames") is not None:
+            meta["renames"] = pmeta["renames"]
+        if self._overwrite and parent is not None:
+            meta["replaced_snapshot"] = parent["snapshot_id"]
+        table.commit(parts, self._schema_ipc, parent, meta)
+
+    def abort(self, messages):
+        import os as _os
+        for m in messages or []:
+            if m is not None and getattr(m, "file", None):
+                try:
+                    _os.remove(m.file)
+                except OSError:
+                    pass
+
+
 class EncodedTableDataSource(DataSource):
-    """``spark.read.format("parquet_spark").load(path)``.  Options:
+    """``spark.read.format("parquet_spark").load(path)`` /
+    ``df.write.format("parquet_spark").save(path)``.  Read options:
     ``columns`` (comma list, projection), ``snapshot_id`` (time
-    travel), ``ref`` (named tag/branch)."""
+    travel), ``ref`` (named tag/branch).  Write options: see
+    :class:`_EncodedTableWriter`."""
 
     def __init__(self, options):
         super().__init__(options)
-        self._state = _load_table_state(options)
+        self._state = None  # read-side state, resolved lazily: a write
+        #                     target may not exist yet
+
+    def _read_state(self):
+        if self._state is None:
+            self._state = _load_table_state(self.options)
+        return self._state
 
     @classmethod
     def name(cls):
@@ -311,10 +540,13 @@ class EncodedTableDataSource(DataSource):
 
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
-        return from_arrow_schema(_logical_schema(self._state))
+        return from_arrow_schema(_logical_schema(self._read_state()))
 
     def reader(self, schema):
-        return _EncodedTableReader(self._state)
+        return _EncodedTableReader(self._read_state())
+
+    def writer(self, schema, overwrite):
+        return _EncodedTableWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

@@ -153,6 +153,93 @@ def test_matches_read_decoded(spark, table):
     assert _sym_diff(via_ds, via_api) == 0
 
 
+def test_writer_create_and_read_back(spark, docs):
+    """df.write.format('parquet_spark') commits a real snapshot: both
+    read paths (DataSource + Python API) return the exact input."""
+    path = tempfile.mkdtemp(prefix="dsw_")
+    (docs.repartition(3, "doc_id")
+     .sortWithinPartitions("doc_id")
+     .write.format("parquet_spark").option("key", "doc_id")
+     .mode("append").save(path))
+    back_ds = spark.read.format("parquet_spark").load(path)
+    assert _sym_diff(back_ds, docs) == 0
+    assert _sym_diff(read_decoded(spark, path), docs) == 0
+    from parquet_spark.manifest import EncodedTable
+    t = EncodedTable(path)
+    snap = t.current_snapshot()
+    assert snap["meta"]["layout"]["mode"] == "external"
+    assert len(snap["parts"]) == 3
+    # every part carries full lineage (bytes, codecs, zones, hash)
+    for info in snap["parts"].values():
+        assert info["bytes_in"] > 0 and info["file_hash"]
+        assert info["codecs"] and info["zones"]
+
+
+def test_writer_append_and_overwrite(spark, docs):
+    from parquet_spark.manifest import EncodedTable, read_decoded
+    path = tempfile.mkdtemp(prefix="dsw_app_")
+    half1 = docs.where(F.col("doc_id") % 2 == 0)
+    half2 = docs.where(F.col("doc_id") % 2 == 1)
+    w1 = half1.repartition(2, "doc_id").write.format("parquet_spark")
+    w1.option("key", "doc_id").mode("append").save(path)
+    (half2.repartition(2, "doc_id").write.format("parquet_spark")
+     .option("key", "doc_id").mode("append").save(path))
+    assert _sym_diff(read_decoded(spark, path), docs) == 0
+    t = EncodedTable(path)
+    snap = t.current_snapshot()
+    # disjoint part-id namespaces per append epoch
+    assert sorted(map(int, snap["parts"])) == [0, 1, 2, 3]
+    assert snap["meta"]["new_parts"] == [2, 3]
+    # overwrite = replace epoch; the parent snapshot stays readable
+    small = docs.limit(10)
+    (small.coalesce(1).write.format("parquet_spark")
+     .option("key", "doc_id").mode("overwrite").save(path))
+    assert read_decoded(spark, path).count() == 10
+    assert read_decoded(
+        spark, path, snapshot_id=snap["snapshot_id"]).count() == \
+        docs.count()
+
+
+def test_writer_namespace_guards(spark, docs, table):
+    """The key-addressed and external part-id namespaces must never
+    interleave: DS append onto a hash/range table refuses, and
+    write_encoded onto an external table refuses (layout check)."""
+    with pytest.raises(Exception, match="external"):
+        (docs.limit(5).write.format("parquet_spark")
+         .mode("append").save(table))  # `table` fixture: range layout
+    path = tempfile.mkdtemp(prefix="dsw_grd_")
+    (docs.limit(20).coalesce(1).write.format("parquet_spark")
+     .option("key", "doc_id").mode("append").save(path))
+    with pytest.raises(ValueError, match="layout"):
+        write_encoded(docs.limit(5), path, key=["doc_id"], n_parts=1)
+    # schema mismatch on append fails loudly
+    with pytest.raises(Exception, match="schema"):
+        (docs.select("doc_id").write.format("parquet_spark")
+         .mode("append").save(path))
+
+
+def test_writer_zone_pruning_carries(spark, docs):
+    """Parts written through the DS writer carry zone summaries the
+    scan side prunes on, same as write_encoded parts."""
+    from parquet_spark.manifest import scan_table
+    path = tempfile.mkdtemp(prefix="dsw_zone_")
+    (docs.repartitionByRange(4, "doc_id")
+     .sortWithinPartitions("doc_id")
+     .write.format("parquet_spark").option("key", "doc_id")
+     .mode("append").save(path))
+    got = scan_table(spark, path, [("doc_id", 0, 9)],
+                     columns=["doc_id"])
+    want = docs.where(F.col("doc_id").between(0, 9)).select("doc_id")
+    assert _sym_diff(got, want) == 0
+    # driver-side file pruning: the pushed filter plans fewer input
+    # partitions than the full DS scan (disjoint ranges per part)
+    full = spark.read.format("parquet_spark").load(path)
+    pruned = full.where(F.col("doc_id") < 10)
+    n_full = full.rdd.getNumPartitions()
+    n_pruned = pruned.select("doc_id").rdd.getNumPartitions()
+    assert n_pruned < n_full
+
+
 def test_timestamp_session_tz_independent(spark):
     """tz-naive stored timestamps must surface as UTC micros through
     the DataSource no matter the session timezone (same conform rule
