@@ -61,11 +61,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
-                                    DataSourceReader, EqualTo, GreaterThan,
-                                    GreaterThanOrEqual, In, InputPartition,
-                                    IsNotNull, IsNull, LessThan,
-                                    LessThanOrEqual, StringStartsWith,
-                                    WriterCommitMessage)
+                                    DataSourceReader,
+                                    DataSourceStreamArrowWriter, EqualTo,
+                                    GreaterThan, GreaterThanOrEqual, In,
+                                    InputPartition, IsNotNull, IsNull,
+                                    LessThan, LessThanOrEqual,
+                                    StringStartsWith, WriterCommitMessage)
 
 _FORMAT_NAME = "parquet_spark"
 
@@ -316,6 +317,97 @@ class _PartMessage(WriterCommitMessage):
         self.file_hash = file_hash
 
 
+def _encode_batches_to_part(iterator, pid: int, fname: str, path: str,
+                            key: list[str], rows_per_chunk: int,
+                            codec: str, block_codec: str,
+                            bloom_cols: list[str] | None) -> _PartMessage:
+    """Task-side encode kernel shared by the batch and streaming
+    writers: rebatch the partition's Arrow stream to rows_per_chunk
+    chunks through engine.encode_chunk (per-partition codec memo, zone
+    summaries, optional blooms) and write ONE part file atomically.
+    `pid` is embedded in the chunk rows (`part_id` — it must equal the
+    manifest key the commit assigns: the equality-delete reader scopes
+    by it)."""
+    import os as _os
+    import time as _time
+
+    from .engine import (_chunk_rows_to_batch, encode_chunk,
+                         part_zone_summary, take_full_batches,
+                         write_part_atomic)
+    t0 = _time.monotonic()
+    chunks: list[dict] = []
+    buf: list[pa.RecordBatch] = []
+    buffered = 0
+    plan: dict = {}
+
+    def drain(final: bool):
+        nonlocal buf, buffered
+        full, buf, buffered = take_full_batches(
+            buf, buffered, rows_per_chunk, final)
+        for head in full:
+            chunks.append(encode_chunk(
+                head, pid, len(chunks), codec,
+                plan if codec == "auto" else None,
+                zone_key=key[0], block_codec=block_codec,
+                bloom_cols=bloom_cols))
+
+    for batch in iterator:
+        if batch.num_rows == 0:
+            continue
+        buf.append(batch)
+        buffered += batch.num_rows
+        drain(final=False)
+    drain(final=True)
+    if not chunks:
+        return _PartMessage()  # empty partition: no part file
+    data_dir = _os.path.join(path, "data")
+    _os.makedirs(data_dir, exist_ok=True)
+    tbl = pa.Table.from_batches([_chunk_rows_to_batch(chunks)])
+    final = _os.path.join(data_dir, fname)
+    fhash = write_part_atomic(tbl, final)
+    return _PartMessage(
+        part_id=pid, file=final, n_chunks=len(chunks),
+        n_rows=int(sum(c["n_rows"] for c in chunks)),
+        bytes_in=int(sum(sum(c["bytes_in"]) for c in chunks)),
+        bytes_out=int(sum(sum(c["bytes_out"]) for c in chunks)),
+        wall_ms=(_time.monotonic() - t0) * 1000.0,
+        codecs=",".join(sorted({c for ch in chunks
+                                for c in ch["codecs"]})),
+        zones=part_zone_summary(chunks), file_hash=fhash)
+
+
+def _parse_write_options(options, schema):
+    """Shared option parsing for the batch and streaming writers:
+    (path, key, rows_per_chunk, codec, block_codec, bloom_cols,
+    arrow_schema)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .codecs.column import validate_block_codec
+    from .manifest import DEFAULT_ROWS_PER_CHUNK
+    path = options.get("path")
+    if not path:
+        raise ValueError("parquet_spark writer needs a path: "
+                         ".save('/path/to/encoded/table')")
+    arrow_schema = to_arrow_schema(schema)
+    cols = [f.name for f in arrow_schema]
+    key_opt = options.get("key")
+    key = ([c.strip() for c in key_opt.split(",") if c.strip()]
+           if key_opt else [cols[0]])
+    missing = [c for c in key if c not in cols]
+    if missing:
+        raise KeyError(f"key columns not in schema: {missing}")
+    rows_per_chunk = int(options.get("rows_per_chunk")
+                         or DEFAULT_ROWS_PER_CHUNK)
+    codec = options.get("codec") or "auto"
+    block_codec = options.get("block_codec") or "auto"
+    validate_block_codec(block_codec)
+    bc = options.get("bloom_cols")
+    bloom_cols = ([c.strip() for c in bc.split(",") if c.strip()]
+                  if bc else None)
+    return path, key, rows_per_chunk, codec, block_codec, \
+        bloom_cols, arrow_schema
+
+
 class _EncodedTableWriter(DataSourceArrowWriter):
     """``df.write.format("parquet_spark").save(path)`` — the write half
     of the Catalyst surface.
@@ -348,39 +440,18 @@ class _EncodedTableWriter(DataSourceArrowWriter):
     def __init__(self, options, schema, overwrite: bool):
         import uuid as _uuid
 
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        from .manifest import DEFAULT_ROWS_PER_CHUNK, EncodedTable
-        from .codecs.column import validate_block_codec
-        path = options.get("path")
-        if not path:
-            raise ValueError("parquet_spark writer needs a path: "
-                             ".save('/path/to/encoded/table')")
-        self._path = path
+        from .manifest import EncodedTable
+        (self._path, self._key, self._rows_per_chunk, self._codec,
+         self._block_codec, self._bloom_cols, arrow_schema) = \
+            _parse_write_options(options, schema)
         self._overwrite = overwrite
-        self._schema = schema
-        arrow_schema = to_arrow_schema(schema)
         self._schema_ipc = arrow_schema.serialize().to_pybytes()
         cols = [f.name for f in arrow_schema]
-        key_opt = options.get("key")
-        self._key = ([c.strip() for c in key_opt.split(",") if c.strip()]
-                     if key_opt else [cols[0]])
-        missing = [c for c in self._key if c not in cols]
-        if missing:
-            raise KeyError(f"key columns not in schema: {missing}")
-        self._rows_per_chunk = int(options.get("rows_per_chunk")
-                                   or DEFAULT_ROWS_PER_CHUNK)
-        self._codec = options.get("codec") or "auto"
-        self._block_codec = options.get("block_codec") or "auto"
-        validate_block_codec(self._block_codec)
-        bc = options.get("bloom_cols")
-        self._bloom_cols = ([c.strip() for c in bc.split(",") if c.strip()]
-                            if bc else None)
         self._token = _uuid.uuid4().hex[:12]
 
         # plan against the CURRENT snapshot; commit() CASes on it, so a
         # concurrent commit in between fails the job cleanly (retry)
-        table = EncodedTable(path)
+        table = EncodedTable(self._path)
         self._parent = table.current_snapshot()
         self._part_base = 0
         if self._parent is not None and not overwrite:
@@ -389,7 +460,7 @@ class _EncodedTableWriter(DataSourceArrowWriter):
             if layout.get("mode") != "external":
                 raise ValueError(
                     f"append via the datasource writer needs an "
-                    f"'external'-layout table; {path} has layout "
+                    f"'external'-layout table; {self._path} has layout "
                     f"{layout.get('mode')!r} (its part-id namespace is "
                     "key-addressed — append with "
                     "parquet_spark.write_encoded, or overwrite)")
@@ -412,57 +483,12 @@ class _EncodedTableWriter(DataSourceArrowWriter):
 
     # ---- executor ----------------------------------------------------
     def write(self, iterator):
-        import time as _time
-
         from pyspark import TaskContext
-
-        from .engine import (_chunk_rows_to_batch, encode_chunk,
-                             part_zone_summary, take_full_batches,
-                             write_part_atomic)
         pid = self._part_base + TaskContext.get().partitionId()
-        t0 = _time.monotonic()
-        chunks: list[dict] = []
-        buf: list[pa.RecordBatch] = []
-        buffered = 0
-        plan: dict = {}
-
-        def drain(final: bool):
-            nonlocal buf, buffered
-            full, buf, buffered = take_full_batches(
-                buf, buffered, self._rows_per_chunk, final)
-            for head in full:
-                chunks.append(encode_chunk(
-                    head, pid, len(chunks), self._codec,
-                    plan if self._codec == "auto" else None,
-                    zone_key=self._key[0],
-                    block_codec=self._block_codec,
-                    bloom_cols=self._bloom_cols))
-
-        for batch in iterator:
-            if batch.num_rows == 0:
-                continue
-            buf.append(batch)
-            buffered += batch.num_rows
-            drain(final=False)
-        drain(final=True)
-        if not chunks:
-            return _PartMessage()  # empty partition: no part file
-        import os as _os
-        data_dir = _os.path.join(self._path, "data")
-        _os.makedirs(data_dir, exist_ok=True)
-        tbl = pa.Table.from_batches([_chunk_rows_to_batch(chunks)])
-        final = _os.path.join(data_dir,
-                              f"part-{pid:05d}-{self._token}.parquet")
-        fhash = write_part_atomic(tbl, final)
-        return _PartMessage(
-            part_id=pid, file=final, n_chunks=len(chunks),
-            n_rows=int(sum(c["n_rows"] for c in chunks)),
-            bytes_in=int(sum(sum(c["bytes_in"]) for c in chunks)),
-            bytes_out=int(sum(sum(c["bytes_out"]) for c in chunks)),
-            wall_ms=(_time.monotonic() - t0) * 1000.0,
-            codecs=",".join(sorted({c for ch in chunks
-                                    for c in ch["codecs"]})),
-            zones=part_zone_summary(chunks), file_hash=fhash)
+        return _encode_batches_to_part(
+            iterator, pid, f"part-{pid:05d}-{self._token}.parquet",
+            self._path, self._key, self._rows_per_chunk,
+            self._codec, self._block_codec, self._bloom_cols)
 
     # ---- driver ------------------------------------------------------
     def commit(self, messages):
@@ -517,12 +543,155 @@ class _EncodedTableWriter(DataSourceArrowWriter):
                     pass
 
 
+class _EncodedTableStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("parquet_spark").start(path)`` — the
+    Structured Streaming sink through the same manifest, EXACTLY-ONCE.
+
+    Per microbatch: each task reads the table's CURRENT snapshot
+    (committed by the previous batch — batches of one query are
+    sequential, so every task of a batch sees the same parent), claims
+    part id ``max+1+partitionId``, and encodes its partition with the
+    shared :func:`_encode_batches_to_part` kernel; the driver's
+    ``commit(messages, batchId)`` is ONE manifest CAS chained on that
+    same parent.  Exactly-once comes from two fences:
+
+      * the snapshot meta records ``stream_last_batch``; a re-delivered
+        batch (checkpoint replay after a crash between sink commit and
+        Spark's own offset commit) sees ``batchId <= stream_last_batch``
+        and discards its files instead of double-appending — the same
+        idempotency contract as streaming.write_stream_encoded's
+        part_offset epochs, carried by the snapshot itself;
+      * the CAS refuses a commit whose parent moved (an external writer
+        raced the query) — the stream fails loudly rather than
+        interleaving part ids; one writer per external table.
+
+    Layout mode is ``"external"`` (like the batch writer): appends-only
+    onto a fresh path or an external-layout table; hash/range tables
+    refuse (their part-id namespace is key-addressed).  Options are the
+    batch writer's (key / rows_per_chunk / codec / block_codec /
+    bloom_cols).  Output mode must be append."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "parquet_spark streaming sink supports append output "
+                "mode only (complete/update rewrite history; use "
+                "foreachBatch + write_encoded(replace=True) for that)")
+        (self._path, self._key, self._rows_per_chunk, self._codec,
+         self._block_codec, self._bloom_cols, arrow_schema) = \
+            _parse_write_options(options, schema)
+        self._schema_ipc = arrow_schema.serialize().to_pybytes()
+        self._cols = [f.name for f in arrow_schema]
+
+    # ---- executor (per microbatch task) ------------------------------
+    def write(self, iterator):
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        from .manifest import EncodedTable
+        table = EncodedTable(self._path)
+        snap = table.current_snapshot()
+        if snap is not None:
+            layout = (snap.get("meta") or {}).get("layout") or {}
+            if layout.get("mode") != "external":
+                raise ValueError(
+                    f"streaming sink needs a fresh path or an "
+                    f"'external'-layout table; {self._path} has layout "
+                    f"{layout.get('mode')!r}")
+            base = 1 + max((int(p) for p in snap["parts"]), default=-1)
+        else:
+            base = 0
+        pid = base + TaskContext.get().partitionId()
+        return _encode_batches_to_part(
+            iterator, pid,
+            f"part-{pid:05d}-s{_uuid.uuid4().hex[:12]}.parquet",
+            self._path, self._key, self._rows_per_chunk,
+            self._codec, self._block_codec, self._bloom_cols)
+
+    # ---- driver ------------------------------------------------------
+    def commit(self, messages, batchId):
+        import json as _json
+
+        from .manifest import EncodedTable
+        written = [m for m in messages
+                   if m is not None and m.part_id is not None]
+        table = EncodedTable(self._path)
+        parent = table.current_snapshot()
+        pmeta = (parent.get("meta") or {}) if parent else {}
+        last = pmeta.get("stream_last_batch")
+        if last is not None and batchId <= int(last):
+            # re-delivered batch (checkpoint replay): the data is
+            # already committed — discard this attempt's files
+            self.abort(messages, batchId)
+            return
+        parts = dict(parent["parts"]) if parent else {}
+        for m in written:
+            if str(m.part_id) in parts:
+                # an external writer committed between our tasks'
+                # planning read and now — refuse rather than clobber
+                self.abort(messages, batchId)
+                from .manifest import ConcurrentCommitError
+                raise ConcurrentCommitError(
+                    f"part id {m.part_id} already committed at "
+                    f"{self._path}: another writer raced this "
+                    "streaming query (one writer per external table)")
+            parts[str(m.part_id)] = {
+                "file": m.file, "n_chunks": m.n_chunks,
+                "n_rows": m.n_rows, "bytes_in": m.bytes_in,
+                "bytes_out": m.bytes_out, "wall_ms": m.wall_ms,
+                "codecs": m.codecs,
+                "zones": _json.loads(m.zones) if m.zones else {},
+                "file_hash": m.file_hash,
+            }
+        schema_ipc = self._schema_ipc
+        committed = table.schema(parent) if parent else None
+        if committed is not None:
+            if [f.name for f in committed] != self._cols:
+                self.abort(messages, batchId)
+                raise ValueError(
+                    f"stream schema {self._cols} does not match table "
+                    f"schema {[f.name for f in committed]}")
+            mine = pa.ipc.read_schema(pa.BufferReader(schema_ipc))
+            unified = pa.schema([
+                f.with_nullable(f.nullable or committed.field(i).nullable)
+                for i, f in enumerate(mine)])
+            schema_ipc = unified.serialize().to_pybytes()
+        meta = {"key": self._key, "n_parts": len(parts),
+                "codec": self._codec, "block_codec": self._block_codec,
+                "rows_per_chunk": self._rows_per_chunk,
+                "layout": {"mode": "external", "key": self._key,
+                           "rows_per_chunk": self._rows_per_chunk,
+                           **({"bloom_cols": sorted(self._bloom_cols)}
+                              if self._bloom_cols else {})},
+                "new_parts": sorted(m.part_id for m in written),
+                "stream_last_batch": int(batchId)}
+        for carry in ("mappings", "global_dicts", "global_dict_fallback",
+                      "delete_files", "n_deleted"):
+            if pmeta.get(carry):
+                meta[carry] = pmeta[carry]
+        if pmeta.get("renames") is not None:
+            meta["renames"] = pmeta["renames"]
+        table.commit(parts, schema_ipc, parent, meta)
+
+    def abort(self, messages, batchId):
+        import os as _os
+        for m in messages or []:
+            if m is not None and getattr(m, "file", None):
+                try:
+                    _os.remove(m.file)
+                except OSError:
+                    pass
+
+
 class EncodedTableDataSource(DataSource):
     """``spark.read.format("parquet_spark").load(path)`` /
-    ``df.write.format("parquet_spark").save(path)``.  Read options:
-    ``columns`` (comma list, projection), ``snapshot_id`` (time
-    travel), ``ref`` (named tag/branch).  Write options: see
-    :class:`_EncodedTableWriter`."""
+    ``df.write.format("parquet_spark").save(path)`` /
+    ``df.writeStream.format("parquet_spark").start(path)``.  Read
+    options: ``columns`` (comma list, projection), ``snapshot_id``
+    (time travel), ``ref`` (named tag/branch).  Write options: see
+    :class:`_EncodedTableWriter`; streaming: see
+    :class:`_EncodedTableStreamWriter`."""
 
     def __init__(self, options):
         super().__init__(options)
@@ -547,6 +716,9 @@ class EncodedTableDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return _EncodedTableWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return _EncodedTableStreamWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:
