@@ -62,7 +62,8 @@ import pyarrow.compute as pc
 
 from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
                                     DataSourceReader,
-                                    DataSourceStreamArrowWriter, EqualTo,
+                                    DataSourceStreamArrowWriter,
+                                    DataSourceStreamReader, EqualTo,
                                     GreaterThan, GreaterThanOrEqual, In,
                                     InputPartition, IsNotNull, IsNull,
                                     LessThan, LessThanOrEqual,
@@ -205,97 +206,104 @@ class _EncodedTableReader(DataSourceReader):
             # Spark invokes read(None) when partitions() pruned to zero
             # files — nothing to produce
             return
-        import pyarrow.parquet as pq
-
-        from .codecs import decode_column
-        from .manifest import _part_keep_term
-
-        state = self._state
         zpred = getattr(self, "_zone_pred", None) or self._zpred()
-        out_schema = _logical_schema(state)
-        # conform to the Arrow schema Spark expects for the declared
-        # types: tz-naive stored timestamps surface as
-        # timestamp[us, tz=UTC] (metadata-only cast — micros unchanged,
-        # the zone-map domain) so ingestion never localizes them by
-        # spark.sql.session.timeZone; same rule as engine.decode_table
-        from pyspark.sql.pandas.types import (from_arrow_schema,
-                                              to_arrow_schema)
-        expect = to_arrow_schema(from_arrow_schema(out_schema))
-        phys = pa.ipc.read_schema(pa.BufferReader(state["schema_ipc"]))
-        ren = state["renames"]
-        gdicts = {c: pa.array(v, pa.string())
-                  for c, v in state["gdicts"].items()}
+        yield from _read_part_file(partition.value, self._state, zpred)
 
-        need = ["names", "payloads", "n_rows", "schema_ipc"]
-        if zpred is not None:
-            need += ["zone_cols", "zone_min_str", "zone_max_str",
-                     "zone_min_num", "zone_max_num", "zone_min_dbl",
-                     "zone_max_dbl", "zone_nulls"]
-        tbl = pq.read_table(partition.value, columns=need)
 
-        def chunk_keep(row, n_rows):
-            zones = {}
-            zc = row.get("zone_cols")
-            if zc is not None:
-                for j, c in enumerate(zc):
-                    zones[c] = (row["zone_min_str"][j],
-                                row["zone_max_str"][j],
-                                row["zone_min_num"][j],
-                                row["zone_max_num"][j],
-                                row["zone_min_dbl"][j],
-                                row["zone_max_dbl"][j],
-                                row["zone_nulls"][j], n_rows)
-            if isinstance(zpred, dict):
-                return any(all(_part_keep_term(zones, n_rows, t)
-                               for t in ts) for ts in zpred["any"])
-            return all(_part_keep_term(zones, n_rows, t) for t in zpred)
+def _read_part_file(file: str, state: dict, zpred):
+    """Executor-side decode of ONE part file to Arrow RecordBatches —
+    shared by the batch reader and the streaming source.  Chunk-level
+    zone pruning (zpred not None) happens before any decompression;
+    widened columns decode at their chunk-physical width then upcast;
+    global-dict columns restore via one pc.take; tz-naive stored
+    timestamps conform to timestamp[us, tz=UTC] (the schema Spark
+    expects for the declared types — metadata-only, session-tz-proof,
+    same rule as engine.decode_table)."""
+    import pyarrow.parquet as pq
 
-        for batch in tbl.to_batches():
-            names_col = batch.column(batch.schema.get_field_index("names"))
-            pay_col = batch.column(batch.schema.get_field_index("payloads"))
-            nrows_col = batch.column(batch.schema.get_field_index("n_rows"))
-            ipc_col = batch.column(
-                batch.schema.get_field_index("schema_ipc"))
-            for i in range(batch.num_rows):
-                n_rows = nrows_col[i].as_py()
-                if zpred is not None:
-                    row = {c: batch.column(
-                        batch.schema.get_field_index(c))[i].as_py()
-                        for c in need if c.startswith("zone")}
-                    if not chunk_keep(row, n_rows):
-                        continue
-                names = names_col[i].as_py()
-                pays = pay_col[i].values
-                # the chunk's own schema carries the PHYSICAL types:
-                # widened columns (alter_table `widen`) decode at their
-                # encoded width (BSS etc. parse width-sensitively),
-                # then upcast exactly — mirrors engine.decode_table
-                chunk_schema = pa.ipc.read_schema(
-                    pa.BufferReader(ipc_col[i].as_buffer()))
-                # physical->logical; None = tombstoned (dropped column)
-                keep = {}
-                for j, n in enumerate(names):
-                    ln = ren.get(n, n)
-                    if ln is not None:
-                        fi = chunk_schema.get_field_index(n)
-                        keep[ln] = (
-                            memoryview(pays[j].as_buffer()).cast("B"),
-                            chunk_schema.field(fi).type if fi >= 0
-                            else None)
-                arrs = []
-                for f in phys:
-                    if f.name in keep:
-                        pay, pt = keep[f.name]
-                        arr = decode_column(pay, pt or f.type)
-                        if arr.type != f.type:
-                            arr = arr.cast(f.type)
-                    else:
-                        arr = pa.nulls(n_rows, f.type)
-                    if f.name in gdicts:
-                        arr = pc.take(gdicts[f.name], arr)
-                    arrs.append(arr)
-                out = pa.RecordBatch.from_arrays(arrs, schema=out_schema)
-                yield out if out.schema.equals(expect) else out.cast(expect)
+    from pyspark.sql.pandas.types import (from_arrow_schema,
+                                          to_arrow_schema)
+
+    from .codecs import decode_column
+    from .manifest import _part_keep_term
+
+    out_schema = _logical_schema(state)
+    expect = to_arrow_schema(from_arrow_schema(out_schema))
+    phys = pa.ipc.read_schema(pa.BufferReader(state["schema_ipc"]))
+    ren = state["renames"]
+    gdicts = {c: pa.array(v, pa.string())
+              for c, v in state["gdicts"].items()}
+
+    need = ["names", "payloads", "n_rows", "schema_ipc"]
+    if zpred is not None:
+        need += ["zone_cols", "zone_min_str", "zone_max_str",
+                 "zone_min_num", "zone_max_num", "zone_min_dbl",
+                 "zone_max_dbl", "zone_nulls"]
+    tbl = pq.read_table(file, columns=need)
+
+    def chunk_keep(row, n_rows):
+        zones = {}
+        zc = row.get("zone_cols")
+        if zc is not None:
+            for j, c in enumerate(zc):
+                zones[c] = (row["zone_min_str"][j],
+                            row["zone_max_str"][j],
+                            row["zone_min_num"][j],
+                            row["zone_max_num"][j],
+                            row["zone_min_dbl"][j],
+                            row["zone_max_dbl"][j],
+                            row["zone_nulls"][j], n_rows)
+        if isinstance(zpred, dict):
+            return any(all(_part_keep_term(zones, n_rows, t)
+                           for t in ts) for ts in zpred["any"])
+        return all(_part_keep_term(zones, n_rows, t) for t in zpred)
+
+    for batch in tbl.to_batches():
+        names_col = batch.column(batch.schema.get_field_index("names"))
+        pay_col = batch.column(batch.schema.get_field_index("payloads"))
+        nrows_col = batch.column(batch.schema.get_field_index("n_rows"))
+        ipc_col = batch.column(
+            batch.schema.get_field_index("schema_ipc"))
+        for i in range(batch.num_rows):
+            n_rows = nrows_col[i].as_py()
+            if zpred is not None:
+                row = {c: batch.column(
+                    batch.schema.get_field_index(c))[i].as_py()
+                    for c in need if c.startswith("zone")}
+                if not chunk_keep(row, n_rows):
+                    continue
+            names = names_col[i].as_py()
+            pays = pay_col[i].values
+            # the chunk's own schema carries the PHYSICAL types:
+            # widened columns (alter_table `widen`) decode at their
+            # encoded width (BSS etc. parse width-sensitively),
+            # then upcast exactly — mirrors engine.decode_table
+            chunk_schema = pa.ipc.read_schema(
+                pa.BufferReader(ipc_col[i].as_buffer()))
+            # physical->logical; None = tombstoned (dropped column)
+            keep = {}
+            for j, n in enumerate(names):
+                ln = ren.get(n, n)
+                if ln is not None:
+                    fi = chunk_schema.get_field_index(n)
+                    keep[ln] = (
+                        memoryview(pays[j].as_buffer()).cast("B"),
+                        chunk_schema.field(fi).type if fi >= 0
+                        else None)
+            arrs = []
+            for f in phys:
+                if f.name in keep:
+                    pay, pt = keep[f.name]
+                    arr = decode_column(pay, pt or f.type)
+                    if arr.type != f.type:
+                        arr = arr.cast(f.type)
+                else:
+                    arr = pa.nulls(n_rows, f.type)
+                if f.name in gdicts:
+                    arr = pc.take(gdicts[f.name], arr)
+                arrs.append(arr)
+            out = pa.RecordBatch.from_arrays(arrs, schema=out_schema)
+            yield out if out.schema.equals(expect) else out.cast(expect)
 
 
 class _PartMessage(WriterCommitMessage):
@@ -684,13 +692,113 @@ class _EncodedTableStreamWriter(DataSourceStreamArrowWriter):
                     pass
 
 
+class _EncodedTableStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("parquet_spark").load(path)`` — the
+    table as a STREAMING SOURCE: each microbatch is the set of part
+    files APPENDED between two snapshot ids, i.e. the Iceberg
+    incremental-append-scan (`manifest.read_increment`) driven by
+    Structured Streaming's offset tracking.
+
+    Offsets are ``{"snapshot_id": N}`` (-1 = nothing consumed yet).
+    ``latestOffset`` re-reads CURRENT; ``partitions(start, end)``
+    diffs the two snapshots' part manifests on the driver (O(parts)
+    metadata, zero jobs) and returns one InputPartition per NEW part
+    file, enforcing the same append-only contract as read_increment —
+    a compaction/rewrite or a changed pending-delete set between the
+    offsets raises rather than emitting a lying diff.  Executors
+    decode through the shared :func:`_read_part_file` kernel.  Option
+    ``starting`` = "earliest" (default: first batch replays the whole
+    table) | "latest" (only appends after query start)."""
+
+    def __init__(self, options, state: dict):
+        from .manifest import EncodedTable
+        self._path = options.get("path")
+        self._state = {k: v for k, v in state.items() if k != "parts"}
+        table = EncodedTable(self._path)
+        snap = table.current_snapshot()
+        starting = (options.get("starting") or "earliest").lower()
+        if starting not in ("earliest", "latest"):
+            raise ValueError(f"starting must be 'earliest' or "
+                             f"'latest', got {starting!r}")
+        self._initial = (int(snap["snapshot_id"])
+                         if starting == "latest" and snap is not None
+                         else -1)
+
+    # ---- offsets (driver) --------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": self._initial}
+
+    def latestOffset(self) -> dict:
+        from .manifest import EncodedTable
+        snap = EncodedTable(self._path).current_snapshot()
+        return {"snapshot_id": int(snap["snapshot_id"])
+                if snap is not None else self._initial}
+
+    def _snap_by_id(self, sid: int):
+        from .manifest import EncodedTable
+        table = EncodedTable(self._path)
+        snap = table.current_snapshot()
+        while snap is not None and int(snap["snapshot_id"]) != sid:
+            snap = table._parent_of(snap)
+        if snap is None:
+            raise ValueError(
+                f"snapshot {sid} is not on the current ancestry of "
+                f"{self._path} (expired by vacuum, or a replaced "
+                "branch) — restart the query from a fresh checkpoint")
+        return snap
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["snapshot_id"]), int(end["snapshot_id"])
+        if s == e:
+            return []
+        end_snap = self._snap_by_id(e)
+        to_parts = end_snap["parts"]
+        if s == -1:
+            from_parts: set = set()
+            dels_from: list = []
+        else:
+            from_snap = self._snap_by_id(s)
+            from_parts = set(from_snap["parts"])
+            removed = sorted(from_parts - set(to_parts))
+            if removed:
+                raise ValueError(
+                    f"streaming source requires an append-only "
+                    f"history: parts {removed[:8]} of snapshot {s} "
+                    f"were rewritten before snapshot {e} (compaction/"
+                    "rewrite/relocation) — re-stream from a fresh "
+                    "checkpoint")
+            dels_from = ((from_snap.get("meta") or {})
+                         .get("delete_files") or [])
+        dels_to = (end_snap.get("meta") or {}).get("delete_files") or []
+        if dels_from != dels_to:
+            raise ValueError(
+                "streaming source requires an append-only history: "
+                f"the pending row-level delete set changed between "
+                f"snapshots {s} and {e} (delete_rows/upsert_rows)")
+        return [InputPartition(info["file"])
+                for pid, info in sorted(to_parts.items(),
+                                        key=lambda kv: int(kv[0]))
+                if pid not in from_parts]
+
+    # ---- executor ----------------------------------------------------
+    def read(self, partition):
+        if partition is None or partition.value is None:
+            return
+        yield from _read_part_file(partition.value, self._state, None)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to reclaim: offsets are snapshot ids
+
+
 class EncodedTableDataSource(DataSource):
     """``spark.read.format("parquet_spark").load(path)`` /
+    ``spark.readStream.format("parquet_spark").load(path)`` /
     ``df.write.format("parquet_spark").save(path)`` /
     ``df.writeStream.format("parquet_spark").start(path)``.  Read
     options: ``columns`` (comma list, projection), ``snapshot_id``
-    (time travel), ``ref`` (named tag/branch).  Write options: see
-    :class:`_EncodedTableWriter`; streaming: see
+    (time travel), ``ref`` (named tag/branch); streaming read adds
+    ``starting`` (earliest|latest).  Write options: see
+    :class:`_EncodedTableWriter`; streaming write: see
     :class:`_EncodedTableStreamWriter`."""
 
     def __init__(self, options):
@@ -719,6 +827,9 @@ class EncodedTableDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite):
         return _EncodedTableStreamWriter(self.options, schema, overwrite)
+
+    def streamReader(self, schema):
+        return _EncodedTableStreamReader(self.options, self._read_state())
 
 
 def register(spark) -> None:
