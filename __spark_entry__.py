@@ -1016,6 +1016,63 @@ def q_datasource_write(spark, sf_dir):
     return out
 
 
+def q_datasource_stream(spark, sf_dir):
+    """Structured Streaming through the DataSource in BOTH directions
+    (datasource.py _EncodedTableStreamWriter/_EncodedTableStreamReader):
+    documents flow through a genuinely multi-batch file stream into
+    `writeStream.format("parquet_spark")` (one manifest CAS per
+    microbatch, stream_last_batch exactly-once fence), are replayed in
+    full by `readStream.format("parquet_spark")` (snapshot-id offsets
+    = incremental append scans), and the final batch read aggregates
+    match DuckDB on the raw parquet — certifying the sink committed
+    exactly the input, no loss, no double-append."""
+    import tempfile
+    import uuid
+
+    from parquet_spark.datasource import register
+    from parquet_spark.manifest import EncodedTable
+    from parquet_spark.streaming import file_stream
+    register(spark)
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "lang", "source", "n_chars"))
+    src = tempfile.mkdtemp(prefix="entry_dstr_src_")
+    d.repartition(3).write.mode("overwrite").parquet(src)
+    tbl = tempfile.mkdtemp(prefix="entry_dstr_tbl_")
+    q = (file_stream(
+            spark, src,
+            "doc_id long, lang string, source string, n_chars long")
+         .writeStream.format("parquet_spark")
+         .option("key", "doc_id")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="dstrck_"))
+         .trigger(availableNow=True).start(tbl))
+    q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress
+                     if p["numInputRows"] and p["numInputRows"] > 0])
+    assert n_batches >= 2, f"sink ran in {n_batches} micro-batch(es)"
+    snap = EncodedTable(tbl).current_snapshot()
+    assert snap["meta"]["layout"]["mode"] == "external"
+    assert int(snap["meta"]["stream_last_batch"]) >= 1
+    # source half: a full earliest replay re-emits every committed row
+    nm = "dstr_" + uuid.uuid4().hex[:8]
+    q2 = (spark.readStream.format("parquet_spark").load(tbl)
+          .writeStream.format("memory").queryName(nm)
+          .option("checkpointLocation", tempfile.mkdtemp(prefix="dstrck2_"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+    n_src = spark.table(nm).count()
+    n_tbl = spark.read.format("parquet_spark").load(tbl).count()
+    assert n_src == n_tbl, (n_src, n_tbl)
+    out = (spark.read.format("parquet_spark").load(tbl)
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.sum("n_chars").alias("sum_chars"))
+           .orderBy("lang"))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_count_pushdown(spark, sf_dir):
     """COUNT(*) aggregate pushdown (manifest.count_where): chunks the
     zone metadata PROVES fully inside the predicate contribute their
@@ -2577,20 +2634,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered for round 5 —
 
       0. facets NEW in session 5, never driver-checked (datasource_read,
-         datasource_write, alter_widen, png_features, auto_tuned_write);
+         datasource_write, datasource_stream, alter_widen, png_features,
+         auto_tuned_write);
       1. facets whose ORACLE MEASURE changed this session and therefore
          need a fresh driver row: gap_fill (r04 hash FAIL — the
          ROUND-at-representation-tie measure was replaced by the
          bit-portable FLOOR quantization, see
          tests/test_oracle_portability.py) and explode_pad (same
          tie-free rewrite applied preemptively);
-      2. the 43 highest-value members of the r03-checked pool — their
+      2. the 42 highest-value members of the r03-checked pool — their
          latest driver row is two rounds old, so re-checking them keeps
          the staleness invariant (`no facet's latest row older than two
-         rounds`) for everything except six multi-round-green
-         micro-facets (fingerprint, dict_gate, run_length_lang,
-         for_bitpack_width, merge_union_nullfill, scalar_broadcast)
-         that don't fit in the 50-slot budget; those six are
+         rounds`) for everything except seven multi-round-green
+         micro-facets (rolling_fp, fingerprint, dict_gate,
+         run_length_lang, for_bitpack_width, merge_union_nullfill,
+         scalar_broadcast) that don't fit in the 50-slot budget; those
+         seven are
          one-expression facets green in r01/r02/r03 with untouched
          code — the safest possible residue;
       3. the r04-green band (checked last round, code unchanged) at the
@@ -2603,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- band 0: new in session 5, never checked --------------------
         "datasource_read": q_datasource_read,
         "datasource_write": q_datasource_write,
+        "datasource_stream": q_datasource_stream,
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
@@ -2652,7 +2712,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_counts_source": q_salted_counts_source,
         "chunk_partition_stats": q_chunk_partition_stats,
         "token_counts": q_token_counts,
-        "rolling_fp": q_rolling_fp,
         # -- band 3: green in r04, code unchanged (re-check pool for a
         # hypothetical r06) ---------------------------------------------
         "exact_quantiles": q_exact_quantiles,
@@ -2706,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "like_prune": q_like_prune,
         # -- tail: multi-round green micro-facets (r01/r02/r03 green,
         # untouched one-expression facets — the safe staleness residue) --
+        "rolling_fp": q_rolling_fp,
         "fingerprint": q_fingerprint,
         "dict_gate": q_dict_gate,
         "run_length_lang": q_run_length_lang,
@@ -3768,6 +3828,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents WHERE doc_id <= 149
+            GROUP BY lang ORDER BY lang""",
+        "datasource_stream": """
+            SELECT lang, COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
             GROUP BY lang ORDER BY lang""",
         "route_partitioned": """
             SELECT source, COUNT(*) AS n_rows,
