@@ -100,7 +100,7 @@ _EXPORTS = {
     "analyze_df": "stats", "table_stats": "stats",
     "suggest_write_options": "stats",
     "read_warc": "warc", "parse_warc_records": "warc",
-    "write_warc_bytes": "warc",
+    "write_warc_bytes": "warc", "warc_audit": "warc",
     "build_token_index": "textops.textindex",
     "search_tokens": "textops.textindex",
     "search_prefix": "textops.textindex",
