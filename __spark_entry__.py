@@ -1073,6 +1073,33 @@ def q_datasource_stream(spark, sf_dir):
     return out
 
 
+def q_lm_fluency(spark, sf_dir):
+    """CCNet-style bigram-LM fluency scoring (textstats.train_bigram_lm
+    + score_bigram_lm): the model trains distributively (explode ->
+    map-side-combined count shuffles, deterministic capped tables back
+    to the driver), scoring is two BROADCAST joins + one hash-agg back
+    to documents (the minhash execution shape).  Caps are deliberately
+    tiny (vocab 16 of the corpus's 31 distinct words, bigrams 64) so
+    every branch of the stupid-backoff — bigram hit, vocab backoff,
+    OOV floor — carries rows at sf0.01.  The oracle hash-checks the
+    exact-integer half (pair/OOV/hit counts per language); the float
+    log-prob is unit-tested, not hashed (libm ln is not bit-portable
+    across engines — the r04 gap_fill lesson)."""
+    from parquet_spark.textops.textstats import (score_bigram_lm,
+                                                 train_bigram_lm)
+    d = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(d, vocab_size=16, bigram_cap=64)
+    scored = score_bigram_lm(d, lm)
+    out = (scored.join(d.select("doc_id", "lang"), "doc_id")
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("lm_pairs").alias("sum_pairs"),
+                F.sum("lm_oov").alias("sum_oov"),
+                F.sum("lm_hits").alias("sum_hits"))
+           .orderBy("lang"))
+    return out
+
+
 def q_count_pushdown(spark, sf_dir):
     """COUNT(*) aggregate pushdown (manifest.count_where): chunks the
     zone metadata PROVES fully inside the predicate contribute their
@@ -2634,22 +2661,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered for round 5 —
 
       0. facets NEW in session 5, never driver-checked (datasource_read,
-         datasource_write, datasource_stream, alter_widen, png_features,
-         auto_tuned_write);
+         datasource_write, datasource_stream, lm_fluency, alter_widen,
+         png_features, auto_tuned_write);
       1. facets whose ORACLE MEASURE changed this session and therefore
          need a fresh driver row: gap_fill (r04 hash FAIL — the
          ROUND-at-representation-tie measure was replaced by the
          bit-portable FLOOR quantization, see
          tests/test_oracle_portability.py) and explode_pad (same
          tie-free rewrite applied preemptively);
-      2. the 42 highest-value members of the r03-checked pool — their
+      2. the 41 highest-value members of the r03-checked pool — their
          latest driver row is two rounds old, so re-checking them keeps
          the staleness invariant (`no facet's latest row older than two
-         rounds`) for everything except seven multi-round-green
-         micro-facets (rolling_fp, fingerprint, dict_gate,
-         run_length_lang, for_bitpack_width, merge_union_nullfill,
-         scalar_broadcast) that don't fit in the 50-slot budget; those
-         seven are
+         rounds`) for everything except eight multi-round-green
+         micro-facets (token_counts, rolling_fp, fingerprint,
+         dict_gate, run_length_lang, for_bitpack_width,
+         merge_union_nullfill, scalar_broadcast) that don't fit in the
+         50-slot budget; those eight are
          one-expression facets green in r01/r02/r03 with untouched
          code — the safest possible residue;
       3. the r04-green band (checked last round, code unchanged) at the
@@ -2663,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_read": q_datasource_read,
         "datasource_write": q_datasource_write,
         "datasource_stream": q_datasource_stream,
+        "lm_fluency": q_lm_fluency,
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
@@ -2711,7 +2739,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_prune": q_zone_prune,
         "salted_counts_source": q_salted_counts_source,
         "chunk_partition_stats": q_chunk_partition_stats,
-        "token_counts": q_token_counts,
         # -- band 3: green in r04, code unchanged (re-check pool for a
         # hypothetical r06) ---------------------------------------------
         "exact_quantiles": q_exact_quantiles,
@@ -2765,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "like_prune": q_like_prune,
         # -- tail: multi-round green micro-facets (r01/r02/r03 green,
         # untouched one-expression facets — the safe staleness residue) --
+        "token_counts": q_token_counts,
         "rolling_fp": q_rolling_fp,
         "fingerprint": q_fingerprint,
         "dict_gate": q_dict_gate,
@@ -3835,6 +3863,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents
             GROUP BY lang ORDER BY lang""",
+        "lm_fluency": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS tk
+              FROM documents),
+            uni AS (SELECT unnest(tk) AS word FROM toks),
+            ucnt AS (SELECT word, COUNT(*) AS n FROM uni GROUP BY word),
+            vocab AS (
+              SELECT word FROM (
+                SELECT word,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) rk
+                FROM ucnt) WHERE rk <= 16),
+            pairs AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(tk)),
+                            i -> struct_pack(w1 := tk[i],
+                                             w2 := tk[i + 1]))) AS p
+              FROM toks WHERE len(tk) >= 2),
+            pw AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pairs),
+            bp AS (
+              SELECT w1, w2, COUNT(*) AS n FROM pw
+              WHERE w1 IN (SELECT word FROM vocab)
+                AND w2 IN (SELECT word FROM vocab)
+              GROUP BY w1, w2),
+            bigrams AS (
+              SELECT w1, w2 FROM (
+                SELECT w1, w2,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, w1 ASC,
+                                          w2 ASC) rk
+                FROM bp) WHERE rk <= 64),
+            scored AS (
+              SELECT pw.doc_id, COUNT(*) AS lm_pairs,
+                     SUM(CASE WHEN pw.w2 NOT IN (SELECT word FROM vocab)
+                              THEN 1 ELSE 0 END) AS lm_oov,
+                     SUM(CASE WHEN EXISTS (
+                           SELECT 1 FROM bigrams b
+                           WHERE b.w1 = pw.w1 AND b.w2 = pw.w2)
+                              THEN 1 ELSE 0 END) AS lm_hits
+              FROM pw GROUP BY pw.doc_id)
+            SELECT d.lang, COUNT(*) AS n_docs,
+                   CAST(SUM(s.lm_pairs) AS BIGINT) AS sum_pairs,
+                   CAST(SUM(s.lm_oov) AS BIGINT) AS sum_oov,
+                   CAST(SUM(s.lm_hits) AS BIGINT) AS sum_hits
+            FROM scored s JOIN documents d USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang""",
         "route_partitioned": """
             SELECT source, COUNT(*) AS n_rows,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids,

@@ -181,3 +181,123 @@ def domain_stats(df: DataFrame, url_col: str = "url",
             .groupBy("host")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("_tc").alias("text_chars")))
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text",
+                    vocab_size: int = 4096,
+                    bigram_cap: int = 16384) -> dict:
+    """Corpus bigram language model for CCNet-style fluency filtering
+    (Wenzek et al. 2020 filter web text by LM score; Gopher/RefinedWeb
+    keep the idea with different models).  Counts are trained
+    DISTRIBUTIVELY and only the capped tables come back to the driver:
+
+      * unigrams: explode -> hash-groupBy (map-side partial combine,
+        one shuffle of (word, count) pairs), top ``vocab_size`` under
+        the deterministic (count desc, word asc) tie-break —
+        reproducible cut, same as :func:`top_vocabulary`;
+      * bigrams: consecutive non-empty token pairs via
+        arrays_zip(slice, slice) (no UDF), broadcast-semi-joined
+        against the vocabulary BEFORE the count shuffle (an
+        out-of-vocab token can never mint a bigram key, so the key
+        space is bounded by vocab²), then top ``bigram_cap`` under
+        (count desc, w1 asc, w2 asc).
+
+    At 10^12 docs the shuffled keys are distinct words/pairs (Zipf:
+    millions, not trillions) and the driver holds vocab_size +
+    bigram_cap rows — metadata-sized by construction.  Returns
+    ``{"vocab": {word: count}, "bigrams": {(w1, w2): count},
+    "n_tokens": total}``, the picklable input of
+    :func:`score_bigram_lm`.  Tokenization is lowercase
+    whitespace-split (the corpus-stats convention here); train and
+    score share it by construction."""
+    from pyspark.sql import Window
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda x: x != "")
+    words = df.select(F.explode(toks).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    wv = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    vocab_df = (counts.withColumn("rank", F.row_number().over(wv))
+                .where(F.col("rank") <= vocab_size)
+                .select("word", "n")).cache()
+    vocab = {r.word: int(r.n) for r in vocab_df.collect()}
+    n_tokens = int(words.count())
+
+    t = df.select(toks.alias("_tk"))
+    n = F.size(F.col("_tk"))
+    pairs = F.arrays_zip(F.slice(F.col("_tk"), 1, n - 1),
+                         F.expr("slice(_tk, 2, size(_tk) - 1)"))
+    big = (t.where(n >= 2)
+           .select(F.explode(pairs).alias("p"))
+           .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2")))
+    big = (big.join(F.broadcast(vocab_df.select(
+               F.col("word").alias("w1"))), "w1", "left_semi")
+           .join(F.broadcast(vocab_df.select(
+               F.col("word").alias("w2"))), "w2", "left_semi"))
+    bcounts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    wb = Window.orderBy(F.col("n").desc(), F.col("w1").asc(),
+                        F.col("w2").asc())
+    bigrams = {(r.w1, r.w2): int(r.n) for r in
+               (bcounts.withColumn("rank", F.row_number().over(wb))
+                .where(F.col("rank") <= bigram_cap)
+                .select("w1", "w2", "n")).collect()}
+    vocab_df.unpersist()
+    return {"vocab": vocab, "bigrams": bigrams, "n_tokens": n_tokens}
+
+
+def score_bigram_lm(df: DataFrame, lm: dict, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    alpha: float = 0.4) -> DataFrame:
+    """Per-document fluency under a :func:`train_bigram_lm` model:
+    stupid-backoff (Brants et al. 2007 — no discounting state, ideal
+    for a distributed filter) over consecutive token pairs,
+
+        p(w2 | w1) = count(w1 w2) / count(w1)        bigram known
+                   = alpha * count(w2) / N            w2 in vocab
+                   = alpha * 1 / N                    w2 out of vocab
+
+    Returns (id_col, lm_tokens, lm_oov, lm_hits, lm_logprob):
+    exact-integer diagnostics (token/pair/OOV/bigram-hit counts — the
+    oracle-checkable half) plus the mean natural-log probability per
+    scored pair (float — verified by unit tests, not hashes: libm ln
+    is not bit-portable across engines).
+
+    Execution: explode pairs, TWO broadcast joins against the capped
+    count tables (the big side never shuffles for lookups), per-pair
+    arithmetic in codegen, ONE hash-aggregate back to documents — the
+    minhash execution shape, so it scales the same way."""
+    spark = df.sparkSession
+    vdf = spark.createDataFrame(
+        [(w, c) for w, c in lm["vocab"].items()], "word string, vn long")
+    bdf = spark.createDataFrame(
+        [(a, b, c) for (a, b), c in lm["bigrams"].items()],
+        "w1 string, w2 string, bn long")
+    N = max(1, int(lm["n_tokens"]))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda x: x != "")
+    t = df.select(F.col(id_col), toks.alias("_tk"))
+    n = F.size(F.col("_tk"))
+    pairs = F.arrays_zip(F.slice(F.col("_tk"), 1, n - 1),
+                         F.expr("slice(_tk, 2, size(_tk) - 1)"))
+    p = (t.where(n >= 2)
+         .select(F.col(id_col), F.explode(pairs).alias("p"))
+         .select(F.col(id_col), F.col("p.0").alias("w1"),
+                 F.col("p.1").alias("w2")))
+    p = (p.join(F.broadcast(bdf), ["w1", "w2"], "left")
+         .join(F.broadcast(vdf.select(F.col("word").alias("w1"),
+                                      F.col("vn").alias("c1"))),
+               "w1", "left")
+         .join(F.broadcast(vdf.select(F.col("word").alias("w2"),
+                                      F.col("vn").alias("c2"))),
+               "w2", "left"))
+    prob = (F.when(F.col("bn").isNotNull() & F.col("c1").isNotNull(),
+                   F.col("bn") / F.col("c1"))
+            .when(F.col("c2").isNotNull(),
+                  F.lit(alpha) * F.col("c2") / F.lit(N))
+            .otherwise(F.lit(alpha) / F.lit(N)))
+    return (p.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("lm_pairs"),
+                 F.sum(F.when(F.col("c2").isNull(), 1)
+                       .otherwise(0)).alias("lm_oov"),
+                 F.sum(F.when(F.col("bn").isNotNull(), 1)
+                       .otherwise(0)).alias("lm_hits"),
+                 F.avg(F.log(prob)).alias("lm_logprob")))

@@ -757,3 +757,69 @@ def test_token_index_prefix_search(spark, tmp_path):
     assert search_prefix(spark, idx, "zz").count() == 0
     with pytest.raises(ValueError, match="non-empty"):
         search_prefix(spark, idx, "")
+
+
+@pytest.mark.spark
+def test_bigram_lm_train_counts_and_caps(spark):
+    """train_bigram_lm on a hand-countable corpus: exact unigram/bigram
+    counts, deterministic (count desc, word asc) vocab cut, and the
+    invariant that no bigram key escapes the vocabulary (OOV tokens are
+    semi-joined away BEFORE the pair-count shuffle)."""
+    from parquet_spark.textops.textstats import train_bigram_lm
+    rows = [(1, "a b a b c"), (2, "a b z"), (3, "c a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = train_bigram_lm(df, vocab_size=3, bigram_cap=16)
+    # counts: a=4 b=3 c=2 z=1 -> vocab cap 3 drops z
+    assert lm["vocab"] == {"a": 4, "b": 3, "c": 2}
+    assert lm["n_tokens"] == 10
+    # pairs within vocab: (a,b)x3 (b,a)x1 (b,c)x1 (c,a)x1; (b,z) dies
+    # at the semi-join, so z can never mint a bigram key
+    assert lm["bigrams"] == {("a", "b"): 3, ("b", "a"): 1,
+                             ("b", "c"): 1, ("c", "a"): 1}
+    # tie-break at the cap is (count desc, word asc): with vocab_size=2
+    # the n=2 'c' loses to a/b deterministically
+    lm2 = train_bigram_lm(df, vocab_size=2, bigram_cap=2)
+    assert set(lm2["vocab"]) == {"a", "b"}
+    # bigram cap keeps (a,b) n=3 then (b,a) by (w1 asc, w2 asc)
+    assert lm2["bigrams"] == {("a", "b"): 3, ("b", "a"): 1}
+
+
+@pytest.mark.spark
+def test_bigram_lm_score_backoff_branches(spark):
+    """score_bigram_lm per-pair stupid-backoff: every branch (bigram
+    hit, vocab backoff, OOV floor) reproduced by a pure-Python model
+    on the same counts — integers exactly, log-prob to float tol."""
+    import math
+    from parquet_spark.textops.textstats import (score_bigram_lm,
+                                                 train_bigram_lm)
+    rows = [(1, "a b a b c"), (2, "a b z"), (3, "c a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = train_bigram_lm(df, vocab_size=3, bigram_cap=16)
+    alpha, N = 0.4, lm["n_tokens"]
+
+    def p(w1, w2):
+        if (w1, w2) in lm["bigrams"] and w1 in lm["vocab"]:
+            return lm["bigrams"][(w1, w2)] / lm["vocab"][w1]
+        if w2 in lm["vocab"]:
+            return alpha * lm["vocab"][w2] / N
+        return alpha / N
+
+    got = {r.doc_id: r for r in score_bigram_lm(df, lm).collect()}
+    # doc 2 "a b z": (a,b) hit, (b,z) OOV floor
+    assert (got[2].lm_pairs, got[2].lm_oov, got[2].lm_hits) == (2, 1, 1)
+    exp2 = (math.log(p("a", "b")) + math.log(p("b", "z"))) / 2
+    assert got[2].lm_logprob == pytest.approx(exp2, rel=1e-12)
+    # doc 1 exercises hit-only pairs; doc 3 (c,a) is also a hit
+    for d, toks in {1: "a b a b c".split(), 3: "c a".split()}.items():
+        prs = list(zip(toks, toks[1:]))
+        assert got[d].lm_pairs == len(prs)
+        exp = sum(math.log(p(a, b)) for a, b in prs) / len(prs)
+        assert got[d].lm_logprob == pytest.approx(exp, rel=1e-12)
+    # vocab-backoff branch: pair absent from bigrams but w2 in vocab
+    one = spark.createDataFrame([(9, "z c")], "doc_id long, text string")
+    r9 = score_bigram_lm(one, lm).collect()[0]
+    assert (r9.lm_pairs, r9.lm_oov, r9.lm_hits) == (1, 0, 0)
+    assert r9.lm_logprob == pytest.approx(math.log(p("z", "c")), rel=1e-12)
+    # a one-token document has no pairs -> no output row
+    short = spark.createDataFrame([(8, "a")], "doc_id long, text string")
+    assert score_bigram_lm(short, lm).count() == 0
