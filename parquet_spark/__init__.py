@@ -91,6 +91,8 @@ _EXPORTS = {
     "repetition_stats": "textops.textstats",
     "top_vocabulary": "textops.textstats",
     "lang_id": "textops.textstats",
+    "train_bigram_lm": "textops.textstats",
+    "score_bigram_lm": "textops.textstats",
     "gap_fill": "temporal",
     "kmv_sketch": "sketch", "kmv_sketch_many": "sketch",
     "kmv_merge": "sketch", "kmv_estimate": "sketch",
