@@ -1449,6 +1449,40 @@ def q_token_rank(spark, sf_dir):
     return out
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact SUBSTRING-level duplication stats (textops/dedup.py
+    `dup_span_stats` — the window-granular ExactSubstr of Lee et al.
+    2021): any 5-token window shared by >= 2 distinct docs marks its
+    positions as duplicated; per doc we count windows, duplicated
+    windows, and the UNION of covered token positions (overlaps do
+    not double-count).  DuckDB recomputes the whole vote ->
+    semi-join -> coverage pipeline from the raw text.  All measures
+    are exact integers (per-lang sums plus a dup-doc id checksum),
+    so the hash check is unconditionally bit-portable.  Non-vacuity
+    asserted (some span must repeat across docs at sf0.01: ~2.3k
+    duplicated windows over ~71 docs)."""
+    from parquet_spark.textops.dedup import dup_span_stats
+    d = _t(spark, sf_dir, "documents")
+    s = dup_span_stats(d, k=5)
+    joined = s.join(d.select("doc_id", "lang"), "doc_id").cache()
+    n_hit = joined.where(F.col("n_dup_windows") > 0).count()
+    assert n_hit > 0, "vacuous: no cross-doc duplicated spans"
+    out = (joined.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("sum_tokens"),
+                F.sum("n_windows").alias("sum_windows"),
+                F.sum("n_dup_windows").alias("sum_dup_windows"),
+                F.sum("n_dup_tokens").alias("sum_dup_tokens"),
+                F.sum(F.when(F.col("n_dup_windows") > 0,
+                             F.col("doc_id")).otherwise(0))
+                .alias("sum_dup_ids"))
+           .orderBy("lang"))
+    out = out.cache()
+    out.count()
+    joined.unpersist()
+    return out
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-level duplicate-line removal (textops/dedup.py
     `dedup_lines`, the C4/CCNet boilerplate pass).  The flat corpus
@@ -2661,24 +2695,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered for round 5 —
 
       0. facets NEW in session 5, never driver-checked (datasource_read,
-         datasource_write, datasource_stream, lm_fluency, alter_widen,
-         png_features, auto_tuned_write);
+         datasource_write, datasource_stream, lm_fluency, dup_spans,
+         alter_widen, png_features, auto_tuned_write);
       1. facets whose ORACLE MEASURE changed this session and therefore
          need a fresh driver row: gap_fill (r04 hash FAIL — the
          ROUND-at-representation-tie measure was replaced by the
          bit-portable FLOOR quantization, see
          tests/test_oracle_portability.py) and explode_pad (same
          tie-free rewrite applied preemptively);
-      2. the 41 highest-value members of the r03-checked pool — their
+      2. the 40 highest-value members of the r03-checked pool — their
          latest driver row is two rounds old, so re-checking them keeps
          the staleness invariant (`no facet's latest row older than two
-         rounds`) for everything except eight multi-round-green
-         micro-facets (token_counts, rolling_fp, fingerprint,
+         rounds`) for everything except nine multi-round-green
+         facets (chunk_partition_stats, token_counts, rolling_fp, fingerprint,
          dict_gate, run_length_lang, for_bitpack_width,
          merge_union_nullfill, scalar_broadcast) that don't fit in the
          50-slot budget; those eight are
-         one-expression facets green in r01/r02/r03 with untouched
-         code — the safest possible residue;
+         small facets green in r01/r02/r03 with untouched code —
+         the safest possible residue;
       3. the r04-green band (checked last round, code unchanged) at the
          back, followed by the five-facet micro residue.
 
@@ -2691,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_write": q_datasource_write,
         "datasource_stream": q_datasource_stream,
         "lm_fluency": q_lm_fluency,
+        "dup_spans": q_dup_spans,
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
@@ -2738,7 +2773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_stats": q_streaming_window_stats,
         "zone_prune": q_zone_prune,
         "salted_counts_source": q_salted_counts_source,
-        "chunk_partition_stats": q_chunk_partition_stats,
         # -- band 3: green in r04, code unchanged (re-check pool for a
         # hypothetical r06) ---------------------------------------------
         "exact_quantiles": q_exact_quantiles,
@@ -2792,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "like_prune": q_like_prune,
         # -- tail: multi-round green micro-facets (r01/r02/r03 green,
         # untouched one-expression facets — the safe staleness residue) --
+        "chunk_partition_stats": q_chunk_partition_stats,
         "token_counts": q_token_counts,
         "rolling_fp": q_rolling_fp,
         "fingerprint": q_fingerprint,
@@ -3706,6 +3741,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents
             GROUP BY lang ORDER BY lang""",
+        "dup_spans": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS tk
+              FROM documents),
+            per_doc AS (
+              SELECT doc_id, lang, len(tk) AS n_tokens,
+                     greatest(len(tk) - 4, 0) AS n_windows
+              FROM toks),
+            win AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(tk[i:i+4], ' ')) AS h
+              FROM toks,
+                   UNNEST(generate_series(1, len(tk) - 4)) AS g(i)),
+            dup AS (SELECT h FROM win
+                    GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+            dwin AS (SELECT w.doc_id, w.pos
+                     FROM win w SEMI JOIN dup d USING (h)),
+            cov AS (SELECT doc_id,
+                           UNNEST(generate_series(pos, pos + 4)) AS t
+                    FROM dwin),
+            nw AS (SELECT doc_id, COUNT(DISTINCT pos) AS ndw
+                   FROM dwin GROUP BY doc_id),
+            nt AS (SELECT doc_id, COUNT(DISTINCT t) AS ndt
+                   FROM cov GROUP BY doc_id),
+            j AS (SELECT p.lang, p.doc_id, p.n_tokens, p.n_windows,
+                         COALESCE(nw.ndw, 0) AS ndw,
+                         COALESCE(nt.ndt, 0) AS ndt
+                  FROM per_doc p
+                  LEFT JOIN nw USING (doc_id)
+                  LEFT JOIN nt USING (doc_id))
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(n_windows) AS BIGINT) AS sum_windows,
+                   CAST(SUM(ndw) AS BIGINT) AS sum_dup_windows,
+                   CAST(SUM(ndt) AS BIGINT) AS sum_dup_tokens,
+                   CAST(SUM(CASE WHEN ndw > 0 THEN doc_id
+                                 ELSE 0 END) AS BIGINT) AS sum_dup_ids
+            FROM j GROUP BY lang ORDER BY lang""",
         "line_dedup": """
             WITH docs AS (
               SELECT doc_id,

@@ -93,6 +93,7 @@ _EXPORTS = {
     "lang_id": "textops.textstats",
     "train_bigram_lm": "textops.textstats",
     "score_bigram_lm": "textops.textstats",
+    "dup_span_stats": "textops.dedup",
     "gap_fill": "temporal",
     "kmv_sketch": "sketch", "kmv_sketch_many": "sketch",
     "kmv_merge": "sketch", "kmv_estimate": "sketch",

@@ -823,3 +823,41 @@ def test_bigram_lm_score_backoff_branches(spark):
     # a one-token document has no pairs -> no output row
     short = spark.createDataFrame([(8, "a")], "doc_id long, text string")
     assert score_bigram_lm(short, lm).count() == 0
+
+
+@pytest.mark.spark
+def test_dup_span_stats_hand_counts(spark):
+    """Window-granular ExactSubstr on a planted shared span: exact
+    window/coverage arithmetic, overlap union (no double-count),
+    short-doc and unique-doc zero rows, and the min_docs vote."""
+    from parquet_spark.textops.dedup import dup_span_stats
+    rows = [(1, "a b c d e x y z"),       # shares 'a b c d e' with 2
+            (2, "q a b c d e r"),
+            (3, "totally unique words here now"),
+            (4, "a b")]                   # < k tokens: no windows
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: tuple(r)[1:] for r in
+           dup_span_stats(df, k=3).collect()}
+    # (n_tokens, n_windows, n_dup_windows, n_dup_tokens)
+    assert got[1] == (8, 6, 3, 5)   # dup windows pos 1-3, cover 1..5
+    assert got[2] == (7, 5, 3, 5)   # dup windows pos 2-4, cover 2..6
+    assert got[3] == (5, 3, 0, 0)
+    assert got[4] == (2, 0, 0, 0)
+    # min_docs=3: the pair-shared span no longer votes
+    got3 = {r.doc_id: r.n_dup_windows for r in
+            dup_span_stats(df, k=3, min_docs=3).collect()}
+    assert all(v == 0 for v in got3.values())
+    # a span repeated WITHIN one doc is not cross-doc duplication
+    one = spark.createDataFrame(
+        [(9, "p q r s p q r s")], "doc_id long, text string")
+    r9 = dup_span_stats(one, k=3).collect()[0]
+    assert (r9.n_dup_windows, r9.n_dup_tokens) == (0, 0)
+    # case-sensitive identity: only 'b c d' is shared, 'A b c' is not
+    cs = spark.createDataFrame(
+        [(1, "A b c d"), (2, "a b c d")], "doc_id long, text string")
+    assert all((r.n_dup_windows, r.n_dup_tokens) == (1, 3) for r in
+               dup_span_stats(cs, k=3).collect())
+    with pytest.raises(ValueError, match="min_docs"):
+        dup_span_stats(df, k=3, min_docs=1)
+    with pytest.raises(ValueError, match="k must"):
+        dup_span_stats(df, k=0)
