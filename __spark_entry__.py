@@ -1483,6 +1483,40 @@ def q_dup_spans(spark, sf_dir):
     return out
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """ExactSubstr REMOVAL (textops/dedup.py `remove_dup_spans` — the
+    action half of Lee et al. 2021): every 5-token span shared by
+    >= 2 distinct docs is cut from all docs except the min-doc_id
+    owner's copy, overlaps unioned, text rebuilt from kept tokens.
+    DuckDB recomputes ownership, coverage, and the REBUILT TEXT from
+    scratch; the per-lang measure hashes the rebuilt strings
+    themselves (min/max of md5(doc_id:clean_text)) plus exact-integer
+    token/removal sums — so the facet certifies the rewritten bytes,
+    not just the counts.  md5-of-UTF-8 and integer sums are
+    unconditionally bit-portable.  Non-vacuity asserted (some doc
+    must actually lose tokens at sf0.01)."""
+    from parquet_spark.textops.dedup import remove_dup_spans
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    r = remove_dup_spans(d, k=5).cache()
+    n_cut = r.where(F.col("n_removed") > 0).count()
+    assert n_cut > 0, "vacuous: no doc lost any span"
+    fp = F.md5(F.concat(F.col("doc_id").cast("string"),
+                        F.lit(":"), F.col("text")))
+    out = (r.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("sum_tokens"),
+                F.sum("n_removed").alias("sum_removed"),
+                F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0))
+                .cast("long").alias("n_cut_docs"),
+                F.min(fp).alias("min_fp"),
+                F.max(fp).alias("max_fp"))
+           .orderBy("lang"))
+    out = out.cache()
+    out.count()
+    r.unpersist()
+    return out
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-level duplicate-line removal (textops/dedup.py
     `dedup_lines`, the C4/CCNet boilerplate pass).  The flat corpus
@@ -2696,23 +2730,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
       0. facets NEW in session 5, never driver-checked (datasource_read,
          datasource_write, datasource_stream, lm_fluency, dup_spans,
-         alter_widen, png_features, auto_tuned_write);
+         dup_span_removal, alter_widen, png_features, auto_tuned_write);
       1. facets whose ORACLE MEASURE changed this session and therefore
          need a fresh driver row: gap_fill (r04 hash FAIL — the
          ROUND-at-representation-tie measure was replaced by the
          bit-portable FLOOR quantization, see
          tests/test_oracle_portability.py) and explode_pad (same
          tie-free rewrite applied preemptively);
-      2. the 40 highest-value members of the r03-checked pool — their
+      2. the 39 highest-value members of the r03-checked pool — their
          latest driver row is two rounds old, so re-checking them keeps
          the staleness invariant (`no facet's latest row older than two
-         rounds`) for everything except nine multi-round-green
-         facets (chunk_partition_stats, token_counts, rolling_fp, fingerprint,
-         dict_gate, run_length_lang, for_bitpack_width,
+         rounds`) for everything except ten multi-round-green facets
+         (zone_prune, chunk_partition_stats, token_counts, rolling_fp,
+         fingerprint, dict_gate, run_length_lang, for_bitpack_width,
          merge_union_nullfill, scalar_broadcast) that don't fit in the
-         50-slot budget; those eight are
-         small facets green in r01/r02/r03 with untouched code —
-         the safest possible residue;
+         50-slot budget; those ten are small facets green in
+         r01/r02/r03 with untouched code — the safest possible residue
+         (zone_prune's machinery is re-covered inside the budget by
+         zone_prune_ts/zone_prune_multi);
       3. the r04-green band (checked last round, code unchanged) at the
          back, followed by the five-facet micro residue.
 
@@ -2726,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_stream": q_datasource_stream,
         "lm_fluency": q_lm_fluency,
         "dup_spans": q_dup_spans,
+        "dup_span_removal": q_dup_span_removal,
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
@@ -2771,7 +2807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "pipeline_curation": q_pipeline_curation,
         "streaming_window_stats": q_streaming_window_stats,
-        "zone_prune": q_zone_prune,
         "salted_counts_source": q_salted_counts_source,
         # -- band 3: green in r04, code unchanged (re-check pool for a
         # hypothetical r06) ---------------------------------------------
@@ -2826,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "like_prune": q_like_prune,
         # -- tail: multi-round green micro-facets (r01/r02/r03 green,
         # untouched one-expression facets — the safe staleness residue) --
+        "zone_prune": q_zone_prune,
         "chunk_partition_stats": q_chunk_partition_stats,
         "token_counts": q_token_counts,
         "rolling_fp": q_rolling_fp,
@@ -3781,6 +3817,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN ndw > 0 THEN doc_id
                                  ELSE 0 END) AS BIGINT) AS sum_dup_ids
             FROM j GROUP BY lang ORDER BY lang""",
+        "dup_span_removal": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS tk
+              FROM documents),
+            win AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(tk[i:i+4], ' ')) AS h
+              FROM toks,
+                   UNNEST(generate_series(1, len(tk) - 4)) AS g(i)),
+            own AS (SELECT h, MIN(doc_id) AS own FROM win
+                    GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+            cut AS (SELECT DISTINCT w.doc_id, u.t
+                    FROM win w JOIN own o USING (h),
+                         UNNEST(generate_series(w.pos, w.pos + 4)) AS u(t)
+                    WHERE w.doc_id <> o.own),
+            cl AS (SELECT doc_id, list_sort(list(t)) AS cuts,
+                          COUNT(*) AS nr
+                   FROM cut GROUP BY doc_id),
+            reb AS (SELECT t.doc_id, t.lang, len(tk) AS n_tokens,
+                           COALESCE(cl.nr, 0) AS n_removed,
+                           array_to_string(
+                             [tk[i] FOR i IN generate_series(1, len(tk))
+                              IF NOT list_contains(
+                                       COALESCE(cl.cuts,
+                                                CAST([] AS BIGINT[])), i)],
+                             ' ') AS clean
+                    FROM toks t LEFT JOIN cl USING (doc_id))
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(n_removed) AS BIGINT) AS sum_removed,
+                   CAST(SUM(CASE WHEN n_removed > 0 THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_cut_docs,
+                   MIN(md5(doc_id::VARCHAR || ':' || clean)) AS min_fp,
+                   MAX(md5(doc_id::VARCHAR || ':' || clean)) AS max_fp
+            FROM reb GROUP BY lang ORDER BY lang""",
         "line_dedup": """
             WITH docs AS (
               SELECT doc_id,

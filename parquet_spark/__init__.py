@@ -94,6 +94,7 @@ _EXPORTS = {
     "train_bigram_lm": "textops.textstats",
     "score_bigram_lm": "textops.textstats",
     "dup_span_stats": "textops.dedup",
+    "remove_dup_spans": "textops.dedup",
     "gap_fill": "temporal",
     "kmv_sketch": "sketch", "kmv_sketch_many": "sketch",
     "kmv_merge": "sketch", "kmv_estimate": "sketch",

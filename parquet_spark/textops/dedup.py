@@ -382,6 +382,28 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id",
             .drop("_clean", "_n_kept"))
 
 
+def _span_tokens(text_col: str):
+    """Case-SENSITIVE non-empty whitespace tokens (span identity is
+    exact text, unlike the lowercased stats tokenizers)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+
+def _span_windows(base: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, _pos, _h) rows: one md5 per k-token window, 1-based start
+    position.  Docs with < k tokens emit nothing.  The digest — never
+    the text — is what every downstream shuffle carries."""
+    n = F.size(F.col("_tk"))
+    return (base.where(n >= k)
+            .select(
+                F.col(id_col),
+                F.posexplode(F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.md5(F.array_join(
+                        F.slice(F.col("_tk"), i, k), " "))))
+                .alias("_p0", "_h"))
+            .select(id_col, (F.col("_p0") + 1).alias("_pos"), "_h"))
+
+
 def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", k: int = 20,
                    min_docs: int = 2) -> DataFrame:
@@ -430,21 +452,12 @@ def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"k must be >= 1, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    base = df.select(F.col(id_col), toks.alias("_tk"))
+    base = df.select(F.col(id_col), _span_tokens(text_col).alias("_tk"))
     n = F.size(F.col("_tk"))
     per_doc = base.select(
         id_col, n.alias("n_tokens"),
         F.greatest(n - (k - 1), F.lit(0)).alias("n_windows"))
-    win = (base.where(n >= k)
-           .select(
-               F.col(id_col),
-               F.posexplode(F.transform(
-                   F.sequence(F.lit(1), n - (k - 1)),
-                   lambda i: F.md5(F.array_join(
-                       F.slice(F.col("_tk"), i, k), " "))))
-               .alias("_p0", "_h"))
-           .select(id_col, (F.col("_p0") + 1).alias("_pos"), "_h"))
+    win = _span_windows(base, id_col, k)
     dup = (win.groupBy("_h")
            .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
            .where(F.col("_nd") >= min_docs)
@@ -469,3 +482,80 @@ def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
                   F.count(F.lit(1)).alias("n_dup_tokens")))
     return (per_doc.join(stats, id_col, "left")
             .fillna(0, ["n_dup_windows", "n_dup_tokens"]))
+
+
+def remove_dup_spans(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 20,
+                     min_docs: int = 2) -> DataFrame:
+    """The ACTION half of ExactSubstr dedup (Lee et al. 2021): rewrite
+    each document with every duplicated k-token span cut, keeping
+    exactly one canonical copy corpus-wide.  `dup_span_stats` measures
+    the duplicated-n-gram fraction; this operator removes it.
+
+    Keep-one rule (deterministic, order-free): each duplicated digest
+    (>= `min_docs` distinct docs) is OWNED by its minimum `id_col`; a
+    token position is cut iff some duplicated window covering it
+    belongs to a doc that is NOT that window's owner.  The owner doc
+    keeps its copy (including within-doc repeats of a span it owns);
+    every other doc loses all of that span's positions.  Overlapping
+    cut windows union (a position is removed once).
+
+    Returns the input rows with `text_col` REPLACED by the cleaned
+    text (kept tokens joined by a single space — output is
+    token-normalized, as the whitespace tokenizer implies) plus
+    `n_tokens` (pre-cut) and `n_removed`; `n_tokens - n_removed` is
+    the kept-token count.  Docs shorter than k tokens pass through
+    with `n_removed = 0` (but still space-normalized).
+
+    Scale shape (10^12 docs): identical skeleton to `dup_span_stats`
+    — windows shuffle as 16-byte md5s only; the owner vote is one
+    map-side-combined hash-groupBy per digest (count_distinct + min);
+    the membership join is a plain shuffle join sized by AQE's
+    skew-split (boilerplate digests are hot keys); the coverage
+    explode runs ONLY for non-owner duplicated windows.  The per-doc
+    cut set (`collect_set` of positions) is bounded by one document's
+    token count — the same per-task width every per-doc array op here
+    already carries — and the rebuild is pure codegen
+    (zip_with/filter/array_join, zero UDFs).  One final shuffle join
+    hands the cut sets back to the full-width rows, so document
+    payloads move exactly once.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    for c in ("n_tokens", "n_removed", "_tk", "_cut"):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} is reserved by "
+                             f"remove_dup_spans; rename it first")
+    base = df.select(F.col(id_col), _span_tokens(text_col).alias("_tk"))
+    win = _span_windows(base, id_col, k)
+    owner = (win.groupBy("_h")
+             .agg(F.count_distinct(F.col(id_col)).alias("_nd"),
+                  F.min(F.col(id_col)).alias("_own"))
+             .where(F.col("_nd") >= min_docs)
+             .select("_h", "_own"))
+    cuts = (win.join(owner, "_h")
+            .where(F.col(id_col) != F.col("_own"))
+            .select(F.col(id_col),
+                    F.explode(F.sequence(
+                        F.col("_pos"), F.col("_pos") + (k - 1))).alias("_t"))
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_set("_t")).alias("_cut")))
+    tk = F.col("_tk")
+    cut = F.coalesce(F.col("_cut"), F.array().cast("array<int>"))
+    # null out cut positions, drop the nulls, re-join: stays in codegen.
+    # An empty token array zips against sequence(1,0)=[1,0] as an
+    # all-null pad, which the filter drops — "" comes out either way.
+    kept = F.filter(
+        F.zip_with(tk, F.sequence(F.lit(1), F.size(tk)),
+                   lambda tok, i: F.when(F.array_contains(cut, i),
+                                         F.lit(None)).otherwise(tok)),
+        lambda x: x.isNotNull())
+    return (df.join(cuts, id_col, "left")
+            .withColumn("_tk", _span_tokens(text_col))
+            .withColumn("n_tokens", F.size(tk))
+            .withColumn("n_removed",
+                        F.coalesce(F.size(F.col("_cut")), F.lit(0)))
+            .withColumn(text_col, F.array_join(kept, " "))
+            .drop("_tk", "_cut"))

@@ -861,3 +861,45 @@ def test_dup_span_stats_hand_counts(spark):
         dup_span_stats(df, k=3, min_docs=1)
     with pytest.raises(ValueError, match="k must"):
         dup_span_stats(df, k=0)
+
+
+@pytest.mark.spark
+def test_remove_dup_spans_keep_one_copy(spark):
+    """ExactSubstr removal: min-doc_id owner keeps its copy, every
+    other doc loses the covered positions (union over overlaps);
+    short docs pass through; kept = n_tokens - n_removed."""
+    from parquet_spark.textops.dedup import remove_dup_spans
+    rows = [(1, "a b c d e x y z", "en"),   # owner of 'a b c'... spans
+            (2, "q a b c d e r", "en"),     # loses pos 2..6
+            (3, "c d e f g", "de"),         # loses pos 1..3 ('c d e')
+            (4, "a b", "de"),               # < k tokens: untouched
+            (5, "totally unique words here", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: (r.text, r.n_tokens, r.n_removed, r.lang)
+           for r in remove_dup_spans(df, k=3).collect()}
+    assert got[1] == ("a b c d e x y z", 8, 0, "en")   # owner keeps
+    assert got[2] == ("q r", 7, 5, "en")
+    assert got[3] == ("f g", 5, 3, "de")
+    assert got[4] == ("a b", 2, 0, "de")
+    assert got[5] == ("totally unique words here", 4, 0, "en")
+    # non-id columns survive the rewrite (checked via lang above);
+    # whitespace is normalized even for untouched docs
+    messy = spark.createDataFrame(
+        [(7, "  padded   tokens  ")], "doc_id long, text string")
+    assert remove_dup_spans(messy, k=3).collect()[0].text == "padded tokens"
+    # within-doc repetition of an un-shared span is never cut
+    one = spark.createDataFrame(
+        [(9, "p q r s p q r s")], "doc_id long, text string")
+    r9 = remove_dup_spans(one, k=3).collect()[0]
+    assert (r9.text, r9.n_removed) == ("p q r s p q r s", 0)
+    # owner keeps BOTH copies of a span it owns when repeated in-doc
+    two = spark.createDataFrame(
+        [(1, "u v w z u v w"), (2, "m u v w n")],
+        "doc_id long, text string")
+    got2 = {r.doc_id: (r.text, r.n_removed)
+            for r in remove_dup_spans(two, k=3).collect()}
+    assert got2[1] == ("u v w z u v w", 0)
+    assert got2[2] == ("m n", 3)
+    # reserved-column guard
+    with pytest.raises(ValueError, match="reserved"):
+        remove_dup_spans(df.withColumn("n_removed", F.lit(1)), k=3)
