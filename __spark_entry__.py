@@ -1517,6 +1517,40 @@ def q_dup_span_removal(spark, sf_dir):
     return out
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (textops/htmlops.py), the WARC-to-corpus
+    step whose output the north rule pins ("byte-identical extracted
+    text per url").  Each document's text is rendered to realistic
+    HTML by the pure-codegen `synth_html` fixture (head/title/script/
+    style/comment noise, per-paragraph tags + attributes, an inline
+    anchor, and a literal `&#32;` charref per paragraph), then
+    `extract_text`'s stdlib-parser Arrow kernel recovers the visible
+    text.  The per-lang measure hashes the EXTRACTED strings
+    (min/max md5(doc_id:text)) while DuckDB computes the identical
+    measure from the ORIGINAL text column (whitespace-normalized) —
+    so a green row certifies extraction is byte-exact on every row,
+    through tags, entities, and skip containers.  Non-vacuity: the
+    rendered html must be strictly larger than the text it wraps."""
+    from parquet_spark.textops.htmlops import extract_text, synth_html
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    h = synth_html(d).select("doc_id", "lang", "html")
+    blo = h.agg(F.min(F.length("html")).alias("lo")).head()["lo"]
+    assert blo is not None and blo > 300, "vacuous: boilerplate missing"
+    e = extract_text(h, html_col="html")
+    fp = F.md5(F.concat(F.col("doc_id").cast("string"),
+                        F.lit(":"), F.col("text")))
+    out = (e.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text")).alias("sum_chars"),
+                F.sum("n_links").alias("sum_links"),
+                F.min(fp).alias("min_fp"),
+                F.max(fp).alias("max_fp"))
+           .orderBy("lang"))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-level duplicate-line removal (textops/dedup.py
     `dedup_lines`, the C4/CCNet boilerplate pass).  The flat corpus
@@ -2730,24 +2764,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
       0. facets NEW in session 5, never driver-checked (datasource_read,
          datasource_write, datasource_stream, lm_fluency, dup_spans,
-         dup_span_removal, alter_widen, png_features, auto_tuned_write);
+         dup_span_removal, html_extract, alter_widen, png_features,
+         auto_tuned_write);
       1. facets whose ORACLE MEASURE changed this session and therefore
          need a fresh driver row: gap_fill (r04 hash FAIL — the
          ROUND-at-representation-tie measure was replaced by the
          bit-portable FLOOR quantization, see
          tests/test_oracle_portability.py) and explode_pad (same
          tie-free rewrite applied preemptively);
-      2. the 39 highest-value members of the r03-checked pool — their
+      2. the highest-value members of the r03-checked pool — their
          latest driver row is two rounds old, so re-checking them keeps
          the staleness invariant (`no facet's latest row older than two
-         rounds`) for everything except ten multi-round-green facets
-         (zone_prune, chunk_partition_stats, token_counts, rolling_fp,
-         fingerprint, dict_gate, run_length_lang, for_bitpack_width,
-         merge_union_nullfill, scalar_broadcast) that don't fit in the
-         50-slot budget; those ten are small facets green in
-         r01/r02/r03 with untouched code — the safest possible residue
-         (zone_prune's machinery is re-covered inside the budget by
-         zone_prune_ts/zone_prune_multi);
+         rounds`) for everything except the multi-round-green facets
+         (salted_counts_source, zone_prune, chunk_partition_stats,
+         token_counts, rolling_fp, fingerprint, dict_gate,
+         run_length_lang, for_bitpack_width, merge_union_nullfill,
+         scalar_broadcast) that don't fit in the 50-slot budget; those
+         are small facets green in r01-r03 with untouched code — the
+         safest possible residue (zone_prune's machinery is re-covered
+         inside the budget by zone_prune_ts/zone_prune_multi);
       3. the r04-green band (checked last round, code unchanged) at the
          back, followed by the five-facet micro residue.
 
@@ -2762,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_fluency": q_lm_fluency,
         "dup_spans": q_dup_spans,
         "dup_span_removal": q_dup_span_removal,
+        "html_extract": q_html_extract,
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
@@ -3854,6 +3890,21 @@ def oracle_sql() -> dict[str, str]:
                    MIN(md5(doc_id::VARCHAR || ':' || clean)) AS min_fp,
                    MAX(md5(doc_id::VARCHAR || ':' || clean)) AS max_fp
             FROM reb GROUP BY lang ORDER BY lang""",
+        "html_extract": """
+            WITH norm AS (
+              SELECT doc_id, lang,
+                     CASE WHEN text IS NULL THEN NULL
+                          ELSE trim(regexp_replace(text,
+                                    '[ \t\n\r]+', ' ', 'g')) END AS t
+              FROM documents)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(length(t)) AS BIGINT) AS sum_chars,
+                   CAST(SUM(CASE WHEN t IS NOT NULL AND
+                                 len(string_split(t, ' ')) >= 3
+                            THEN 1 ELSE 0 END) AS BIGINT) AS sum_links,
+                   MIN(md5(doc_id::VARCHAR || ':' || t)) AS min_fp,
+                   MAX(md5(doc_id::VARCHAR || ':' || t)) AS max_fp
+            FROM norm GROUP BY lang ORDER BY lang""",
         "line_dedup": """
             WITH docs AS (
               SELECT doc_id,

@@ -112,6 +112,9 @@ _EXPORTS = {
     "ngram_contamination": "textops.curation",
     "pii_scrub": "textops.curation",
     "pack_sequences": "textops.curation",
+    "extract_text": "textops.htmlops",
+    "extract_html_text": "textops.htmlops",
+    "synth_html": "textops.htmlops",
     "media_metadata": "textops.multimodal",
     "resize_image": "textops.multimodal",
     "audio_features": "textops.multimodal",

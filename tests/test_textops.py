@@ -903,3 +903,60 @@ def test_remove_dup_spans_keep_one_copy(spark):
     # reserved-column guard
     with pytest.raises(ValueError, match="reserved"):
         remove_dup_spans(df.withColumn("n_removed", F.lit(1)), k=3)
+
+
+# ---------------------------------------------------------------- htmlops
+
+
+@pytest.mark.spark
+def test_extract_text_inverts_synth_html(spark, docs):
+    """extract_text(synth_html(text)) == text for clean single-spaced
+    source — the north-rule byte-identity, end-to-end through Spark."""
+    from parquet_spark.textops.htmlops import extract_text, synth_html
+    h = synth_html(docs)
+    e = extract_text(h.select("doc_id", "html"), html_col="html")
+    back = {r.doc_id: (r.text, r.n_links) for r in e.collect()}
+    for r in docs.collect():
+        assert back[r.doc_id][0] == r.text, r.doc_id
+        assert back[r.doc_id][1] == 1      # exactly one synthetic anchor
+
+
+def test_extract_html_text_spec():
+    """The extraction spec, clause by clause, on hand-written HTML."""
+    from parquet_spark.textops.htmlops import extract_html_text
+    t, n = extract_html_text(
+        "<html><head><title>skip me</title><style>p{}</style>"
+        "<script>var x='skip';</script></head>"
+        "<body><!-- skip -->\n<p>keep&#32;one</p>\n"
+        "<p>keep <a href='#'>two</a>\t three</p>"
+        "<noscript>skip</noscript><br><b>bo</b>ld</body></html>")
+    # title/style/script/comment/noscript dropped; entities decoded;
+    # whitespace runs collapse; inline tags flatten (space-joined)
+    assert t == "keep one keep two three bo ld"
+    assert n == 1
+    # charref forms: decimal, hex, named
+    assert extract_html_text("<p>a&#32;b&#x20;c&amp;d&lt;e</p>")[0] \
+        == "a b c&d<e"
+    # bytes input with broken utf-8 must not raise
+    t2, _ = extract_html_text(b"<p>ok \xff broken</p>")
+    assert t2.startswith("ok")
+    # void skip-adjacent tags never deadlock the skip counter
+    assert extract_html_text("<script>x</script><p>a</p>")[0] == "a"
+    assert extract_html_text("")[0] == ""
+
+
+@pytest.mark.spark
+def test_extract_text_null_and_passthrough(spark):
+    """Null html -> null text; non-html columns pass through; binary
+    and string html columns both accepted."""
+    from parquet_spark.textops.htmlops import extract_text
+    df = spark.createDataFrame(
+        [(1, "en", bytearray(b"<p>hello world</p>")), (2, "fr", None)],
+        "doc_id bigint, lang string, html binary")
+    out = {r.doc_id: r for r in
+           extract_text(df, html_col="html").collect()}
+    assert out[1].text == "hello world" and out[1].lang == "en"
+    assert out[2].text is None and out[2].n_links == 0
+    s = spark.createDataFrame([(3, "<p>a&amp;b</p>")],
+                              "doc_id bigint, html string")
+    assert extract_text(s, html_col="html").head().text == "a&b"
