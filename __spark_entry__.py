@@ -1551,6 +1551,65 @@ def q_html_extract(spark, sf_dir):
     return out
 
 
+def q_url_parse(spark, sf_dir):
+    """URL structure + canonicalization (textops/urlops.py).  The
+    documents table has no url column, so both engines derive the SAME
+    deterministic URL per doc_id (md5-hex hosts over a mix of
+    single-/multi-label public suffixes, default and explicit ports,
+    userinfo, nested paths, unsorted query params, fragments) — Spark
+    then runs the real operators (`url_features`,
+    `canonicalize_url`: pure-codegen regexp/array expressions) while
+    DuckDB re-derives every structural part from scratch.  The
+    per-tld measure includes min/max md5(doc_id:canonical_url), so a
+    green row certifies the canonical STRINGS byte-for-byte —
+    default-port stripping, fragment drop, and query-param sorting
+    included."""
+    from parquet_spark.textops.urlops import canonicalize_url, url_features
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    h = F.md5(i.cast("string"))
+    host = F.concat(
+        F.when(i % 4 == 0, F.lit("a.b.")).otherwise(F.lit("www.")),
+        F.substring(h, 1, 6),
+        F.when(i % 3 == 0, F.lit(".co.uk"))
+         .when(i % 3 == 1, F.lit(".com")).otherwise(F.lit(".org")))
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(i % 8 == 3, F.lit("u:p@")).otherwise(F.lit("")),
+        host,
+        F.when(i % 5 == 0, F.lit(":443"))
+         .when(i % 5 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(i % 8 == 5, F.lit("")).otherwise(
+            F.concat(F.lit("/"), F.substring(h, 7, 3),
+                     F.when(i % 4 == 0,
+                            F.concat(F.lit("/x/"),
+                                     (i % 7).cast("string")))
+                     .otherwise(F.lit("")))),
+        F.when(i % 3 == 0, F.lit("?z=9&a=1"))
+         .when(i % 3 == 1, F.concat(F.lit("?m="), (i % 5).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(i % 6 == 1, F.lit("#s2")).otherwise(F.lit("")))
+    src = d.withColumn("url", url)
+    r = canonicalize_url(url_features(src))
+    fp = F.md5(F.concat(i.cast("string"), F.lit(":"), F.col("url_canon")))
+    out = (r.groupBy("tld")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("host").alias("n_hosts"),
+                F.countDistinct("registered_domain").alias("n_regdoms"),
+                F.sum("path_depth").alias("sum_depth"),
+                F.sum("n_params").alias("sum_params"),
+                F.sum(F.col("port").isNotNull().cast("long"))
+                .alias("n_explicit_port"),
+                F.sum(F.col("has_fragment").cast("long")).alias("n_frag"),
+                F.min(fp).alias("min_fp"),
+                F.max(fp).alias("max_fp"))
+           .orderBy("tld"))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-level duplicate-line removal (textops/dedup.py
     `dedup_lines`, the C4/CCNet boilerplate pass).  The flat corpus
@@ -2764,8 +2823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
       0. facets NEW in session 5, never driver-checked (datasource_read,
          datasource_write, datasource_stream, lm_fluency, dup_spans,
-         dup_span_removal, html_extract, alter_widen, png_features,
-         auto_tuned_write);
+         dup_span_removal, html_extract, url_parse, alter_widen,
+         png_features, auto_tuned_write);
       1. facets whose ORACLE MEASURE changed this session and therefore
          need a fresh driver row: gap_fill (r04 hash FAIL — the
          ROUND-at-representation-tie measure was replaced by the
@@ -2776,10 +2835,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          latest driver row is two rounds old, so re-checking them keeps
          the staleness invariant (`no facet's latest row older than two
          rounds`) for everything except the multi-round-green facets
-         (salted_counts_source, zone_prune, chunk_partition_stats,
-         token_counts, rolling_fp, fingerprint, dict_gate,
-         run_length_lang, for_bitpack_width, merge_union_nullfill,
-         scalar_broadcast) that don't fit in the 50-slot budget; those
+         (streaming_window_stats, salted_counts_source, zone_prune,
+         chunk_partition_stats, token_counts, rolling_fp, fingerprint,
+         dict_gate, run_length_lang, for_bitpack_width,
+         merge_union_nullfill, scalar_broadcast) that don't fit in the
+         50-slot budget; those
          are small facets green in r01-r03 with untouched code — the
          safest possible residue (zone_prune's machinery is re-covered
          inside the budget by zone_prune_ts/zone_prune_multi);
@@ -2798,6 +2858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dup_span_removal": q_dup_span_removal,
         "html_extract": q_html_extract,
+        "url_parse": q_url_parse,
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
@@ -3905,6 +3966,77 @@ def oracle_sql() -> dict[str, str]:
                    MIN(md5(doc_id::VARCHAR || ':' || t)) AS min_fp,
                    MAX(md5(doc_id::VARCHAR || ':' || t)) AS max_fp
             FROM norm GROUP BY lang ORDER BY lang""",
+        "url_parse": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'https'
+                          ELSE 'http' END AS scheme,
+                     (CASE WHEN doc_id % 4 = 0 THEN 'a.b.'
+                           ELSE 'www.' END)
+                       || substr(md5(doc_id::VARCHAR), 1, 6)
+                       || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+                                WHEN doc_id % 3 = 1 THEN '.com'
+                                ELSE '.org' END) AS host,
+                     CASE WHEN doc_id % 5 = 0 THEN 443
+                          WHEN doc_id % 5 = 1 THEN 8080 END AS port,
+                     CASE WHEN doc_id % 8 = 5 THEN ''
+                          ELSE '/' || substr(md5(doc_id::VARCHAR), 7, 3)
+                               || (CASE WHEN doc_id % 4 = 0
+                                        THEN '/x/'
+                                             || (doc_id % 7)::VARCHAR
+                                        ELSE '' END) END AS path,
+                     CASE WHEN doc_id % 3 = 0 THEN 'z=9&a=1'
+                          WHEN doc_id % 3 = 1
+                            THEN 'm=' || (doc_id % 5)::VARCHAR
+                          ELSE '' END AS query,
+                     (doc_id % 6 = 1) AS has_frag
+              FROM documents),
+            f AS (
+              SELECT *, string_split(host, '.') AS labels,
+                     len(string_split(host, '.')) AS nl
+              FROM u),
+            f2 AS (
+              SELECT *,
+                     CASE WHEN nl >= 2 AND
+                          labels[nl-1] || '.' || labels[nl] IN ('co.uk')
+                          THEN 3 ELSE 2 END AS regn
+              FROM f),
+            f3 AS (
+              SELECT doc_id, scheme, host, port, path, query, has_frag,
+                     labels[nl] AS tld,
+                     CASE WHEN nl <= regn THEN host
+                          ELSE array_to_string(
+                            labels[nl-regn+1:nl], '.') END AS regdom,
+                     len(list_filter(string_split(path, '/'),
+                                     x -> x <> '')) AS path_depth,
+                     len(list_filter(string_split(query, '&'),
+                                     x -> x <> '')) AS n_params,
+                     scheme || '://' || host
+                       || (CASE WHEN port IS NOT NULL
+                                AND NOT (scheme = 'https' AND port = 443)
+                                AND NOT (scheme = 'http' AND port = 80)
+                                THEN ':' || port::VARCHAR ELSE '' END)
+                       || (CASE WHEN path = '' THEN '/' ELSE path END)
+                       || (CASE WHEN query <> ''
+                                THEN '?' || array_to_string(
+                                  list_sort(list_filter(
+                                    string_split(query, '&'),
+                                    x -> x <> '')), '&')
+                                ELSE '' END) AS canon
+              FROM f2)
+            SELECT tld, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT host) AS n_hosts,
+                   COUNT(DISTINCT regdom) AS n_regdoms,
+                   CAST(SUM(path_depth) AS BIGINT) AS sum_depth,
+                   CAST(SUM(n_params) AS BIGINT) AS sum_params,
+                   CAST(SUM(CASE WHEN port IS NOT NULL THEN 1
+                                 ELSE 0 END) AS BIGINT)
+                     AS n_explicit_port,
+                   CAST(SUM(CASE WHEN has_frag THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_frag,
+                   MIN(md5(doc_id::VARCHAR || ':' || canon)) AS min_fp,
+                   MAX(md5(doc_id::VARCHAR || ':' || canon)) AS max_fp
+            FROM f3 GROUP BY tld ORDER BY tld""",
         "line_dedup": """
             WITH docs AS (
               SELECT doc_id,

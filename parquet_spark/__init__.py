@@ -115,6 +115,8 @@ _EXPORTS = {
     "extract_text": "textops.htmlops",
     "extract_html_text": "textops.htmlops",
     "synth_html": "textops.htmlops",
+    "url_features": "textops.urlops",
+    "canonicalize_url": "textops.urlops",
     "media_metadata": "textops.multimodal",
     "resize_image": "textops.multimodal",
     "audio_features": "textops.multimodal",

@@ -960,3 +960,50 @@ def test_extract_text_null_and_passthrough(spark):
     s = spark.createDataFrame([(3, "<p>a&amp;b</p>")],
                               "doc_id bigint, html string")
     assert extract_text(s, html_col="html").head().text == "a&b"
+
+
+# ----------------------------------------------------------------- urlops
+
+
+@pytest.mark.spark
+def test_url_features_structure(spark):
+    from parquet_spark.textops.urlops import url_features
+    df = spark.createDataFrame(
+        [(1, "https://www.Example.co.uk:443/a/b/c?z=9&a=1#frag"),
+         (2, "http://sub.deep.example.com:8080/?x=1"),
+         (3, "ftp://user:pw@files.example.org/pub"),
+         (4, "https://example.io"),
+         (5, "not a url"),
+         (6, "https://host.co.uk")],
+        "doc_id bigint, url string")
+    r = {x.doc_id: x for x in url_features(df).collect()}
+    assert (r[1].scheme, r[1].host, r[1].port) == \
+        ("https", "www.example.co.uk", 443)
+    assert r[1].registered_domain == "example.co.uk"      # PSL 2-label
+    assert (r[1].subdomain, r[1].tld) == ("www", "uk")
+    assert (r[1].path_depth, r[1].n_params, r[1].has_fragment) == \
+        (3, 2, True)
+    assert r[2].registered_domain == "example.com"
+    assert r[2].subdomain == "sub.deep" and r[2].port == 8080
+    assert r[3].host == "files.example.org"               # userinfo gone
+    assert r[4].port is None and r[4].path_depth == 0
+    assert r[5].scheme == "" and r[5].port is None        # malformed: nulls
+    assert r[6].registered_domain == "host.co.uk"         # host == regdom
+
+
+@pytest.mark.spark
+def test_canonicalize_url_dedup_key(spark):
+    from parquet_spark.textops.urlops import canonicalize_url
+    df = spark.createDataFrame(
+        [(1, "https://www.Example.com:443/page?b=2&a=1#x"),
+         (2, "https://www.example.com/page?a=1&b=2"),
+         (3, "http://h.io:80"),
+         (4, "http://h.io/"),
+         (5, "not a url")],
+        "doc_id bigint, url string")
+    c = {x.doc_id: x.url_canon
+         for x in canonicalize_url(df).collect()}
+    # 1 and 2 name the same page -> same canonical key
+    assert c[1] == c[2] == "https://www.example.com/page?a=1&b=2"
+    assert c[3] == c[4] == "http://h.io/"
+    assert c[5] == "not a url"                            # passthrough
