@@ -1130,6 +1130,96 @@ def q_count_pushdown(spark, sf_dir):
         "n_range long, n_lang long, n_any long")
 
 
+def q_sum_pushdown(spark, sf_dir):
+    """SUM/AVG aggregate pushdown (manifest.sum_where/avg_where):
+    provably-full chunks contribute their stored exact per-chunk sums
+    (`zone_sum_num`, overflow-guarded int64) plus non-null tallies
+    with zero decompression; boundary chunks decode exactly;
+    cross-chunk accumulation is decimal(38,0) so the total is exact at
+    any magnitude.  The metadata path is asserted to fire.  AVG is the
+    one float division of two exact integers — IEEE-portable, so
+    DuckDB's SUM()/COUNT() division hash-matches bit-for-bit.  The
+    all-null edge (SUM over no non-null rows = SQL NULL) rides in
+    n_empty."""
+    import tempfile
+
+    from parquet_spark.engine import _pred_zone_conds
+    from parquet_spark.manifest import (avg_where, read_encoded,
+                                        sum_where, write_encoded)
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="entry_sum_")
+    write_encoded(d, path, key=["doc_id"], n_parts=4, mode="range",
+                  rows_per_chunk=64, global_dict_cols=["lang"])
+    enc = read_encoded(spark, path)
+    _, full = _pred_zone_conds([("doc_id", 60, 440)])
+    assert enc.where(
+        full & F.try_element_at(
+            F.col("zone_sum_num"),
+            F.when(F.array_position(F.col("zone_cols"),
+                                    "n_chars").cast("int") >= 1,
+                   F.array_position(F.col("zone_cols"),
+                                    "n_chars").cast("int"))).isNotNull()
+    ).count() > 0, "metadata sum path never fires"
+    s_all = sum_where(spark, path, "n_chars")
+    s_range = sum_where(spark, path, "n_chars", [("doc_id", 60, 440)])
+    s_lang = sum_where(spark, path, "n_chars", [("lang", "=", "de")])
+    s_any = sum_where(spark, path, "n_chars", {"any": [
+        [("doc_id", None, 99)],
+        [("lang", "=", "fr"), ("doc_id", 300, None)]]})
+    a_range = avg_where(spark, path, "n_chars", [("doc_id", 60, 440)])
+    s_empty = sum_where(spark, path, "n_chars",
+                        [("doc_id", 10 ** 12, None)])
+    return spark.createDataFrame(
+        [(s_all, s_range, s_lang, s_any, float(a_range),
+          1 if s_empty is None else 0)],
+        "s_all long, s_range long, s_lang long, s_any long, "
+        "a_range double, n_empty int")
+
+
+def q_cdc_changelog(spark, sf_dir):
+    """CDC changelog read (manifest.read_changelog, the Iceberg
+    changelog-scan analog): encode documents, MERGE INTO (upsert:
+    modify every doc_id%10==0 row, insert 5 new docs), then
+    delete_rows three ids — the changelog must render the upsert as
+    delete-pre-images + replacement-inserts and the later delete with
+    its CURRENT values, never re-reporting an already-dead row.
+    DuckDB recomputes every step's expected row set from the raw
+    documents table; the per-(change,step) measure hashes
+    md5(doc_id:n_chars) so the PRE-IMAGE VALUES (original n_chars, not
+    the upserted ones) are certified, not just counts."""
+    import tempfile
+
+    from parquet_spark.manifest import (EncodedTable, delete_rows,
+                                        read_changelog, upsert_rows,
+                                        write_encoded)
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="entry_cdc_")
+    write_encoded(d, path, key=["doc_id"], n_parts=2, rows_per_chunk=64)
+    s1 = EncodedTable(path).current_snapshot()["snapshot_id"]
+    up = (d.where(F.col("doc_id") % 10 == 0)
+          .withColumn("n_chars", F.col("n_chars") + 1000))
+    new = spark.createDataFrame(
+        [(1_000_000 + i, f"new doc {i}", "xx", "srcX", 9 + i)
+         for i in range(5)], d.schema)
+    upsert_rows(spark, path, up.unionByName(new))
+    delete_rows(spark, path, [("doc_id", "in", [1, 11, 21])])
+    cl = read_changelog(spark, path, s1)
+    fp = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                        F.col("n_chars").cast("string")))
+    out = (cl.withColumn("change_type", F.col("_change_type"))
+           .withColumn("step",
+                       (F.col("_commit_snapshot_id") - s1).cast("int"))
+           .groupBy("change_type", "step")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.min(fp).alias("min_fp"),
+                F.max(fp).alias("max_fp"))
+           .orderBy("step", "change_type"))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def q_minmax_pushdown(spark, sf_dir):
     """Predicate-scoped MIN/MAX/COUNT pushdown (manifest.minmax_where):
     provably-full chunks contribute stored zone bounds and n_rows with
@@ -2823,8 +2913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
       0. facets NEW in session 5, never driver-checked (datasource_read,
          datasource_write, datasource_stream, lm_fluency, dup_spans,
-         dup_span_removal, html_extract, url_parse, alter_widen,
-         png_features, auto_tuned_write);
+         dup_span_removal, html_extract, url_parse, sum_pushdown,
+         cdc_changelog, alter_widen, png_features, auto_tuned_write);
       1. facets whose ORACLE MEASURE changed this session and therefore
          need a fresh driver row: gap_fill (r04 hash FAIL — the
          ROUND-at-representation-tie measure was replaced by the
@@ -2835,11 +2925,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          latest driver row is two rounds old, so re-checking them keeps
          the staleness invariant (`no facet's latest row older than two
          rounds`) for everything except the multi-round-green facets
-         (streaming_window_stats, salted_counts_source, zone_prune,
-         chunk_partition_stats, token_counts, rolling_fp, fingerprint,
-         dict_gate, run_length_lang, for_bitpack_width,
-         merge_union_nullfill, scalar_broadcast) that don't fit in the
-         50-slot budget; those
+         (sessionize, pipeline_curation, streaming_window_stats,
+         salted_counts_source, zone_prune, chunk_partition_stats,
+         token_counts, rolling_fp, fingerprint, dict_gate,
+         run_length_lang, for_bitpack_width, merge_union_nullfill,
+         scalar_broadcast) that don't fit in the 50-slot budget; those
          are small facets green in r01-r03 with untouched code — the
          safest possible residue (zone_prune's machinery is re-covered
          inside the budget by zone_prune_ts/zone_prune_multi);
@@ -2859,6 +2949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "html_extract": q_html_extract,
         "url_parse": q_url_parse,
+        "sum_pushdown": q_sum_pushdown,
+        "cdc_changelog": q_cdc_changelog,
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
@@ -3821,6 +3913,53 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM documents
                     WHERE doc_id <= 99
                        OR (lang = 'fr' AND doc_id >= 300)) AS n_any""",
+        "cdc_changelog": """
+            WITH step1 AS (
+              SELECT doc_id, n_chars FROM documents
+              WHERE doc_id % 10 = 0),
+            step2 AS (
+              SELECT doc_id, n_chars + 1000 AS n_chars FROM documents
+              WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT 1000000 + i, 9 + i
+              FROM UNNEST(generate_series(0, 4)) AS g(i)),
+            step3 AS (
+              SELECT doc_id, n_chars FROM documents
+              WHERE doc_id IN (1, 11, 21)),
+            allc AS (
+              SELECT 'delete' AS change_type, 1 AS step, doc_id, n_chars
+              FROM step1
+              UNION ALL
+              SELECT 'insert', 2, doc_id, n_chars FROM step2
+              UNION ALL
+              SELECT 'delete', 3, doc_id, n_chars FROM step3)
+            SELECT change_type, CAST(step AS INTEGER) AS step,
+                   COUNT(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(md5(doc_id::VARCHAR || ':' || n_chars::VARCHAR))
+                     AS min_fp,
+                   MAX(md5(doc_id::VARCHAR || ':' || n_chars::VARCHAR))
+                     AS max_fp
+            FROM allc GROUP BY change_type, step
+            ORDER BY step, change_type""",
+        "sum_pushdown": """
+            SELECT (SELECT CAST(SUM(n_chars) AS BIGINT)
+                    FROM documents) AS s_all,
+                   (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+                    WHERE doc_id BETWEEN 60 AND 440) AS s_range,
+                   (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+                    WHERE lang = 'de') AS s_lang,
+                   (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+                    WHERE doc_id <= 99
+                       OR (lang = 'fr' AND doc_id >= 300)) AS s_any,
+                   (SELECT CAST(SUM(n_chars) AS DOUBLE)
+                           / CAST(COUNT(n_chars) AS DOUBLE)
+                    FROM documents
+                    WHERE doc_id BETWEEN 60 AND 440) AS a_range,
+                   (SELECT CAST(CASE WHEN SUM(n_chars) IS NULL
+                                     THEN 1 ELSE 0 END AS INTEGER)
+                    FROM documents
+                    WHERE doc_id >= 1000000000000) AS n_empty""",
         "minmax_pushdown": """
             WITH b AS (SELECT MIN(event_id) AS mn, MAX(event_id) AS mx
                        FROM events),

@@ -56,6 +56,8 @@ _EXPORTS = {
     "read_increment": "manifest", "metadata_stats": "manifest",
     "count_where": "manifest", "count_filtered": "engine",
     "minmax_where": "manifest",
+    "sum_where": "manifest", "avg_where": "manifest",
+    "read_changelog": "manifest",
     "fsck_table": "fsck", "fsck_summary": "fsck",
     "mix_domains": "textops.sampling",
     "dedup_lines": "textops.dedup",

@@ -71,7 +71,7 @@ ENCODED_DDL = ("part_id bigint, chunk_id bigint, n_rows bigint, "
                "zone_min_num array<bigint>, zone_max_num array<bigint>, "
                "zone_min_dbl array<double>, zone_max_dbl array<double>, "
                "bloom_cols array<string>, blooms array<array<bigint>>, "
-               "zone_nulls array<bigint>")
+               "zone_nulls array<bigint>, zone_sum_num array<bigint>")
 
 DEFAULT_ROWS_PER_CHUNK = 10_000  # reference RowGroupSize default (Options.cs:8)
 
@@ -221,6 +221,7 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
     z_min_d: list[float | None] = []
     z_max_d: list[float | None] = []
     z_nulls: list[int] = []
+    z_sums: list[int | None] = []  # exact non-null sum (int cols only)
     if batch.num_rows:
         for i, field in enumerate(batch.schema):
             t = field.type
@@ -248,6 +249,11 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
                 z_min_d.append(None)
                 z_max_d.append(None)
                 z_nulls.append(col.null_count)
+                # SUM over zero non-null values contributes nothing;
+                # 0 (not None) keeps the chunk metadata-eligible for
+                # sum pushdown (the nulls entry carries the NULL-vs-0
+                # distinction)
+                z_sums.append(0 if pa.types.is_integer(t) else None)
                 continue
             if is_str:
                 mm = pc.min_max(col)
@@ -267,6 +273,18 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
             else:
                 mm = pc.min_max(col.cast(pa.int64()))
                 lo_n, hi_n = mm["min"].as_py(), mm["max"].as_py()
+            # exact per-chunk SUM for integer columns (O16 SUM/AVG
+            # pushdown): stored only when the bounds PROVE the int64
+            # accumulator cannot overflow (n * max|v| < 2^62); chunks
+            # without a stored sum simply decode on the boundary path,
+            # so the pushdown stays exact.  Timestamps/floats: None
+            # (SUM(ts) isn't SQL; float sums are order-dependent).
+            z_sum = None
+            if pa.types.is_integer(t) and lo_n is not None:
+                mabs = max(abs(lo_n), abs(hi_n))
+                if mabs == 0 or len(col) <= (1 << 62) // mabs:
+                    z_sum = int(pc.sum(col.cast(pa.int64())).as_py())
+            z_sums.append(z_sum)
             if field.name == zone_key:
                 key_name = zone_key
                 key_min, key_max = lo_s, hi_s
@@ -308,7 +326,7 @@ def encode_chunk(batch: pa.RecordBatch, part_id: int, chunk_id: int,
         "zone_min_num": z_min_n, "zone_max_num": z_max_n,
         "zone_min_dbl": z_min_d, "zone_max_dbl": z_max_d,
         "bloom_cols": b_cols, "blooms": b_words,
-        "zone_nulls": z_nulls,
+        "zone_nulls": z_nulls, "zone_sum_num": z_sums,
     }
 
 
@@ -351,6 +369,7 @@ def _chunk_rows_to_batch(chunks: list[dict]) -> pa.RecordBatch:
         pa.field("bloom_cols", pa.list_(pa.string())),
         pa.field("blooms", pa.list_(pa.list_(pa.int64()))),
         pa.field("zone_nulls", pa.list_(pa.int64())),
+        pa.field("zone_sum_num", pa.list_(pa.int64())),
     ]))
 
 

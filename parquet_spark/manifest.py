@@ -2765,6 +2765,188 @@ def minmax_where(spark: SparkSession, table_path: str,
     return out
 
 
+def sum_where(spark: SparkSession, table_path: str, col: str,
+              pred: list[tuple] | dict | None = None,
+              backend: CommitBackend | None = None,
+              snapshot_id: int | None = None,
+              ref: str | None = None) -> int | None:
+    """SUM(col) WHERE pred with aggregate pushdown — the additive
+    sibling of count_where/minmax_where: chunks the zone metadata
+    PROVES fully matching contribute their stored per-chunk exact sum
+    (`zone_sum_num`, written by encode_chunk for integer columns with
+    an overflow-proof bound check) with zero decompression; boundary
+    chunks — predicate-uncertain, legacy files written before the sum
+    column existed, or chunks whose sum was withheld for overflow
+    safety — decode only the needed columns and aggregate exactly.
+    Cross-chunk accumulation runs in decimal(38,0) (stored sums are
+    int64-bounded but their total need not be) and the function
+    returns a Python int — exact at any magnitude.  SQL semantics:
+    returns None when no matching row has a non-null value (SUM over
+    the empty set is NULL, not 0); nulls never contribute.  Pending
+    equality deletes force the exact path.  Restricted to integer
+    columns (float sums are order-dependent — no metadata sum can
+    reproduce Spark's scan result bit-for-bit — and SUM(timestamp)
+    isn't SQL); global-dict columns are rejected (stored ids are
+    frequency ranks, not values).  Always equals
+    scan_table(...).agg(SUM(col))."""
+    from .engine import _pred_zone_conds
+    pred = [] if pred is None else pred
+    table = EncodedTable(table_path, backend=backend)
+    snap = _resolve_snap(table, snapshot_id, ref)
+    meta = table.meta(snap)
+    schema = table.schema(snap)
+    if schema is not None:
+        idx = schema.get_field_index(col)
+        if idx < 0:
+            raise KeyError(f"column {col!r} not in table schema "
+                           f"{schema.names}")
+        t = schema.field(idx).type
+        if not pa.types.is_integer(t):
+            raise TypeError(
+                f"sum_where supports integer columns; {col!r} is {t} "
+                "(float sums are order-dependent; aggregate over "
+                "scan_table instead)")
+    if col in (meta.get("global_dicts") or {}):
+        raise ValueError(
+            f"{col!r} is a global-dict column: stored ids are "
+            "frequency-ranked, so id sums are not value sums")
+    gdicts = meta.get("global_dicts") or {}
+    renames = meta.get("renames") or {}
+
+    def finish(total: int, nonnull: int) -> int | None:
+        return int(total) if nonnull > 0 else None
+
+    if meta.get("delete_files"):
+        dec = scan_table(spark, table_path, pred, backend=backend,
+                         snapshot_id=snapshot_id, ref=ref)
+        r = dec.agg(F.sum(F.col(col).cast("decimal(38,0)")).alias("_s"),
+                    F.count(col).alias("_c")).head()
+        return finish(r["_s"] or 0, int(r["_c"]))
+    zpred, complete, grouped = _translate_pred(pred, gdicts, renames,
+                                               return_complete=True)
+    files = _prune_parts(table.committed_parts(snap), zpred)
+    if not files:
+        return None
+    enc = spark.read.schema(ENCODED_DDL).parquet(*files)
+    keep, _ = _pred_zone_conds(zpred)
+    full = _grouped_full(grouped, complete, is_any=isinstance(zpred, dict))
+    # physical aliases (alter_table renames): a chunk populates at most
+    # one, so coalesce across them — same contract as minmax_where
+    aliases = [col] + [p for p, l in renames.items()
+                       if l == col and p != col]
+    s_val = n_val = None
+    for a in aliases:
+        ai = F.array_position(F.col("zone_cols"), a).cast("int")
+        si = F.when(ai >= 1, ai)
+        asum = F.try_element_at(F.col("zone_sum_num"), si)
+        anul = F.try_element_at(F.col("zone_nulls"), si)
+        s_val = asum if s_val is None else F.coalesce(s_val, asum)
+        n_val = anul if n_val is None else F.coalesce(n_val, anul)
+    eligible = full & s_val.isNotNull() & n_val.isNotNull()
+    # ONE metadata-only job (never touches `payloads`): provably-full
+    # sums + non-null tallies AND the boundary-chunk ids together
+    st = enc.agg(
+        F.coalesce(F.sum(F.when(eligible, s_val).cast("decimal(38,0)")),
+                   F.lit(0).cast("decimal(38,0)")).alias("ms"),
+        F.coalesce(F.sum(F.when(eligible, F.col("n_rows") - n_val)),
+                   F.lit(0)).alias("mc"),
+        F.slice(F.collect_list(F.when(keep & ~eligible,
+                                      F.struct("part_id", "chunk_id"))),
+                1, _BOUNDARY_PUSH_MAX + 1).alias("pairs")).head()
+    meta_sum, meta_n = int(st["ms"]), int(st["mc"])
+    if not st["pairs"]:
+        return finish(meta_sum, meta_n)
+    # decode ONLY the boundary chunks' files, projected to the
+    # predicate + target columns; full-but-sum-less chunks ride the
+    # same path (their residual predicate is vacuously true)
+    proj = list(dict.fromkeys(_pred_columns(pred) + [col]))
+    bnd = _boundary_chunks(spark, table, snap, files, enc,
+                           keep & ~eligible, st["pairs"])
+    dec = decode_table(bnd, schema, columns=proj,
+                       renames=meta.get("renames"))
+    dec = _restore_global_dicts(spark, dec, gdicts, dec.columns)
+    if isinstance(pred, dict):
+        cond = F.lit(False)
+        for terms in pred["any"]:
+            cond = cond | _residual_cond(dec, terms)
+    else:
+        cond = _residual_cond(dec, pred)
+    r = (dec.where(cond)
+         .agg(F.sum(F.col(col).cast("decimal(38,0)")).alias("_s"),
+              F.count(col).alias("_c")).head())
+    return finish(meta_sum + int(r["_s"] or 0), meta_n + int(r["_c"]))
+
+
+def avg_where(spark: SparkSession, table_path: str, col: str,
+              pred: list[tuple] | dict | None = None,
+              **kw) -> float | None:
+    """AVG(col) WHERE pred from the two pushed aggregates — exact-int
+    SUM / exact non-null COUNT, divided once at the edge (one float op
+    on two exact integers: deterministic, engine-portable).  None when
+    no non-null value matches."""
+    s = sum_where(spark, table_path, col, pred, **kw)
+    if s is None:
+        return None
+    return s / _count_nonnull(spark, table_path, col, pred, **kw)
+
+
+def _count_nonnull(spark: SparkSession, table_path: str, col: str,
+                   pred: list[tuple] | dict | None, **kw) -> int:
+    """COUNT(col) WHERE pred (non-null count) via the sum_where
+    machinery's metadata tallies — shares its exactness argument."""
+    from .engine import _pred_zone_conds
+    pred = [] if pred is None else pred
+    table = EncodedTable(table_path, backend=kw.get("backend"))
+    snap = _resolve_snap(table, kw.get("snapshot_id"), kw.get("ref"))
+    meta = table.meta(snap)
+    if meta.get("delete_files"):
+        dec = scan_table(spark, table_path, pred,
+                         backend=kw.get("backend"),
+                         snapshot_id=kw.get("snapshot_id"),
+                         ref=kw.get("ref"))
+        return int(dec.agg(F.count(col)).head()[0])
+    gdicts = meta.get("global_dicts") or {}
+    renames = meta.get("renames") or {}
+    zpred, complete, grouped = _translate_pred(pred, gdicts, renames,
+                                               return_complete=True)
+    files = _prune_parts(table.committed_parts(snap), zpred)
+    if not files:
+        return 0
+    enc = spark.read.schema(ENCODED_DDL).parquet(*files)
+    keep, _ = _pred_zone_conds(zpred)
+    full = _grouped_full(grouped, complete, is_any=isinstance(zpred, dict))
+    aliases = [col] + [p for p, l in renames.items()
+                       if l == col and p != col]
+    n_val = None
+    for a in aliases:
+        ai = F.array_position(F.col("zone_cols"), a).cast("int")
+        anul = F.try_element_at(F.col("zone_nulls"), F.when(ai >= 1, ai))
+        n_val = anul if n_val is None else F.coalesce(n_val, anul)
+    eligible = full & n_val.isNotNull()
+    st = enc.agg(
+        F.coalesce(F.sum(F.when(eligible, F.col("n_rows") - n_val)),
+                   F.lit(0)).alias("mc"),
+        F.slice(F.collect_list(F.when(keep & ~eligible,
+                                      F.struct("part_id", "chunk_id"))),
+                1, _BOUNDARY_PUSH_MAX + 1).alias("pairs")).head()
+    meta_n = int(st["mc"])
+    if not st["pairs"]:
+        return meta_n
+    proj = list(dict.fromkeys(_pred_columns(pred) + [col]))
+    bnd = _boundary_chunks(spark, table, snap, files, enc,
+                           keep & ~eligible, st["pairs"])
+    dec = decode_table(bnd, table.schema(snap), columns=proj,
+                       renames=meta.get("renames"))
+    dec = _restore_global_dicts(spark, dec, gdicts, dec.columns)
+    if isinstance(pred, dict):
+        cond = F.lit(False)
+        for terms in pred["any"]:
+            cond = cond | _residual_cond(dec, terms)
+    else:
+        cond = _residual_cond(dec, pred)
+    return meta_n + int(dec.where(cond).agg(F.count(col)).head()[0])
+
+
 def scan_table(spark: SparkSession, table_path: str,
                pred: list[tuple] | dict,
                columns: list[str] | None = None,
@@ -2895,6 +3077,143 @@ def read_increment(spark: SparkSession, table_path: str,
     return _restore_global_dicts(
         spark, dec, (to_snap.get("meta") or {}).get("global_dicts") or {},
         columns)
+
+
+def read_changelog(spark: SparkSession, table_path: str,
+                   from_snapshot_id: int,
+                   to_snapshot_id: int | None = None,
+                   columns: list[str] | None = None,
+                   backend: CommitBackend | None = None) -> DataFrame:
+    """CDC read (the Iceberg changelog-scan analog): one row per
+    LOGICAL row-level change between two snapshots, stamped with
+    `_change_type` ('insert' | 'delete') and `_commit_snapshot_id`.
+    read_increment rejects histories containing row-level deletes;
+    this walks the snapshot chain commit by commit and renders them:
+
+      * parts appended at snapshot S -> 'insert' rows at S (decoded
+        only from the NEW part files — a daily append costs the day's
+        bytes);
+      * a delete file committed at S (delete_rows, or the delete half
+        of an upsert) -> 'delete' rows at S carrying the PRE-IMAGE:
+        the matching rows as visible in S's parent (parent-visible =
+        earlier delete files already applied, so a row never reports
+        'delete' twice), scoped by the file's max_part (Iceberg's
+        sequence-number rule — rows appended after the delete landed
+        survive and emit nothing);
+      * an upsert is its two commits: 'delete' pre-images at K+1,
+        'insert' replacements at K+2.
+
+    Physical reorganizations (compaction / rewrite_table / relocation)
+    remove parts without changing logical rows; a changelog across one
+    would have to diff full table states, so this raises — same
+    append-only contract as read_increment, extended with delete
+    rendering.  Schema evolution between FROM and TO union-fills by
+    name (added columns read null on pre-evolution commits).
+
+    Scale: insert steps touch only appended files.  A delete step
+    scans the parent state's parts once (projected to `columns` +
+    layout key) and joins against the delete-key file — the same
+    anti-join shape every normal read of a deletes-pending table pays,
+    with AQE broadcasting the (small) key side."""
+    table = EncodedTable(table_path, backend=backend)
+    to_snap = _resolve_snap(table, to_snapshot_id)
+    if to_snap is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    chain = [to_snap]
+    while chain[-1]["snapshot_id"] != from_snapshot_id:
+        p = table._parent_of(chain[-1])
+        if p is None:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snap['snapshot_id']} at {table_path}")
+        chain.append(p)
+    chain.reverse()
+
+    def stamp(df: DataFrame, kind: str, sid: int) -> DataFrame:
+        return (df.withColumn("_change_type", F.lit(kind))
+                .withColumn("_commit_snapshot_id",
+                            F.lit(sid).cast("long")))
+
+    def key_frame(entries: list) -> DataFrame:
+        per = []
+        for e in entries:
+            path, max_part = ((e, None) if isinstance(e, str)
+                              else (e["path"], e.get("max_part")))
+            k = spark.read.parquet(path)
+            per.append(k.withColumn(
+                "_del_max_part",
+                F.lit(max_part).cast("long")))
+        out = per[0]
+        for k in per[1:]:
+            out = out.unionByName(k)
+        return out
+
+    def key_cond(dec: DataFrame, keys: DataFrame):
+        kcols = [c for c in keys.columns if c != "_del_max_part"]
+        cond = F.lit(True)
+        for c in kcols:
+            cond = cond & dec[c].eqNullSafe(keys[c])
+        return cond & (keys["_del_max_part"].isNull()
+                       | (dec["_part_id"] <= keys["_del_max_part"]))
+
+    pieces: list[DataFrame] = []
+    for parent, snap in zip(chain, chain[1:]):
+        removed = sorted(set(parent["parts"]) - set(snap["parts"]))
+        if removed:
+            raise ValueError(
+                f"changelog requires an append/delete-only history: "
+                f"parts {removed[:8]}{'...' if len(removed) > 8 else ''}"
+                f" of snapshot {parent['snapshot_id']} were rewritten "
+                f"(compaction/rewrite/relocation) at snapshot "
+                f"{snap['snapshot_id']} — read full snapshots instead")
+        sid = snap["snapshot_id"]
+        meta_s = snap.get("meta") or {}
+        new_files = [info["file"] for pid, info in snap["parts"].items()
+                     if pid not in parent["parts"]]
+        if new_files:
+            enc = spark.read.schema(ENCODED_DDL).parquet(*new_files)
+            dec = decode_table(enc, table.schema(snap), columns=columns,
+                               renames=meta_s.get("renames"))
+            dec = _restore_global_dicts(
+                spark, dec, meta_s.get("global_dicts") or {}, columns)
+            pieces.append(stamp(dec, "insert", sid))
+        dels_parent = (parent.get("meta") or {}).get("delete_files") or []
+        new_dels = [d for d in (meta_s.get("delete_files") or [])
+                    if d not in dels_parent]
+        if new_dels:
+            pfiles = [info["file"] for info in parent["parts"].values()]
+            key = (_layout_of(parent) or {}).get("key") or []
+            proj = None
+            if columns is not None:
+                proj = list(dict.fromkeys(list(columns) + list(key)))
+            enc = spark.read.schema(ENCODED_DDL).parquet(*pfiles)
+            pmeta = parent.get("meta") or {}
+            dec = decode_table(enc, table.schema(parent), columns=proj,
+                               with_part_id=True,
+                               renames=pmeta.get("renames"))
+            dec = _restore_global_dicts(
+                spark, dec, pmeta.get("global_dicts") or {}, proj)
+            # pre-image = parent-VISIBLE rows hit by the new keys:
+            # semi-join the new delete keys, anti-join the old ones
+            nk = key_frame(new_dels)
+            dec = dec.join(nk, on=key_cond(dec, nk), how="left_semi")
+            if dels_parent:
+                ok = key_frame(dels_parent)
+                dec = dec.join(ok, on=key_cond(dec, ok),
+                               how="left_anti")
+            dec = dec.drop("_part_id")
+            if columns is not None:
+                dec = dec.select(*columns)
+            pieces.append(stamp(dec, "delete", sid))
+    if not pieces:
+        base = read_decoded(spark, table_path, columns=columns,
+                            backend=backend,
+                            snapshot_id=to_snap["snapshot_id"]).limit(0)
+        return stamp(base, "insert", to_snap["snapshot_id"]).limit(0)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def metadata_stats(spark: SparkSession, table_path: str,

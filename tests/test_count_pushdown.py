@@ -210,3 +210,102 @@ def test_count_metadata_path_survives_rename(spark):
     full = _grouped_full(grouped, complete, is_any=False)
     enc = read_encoded(spark, tbl)
     assert enc.where(full).count() > 0  # metadata shortcut fires
+
+
+# ------------------------------------------------------------ SUM pushdown
+
+
+@pytest.mark.spark
+def test_sum_where_matches_exact_scan_and_meta_path_fires(spark):
+    from parquet_spark.manifest import sum_where
+    d = _docs(spark)
+    with tempfile.TemporaryDirectory(prefix="sum_tbl_") as tmp:
+        write_encoded(d, tmp, key=["doc_id"], n_parts=2, rows_per_chunk=50)
+        for pred in (None, [("doc_id", 60, 440)],
+                     {"any": [[("doc_id", 0, 99)],
+                              [("doc_id", 400, None)]]}):
+            got = sum_where(spark, tmp, "n_chars", pred)
+            dec = scan_table(spark, tmp, pred or [])
+            want = dec.agg(F.sum("n_chars")).head()[0]
+            assert got == want, pred
+        # the metadata shortcut fires: interior chunks carry sums
+        from parquet_spark.engine import ENCODED_DDL, _pred_zone_conds
+        from parquet_spark.manifest import EncodedTable
+        from parquet_spark.manifest import _prune_parts
+        t = EncodedTable(tmp)
+        files = _prune_parts(t.committed_parts(), [])
+        enc = spark.read.schema(ENCODED_DDL).parquet(*files)
+        keep, full = _pred_zone_conds([("doc_id", 60, 440)])
+        idx = F.array_position(F.col("zone_cols"), "n_chars").cast("int")
+        s = F.try_element_at(F.col("zone_sum_num"),
+                             F.when(idx >= 1, idx))
+        assert enc.where(full & s.isNotNull()).count() > 0
+        # empty match -> SQL NULL, not 0
+        assert sum_where(spark, tmp, "n_chars",
+                         [("doc_id", 10**9, None)]) is None
+
+
+@pytest.mark.spark
+def test_sum_where_legacy_files_without_sums_still_exact(spark, tmp_path):
+    """Part files written before zone_sum_num existed read as null sums
+    under the pinned DDL: every kept chunk decodes (boundary path) and
+    the result is still exact."""
+    from parquet_spark.engine import ENCODED_DDL
+    from parquet_spark.manifest import EncodedTable, sum_where
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    d = _docs(spark)
+    tmp = str(tmp_path / "legacy_tbl")
+    write_encoded(d, tmp, key=["doc_id"], n_parts=2, rows_per_chunk=100)
+    from parquet_spark.manifest import _prune_parts
+    t = EncodedTable(tmp)
+    for f in _prune_parts(t.committed_parts(), []):
+        tb = pq.read_table(f)
+        cols = [c for c in tb.schema.names if c != "zone_sum_num"]
+        pq.write_table(tb.select(cols), f)
+    got = sum_where(spark, tmp, "n_chars", [("doc_id", 60, 440)])
+    want = d.where(F.col("doc_id").between(60, 440)).agg(
+        F.sum("n_chars")).head()[0]
+    assert got == want
+
+
+@pytest.mark.spark
+def test_sum_where_nulls_deletes_and_guards(spark):
+    from parquet_spark.manifest import avg_where, sum_where
+    rows = [(i, (i * 7) % 100 if i % 3 else None) for i in range(300)]
+    d = spark.createDataFrame(rows, "k bigint, v bigint")
+    with tempfile.TemporaryDirectory(prefix="sum_nul_") as tmp:
+        write_encoded(d, tmp, key=["k"], n_parts=2, rows_per_chunk=50)
+        want = d.agg(F.sum("v")).head()[0]
+        assert sum_where(spark, tmp, "v") == want   # nulls skipped
+        na = d.agg(F.avg("v")).head()[0]
+        assert abs(avg_where(spark, tmp, "v") - na) < 1e-12
+        # deletes force the exact path and stay correct
+        delete_rows(spark, tmp, [("k", "in", [0, 3, 9])])
+        want_d = (d.where(~F.col("k").isin(0, 3, 9))
+                  .agg(F.sum("v")).head()[0])
+        assert sum_where(spark, tmp, "v") == want_d
+        with pytest.raises(KeyError):
+            sum_where(spark, tmp, "no_such_col")
+    # a table whose matching rows are ALL null sums to SQL NULL
+    d2 = spark.createDataFrame([(i, None) for i in range(10)],
+                               "k bigint, v bigint")
+    with tempfile.TemporaryDirectory(prefix="sum_allnul_") as tmp2:
+        write_encoded(d2, tmp2, key=["k"], n_parts=1, rows_per_chunk=5)
+        assert sum_where(spark, tmp2, "v") is None
+
+
+@pytest.mark.spark
+def test_sum_where_overflow_guard_is_exact(spark):
+    """Values near int64 max: per-chunk sums are withheld (overflow
+    unprovable-safe), the decode path fires, and the decimal
+    accumulator returns the exact total beyond int64 range."""
+    from parquet_spark.manifest import sum_where
+    big = (1 << 61)
+    d = spark.createDataFrame([(i, big + i) for i in range(40)],
+                              "k bigint, v bigint")
+    with tempfile.TemporaryDirectory(prefix="sum_ovf_") as tmp:
+        write_encoded(d, tmp, key=["k"], n_parts=1, rows_per_chunk=10)
+        got = sum_where(spark, tmp, "v")
+        want = sum(big + i for i in range(40))   # > 2^63: exact python
+        assert got == want and got > (1 << 63)

@@ -152,3 +152,90 @@ def test_relocate_applies_pending_deletes_first(spark, tmp_path):
     dec = read_decoded(spark, dst)
     assert dec.count() == 496
     assert dec.where(F.col("url").isin(doomed)).count() == 0
+
+
+# ------------------------------------------------------------ CDC changelog
+
+
+@pytest.mark.spark
+def test_changelog_renders_inserts_and_delete_preimages(spark, tmp_path):
+    from parquet_spark.manifest import read_changelog, upsert_rows
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tmp = str(tmp_path / "cdc")
+    write_encoded(d, tmp, key=["doc_id"], n_parts=2, rows_per_chunk=50)
+    s1 = EncodedTable(tmp).current_snapshot()["snapshot_id"]
+    up = (d.where(F.col("doc_id") % 10 == 0)
+          .withColumn("n_chars", F.col("n_chars") + 1000))
+    new = spark.createDataFrame(
+        [(10_000 + i, f"new {i}", "en", "srcX", 9 + i) for i in range(5)],
+        d.schema)
+    upsert_rows(spark, tmp, up.unionByName(new))
+    delete_rows(spark, tmp, [("doc_id", "in", [1, 11, 21])])
+    cl = read_changelog(spark, tmp, s1).cache()
+    by = {(r._change_type, r._commit_snapshot_id): r.n for r in
+          cl.groupBy("_change_type", "_commit_snapshot_id")
+            .agg(F.count("*").alias("n")).collect()}
+    n_mod = d.where(F.col("doc_id") % 10 == 0).count()
+    assert by[("delete", s1 + 1)] == n_mod        # upsert pre-images
+    assert by[("insert", s1 + 2)] == n_mod + 5    # replacements + new
+    assert by[("delete", s1 + 3)] == 3
+    # pre-images carry the ORIGINAL values, not the upserted ones
+    pre = cl.where((F.col("_change_type") == "delete")
+                   & (F.col("_commit_snapshot_id") == s1 + 1)) \
+            .select("doc_id", "n_chars")
+    orig = d.where(F.col("doc_id") % 10 == 0).select("doc_id", "n_chars")
+    assert pre.exceptAll(orig).count() == 0
+    # accounting identity: initial + inserts - deletes == final state
+    ni = cl.where(F.col("_change_type") == "insert").count()
+    nd = cl.where(F.col("_change_type") == "delete").count()
+    assert d.count() + ni - nd == read_decoded(spark, tmp).count()
+    cl.unpersist()
+
+
+@pytest.mark.spark
+def test_changelog_never_reports_a_row_deleted_twice(spark, tmp_path):
+    from parquet_spark.manifest import read_changelog
+    d = spark.range(100).withColumn("v", F.col("id") * 2)
+    tmp = str(tmp_path / "cdc2")
+    write_encoded(d, tmp, key=["id"], n_parts=1, rows_per_chunk=20)
+    s1 = EncodedTable(tmp).current_snapshot()["snapshot_id"]
+    delete_rows(spark, tmp, [("id", "in", [1, 2, 3])])
+    delete_rows(spark, tmp, [("id", "in", [3, 4])])   # 3 already dead
+    cl = read_changelog(spark, tmp, s1)
+    last = cl.agg(F.max("_commit_snapshot_id")).head()[0]
+    assert sorted(r.id for r in
+                  cl.where(F.col("_commit_snapshot_id") == last)
+                  .collect()) == [4]
+    assert cl.where(F.col("_change_type") == "delete").count() == 4
+
+
+@pytest.mark.spark
+def test_changelog_rejects_rewritten_history_and_bad_ancestor(
+        spark, tmp_path):
+    from parquet_spark.manifest import compact_table, read_changelog
+    d = spark.range(200).withColumn("v", F.col("id") % 7)
+    tmp = str(tmp_path / "cdc3")
+    write_encoded(d, tmp, key=["id"], n_parts=4, rows_per_chunk=20)
+    s1 = EncodedTable(tmp).current_snapshot()["snapshot_id"]
+    compact_table(spark, tmp, target_parts=1)
+    with pytest.raises(ValueError, match="append/delete-only"):
+        read_changelog(spark, tmp, s1).count()
+    with pytest.raises(ValueError, match="not an ancestor"):
+        read_changelog(spark, tmp, 999)
+
+
+@pytest.mark.spark
+def test_changelog_empty_range_and_projection(spark, tmp_path):
+    from parquet_spark.manifest import read_changelog
+    d = spark.range(50).withColumn("v", F.col("id") + 5)
+    tmp = str(tmp_path / "cdc4")
+    write_encoded(d, tmp, key=["id"], n_parts=1, rows_per_chunk=20)
+    s1 = EncodedTable(tmp).current_snapshot()["snapshot_id"]
+    empty = read_changelog(spark, tmp, s1)        # from == to
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+    delete_rows(spark, tmp, [("id", "=", 7)])
+    cl = read_changelog(spark, tmp, s1, columns=["v"])
+    assert set(cl.columns) == {"v", "_change_type",
+                               "_commit_snapshot_id"}
+    assert [r.v for r in cl.collect()] == [12]
