@@ -1220,6 +1220,35 @@ def q_cdc_changelog(spark, sf_dir):
     return out
 
 
+def q_head_pushdown(spark, sf_dir):
+    """ORDER BY key LIMIT k pushdown (manifest.read_head): the driver
+    picks a provably-sufficient minimal file set from per-part key
+    bounds (prefix-by-key_min until the row target, tau = that
+    prefix's max key_max, keep only parts whose key_min <= tau), the
+    same argument re-derived at chunk granularity prunes chunks, and
+    only those decode — a head over a clustered 10^12-row table costs
+    ~k rows of decode.  The facet asserts the file prune actually
+    bites (>= 4 of 6 range parts skipped) and returns the 75 rows
+    themselves; DuckDB recomputes ORDER BY doc_id LIMIT 75 (doc_id
+    unique, so the cut is tie-free and deterministic)."""
+    import tempfile
+
+    from parquet_spark.manifest import (EncodedTable, _head_files,
+                                        read_head, write_encoded)
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="entry_head_")
+    write_encoded(d, path, key=["doc_id"], n_parts=6, mode="range",
+                  rows_per_chunk=32)
+    t = EncodedTable(path)
+    files, skipped = _head_files(t.committed_parts(), "doc_id", 75)
+    assert skipped >= 4, f"file prune never bit ({skipped} skipped)"
+    out = read_head(spark, path, 75,
+                    columns=["doc_id", "lang", "n_chars"])
+    out = out.cache()
+    assert out.count() == 75
+    return out
+
+
 def q_minmax_pushdown(spark, sf_dir):
     """Predicate-scoped MIN/MAX/COUNT pushdown (manifest.minmax_where):
     provably-full chunks contribute stored zone bounds and n_rows with
@@ -2914,7 +2943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       0. facets NEW in session 5, never driver-checked (datasource_read,
          datasource_write, datasource_stream, lm_fluency, dup_spans,
          dup_span_removal, html_extract, url_parse, sum_pushdown,
-         cdc_changelog, alter_widen, png_features, auto_tuned_write);
+         cdc_changelog, head_pushdown, alter_widen, png_features,
+         auto_tuned_write);
       1. facets whose ORACLE MEASURE changed this session and therefore
          need a fresh driver row: gap_fill (r04 hash FAIL — the
          ROUND-at-representation-tie measure was replaced by the
@@ -2925,7 +2955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          latest driver row is two rounds old, so re-checking them keeps
          the staleness invariant (`no facet's latest row older than two
          rounds`) for everything except the multi-round-green facets
-         (sessionize, pipeline_curation, streaming_window_stats,
+         (ivf_clusters, sessionize,
+         pipeline_curation, streaming_window_stats,
          salted_counts_source, zone_prune, chunk_partition_stats,
          token_counts, rolling_fp, fingerprint, dict_gate,
          run_length_lang, for_bitpack_width, merge_union_nullfill,
@@ -2951,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parse": q_url_parse,
         "sum_pushdown": q_sum_pushdown,
         "cdc_changelog": q_cdc_changelog,
+        "head_pushdown": q_head_pushdown,
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
@@ -3913,6 +3945,9 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM documents
                     WHERE doc_id <= 99
                        OR (lang = 'fr' AND doc_id >= 300)) AS n_any""",
+        "head_pushdown": """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY doc_id LIMIT 75""",
         "cdc_changelog": """
             WITH step1 AS (
               SELECT doc_id, n_chars FROM documents

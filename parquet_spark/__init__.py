@@ -58,6 +58,7 @@ _EXPORTS = {
     "minmax_where": "manifest",
     "sum_where": "manifest", "avg_where": "manifest",
     "read_changelog": "manifest",
+    "read_head": "manifest",
     "fsck_table": "fsck", "fsck_summary": "fsck",
     "mix_domains": "textops.sampling",
     "dedup_lines": "textops.dedup",

@@ -3079,6 +3079,161 @@ def read_increment(spark: SparkSession, table_path: str,
         columns)
 
 
+def _head_files(parts: dict[str, dict], key0: str, need: int
+                ) -> tuple[list[str], int]:
+    """Minimal provably-sufficient file set for the first `need` rows
+    in key order — pure driver metadata, zero Spark jobs.
+
+    Exactness argument: sort parts that carry a zone entry for the
+    leading key column by their key MIN; take the shortest prefix
+    whose row count reaches `need` and let tau = max key MAX of that
+    prefix.  The prefix alone proves >= need rows have key <= tau, so
+    any part whose key MIN > tau cannot contribute a top-`need` row.
+    Parts with no usable bounds (legacy summaries, fat-key auto-skip)
+    or with NULL keys (nulls sort first and zone bounds ignore them)
+    are always kept — conservative, never wrong.  String bounds are
+    stored truncated with max rounded UP, which only widens tau.
+    On a range layout the prefix IS ~need/rows_per_part files; on a
+    hash layout ranges overlap and this degenerates toward a full
+    scan (correct, just not helpful — same posture as _prune_parts).
+
+    Returns (files in part order, n_files_skipped)."""
+    import json as _json
+    entried: list[tuple] = []   # (kmin, kmax, n_rows, pid, file)
+    always: list[tuple[int, str]] = []
+    for pid, info in parts.items():
+        zones = _json.loads(info["zones"]) if isinstance(
+            info.get("zones"), str) else (info.get("zones") or {})
+        s = zones.get(key0)
+        n = int(info.get("n_rows") or 0)
+        kmin = kmax = None
+        if s is not None:
+            kmin = s[2] if s[2] is not None else s[0]
+            kmax = s[3] if s[3] is not None else s[1]
+        if s is None or kmin is None or kmax is None or (s[6] or 0) > 0:
+            always.append((int(pid), info["file"]))
+            continue
+        entried.append((kmin, kmax, n, int(pid), info["file"]))
+    entried.sort(key=lambda t: (t[0], t[3]))
+    cum, tau, cut = 0, None, len(entried)
+    for i, (kmin, kmax, n, _, _) in enumerate(entried):
+        tau = kmax if tau is None or kmax > tau else tau
+        cum += n
+        if cum >= need:
+            cut = i + 1
+            break
+    chosen = list(entried[:cut]) + [
+        t for t in entried[cut:] if tau is not None and t[0] <= tau]
+    files = [(pid, f) for _, _, _, pid, f in chosen] + always
+    files.sort()
+    return [f for _, f in files], len(parts) - len(files)
+
+
+def read_head(spark: SparkSession, table_path: str, k: int,
+              columns: list[str] | None = None,
+              backend: CommitBackend | None = None,
+              snapshot_id: int | None = None,
+              ref: str | None = None) -> DataFrame:
+    """First `k` rows in LAYOUT-KEY order (ORDER BY key LIMIT k) with
+    LIMIT pushdown: the driver picks a provably-sufficient minimal
+    file set from the manifest's per-part key bounds (`_head_files` —
+    O(parts) metadata, zero Spark jobs), the scan keeps only chunks
+    whose key MIN clears the same threshold (zone columns only — the
+    parquet reader never touches skipped chunks' payloads), and only
+    those chunks decode.  On a range/compacted layout a head over a
+    10^12-row table therefore costs ~k rows of decode, at any table
+    size; on a hash layout key ranges overlap per part and the prune
+    degenerates toward a full scan (correct, just not faster —
+    documented, same posture as file-level pruning generally).
+
+    Pending equality deletes are handled by over-provisioning the row
+    target with the snapshot's tracked `n_deleted` (a superset of the
+    deletes that could land inside the head) and anti-joining before
+    the final bounded sort — exact regardless.  Nulls in the key sort
+    FIRST (Spark ASC default); parts/chunks holding null keys are
+    always decoded.  Always equals
+    scan_table(...).orderBy(key).limit(k)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    table = EncodedTable(table_path, backend=backend)
+    snap = _resolve_snap(table, snapshot_id, ref)
+    if snap is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    meta = table.meta(snap)
+    layout = _layout_of(snap) or {}
+    key = layout.get("key")
+    if not key:
+        raise ValueError(
+            "read_head needs a keyed layout (hash/range/zorder writes); "
+            "splits-mode tables have no key order")
+    need = k + int(meta.get("n_deleted") or 0)
+    files, _ = _head_files(snap["parts"], key[0], need)
+    if not files:
+        return read_decoded(spark, table_path, columns=columns,
+                            backend=backend,
+                            snapshot_id=snap["snapshot_id"]).limit(0)
+    enc = spark.read.schema(ENCODED_DDL).parquet(*files)
+    # chunk-level prune, SAME tau argument re-derived at chunk
+    # granularity: ONE metadata-only job collects the selected files'
+    # per-chunk key bounds (zone columns only — parquet column pruning
+    # keeps `payloads` unread), the prefix/tau selection runs on the
+    # driver, and only surviving chunks decode.  Chunks without a
+    # usable key zone (fat/legacy, or a key_name from a different
+    # alias generation) keep conservatively; if the metadata set
+    # exceeds the collect cap, decode the chosen files whole.
+    renames = meta.get("renames") or {}
+    aliases = [key[0]] + [p for p, l in renames.items()
+                          if l == key[0] and p != key[0]]
+    zrows = (enc.select("part_id", "chunk_id", "n_rows", "key_name",
+                        "key_min", "key_max", "key_min_num",
+                        "key_max_num")
+             .limit(_BOUNDARY_PUSH_MAX + 1).collect())
+    bnd = enc
+    if len(zrows) <= _BOUNDARY_PUSH_MAX:
+        entried, always_c = [], []
+        for r in zrows:
+            kmin = r.key_min_num if r.key_min_num is not None else r.key_min
+            kmax = r.key_max_num if r.key_max_num is not None else r.key_max
+            if r.key_name not in aliases or kmin is None or kmax is None:
+                always_c.append((r.part_id, r.chunk_id))
+                continue
+            entried.append((kmin, kmax, int(r.n_rows),
+                            r.part_id, r.chunk_id))
+        entried.sort(key=lambda t: (t[0], t[3], t[4]))
+        cum, tau2, cut = 0, None, len(entried)
+        for i, (kmin, kmax, n, _, _) in enumerate(entried):
+            tau2 = kmax if tau2 is None or kmax > tau2 else tau2
+            cum += n
+            if cum >= need:
+                cut = i + 1
+                break
+        pairs = [(p, c) for _, _, _, p, c in entried[:cut]] + [
+            (p, c) for kmin, _, _, p, c in entried[cut:]
+            if tau2 is not None and kmin <= tau2] + always_c
+        cond = F.lit(False)
+        by_part: dict[int, list[int]] = {}
+        for p, c in pairs:
+            by_part.setdefault(int(p), []).append(int(c))
+        for p, cids in by_part.items():
+            cond = cond | ((F.col("part_id") == p)
+                           & F.col("chunk_id").isin(cids))
+        bnd = enc.where(cond)
+    has_deletes = bool(meta.get("delete_files"))
+    dec = decode_table(bnd, table.schema(snap),
+                       columns=None if has_deletes or columns is None
+                       else list(dict.fromkeys(list(columns) + key)),
+                       with_part_id=has_deletes,
+                       renames=meta.get("renames"))
+    dec = _restore_global_dicts(spark, dec,
+                                meta.get("global_dicts") or {}, None)
+    if has_deletes:
+        dec = _apply_deletes(spark, dec, meta)
+    out = dec.orderBy(*[F.asc(c) for c in key]).limit(k)
+    if columns is not None:
+        out = out.select(*columns)
+    return out
+
+
 def read_changelog(spark: SparkSession, table_path: str,
                    from_snapshot_id: int,
                    to_snapshot_id: int | None = None,

@@ -309,3 +309,51 @@ def test_sum_where_overflow_guard_is_exact(spark):
         got = sum_where(spark, tmp, "v")
         want = sum(big + i for i in range(40))   # > 2^63: exact python
         assert got == want and got > (1 << 63)
+
+
+# ---------------------------------------------------------- LIMIT pushdown
+
+
+@pytest.mark.spark
+def test_read_head_prunes_files_and_matches_order(spark, tmp_path):
+    from parquet_spark.manifest import (EncodedTable, _head_files,
+                                        read_head, write_encoded)
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    tmp = str(tmp_path / "head_rng")
+    write_encoded(d, tmp, key=["doc_id"], n_parts=6, mode="range",
+                  rows_per_chunk=32)
+    t = EncodedTable(tmp)
+    files, skipped = _head_files(t.committed_parts(), "doc_id", 75)
+    assert skipped >= 4          # the prune actually bites
+    got = read_head(spark, tmp, 75)
+    want = d.orderBy("doc_id").limit(75)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+@pytest.mark.spark
+def test_read_head_exact_on_hash_string_and_deleted(spark, tmp_path):
+    from parquet_spark.manifest import read_head, write_encoded
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # hash layout: overlapping ranges degenerate but stay exact
+    tmp = str(tmp_path / "head_hash")
+    write_encoded(d, tmp, key=["doc_id"], n_parts=4, rows_per_chunk=64)
+    got = read_head(spark, tmp, 10)
+    want = d.orderBy("doc_id").limit(10)
+    assert got.exceptAll(want).count() == 0 == want.exceptAll(got).count()
+    # deletes: over-provisioned target, anti-joined before the cut
+    delete_rows(spark, tmp, [("doc_id", "in", [0, 2, 5])])
+    g2 = read_head(spark, tmp, 10, columns=["doc_id"])
+    w2 = (d.where(~F.col("doc_id").isin(0, 2, 5))
+          .orderBy("doc_id").limit(10).select("doc_id"))
+    assert g2.exceptAll(w2).count() == 0 == w2.exceptAll(g2).count()
+    # string key
+    d2 = d.withColumn("sk", F.md5(F.col("doc_id").cast("string")))
+    tmp3 = str(tmp_path / "head_str")
+    write_encoded(d2, tmp3, key=["sk"], n_parts=4, mode="range",
+                  rows_per_chunk=64)
+    g3 = read_head(spark, tmp3, 20)
+    w3 = d2.orderBy("sk").limit(20)
+    assert g3.exceptAll(w3).count() == 0 == w3.exceptAll(g3).count()
+    with pytest.raises(ValueError, match="positive"):
+        read_head(spark, tmp, 0)
