@@ -102,6 +102,8 @@ _EXPORTS = {
     "kmv_sketch": "sketch", "kmv_sketch_many": "sketch",
     "kmv_merge": "sketch", "kmv_estimate": "sketch",
     "heavy_hitters": "sketch",
+    "quantile_summary": "sketch", "quantile_merge": "sketch",
+    "quantile_query": "sketch",
     "exact_quantiles": "stats", "quantiles_df": "stats",
     "analyze_table": "stats", "analyze_incremental": "stats",
     "analyze_df": "stats", "table_stats": "stats",

@@ -3167,7 +3167,15 @@ def read_head(spark: SparkSession, table_path: str, k: int,
             "read_head needs a keyed layout (hash/range/zorder writes); "
             "splits-mode tables have no key order")
     need = k + int(meta.get("n_deleted") or 0)
-    files, _ = _head_files(snap["parts"], key[0], need)
+    gdict_key = key[0] in (meta.get("global_dicts") or {})
+    if gdict_key:
+        # a global-dict key stores frequency-ranked IDS whose order is
+        # NOT value order — id bounds cannot prune a value-ordered
+        # head, so decode everything and let the bounded sort cut
+        # (exact, just un-pruned — same honesty rule as minmax_where)
+        files = _prune_parts(snap["parts"], [])
+    else:
+        files, _ = _head_files(snap["parts"], key[0], need)
     if not files:
         return read_decoded(spark, table_path, columns=columns,
                             backend=backend,
@@ -3184,12 +3192,12 @@ def read_head(spark: SparkSession, table_path: str, k: int,
     renames = meta.get("renames") or {}
     aliases = [key[0]] + [p for p, l in renames.items()
                           if l == key[0] and p != key[0]]
-    zrows = (enc.select("part_id", "chunk_id", "n_rows", "key_name",
-                        "key_min", "key_max", "key_min_num",
-                        "key_max_num")
-             .limit(_BOUNDARY_PUSH_MAX + 1).collect())
+    zrows = [] if gdict_key else (
+        enc.select("part_id", "chunk_id", "n_rows", "key_name",
+                   "key_min", "key_max", "key_min_num", "key_max_num")
+        .limit(_BOUNDARY_PUSH_MAX + 1).collect())
     bnd = enc
-    if len(zrows) <= _BOUNDARY_PUSH_MAX:
+    if zrows and len(zrows) <= _BOUNDARY_PUSH_MAX:
         entried, always_c = [], []
         for r in zrows:
             kmin = r.key_min_num if r.key_min_num is not None else r.key_min
@@ -3219,13 +3227,13 @@ def read_head(spark: SparkSession, table_path: str, k: int,
                            & F.col("chunk_id").isin(cids))
         bnd = enc.where(cond)
     has_deletes = bool(meta.get("delete_files"))
-    dec = decode_table(bnd, table.schema(snap),
-                       columns=None if has_deletes or columns is None
-                       else list(dict.fromkeys(list(columns) + key)),
+    proj = None if columns is None else \
+        list(dict.fromkeys(list(columns) + list(key)))
+    dec = decode_table(bnd, table.schema(snap), columns=proj,
                        with_part_id=has_deletes,
                        renames=meta.get("renames"))
     dec = _restore_global_dicts(spark, dec,
-                                meta.get("global_dicts") or {}, None)
+                                meta.get("global_dicts") or {}, proj)
     if has_deletes:
         dec = _apply_deletes(spark, dec, meta)
     out = dec.orderBy(*[F.asc(c) for c in key]).limit(k)

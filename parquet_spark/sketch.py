@@ -252,3 +252,139 @@ def kmv_sketch_many(df: DataFrame, cols: list[str],
     return {c: {"k": k, "hashes": by_i.get(i, []),
                 "exact": len(by_i.get(i, [])) < k}
             for i, c in enumerate(cols)}
+
+
+# -------------------------------------------------- quantile summaries
+
+def quantile_summary(df: DataFrame, col: str, eps: float = 0.005) -> dict:
+    """One-pass MERGEABLE epsilon-approximate quantile summary — the
+    100 TB complement to stats.exact_quantiles (which is exact but
+    needs multiple zone-pruned passes over a committed table; this
+    works on any DataFrame in one pass and the result is a value you
+    can store per split/day/snapshot and merge later).
+
+    Construction (deterministic, no randomization): each partition
+    sorts its non-null values locally (same memory posture as
+    sortWithinPartitions) and emits a systematic sample every
+    ceil(eps * n_p) values — tuples (v, g) where g counts the raw
+    values the tuple represents, so kept values carry their EXACT
+    local rank and anything between two kept values is located within
+    one sampling gap.  Folding the partitions merges tuple streams by
+    value; the rank of any kept value is then known within
+    sum_p(gap_p) <= eps*n + P (P = partition count).  The dict carries
+    that bound explicitly in ``err`` — every downstream op (merge,
+    compress) ADDS its own contribution, so the guarantee is always
+    visible, never implied.
+
+    Scale: the driver collects P/eps tuples (32 parts at eps=.005 ->
+    ~6.4k rows; at very large P raise eps or roll up day-summaries
+    with quantile_merge, which re-compresses to <= 2/eps tuples).
+    Restricted to int/float columns; cast timestamps to epoch first
+    (the exact_quantiles NTZ lesson — no hidden timezone math here).
+
+    Returns {"n", "eps", "err", "values": [...], "gaps": [...]}."""
+    from pyspark.sql.types import (ByteType, DoubleType, FloatType,
+                                   IntegerType, LongType, ShortType)
+    t = df.schema[col].dataType
+    if not isinstance(t, (ByteType, ShortType, IntegerType, LongType,
+                          FloatType, DoubleType)):
+        raise TypeError(
+            f"quantile_summary supports int/float columns; {col!r} is "
+            f"{t.simpleString()} (cast timestamps to epoch explicitly)")
+    ddl = f"v {t.simpleString()}, g bigint, p int"
+    if eps <= 0 or eps >= 0.5:
+        raise ValueError(f"eps must be in (0, 0.5), got {eps}")
+
+    def local(batches: Iterator[pa.RecordBatch]) \
+            -> Iterator[pa.RecordBatch]:
+        chunks = []
+        for batch in batches:
+            a = batch.column(0)
+            if a.null_count:
+                a = a.drop_null()
+            if len(a):
+                chunks.append(a.to_numpy(zero_copy_only=False))
+        if not chunks:
+            return
+        v = np.concatenate(chunks)
+        v.sort(kind="stable")
+        n_p = len(v)
+        s = max(1, int(eps * n_p))
+        idx = np.arange(s - 1, n_p, s, dtype=np.int64)
+        if idx[-1] != n_p - 1:
+            idx = np.append(idx, n_p - 1)
+        g = np.diff(np.concatenate([np.array([-1], dtype=np.int64),
+                                    idx]))
+        first = np.zeros(len(idx), dtype=np.int32)
+        first[0] = 1
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(v[idx]), pa.array(g, type=pa.int64()),
+             pa.array(first, type=pa.int32())], ["v", "g", "p"])
+
+    rows = (df.select(F.col(col).alias("v"))
+            .mapInArrow(local, ddl).collect())
+    if not rows:
+        return {"n": 0, "eps": eps, "err": 0, "values": [], "gaps": []}
+    vs = np.array([r.v for r in rows])
+    gs = np.array([r.g for r in rows], dtype=np.int64)
+    n_parts = int(sum(r.p for r in rows))
+    order = np.argsort(vs, kind="stable")
+    n = int(gs.sum())
+    return {"n": n, "eps": eps, "err": int(eps * n) + n_parts,
+            "values": [x.item() for x in vs[order]],
+            "gaps": [int(x) for x in gs[order]]}
+
+
+def quantile_merge(a: dict, b: dict, compress: bool = True) -> dict:
+    """Merge two summaries (day/split rollup).  Rank errors ADD; with
+    ``compress`` the merged tuple stream is re-sampled down to
+    <= 2/eps tuples (using the larger eps of the two), adding one more
+    eps*n to the carried bound — all accounted in ``err``."""
+    if a["n"] == 0:
+        return dict(b)
+    if b["n"] == 0:
+        return dict(a)
+    vs = np.array(a["values"] + b["values"])
+    gs = np.array(a["gaps"] + b["gaps"], dtype=np.int64)
+    order = np.argsort(vs, kind="stable")
+    vs, gs = vs[order], gs[order]
+    n = int(gs.sum())
+    eps = max(a["eps"], b["eps"])
+    err = a["err"] + b["err"]
+    if compress and len(vs) > 2 / eps:
+        step = max(1, int(eps * n))
+        cum = np.cumsum(gs)
+        # keep the first tuple at/after each rank step + the last
+        targets = np.arange(step, n + 1, step, dtype=np.int64)
+        idx = np.unique(np.searchsorted(cum, targets, side="left"))
+        if idx[-1] != len(vs) - 1:
+            idx = np.append(idx, len(vs) - 1)
+        gs = np.diff(np.concatenate([np.array([0], dtype=np.int64),
+                                     cum[idx]]))
+        vs = vs[idx]
+        err += step
+    return {"n": n, "eps": eps, "err": int(err),
+            "values": [x.item() for x in vs],
+            "gaps": [int(x) for x in gs]}
+
+
+def quantile_query(summary: dict, qs: list[float]) -> list:
+    """Estimate quantiles from a summary: for target rank
+    t = 1 + round(q*(n-1)) return the kept value whose cumulative rank
+    first reaches t.  The TRUE rank of the returned value is within
+    ``summary['err']`` of t — the deterministic guarantee the
+    construction carries (tested against exact sorts in
+    tests/test_sketch.py)."""
+    n = summary["n"]
+    if n == 0:
+        return [None for _ in qs]
+    cum = np.cumsum(np.array(summary["gaps"], dtype=np.int64))
+    vals = summary["values"]
+    out = []
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        t = 1 + int(round(q * (n - 1)))
+        i = int(np.searchsorted(cum, t, side="left"))
+        out.append(vals[min(i, len(vals) - 1)])
+    return out

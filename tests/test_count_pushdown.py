@@ -357,3 +357,19 @@ def test_read_head_exact_on_hash_string_and_deleted(spark, tmp_path):
     assert g3.exceptAll(w3).count() == 0 == w3.exceptAll(g3).count()
     with pytest.raises(ValueError, match="positive"):
         read_head(spark, tmp, 0)
+
+
+@pytest.mark.spark
+def test_read_head_global_dict_key_stays_value_ordered(spark, tmp_path):
+    """A global-dict layout key stores frequency-ranked ids whose order
+    is NOT value order — read_head must not prune on id bounds and the
+    head must come back in VALUE order."""
+    from parquet_spark.manifest import read_head, write_encoded
+    d = _docs(spark).select("doc_id", "lang", "n_chars") \
+        .where(F.col("lang").isNotNull())
+    tmp = str(tmp_path / "head_gd")
+    write_encoded(d, tmp, key=["lang", "doc_id"], n_parts=3,
+                  rows_per_chunk=50, global_dict_cols=["lang"])
+    got = read_head(spark, tmp, 25)
+    want = d.orderBy("lang", "doc_id").limit(25)
+    assert got.exceptAll(want).count() == 0 == want.exceptAll(got).count()

@@ -95,3 +95,87 @@ def test_kmv_sketch_many_identical_to_per_column(spark):
     assert not many["a"]["exact"] and len(many["a"]["hashes"]) == 256
     with pytest.raises(ValueError, match="non-empty"):
         kmv_sketch_many(df, [])
+
+
+# ------------------------------------------------- quantile summaries
+
+
+def _rank_err(data, est, q):
+    """|true rank of est - target rank| on the exact sorted data."""
+    import numpy as np
+    s = np.sort(np.asarray(data))
+    n = len(s)
+    t = 1 + int(round(q * (n - 1)))
+    lo = int(np.searchsorted(s, est, side="left")) + 1
+    hi = int(np.searchsorted(s, est, side="right"))
+    if lo <= t <= max(hi, lo):
+        return 0
+    return min(abs(lo - t), abs(hi - t))
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("parts", [1, 7, 32])
+def test_quantile_summary_bound_holds_across_partitionings(spark, parts):
+    import numpy as np
+    from parquet_spark.sketch import quantile_query, quantile_summary
+    rng = np.random.default_rng(11)
+    data = np.concatenate([rng.integers(0, 1000, 20000),
+                           rng.integers(10**6, 10**7, 5000)])
+    df = (spark.createDataFrame([(int(x),) for x in data], "v bigint")
+          .repartition(parts))
+    s = quantile_summary(df, "v", eps=0.01)
+    assert s["n"] == len(data)
+    qs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    for q, est in zip(qs, quantile_query(s, qs)):
+        assert _rank_err(data, est, q) <= s["err"], (q, parts)
+
+
+@pytest.mark.spark
+def test_quantile_summary_floats_nulls_empty_and_guards(spark):
+    import numpy as np
+    from parquet_spark.sketch import quantile_query, quantile_summary
+    rng = np.random.default_rng(3)
+    vals = [float(x) for x in rng.normal(0, 1, 5000)] + [None] * 500
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    s = quantile_summary(df, "v", eps=0.02)
+    assert s["n"] == 5000                         # nulls never counted
+    data = [v for v in vals if v is not None]
+    for q, est in zip([0.1, 0.5, 0.9],
+                      quantile_query(s, [0.1, 0.5, 0.9])):
+        assert _rank_err(data, est, q) <= s["err"]
+    # empty input
+    e = quantile_summary(df.where("v > 1e9"), "v")
+    assert e["n"] == 0 and quantile_query(e, [0.5]) == [None]
+    # type/eps guards
+    df2 = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(TypeError):
+        quantile_summary(df2, "v")
+    with pytest.raises(ValueError):
+        quantile_summary(df, "v", eps=0.7)
+
+
+@pytest.mark.spark
+def test_quantile_merge_accumulates_error_honestly(spark):
+    import numpy as np
+    from parquet_spark.sketch import (quantile_merge, quantile_query,
+                                      quantile_summary)
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 10**6, 30000)
+    b = rng.integers(5 * 10**5, 2 * 10**6, 20000)
+    da = spark.createDataFrame([(int(x),) for x in a], "v bigint") \
+        .repartition(8)
+    db = spark.createDataFrame([(int(x),) for x in b], "v bigint") \
+        .repartition(8)
+    sa = quantile_summary(da, "v", eps=0.01)
+    sb = quantile_summary(db, "v", eps=0.01)
+    m = quantile_merge(sa, sb)
+    assert m["n"] == 50000
+    assert m["err"] >= sa["err"] + sb["err"]     # bound only grows
+    assert len(m["values"]) <= 2 / 0.01 + 2      # compression bites
+    data = np.concatenate([a, b])
+    for q, est in zip([0.05, 0.5, 0.95],
+                      quantile_query(m, [0.05, 0.5, 0.95])):
+        assert _rank_err(data, est, q) <= m["err"], q
+    # identity merges
+    assert quantile_merge(sa, {"n": 0, "eps": 1e-3, "err": 0,
+                               "values": [], "gaps": []}) == sa
