@@ -1240,7 +1240,7 @@ def q_head_pushdown(spark, sf_dir):
     write_encoded(d, path, key=["doc_id"], n_parts=6, mode="range",
                   rows_per_chunk=32)
     t = EncodedTable(path)
-    files, skipped = _head_files(t.committed_parts(), "doc_id", 75)
+    files, skipped, _tau = _head_files(t.committed_parts(), "doc_id", 75)
     assert skipped >= 4, f"file prune never bit ({skipped} skipped)"
     out = read_head(spark, path, 75,
                     columns=["doc_id", "lang", "n_chars"])
@@ -1652,6 +1652,18 @@ def q_html_extract(spark, sf_dir):
     rendered html must be strictly larger than the text it wraps."""
     from parquet_spark.textops.htmlops import extract_text, synth_html
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # precondition the measure depends on: the source text must be
+    # whitespace-CLEAN (single ASCII spaces), since synth_html's
+    # anchor condition splits the RAW text while the oracle splits
+    # the normalized text, and Python's extractor collapses ALL
+    # Unicode whitespace while the SQL mirror handles [ \\t\\n\\r]
+    # only — on clean text every reading coincides; assert it so a
+    # future testdata change fails loudly here, not as a hash
+    # mismatch downstream
+    dirty = d.where(F.col("text").isNotNull() & (
+        F.col("text") != F.trim(F.regexp_replace("text", r"\s+", " "))
+    )).count()
+    assert dirty == 0, f"{dirty} docs have non-clean whitespace"
     h = synth_html(d).select("doc_id", "lang", "html")
     blo = h.agg(F.min(F.length("html")).alias("lo")).head()["lo"]
     assert blo is not None and blo > 300, "vacuous: boilerplate missing"

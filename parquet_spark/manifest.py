@@ -1500,20 +1500,15 @@ def upsert_rows(spark: SparkSession, table_path: str, df: DataFrame,
         backend=backend)
 
 
-def _apply_deletes(spark: SparkSession, dec: DataFrame,
-                   meta: dict) -> DataFrame:
-    """Anti-join the accumulated delete-key files onto a decoded frame
-    that carries `_part_id`.  Runs AFTER global-dict restore (delete
-    keys are stored as decoded values).  A row is deleted iff some
-    delete file holds its key AND the row's part predates the delete
-    (part_id <= the file's max_part) — later appends under the same
-    key survive.  AQE broadcasts the delete side when small; the
-    `_part_id` column is dropped here."""
-    dfiles = meta.get("delete_files") or []
-    if not dfiles:
-        return dec.drop("_part_id")
+def _delete_key_frame(spark: SparkSession, entries: list) -> DataFrame:
+    """The union of delete-file key frames, each row annotated with
+    its file's `_del_max_part` scope (null = legacy string entry,
+    applies to every part).  THE single reading of the delete-file
+    on-disk contract — _apply_deletes and read_changelog both build
+    their joins from this + _delete_match_cond, so the two can never
+    disagree about which rows a delete file kills."""
     per_file = []
-    for entry in dfiles:
+    for entry in entries:
         if isinstance(entry, str):  # legacy: applies to every part
             path, max_part = entry, None
         else:
@@ -1526,13 +1521,36 @@ def _apply_deletes(spark: SparkSession, dec: DataFrame,
     keys = per_file[0]
     for k in per_file[1:]:
         keys = keys.unionByName(k)
-    kcols = [c for c in keys.columns if c != "_del_max_part"]
+    return keys
+
+
+def _delete_match_cond(dec: DataFrame, keys: DataFrame):
+    """Join condition 'this decoded row (carrying `_part_id`) is hit
+    by this delete-key row': null-safe equality on every key column
+    AND the Iceberg sequence-number scope (part predates the
+    delete)."""
     cond = F.lit(True)
-    for c in kcols:
+    for c in [c for c in keys.columns if c != "_del_max_part"]:
         cond = cond & dec[c].eqNullSafe(keys[c])
-    cond = cond & (keys["_del_max_part"].isNull()
+    return cond & (keys["_del_max_part"].isNull()
                    | (dec["_part_id"] <= keys["_del_max_part"]))
-    return dec.join(keys, on=cond, how="left_anti").drop("_part_id")
+
+
+def _apply_deletes(spark: SparkSession, dec: DataFrame,
+                   meta: dict) -> DataFrame:
+    """Anti-join the accumulated delete-key files onto a decoded frame
+    that carries `_part_id`.  Runs AFTER global-dict restore (delete
+    keys are stored as decoded values).  A row is deleted iff some
+    delete file holds its key AND the row's part predates the delete
+    (part_id <= the file's max_part) — later appends under the same
+    key survive.  AQE broadcasts the delete side when small; the
+    `_part_id` column is dropped here."""
+    dfiles = meta.get("delete_files") or []
+    if not dfiles:
+        return dec.drop("_part_id")
+    keys = _delete_key_frame(spark, dfiles)
+    return dec.join(keys, on=_delete_match_cond(dec, keys),
+                    how="left_anti").drop("_part_id")
 
 
 def rewrite_table(spark: SparkSession, table_path: str,
@@ -2765,30 +2783,15 @@ def minmax_where(spark: SparkSession, table_path: str,
     return out
 
 
-def sum_where(spark: SparkSession, table_path: str, col: str,
-              pred: list[tuple] | dict | None = None,
-              backend: CommitBackend | None = None,
-              snapshot_id: int | None = None,
-              ref: str | None = None) -> int | None:
-    """SUM(col) WHERE pred with aggregate pushdown — the additive
-    sibling of count_where/minmax_where: chunks the zone metadata
-    PROVES fully matching contribute their stored per-chunk exact sum
-    (`zone_sum_num`, written by encode_chunk for integer columns with
-    an overflow-proof bound check) with zero decompression; boundary
-    chunks — predicate-uncertain, legacy files written before the sum
-    column existed, or chunks whose sum was withheld for overflow
-    safety — decode only the needed columns and aggregate exactly.
-    Cross-chunk accumulation runs in decimal(38,0) (stored sums are
-    int64-bounded but their total need not be) and the function
-    returns a Python int — exact at any magnitude.  SQL semantics:
-    returns None when no matching row has a non-null value (SUM over
-    the empty set is NULL, not 0); nulls never contribute.  Pending
-    equality deletes force the exact path.  Restricted to integer
-    columns (float sums are order-dependent — no metadata sum can
-    reproduce Spark's scan result bit-for-bit — and SUM(timestamp)
-    isn't SQL); global-dict columns are rejected (stored ids are
-    frequency ranks, not values).  Always equals
-    scan_table(...).agg(SUM(col))."""
+def _sum_count_where(spark: SparkSession, table_path: str, col: str,
+                     pred: list[tuple] | dict | None,
+                     backend: CommitBackend | None,
+                     snapshot_id: int | None,
+                     ref: str | None) -> tuple[int, int]:
+    """(exact SUM as python int, exact non-null COUNT) in ONE pushdown
+    pass — the shared engine behind sum_where and avg_where (one
+    snapshot resolution, one metadata job, one boundary decode, so
+    AVG = SUM/COUNT can never mix two table states)."""
     from .engine import _pred_zone_conds
     pred = [] if pred is None else pred
     table = EncodedTable(table_path, backend=backend)
@@ -2813,20 +2816,17 @@ def sum_where(spark: SparkSession, table_path: str, col: str,
     gdicts = meta.get("global_dicts") or {}
     renames = meta.get("renames") or {}
 
-    def finish(total: int, nonnull: int) -> int | None:
-        return int(total) if nonnull > 0 else None
-
     if meta.get("delete_files"):
         dec = scan_table(spark, table_path, pred, backend=backend,
                          snapshot_id=snapshot_id, ref=ref)
         r = dec.agg(F.sum(F.col(col).cast("decimal(38,0)")).alias("_s"),
                     F.count(col).alias("_c")).head()
-        return finish(r["_s"] or 0, int(r["_c"]))
+        return int(r["_s"] or 0), int(r["_c"])
     zpred, complete, grouped = _translate_pred(pred, gdicts, renames,
                                                return_complete=True)
     files = _prune_parts(table.committed_parts(snap), zpred)
     if not files:
-        return None
+        return 0, 0
     enc = spark.read.schema(ENCODED_DDL).parquet(*files)
     keep, _ = _pred_zone_conds(zpred)
     full = _grouped_full(grouped, complete, is_any=isinstance(zpred, dict))
@@ -2855,7 +2855,7 @@ def sum_where(spark: SparkSession, table_path: str, col: str,
                 1, _BOUNDARY_PUSH_MAX + 1).alias("pairs")).head()
     meta_sum, meta_n = int(st["ms"]), int(st["mc"])
     if not st["pairs"]:
-        return finish(meta_sum, meta_n)
+        return meta_sum, meta_n
     # decode ONLY the boundary chunks' files, projected to the
     # predicate + target columns; full-but-sum-less chunks ride the
     # same path (their residual predicate is vacuously true)
@@ -2874,77 +2874,54 @@ def sum_where(spark: SparkSession, table_path: str, col: str,
     r = (dec.where(cond)
          .agg(F.sum(F.col(col).cast("decimal(38,0)")).alias("_s"),
               F.count(col).alias("_c")).head())
-    return finish(meta_sum + int(r["_s"] or 0), meta_n + int(r["_c"]))
+    return meta_sum + int(r["_s"] or 0), meta_n + int(r["_c"])
+
+
+def sum_where(spark: SparkSession, table_path: str, col: str,
+              pred: list[tuple] | dict | None = None,
+              backend: CommitBackend | None = None,
+              snapshot_id: int | None = None,
+              ref: str | None = None) -> int | None:
+    """SUM(col) WHERE pred with aggregate pushdown — the additive
+    sibling of count_where/minmax_where: chunks the zone metadata
+    PROVES fully matching contribute their stored per-chunk exact sum
+    (`zone_sum_num`, written by encode_chunk for integer columns with
+    an overflow-proof bound check) with zero decompression; boundary
+    chunks — predicate-uncertain, legacy files written before the sum
+    column existed, or chunks whose sum was withheld for overflow
+    safety — decode only the needed columns and aggregate exactly.
+    Cross-chunk accumulation runs in decimal(38,0) (stored sums are
+    int64-bounded but their total need not be) and the function
+    returns a Python int — exact at any magnitude.  SQL semantics:
+    returns None when no matching row has a non-null value (SUM over
+    the empty set is NULL, not 0); nulls never contribute.  Pending
+    equality deletes force the exact path.  Restricted to integer
+    columns (float sums are order-dependent — no metadata sum can
+    reproduce Spark's scan result bit-for-bit — and SUM(timestamp)
+    isn't SQL); global-dict columns are rejected (stored ids are
+    frequency ranks, not values).  Always equals
+    scan_table(...).agg(SUM(col))."""
+    total, nonnull = _sum_count_where(spark, table_path, col, pred,
+                                      backend, snapshot_id, ref)
+    return int(total) if nonnull > 0 else None
 
 
 def avg_where(spark: SparkSession, table_path: str, col: str,
               pred: list[tuple] | dict | None = None,
-              **kw) -> float | None:
-    """AVG(col) WHERE pred from the two pushed aggregates — exact-int
-    SUM / exact non-null COUNT, divided once at the edge (one float op
-    on two exact integers: deterministic, engine-portable).  None when
-    no non-null value matches."""
-    s = sum_where(spark, table_path, col, pred, **kw)
-    if s is None:
+              backend: CommitBackend | None = None,
+              snapshot_id: int | None = None,
+              ref: str | None = None) -> float | None:
+    """AVG(col) WHERE pred from the SAME single pushdown pass as
+    sum_where (one snapshot resolution — SUM and COUNT can never mix
+    two table states under concurrent commits): exact-int SUM / exact
+    non-null COUNT, divided once at the edge (one float op on two
+    exact integers: deterministic, engine-portable).  None when no
+    non-null value matches."""
+    total, nonnull = _sum_count_where(spark, table_path, col, pred,
+                                      backend, snapshot_id, ref)
+    if nonnull == 0:
         return None
-    return s / _count_nonnull(spark, table_path, col, pred, **kw)
-
-
-def _count_nonnull(spark: SparkSession, table_path: str, col: str,
-                   pred: list[tuple] | dict | None, **kw) -> int:
-    """COUNT(col) WHERE pred (non-null count) via the sum_where
-    machinery's metadata tallies — shares its exactness argument."""
-    from .engine import _pred_zone_conds
-    pred = [] if pred is None else pred
-    table = EncodedTable(table_path, backend=kw.get("backend"))
-    snap = _resolve_snap(table, kw.get("snapshot_id"), kw.get("ref"))
-    meta = table.meta(snap)
-    if meta.get("delete_files"):
-        dec = scan_table(spark, table_path, pred,
-                         backend=kw.get("backend"),
-                         snapshot_id=kw.get("snapshot_id"),
-                         ref=kw.get("ref"))
-        return int(dec.agg(F.count(col)).head()[0])
-    gdicts = meta.get("global_dicts") or {}
-    renames = meta.get("renames") or {}
-    zpred, complete, grouped = _translate_pred(pred, gdicts, renames,
-                                               return_complete=True)
-    files = _prune_parts(table.committed_parts(snap), zpred)
-    if not files:
-        return 0
-    enc = spark.read.schema(ENCODED_DDL).parquet(*files)
-    keep, _ = _pred_zone_conds(zpred)
-    full = _grouped_full(grouped, complete, is_any=isinstance(zpred, dict))
-    aliases = [col] + [p for p, l in renames.items()
-                       if l == col and p != col]
-    n_val = None
-    for a in aliases:
-        ai = F.array_position(F.col("zone_cols"), a).cast("int")
-        anul = F.try_element_at(F.col("zone_nulls"), F.when(ai >= 1, ai))
-        n_val = anul if n_val is None else F.coalesce(n_val, anul)
-    eligible = full & n_val.isNotNull()
-    st = enc.agg(
-        F.coalesce(F.sum(F.when(eligible, F.col("n_rows") - n_val)),
-                   F.lit(0)).alias("mc"),
-        F.slice(F.collect_list(F.when(keep & ~eligible,
-                                      F.struct("part_id", "chunk_id"))),
-                1, _BOUNDARY_PUSH_MAX + 1).alias("pairs")).head()
-    meta_n = int(st["mc"])
-    if not st["pairs"]:
-        return meta_n
-    proj = list(dict.fromkeys(_pred_columns(pred) + [col]))
-    bnd = _boundary_chunks(spark, table, snap, files, enc,
-                           keep & ~eligible, st["pairs"])
-    dec = decode_table(bnd, table.schema(snap), columns=proj,
-                       renames=meta.get("renames"))
-    dec = _restore_global_dicts(spark, dec, gdicts, dec.columns)
-    if isinstance(pred, dict):
-        cond = F.lit(False)
-        for terms in pred["any"]:
-            cond = cond | _residual_cond(dec, terms)
-    else:
-        cond = _residual_cond(dec, pred)
-    return meta_n + int(dec.where(cond).agg(F.count(col)).head()[0])
+    return total / nonnull
 
 
 def scan_table(spark: SparkSession, table_path: str,
@@ -3099,7 +3076,7 @@ def _head_files(parts: dict[str, dict], key0: str, need: int
 
     Returns (files in part order, n_files_skipped)."""
     import json as _json
-    entried: list[tuple] = []   # (kmin, kmax, n_rows, pid, file)
+    entried: list[tuple] = []   # (kmin, kmax, covered_rows, pid, file|None)
     always: list[tuple[int, str]] = []
     for pid, info in parts.items():
         zones = _json.loads(info["zones"]) if isinstance(
@@ -3113,7 +3090,17 @@ def _head_files(parts: dict[str, dict], key0: str, need: int
         if s is None or kmin is None or kmax is None or (s[6] or 0) > 0:
             always.append((int(pid), info["file"]))
             continue
-        entried.append((kmin, kmax, n, int(pid), info["file"]))
+        covered = int(s[7] or 0)
+        if covered != n:
+            # partial coverage (legacy/mixed chunks): the UNCOVERED
+            # rows' keys are unknown, so the file must be kept
+            # unconditionally (_part_keep_term's rule) — but the
+            # covered rows still legitimately feed cum/tau (each is
+            # <= this part's key_max)
+            always.append((int(pid), info["file"]))
+            entried.append((kmin, kmax, covered, int(pid), None))
+        else:
+            entried.append((kmin, kmax, n, int(pid), info["file"]))
     entried.sort(key=lambda t: (t[0], t[3]))
     cum, tau, cut = 0, None, len(entried)
     for i, (kmin, kmax, n, _, _) in enumerate(entried):
@@ -3124,9 +3111,12 @@ def _head_files(parts: dict[str, dict], key0: str, need: int
             break
     chosen = list(entried[:cut]) + [
         t for t in entried[cut:] if tau is not None and t[0] <= tau]
-    files = [(pid, f) for _, _, _, pid, f in chosen] + always
+    files = [(pid, f) for _, _, _, pid, f in chosen if f is not None] \
+        + always
     files.sort()
-    return [f for _, f in files], len(parts) - len(files)
+    skipped = len(parts) - len(files)
+    return ([f for _, f in files], skipped,
+            tau if skipped > 0 else None)
 
 
 def read_head(spark: SparkSession, table_path: str, k: int,
@@ -3174,8 +3164,9 @@ def read_head(spark: SparkSession, table_path: str, k: int,
         # head, so decode everything and let the bounded sort cut
         # (exact, just un-pruned — same honesty rule as minmax_where)
         files = _prune_parts(snap["parts"], [])
+        tau_f = None
     else:
-        files, _ = _head_files(snap["parts"], key[0], need)
+        files, _, tau_f = _head_files(snap["parts"], key[0], need)
     if not files:
         return read_decoded(spark, table_path, columns=columns,
                             backend=backend,
@@ -3194,15 +3185,28 @@ def read_head(spark: SparkSession, table_path: str, k: int,
                           if l == key[0] and p != key[0]]
     zrows = [] if gdict_key else (
         enc.select("part_id", "chunk_id", "n_rows", "key_name",
-                   "key_min", "key_max", "key_min_num", "key_max_num")
+                   "key_min", "key_max", "key_min_num", "key_max_num",
+                   "zone_cols", "zone_nulls")
         .limit(_BOUNDARY_PUSH_MAX + 1).collect())
-    bnd = enc
+    bnd, tau2 = enc, None
     if zrows and len(zrows) <= _BOUNDARY_PUSH_MAX:
         entried, always_c = [], []
         for r in zrows:
             kmin = r.key_min_num if r.key_min_num is not None else r.key_min
             kmax = r.key_max_num if r.key_max_num is not None else r.key_max
-            if r.key_name not in aliases or kmin is None or kmax is None:
+            # a chunk MIXING null and non-null keys has non-null
+            # bounds but its null-key rows sort FIRST — such chunks
+            # always decode (the zone_nulls entry carries the count)
+            knulls = 0
+            zc = list(r.zone_cols or [])
+            zn = list(r.zone_nulls or [])
+            for a in aliases:
+                if a in zc:
+                    i = zc.index(a)
+                    knulls = max(knulls, int(zn[i] or 0)
+                                 if i < len(zn) else 0)
+            if (r.key_name not in aliases or kmin is None
+                    or kmax is None or knulls > 0):
                 always_c.append((r.part_id, r.chunk_id))
                 continue
             entried.append((kmin, kmax, int(r.n_rows),
@@ -3218,6 +3222,8 @@ def read_head(spark: SparkSession, table_path: str, k: int,
         pairs = [(p, c) for _, _, _, p, c in entried[:cut]] + [
             (p, c) for kmin, _, _, p, c in entried[cut:]
             if tau2 is not None and kmin <= tau2] + always_c
+        if len(pairs) == len(zrows):
+            tau2 = None   # nothing pruned at chunk level
         cond = F.lit(False)
         by_part: dict[int, list[int]] = {}
         for p, c in pairs:
@@ -3237,6 +3243,28 @@ def read_head(spark: SparkSession, table_path: str, k: int,
     if has_deletes:
         dec = _apply_deletes(spark, dec, meta)
     out = dec.orderBy(*[F.asc(c) for c in key]).limit(k)
+    # `need` over-provisions deletes by the count of delete KEYS; on a
+    # layout whose key is NOT row-unique one key kills several rows,
+    # so after the anti-join the pruned candidate set can run short.
+    # Validate the standard top-k certificate — k rows came back and
+    # the k-th key clears every pruning threshold used — and fall back
+    # to the unpruned (still exact, still bounded-sort) plan if not.
+    taus = [t for t in (tau_f, tau2) if t is not None]
+    if has_deletes and taus:
+        st = out.agg(F.count(F.lit(1)).alias("n"),
+                     F.max(key[0]).alias("kth")).head()
+        tau_min = min(taus)
+        if int(st["n"]) < k or (st["kth"] is not None
+                                and st["kth"] > tau_min):
+            enc_all = spark.read.schema(ENCODED_DDL).parquet(
+                *_prune_parts(snap["parts"], []))
+            dec = decode_table(enc_all, table.schema(snap),
+                               columns=proj, with_part_id=True,
+                               renames=meta.get("renames"))
+            dec = _restore_global_dicts(
+                spark, dec, meta.get("global_dicts") or {}, proj)
+            dec = _apply_deletes(spark, dec, meta)
+            out = dec.orderBy(*[F.asc(c) for c in key]).limit(k)
     if columns is not None:
         out = out.select(*columns)
     return out
@@ -3297,28 +3325,6 @@ def read_changelog(spark: SparkSession, table_path: str,
                 .withColumn("_commit_snapshot_id",
                             F.lit(sid).cast("long")))
 
-    def key_frame(entries: list) -> DataFrame:
-        per = []
-        for e in entries:
-            path, max_part = ((e, None) if isinstance(e, str)
-                              else (e["path"], e.get("max_part")))
-            k = spark.read.parquet(path)
-            per.append(k.withColumn(
-                "_del_max_part",
-                F.lit(max_part).cast("long")))
-        out = per[0]
-        for k in per[1:]:
-            out = out.unionByName(k)
-        return out
-
-    def key_cond(dec: DataFrame, keys: DataFrame):
-        kcols = [c for c in keys.columns if c != "_del_max_part"]
-        cond = F.lit(True)
-        for c in kcols:
-            cond = cond & dec[c].eqNullSafe(keys[c])
-        return cond & (keys["_del_max_part"].isNull()
-                       | (dec["_part_id"] <= keys["_del_max_part"]))
-
     pieces: list[DataFrame] = []
     for parent, snap in zip(chain, chain[1:]):
         removed = sorted(set(parent["parts"]) - set(snap["parts"]))
@@ -3358,11 +3364,14 @@ def read_changelog(spark: SparkSession, table_path: str,
                 spark, dec, pmeta.get("global_dicts") or {}, proj)
             # pre-image = parent-VISIBLE rows hit by the new keys:
             # semi-join the new delete keys, anti-join the old ones
-            nk = key_frame(new_dels)
-            dec = dec.join(nk, on=key_cond(dec, nk), how="left_semi")
+            # (shared _delete_key_frame/_delete_match_cond — the SAME
+            # reading of the delete-file contract every read uses)
+            nk = _delete_key_frame(spark, new_dels)
+            dec = dec.join(nk, on=_delete_match_cond(dec, nk),
+                           how="left_semi")
             if dels_parent:
-                ok = key_frame(dels_parent)
-                dec = dec.join(ok, on=key_cond(dec, ok),
+                ok = _delete_key_frame(spark, dels_parent)
+                dec = dec.join(ok, on=_delete_match_cond(dec, ok),
                                how="left_anti")
             dec = dec.drop("_part_id")
             if columns is not None:

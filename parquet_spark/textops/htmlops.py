@@ -48,11 +48,12 @@ import pyarrow as pa
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+# None of these are HTML void elements, so every starttag has a
+# matching endtag in well-formed input; malformed input (unclosed
+# <script>) degrades to dropping the rest of the document — the
+# conservative direction for a skip list.
 _SKIP_TAGS = frozenset(
     {"script", "style", "noscript", "template", "title"})
-# void elements never push skip state (no matching end tag)
-_VOID = frozenset({"br", "hr", "img", "meta", "link", "input", "area",
-                   "base", "col", "embed", "source", "track", "wbr"})
 
 
 class _TextExtractor(HTMLParser):
@@ -67,7 +68,7 @@ class _TextExtractor(HTMLParser):
         self._skip = 0
 
     def handle_starttag(self, tag, attrs):  # noqa: ANN001
-        if tag in _SKIP_TAGS and tag not in _VOID:
+        if tag in _SKIP_TAGS:
             self._skip += 1
         if tag == "a":
             self.n_links += 1

@@ -323,7 +323,7 @@ def test_read_head_prunes_files_and_matches_order(spark, tmp_path):
     write_encoded(d, tmp, key=["doc_id"], n_parts=6, mode="range",
                   rows_per_chunk=32)
     t = EncodedTable(tmp)
-    files, skipped = _head_files(t.committed_parts(), "doc_id", 75)
+    files, skipped, _tau = _head_files(t.committed_parts(), "doc_id", 75)
     assert skipped >= 4          # the prune actually bites
     got = read_head(spark, tmp, 75)
     want = d.orderBy("doc_id").limit(75)
@@ -373,3 +373,44 @@ def test_read_head_global_dict_key_stays_value_ordered(spark, tmp_path):
     got = read_head(spark, tmp, 25)
     want = d.orderBy("lang", "doc_id").limit(25)
     assert got.exceptAll(want).count() == 0 == want.exceptAll(got).count()
+
+
+@pytest.mark.spark
+def test_read_head_dup_key_deletes_fall_back_exactly(spark, tmp_path):
+    """delete_rows on a NON-unique key kills several rows per key row,
+    so n_deleted under-provisions the prune target; read_head must
+    detect the short certificate and fall back to the unpruned plan."""
+    from parquet_spark.manifest import read_head, write_encoded
+    rows = [(1, i) for i in range(40)] + \
+           [(2, 100 + i) for i in range(3)] + [(3, 200)]
+    d = spark.createDataFrame(rows, "key bigint, v bigint")
+    tmp = str(tmp_path / "head_dup")
+    write_encoded(d, tmp, key=["key"], n_parts=2, mode="range",
+                  rows_per_chunk=8)
+    delete_rows(spark, tmp, [("key", "=", 1)])   # 1 key row, 40 rows die
+    got = read_head(spark, tmp, 2)
+    want = (d.where(F.col("key") != 1).orderBy("key", "v").limit(2)
+            .select("key", "v"))
+    assert sorted((r.key, r.v) for r in got.collect()) == \
+        sorted((r.key, r.v) for r in want.collect())
+
+
+@pytest.mark.spark
+def test_read_head_null_keys_sort_first_and_survive_prune(spark,
+                                                          tmp_path):
+    """Null keys sort FIRST under ASC; chunks/parts mixing null and
+    non-null keys must never be pruned away (zone bounds ignore
+    nulls)."""
+    from parquet_spark.manifest import read_head, write_encoded
+    rows = [(None, -1), (None, -2)] + [(i, i) for i in range(200)]
+    d = spark.createDataFrame(rows, "key bigint, v bigint")
+    tmp = str(tmp_path / "head_null")
+    write_encoded(d, tmp, key=["key"], n_parts=2, rows_per_chunk=16)
+    got = read_head(spark, tmp, 5)
+    want = d.orderBy(F.asc("key"), "v").limit(5)
+    gk = sorted((r.key, r.v) for r in got.collect()
+                if r.key is not None)
+    wk = sorted((r.key, r.v) for r in want.collect()
+                if r.key is not None)
+    assert gk == wk
+    assert sum(1 for r in got.collect() if r.key is None) == 2
