@@ -1249,6 +1249,43 @@ def q_head_pushdown(spark, sf_dir):
     return out
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rules (textops/textstats.py
+    `gopher_filter`, Rae et al. 2021 Table A1 — the filter set
+    RefinedWeb/Dolma/FineWeb inherit): word-count bounds, mean word
+    length, symbol-to-word ratio, alphabetic-word fraction, stop-word
+    presence.  Every per-row ratio is ONE IEEE division of two exact
+    integers, so the rule booleans are bit-portable; the per-lang
+    measure sums only exact integers (counts, rule tallies, word/stop
+    totals) while DuckDB recomputes every rule from scratch.
+    Thresholds chosen so the corpus splits (keep and reject both
+    non-empty — asserted)."""
+    from parquet_spark.textops.textstats import gopher_filter
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    r = gopher_filter(d, min_words=30, min_stop_hits=1).cache()
+    kept = r.where(F.col("keep")).count()
+    total = r.count()
+    assert 0 < kept < total, f"vacuous split: {kept}/{total}"
+    out = (r.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("keep").cast("long")).alias("n_keep"),
+                F.sum(F.col("ok_words").cast("long")).alias("n_ok_words"),
+                F.sum(F.col("ok_word_len").cast("long"))
+                .alias("n_ok_wlen"),
+                F.sum(F.col("ok_symbols").cast("long"))
+                .alias("n_ok_sym"),
+                F.sum(F.col("ok_alpha").cast("long")).alias("n_ok_alpha"),
+                F.sum(F.col("ok_stopwords").cast("long"))
+                .alias("n_ok_stop"),
+                F.sum("n_words").alias("sum_words"),
+                F.sum("stop_hits").alias("sum_stophits"))
+           .orderBy("lang"))
+    out = out.cache()
+    out.count()
+    r.unpersist()
+    return out
+
+
 def q_minmax_pushdown(spark, sf_dir):
     """Predicate-scoped MIN/MAX/COUNT pushdown (manifest.minmax_where):
     provably-full chunks contribute stored zone bounds and n_rows with
@@ -2955,8 +2992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       0. facets NEW in session 5, never driver-checked (datasource_read,
          datasource_write, datasource_stream, lm_fluency, dup_spans,
          dup_span_removal, html_extract, url_parse, sum_pushdown,
-         cdc_changelog, head_pushdown, alter_widen, png_features,
-         auto_tuned_write);
+         cdc_changelog, head_pushdown, gopher_rules, alter_widen,
+         png_features, auto_tuned_write);
       1. facets whose ORACLE MEASURE changed this session and therefore
          need a fresh driver row: gap_fill (r04 hash FAIL — the
          ROUND-at-representation-tie measure was replaced by the
@@ -2967,7 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          latest driver row is two rounds old, so re-checking them keeps
          the staleness invariant (`no facet's latest row older than two
          rounds`) for everything except the multi-round-green facets
-         (ivf_clusters, sessionize,
+         (embedding_near_dups_lsh, ivf_clusters, sessionize,
          pipeline_curation, streaming_window_stats,
          salted_counts_source, zone_prune, chunk_partition_stats,
          token_counts, rolling_fp, fingerprint, dict_gate,
@@ -2995,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sum_pushdown": q_sum_pushdown,
         "cdc_changelog": q_cdc_changelog,
         "head_pushdown": q_head_pushdown,
+        "gopher_rules": q_gopher_rules,
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
@@ -3957,6 +3995,57 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM documents
                     WHERE doc_id <= 99
                        OR (lang = 'fr' AND doc_id >= 300)) AS n_any""",
+        "gopher_rules": """
+            WITH w AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS words,
+                     length(text)
+                       - length(replace(text, '#', ''))
+                       + len(string_split(text, '...')) - 1 AS n_sym
+              FROM documents),
+            m AS (
+              SELECT doc_id, lang, n_sym,
+                     len(words) AS n_words,
+                     list_aggregate(list_transform(words,
+                                                   x -> length(x)),
+                                    'sum') AS n_chars,
+                     len(list_filter(words,
+                         x -> regexp_matches(x, '[A-Za-z]')))
+                       AS alpha_words,
+                     len(list_filter(
+                         ['the','be','to','of','and','that','have',
+                          'with'],
+                         s -> list_contains(words, s))) AS stop_hits
+              FROM w),
+            r AS (
+              SELECT lang, n_words, stop_hits,
+                     (n_words BETWEEN 30 AND 100000) AS ok_words,
+                     (CAST(n_chars AS DOUBLE) / n_words
+                      BETWEEN 3.0 AND 10.0) AS ok_wlen,
+                     (CAST(n_sym AS DOUBLE) / n_words <= 0.1)
+                       AS ok_sym,
+                     (CAST(alpha_words AS DOUBLE) / n_words >= 0.8)
+                       AS ok_alpha,
+                     (stop_hits >= 1) AS ok_stop
+              FROM m)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN ok_words AND ok_wlen AND ok_sym
+                                 AND ok_alpha AND ok_stop
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   CAST(SUM(CASE WHEN ok_words THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok_words,
+                   CAST(SUM(CASE WHEN ok_wlen THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok_wlen,
+                   CAST(SUM(CASE WHEN ok_sym THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok_sym,
+                   CAST(SUM(CASE WHEN ok_alpha THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok_alpha,
+                   CAST(SUM(CASE WHEN ok_stop THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok_stop,
+                   CAST(SUM(n_words) AS BIGINT) AS sum_words,
+                   CAST(SUM(stop_hits) AS BIGINT) AS sum_stophits
+            FROM r GROUP BY lang ORDER BY lang""",
         "head_pushdown": """
             SELECT doc_id, lang, n_chars FROM documents
             ORDER BY doc_id LIMIT 75""",

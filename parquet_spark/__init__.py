@@ -91,6 +91,7 @@ _EXPORTS = {
     "domain_stats": "textops.textstats",
     "quality_filter": "textops.textstats",
     "quality_score": "textops.textstats",
+    "gopher_filter": "textops.textstats",
     "repetition_stats": "textops.textstats",
     "top_vocabulary": "textops.textstats",
     "lang_id": "textops.textstats",

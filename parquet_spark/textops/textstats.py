@@ -115,6 +115,68 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     return out.withColumn("keep", keep)
 
 
+# Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  min_words: int = 50, max_words: int = 100_000,
+                  min_mean_word_len: float = 3.0,
+                  max_mean_word_len: float = 10.0,
+                  max_symbol_ratio: float = 0.1,
+                  min_alpha_word_ratio: float = 0.8,
+                  min_stop_hits: int = 2) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021 Table A1),
+    the filter set RefinedWeb/Dolma/FineWeb inherit: word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio (# and
+    "..." are the listed symbols), fraction of words containing an
+    alphabetic character, and a >= `min_stop_hits`-of-8 stop-word
+    presence test.  (The two line-shape rules — bullet-start and
+    ellipsis-end line fractions — need line structure; apply them
+    after dedup_lines' line splitter if the corpus carries newlines.)
+
+    Pure whole-stage-codegen expressions, zero shuffle, zero UDF —
+    the same scan-stage posture as quality_filter, and every
+    intermediate is exposed (n_words, mean_word_len, symbol_ratio,
+    alpha_word_ratio, stop_hits) plus per-rule booleans and `keep`,
+    so rejection-reason histograms are one groupBy away."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda w: w != "")
+    n_words = F.size(words)
+    n_chars = F.aggregate(F.transform(words, F.length),
+                          F.lit(0), lambda a, x: a + x)
+    mean_wlen = n_chars / n_words
+    n_sym = (F.length(F.col(text_col))
+             - F.length(F.replace(F.col(text_col), F.lit("#"),
+                                  F.lit("")))) + \
+        F.size(F.split(F.col(text_col), r"\.\.\.")) - 1
+    alpha_words = F.size(F.filter(words,
+                                  lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(words, s)))
+    out = (df.withColumn("n_words", n_words)
+           .withColumn("mean_word_len", mean_wlen)
+           .withColumn("symbol_ratio", n_sym / n_words)
+           .withColumn("alpha_word_ratio", alpha_words / n_words)
+           .withColumn("stop_hits", stop_hits))
+    checks = {
+        "ok_words": F.col("n_words").between(min_words, max_words),
+        "ok_word_len": F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len),
+        "ok_symbols": F.col("symbol_ratio") <= max_symbol_ratio,
+        "ok_alpha": F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+        "ok_stopwords": F.col("stop_hits") >= min_stop_hits,
+    }
+    keep = F.lit(True)
+    for name, cond in checks.items():
+        out = out.withColumn(name, cond)
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def top_vocabulary(df: DataFrame, text_col: str = "text",
                    k: int = 100, lowercase: bool = True) -> DataFrame:
     """Corpus-wide top-k word frequencies (the vocabulary-building

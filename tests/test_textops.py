@@ -1007,3 +1007,28 @@ def test_canonicalize_url_dedup_key(spark):
     assert c[1] == c[2] == "https://www.example.com/page?a=1&b=2"
     assert c[3] == c[4] == "http://h.io/"
     assert c[5] == "not a url"                            # passthrough
+
+
+@pytest.mark.spark
+def test_gopher_filter_rules(spark):
+    from parquet_spark.textops.textstats import gopher_filter
+    rows = [
+        (1, ("the quick brown fox likes to be of use and that is fine "
+             "to have with ") * 4),                    # passes all
+        (2, "short text"),                             # too few words
+        (3, "#### " * 60),                             # symbols+alpha+stops
+        (4, " ".join(["supercalifragilistic"] * 60)),  # word len, stops
+        (5, "dots ... and ... more ... dots " * 10),   # ellipsis symbols
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    r = {x.doc_id: x for x in gopher_filter(df, min_words=20,
+                                            min_stop_hits=2).collect()}
+    assert r[1].keep and r[1].stop_hits >= 2
+    assert not r[2].ok_words
+    assert not r[3].ok_symbols and not r[3].ok_alpha
+    assert not r[4].ok_word_len and not r[4].ok_stopwords
+    assert r[5].symbol_ratio > 0.1 and not r[5].ok_symbols
+    # whitespace-split robustness: tabs/newlines count as separators
+    df2 = spark.createDataFrame([(9, "a\tb\nc d")],
+                                "doc_id bigint, text string")
+    assert gopher_filter(df2).head().n_words == 4
