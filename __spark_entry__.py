@@ -1286,6 +1286,43 @@ def q_gopher_rules(spark, sf_dir):
     return out
 
 
+def q_mojibake_fix(spark, sf_dir):
+    """Mojibake repair (textops/curation.py `fix_mojibake`, the
+    ftfy-core UTF-8-mis-decoded-as-latin-1 heuristic): both engines
+    derive the same accented text (replace a->á, e->ę on the clean
+    corpus), Spark garbles it through the REAL corruption process
+    (synth_mojibake: encode utf-8, mis-decode latin-1) and repairs it
+    with the real operator — the per-lang measure hashes the REPAIRED
+    strings while DuckDB hashes the pre-corruption accented text, so a
+    green row certifies byte-exact recovery.  Docs without a/e stay
+    pure ASCII (mojibake fixed point) and must come through with zero
+    layers unwound — counted in n_fixed on both sides."""
+    from parquet_spark.textops.curation import (fix_mojibake,
+                                                synth_mojibake)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t2 = d.withColumn(
+        "text2", F.replace(F.replace(F.col("text"), F.lit("a"),
+                                     F.lit("á")),
+                           F.lit("e"), F.lit("ę")))
+    g = synth_mojibake(t2, text_col="text2", out_col="garbled")
+    r = fix_mojibake(g, text_col="garbled", out_col="fixed").cache()
+    n_changed = r.where(F.col("n_mojibake_layers") >= 1).count()
+    assert n_changed > 0, "vacuous: nothing was garbled"
+    fp = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                        F.col("fixed")))
+    out = (r.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum((F.col("n_mojibake_layers") >= 1).cast("long"))
+                .alias("n_fixed"),
+                F.min(fp).alias("min_fp"),
+                F.max(fp).alias("max_fp"))
+           .orderBy("lang"))
+    out = out.cache()
+    out.count()
+    r.unpersist()
+    return out
+
+
 def q_minmax_pushdown(spark, sf_dir):
     """Predicate-scoped MIN/MAX/COUNT pushdown (manifest.minmax_where):
     provably-full chunks contribute stored zone bounds and n_rows with
@@ -2992,8 +3029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       0. facets NEW in session 5, never driver-checked (datasource_read,
          datasource_write, datasource_stream, lm_fluency, dup_spans,
          dup_span_removal, html_extract, url_parse, sum_pushdown,
-         cdc_changelog, head_pushdown, gopher_rules, alter_widen,
-         png_features, auto_tuned_write);
+         cdc_changelog, head_pushdown, gopher_rules, mojibake_fix,
+         alter_widen, png_features, auto_tuned_write);
       1. facets whose ORACLE MEASURE changed this session and therefore
          need a fresh driver row: gap_fill (r04 hash FAIL — the
          ROUND-at-representation-tie measure was replaced by the
@@ -3004,8 +3041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          latest driver row is two rounds old, so re-checking them keeps
          the staleness invariant (`no facet's latest row older than two
          rounds`) for everything except the multi-round-green facets
-         (embedding_near_dups_lsh, ivf_clusters, sessionize,
-         pipeline_curation, streaming_window_stats,
+         (embedding_near_dups, embedding_near_dups_lsh, ivf_clusters,
+         sessionize, pipeline_curation, streaming_window_stats,
          salted_counts_source, zone_prune, chunk_partition_stats,
          token_counts, rolling_fp, fingerprint, dict_gate,
          run_length_lang, for_bitpack_width, merge_union_nullfill,
@@ -3033,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": q_cdc_changelog,
         "head_pushdown": q_head_pushdown,
         "gopher_rules": q_gopher_rules,
+        "mojibake_fix": q_mojibake_fix,
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
@@ -3995,6 +4033,18 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM documents
                     WHERE doc_id <= 99
                        OR (lang = 'fr' AND doc_id >= 300)) AS n_any""",
+        "mojibake_fix": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     replace(replace(text, 'a', 'á'), 'e', 'ę') AS t2,
+                     (text LIKE '%a%' OR text LIKE '%e%') AS changed
+              FROM documents)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_fixed,
+                   MIN(md5(doc_id::VARCHAR || ':' || t2)) AS min_fp,
+                   MAX(md5(doc_id::VARCHAR || ':' || t2)) AS max_fp
+            FROM t GROUP BY lang ORDER BY lang""",
         "gopher_rules": """
             WITH w AS (
               SELECT doc_id, lang,

@@ -118,6 +118,8 @@ _EXPORTS = {
     "ngram_contamination": "textops.curation",
     "pii_scrub": "textops.curation",
     "pack_sequences": "textops.curation",
+    "fix_mojibake": "textops.curation",
+    "synth_mojibake": "textops.curation",
     "extract_text": "textops.htmlops",
     "extract_html_text": "textops.htmlops",
     "synth_html": "textops.htmlops",

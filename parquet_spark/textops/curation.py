@@ -170,3 +170,110 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
                          F.floor(start / F.lit(float(budget))).cast("long"))
              .withColumn("seq_off", (start % F.lit(budget)).cast("long"))
              .drop("_h", "_start"))
+
+
+# -------------------------------------------------------------- mojibake
+
+def fix_mojibake_str(s: str, max_depth: int = 3) -> tuple[str, int]:
+    """Repair the dominant crawl mojibake: UTF-8 bytes mis-decoded as
+    latin-1/cp1252 ("caf\\u00e9" -> "caf\\u00c3\\u00a9"), possibly
+    stacked (ftfy's core heuristic, Speer 2019 — the full confusable
+    table is out of scope).  Applied only when (a) the string contains
+    a char in U+0080..U+00FF (plain ASCII cannot be this mojibake),
+    (b) the byte round-trip succeeds, and (c) the result is strictly
+    shorter (genuine double-encoding always shrinks: every non-ASCII
+    char came from >= 2 mis-decoded bytes) — legitimate accented text
+    fails (b) or (c) and passes through untouched.  Returns
+    (fixed, n_layers unwound)."""
+    fixed = 0
+    for _ in range(max_depth):
+        if not any(0x80 <= ord(ch) <= 0xFF for ch in s):
+            break
+        try:
+            b = s.encode("latin-1")
+        except UnicodeEncodeError:
+            try:
+                b = s.encode("cp1252")
+            except UnicodeEncodeError:
+                break
+        try:
+            t = b.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if len(t) >= len(s):
+            break
+        s = t
+        fixed += 1
+    return s, fixed
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text",
+                 out_col: str = "text_fixed") -> DataFrame:
+    """DataFrame op over an Arrow batch kernel (narrow, zero shuffle —
+    the htmlops/warc execution shape): adds `out_col` (repaired text)
+    and `n_mojibake_layers` (encoding layers unwound; 0 = untouched).
+    Null text passes through null."""
+    import pyarrow as pa
+
+    passthrough = list(df.columns)
+    out_ddl = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in df.schema.fields]
+        + [f"`{out_col}` string", "`n_mojibake_layers` int"])
+    ti = passthrough.index(text_col)
+
+    def run(batches):
+        for batch in batches:
+            texts = batch.column(ti).to_pylist()
+            fixed, layers = [], []
+            for s in texts:
+                if s is None:
+                    fixed.append(None)
+                    layers.append(0)
+                else:
+                    t, n = fix_mojibake_str(s)
+                    fixed.append(t)
+                    layers.append(n)
+            cols = [batch.column(i) for i in range(len(passthrough))]
+            cols.append(pa.array(fixed, type=pa.string()))
+            cols.append(pa.array(layers, type=pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=passthrough + [out_col,
+                                           "n_mojibake_layers"])
+
+    return df.mapInArrow(run, out_ddl)
+
+
+def synth_mojibake(df: DataFrame, text_col: str = "text",
+                   out_col: str = "text_garbled",
+                   layers: int = 1) -> DataFrame:
+    """Test fixture: garble a text column by the exact process real
+    mojibake comes from — encode UTF-8, mis-decode latin-1 — `layers`
+    times (Arrow batch kernel; pure-ASCII text is a fixed point, as in
+    reality).  fix_mojibake(synth_mojibake(t)) == t whenever t
+    contains non-ASCII."""
+    import pyarrow as pa
+
+    passthrough = list(df.columns)
+    out_ddl = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in df.schema.fields] + [f"`{out_col}` string"])
+    ti = passthrough.index(text_col)
+
+    def run(batches):
+        for batch in batches:
+            texts = batch.column(ti).to_pylist()
+            out = []
+            for s in texts:
+                if s is None:
+                    out.append(None)
+                    continue
+                for _ in range(layers):
+                    s = s.encode("utf-8").decode("latin-1")
+                out.append(s)
+            cols = [batch.column(i) for i in range(len(passthrough))]
+            cols.append(pa.array(out, type=pa.string()))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=passthrough + [out_col])
+
+    return df.mapInArrow(run, out_ddl)

@@ -100,3 +100,44 @@ def test_pack_sequences_token_col_and_append_stability(spark):
             for r in pack_sequences(d1.repartition(7), token_col="tok",
                                     budget=16).collect()}
     assert out1 == out2
+
+
+# -------------------------------------------------------------- mojibake
+
+
+def test_fix_mojibake_str_layers_and_guards():
+    from parquet_spark.textops.curation import fix_mojibake_str
+    t = "café résumé ę — naïve"
+    g1 = t.encode("utf-8").decode("latin-1")
+    g2 = g1.encode("utf-8").decode("latin-1")
+    assert fix_mojibake_str(g1) == (t, 1)
+    assert fix_mojibake_str(g2) == (t, 2)      # stacked layers unwind
+    assert fix_mojibake_str(t) == (t, 0)       # legit text untouched
+    assert fix_mojibake_str("plain") == ("plain", 0)
+    # cp1252-smart-quote mojibake (bytes 0x80-0x9F) repairs too
+    q = "it’s"
+    gq = q.encode("utf-8").decode("cp1252")
+    assert fix_mojibake_str(gq) == (q, 1)
+
+
+@pytest.mark.spark
+def test_fix_mojibake_dataframe_roundtrip(spark):
+    from parquet_spark.textops.curation import (fix_mojibake,
+                                                synth_mojibake)
+    rows = [(1, "café au lait"), (2, "plain ascii"), (3, None),
+            (4, "ęśąćż polish")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    g = synth_mojibake(df, out_col="garbled")
+    f = {r.doc_id: r for r in
+         fix_mojibake(g, text_col="garbled", out_col="fixed").collect()}
+    assert f[1].fixed == "café au lait" and f[1].n_mojibake_layers == 1
+    assert f[2].fixed == "plain ascii" and f[2].n_mojibake_layers == 0
+    assert f[3].fixed is None
+    assert f[4].fixed == "ęśąćż polish"
+    # two stacked layers
+    g2 = synth_mojibake(df, out_col="garbled", layers=2)
+    f2 = {r.doc_id: r for r in
+          fix_mojibake(g2, text_col="garbled",
+                       out_col="fixed").collect()}
+    assert f2[1].fixed == "café au lait" and \
+        f2[1].n_mojibake_layers == 2
