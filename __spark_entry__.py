@@ -286,6 +286,21 @@ def q_ivf_clusters(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_vecs")).orderBy("cluster"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) oracled END-TO-END: md5-seeded
+    clusters → intra-cluster 4dp-cosine pairs at τ=0.30 →
+    recursive-CC min-id keepers (textops/dedup.py `semdedup`).
+    DuckDB recomputes the whole pipeline — seed ranking, 6dp-rounded
+    argmin assignment, pair cosines, reachability closure — and both
+    engines keep the identical 254-of-500 sf0.01 vector set."""
+    from parquet_spark.textops.dedup import semdedup
+    em = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))"))
+    return (semdedup(em, n_clusters=8, threshold=0.30)
+            .select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+            .orderBy("vec_id"))
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k search (the inverted-file read path):
     md5-seeded centroids, 6dp-rounded assignment with cluster-id
@@ -3074,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alter_widen": q_alter_widen,
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
+        "semdedup": q_semdedup,
         # -- band 1: oracle measure changed in session 5 ----------------
         "gap_fill": q_gap_fill,
         "explode_pad": q_explode_pad,
@@ -4816,6 +4832,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(epoch_us(warc_ts)) AS BIGINT) AS min_us,
                    CAST(MAX(epoch_us(warc_ts)) AS BIGINT) AS max_us
             FROM corpus""",
+        "semdedup": """
+            WITH RECURSIVE e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+            seeds AS (SELECT v AS sv,
+                             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                                vec_id) - 1 AS cid
+                      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                      LIMIT 8),
+            d AS (SELECT e.vec_id, e.v, s.cid,
+                         ROUND(list_reduce(
+                             list_prepend(CAST(0 AS DOUBLE),
+                                 list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i]))),
+                             (a, b) -> a + b), 6) AS dist
+                  FROM e CROSS JOIN seeds s),
+            a AS (SELECT vec_id, v, cid FROM (
+                    SELECT vec_id, v, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cid) AS rn
+                    FROM d) WHERE rn = 1),
+            p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                         ROUND(
+                           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                               list_transform(range(1, len(x.v) + 1),
+                                              i -> x.v[i] * y.v[i])),
+                               (q, w) -> q + w)
+                           / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list_transform(range(1, len(x.v) + 1),
+                                                 i -> x.v[i] * x.v[i])),
+                                  (q, w) -> q + w))
+                              * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list_transform(range(1, len(y.v) + 1),
+                                                 i -> y.v[i] * y.v[i])),
+                                  (q, w) -> q + w))), 4) AS cos
+                  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+            pr AS (SELECT id_a, id_b FROM p WHERE cos >= 0.30),
+            sym AS (SELECT id_a AS src, id_b AS dst FROM pr
+                    UNION SELECT id_b, id_a FROM pr),
+            reach(node, r) AS (
+              SELECT src, src FROM sym
+              UNION
+              SELECT w.node, s.dst FROM reach w JOIN sym s ON s.src = w.r),
+            comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+            losers AS (SELECT node FROM comp WHERE comp < node)
+            SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster
+            FROM a LEFT JOIN losers l ON l.node = a.vec_id
+            WHERE l.node IS NULL ORDER BY a.vec_id""",
         "ivf_clusters": """
             WITH e AS (SELECT vec_id,
                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

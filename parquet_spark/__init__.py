@@ -99,6 +99,7 @@ _EXPORTS = {
     "score_bigram_lm": "textops.textstats",
     "dup_span_stats": "textops.dedup",
     "remove_dup_spans": "textops.dedup",
+    "semdedup": "textops.dedup",
     "gap_fill": "temporal",
     "kmv_sketch": "sketch", "kmv_sketch_many": "sketch",
     "kmv_merge": "sketch", "kmv_estimate": "sketch",

@@ -559,3 +559,63 @@ def remove_dup_spans(df: DataFrame, id_col: str = "doc_id",
                         F.coalesce(F.size(F.col("_cut")), F.lit(0)))
             .withColumn(text_col, F.array_join(kept, " "))
             .drop("_tk", "_cut"))
+
+
+def semdedup(emb: DataFrame, n_clusters: int = 8, threshold: float = 0.9,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None,
+             round_dp: int | None = 6,
+             max_iters: int = 25) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication through the embedding space — cluster the corpus
+    with k-means, compare pairs only WITHIN a cluster, and keep one
+    canonical member per group of semantic near-duplicates.
+
+    Pipeline (all existing engine primitives, so every cosine and
+    every cluster assignment folds identically with the IVF / near-dup
+    facets):
+
+      1. coarse clustering — ``ivf_assign`` against ``centroids``
+         (default: the deterministic md5-ranked seed set of
+         ``ivf_seeds_md5``, which an external SQL engine reproduces
+         exactly; production callers pass Lloyd-refined
+         ``ivf_centroids(...)`` instead — the keep-set then depends on
+         the refined partition but the algorithm is unchanged);
+      2. candidate pairs — a self-join keyed on the CLUSTER id with
+         the shared 4dp-rounded cosine, thresholded at ``threshold``;
+      3. canonical keepers — ``dedup_keep``: connected components over
+         the pair list, keep the MIN id per component (the engine-wide
+         canonical-keeper convention; the paper keeps the member
+         farthest from the centroid — same cluster-level reduction,
+         different representative choice).
+
+    Returns the input rows that survive, plus the ``cluster`` column.
+
+    100 TB design: the paper's whole point is that clustering bounds
+    the pair problem — the self-join key is the cluster id, so cost is
+    O(sum c_i^2) over cluster sizes, never O(n^2).  Scale n_clusters
+    with the corpus (LAION runs use k ~ 50k) so E[c_i] stays ~1e4-1e5
+    and each cluster's pair block fits one task; the centroid list is
+    a broadcast literal (ivf_assign's argmin is pure expression
+    codegen, no shuffle), so the only shuffles are the cluster-keyed
+    self-join and the edge-list-sized connected-components rounds.
+    Skewed (over-dense) clusters are the known failure mode — at scale
+    feed ``ivf_centroids`` more clusters or re-split heavy clusters
+    with a second seeding pass over just their members."""
+    from .similarity import ivf_assign, ivf_seeds_md5
+    if centroids is None:
+        centroids = ivf_seeds_md5(emb, n_clusters=n_clusters,
+                                  id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col,
+                          round_dp=round_dp)
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"), "cluster")
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb"), "cluster")
+    pairs = (a.join(b, "cluster")
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", _cos_pair_cols())
+             .where(F.col("cos") >= threshold)
+             .select("id_a", "id_b"))
+    return dedup_keep(assigned, pairs, id_col=id_col,
+                      left="id_a", right="id_b", max_iters=max_iters)

