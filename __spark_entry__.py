@@ -301,6 +301,25 @@ def q_semdedup(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (textops/bpe.py `train_bpe`,
+    Sennrich et al. 2016) oracled END-TO-END: 3 merge rounds over the
+    doc_id<80 lowercase-alpha word vocabulary.  DuckDB replays the
+    whole learner — word counts, weighted adjacent-pair counts, argmax
+    with the (cnt DESC, pair ASC) tie-break, and each greedy
+    left-to-right merge fold as a recursive CTE — and both engines
+    learn the identical ranked merge table.  The '^[a-z]+$' word
+    filter keeps the comparison off astral-plane text, where Spark
+    (UTF-16 units) and DuckDB (codepoints) split chars differently."""
+    from parquet_spark.textops.bpe import train_bpe
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    merges = train_bpe(d, n_merges=3, lowercase=True,
+                       word_filter="^[a-z]+$")
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["cnt"]) for m in merges],
+        "rank int, left string, right string, cnt bigint").orderBy("rank")
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k search (the inverted-file read path):
     md5-seeded centroids, 6dp-rounded assignment with cluster-id
@@ -3090,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_features": q_png_features,
         "auto_tuned_write": q_auto_tuned_write,
         "semdedup": q_semdedup,
+        "bpe_train": q_bpe_train,
         # -- band 1: oracle measure changed in session 5 ----------------
         "gap_fill": q_gap_fill,
         "explode_pad": q_explode_pad,
@@ -4880,6 +4900,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster
             FROM a LEFT JOIN losers l ON l.node = a.vec_id
             WHERE l.node IS NULL ORDER BY a.vec_id""",
+        # the full BPE learner replayed in SQL: each merge round is a
+        # weighted pair count + argmax + a greedy left-to-right fold
+        # expressed as a recursive CTE over symbol positions (the
+        # acc[-1]=l AND next=r rewrite is exactly bpe.apply_merge's
+        # aggregate fold)
+        "bpe_train": """
+            WITH RECURSIVE
+            wraw AS (SELECT unnest(regexp_split_to_array(lower(text),
+                                                         '\\s+')) AS word
+                     FROM documents WHERE doc_id < 80 AND text IS NOT NULL),
+            wc AS (SELECT word, COUNT(*) AS n FROM wraw
+                   WHERE word <> '' AND regexp_full_match(word, '[a-z]+')
+                   GROUP BY word),
+            s0 AS (SELECT word, n, string_split(word, '') AS toks FROM wc),
+            p1 AS (SELECT s.toks[t.i] AS l, s.toks[t.i + 1] AS r,
+                          SUM(s.n) AS cnt
+                   FROM s0 s, UNNEST(range(1, len(s.toks))) AS t(i)
+                   GROUP BY 1, 2),
+            best1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r
+                      LIMIT 1),
+            f1(word, n, i, acc) AS (
+              SELECT word, n, 1, [toks[1]] FROM s0
+              UNION ALL
+              SELECT f.word, f.n, f.i + 1,
+                     CASE WHEN acc[-1] = (SELECT l FROM best1)
+                               AND s.toks[f.i + 1] = (SELECT r FROM best1)
+                          THEN list_append(acc[1:len(acc) - 1],
+                                           (SELECT l || r FROM best1))
+                          ELSE list_append(acc, s.toks[f.i + 1]) END
+              FROM f1 f JOIN s0 s ON s.word = f.word
+              WHERE f.i < len(s.toks)),
+            s1 AS (SELECT f.word, f.n, f.acc AS toks
+                   FROM f1 f JOIN s0 s ON s.word = f.word
+                   WHERE f.i = len(s.toks)),
+            p2 AS (SELECT s.toks[t.i] AS l, s.toks[t.i + 1] AS r,
+                          SUM(s.n) AS cnt
+                   FROM s1 s, UNNEST(range(1, len(s.toks))) AS t(i)
+                   GROUP BY 1, 2),
+            best2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r
+                      LIMIT 1),
+            f2(word, n, i, acc) AS (
+              SELECT word, n, 1, [toks[1]] FROM s1
+              UNION ALL
+              SELECT f.word, f.n, f.i + 1,
+                     CASE WHEN acc[-1] = (SELECT l FROM best2)
+                               AND s.toks[f.i + 1] = (SELECT r FROM best2)
+                          THEN list_append(acc[1:len(acc) - 1],
+                                           (SELECT l || r FROM best2))
+                          ELSE list_append(acc, s.toks[f.i + 1]) END
+              FROM f2 f JOIN s1 s ON s.word = f.word
+              WHERE f.i < len(s.toks)),
+            s2 AS (SELECT f.word, f.n, f.acc AS toks
+                   FROM f2 f JOIN s1 s ON s.word = f.word
+                   WHERE f.i = len(s.toks)),
+            p3 AS (SELECT s.toks[t.i] AS l, s.toks[t.i + 1] AS r,
+                          SUM(s.n) AS cnt
+                   FROM s2 s, UNNEST(range(1, len(s.toks))) AS t(i)
+                   GROUP BY 1, 2),
+            best3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r
+                      LIMIT 1)
+            SELECT * FROM (
+              SELECT 0 AS rank, l AS left, r AS right,
+                     CAST(cnt AS BIGINT) AS cnt FROM best1
+              UNION ALL SELECT 1, l, r, CAST(cnt AS BIGINT) FROM best2
+              UNION ALL SELECT 2, l, r, CAST(cnt AS BIGINT) FROM best3
+            ) ORDER BY rank""",
         "ivf_clusters": """
             WITH e AS (SELECT vec_id,
                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

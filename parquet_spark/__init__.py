@@ -100,6 +100,7 @@ _EXPORTS = {
     "dup_span_stats": "textops.dedup",
     "remove_dup_spans": "textops.dedup",
     "semdedup": "textops.dedup",
+    "train_bpe": "textops.bpe", "bpe_segment": "textops.bpe",
     "gap_fill": "temporal",
     "kmv_sketch": "sketch", "kmv_sketch_many": "sketch",
     "kmv_merge": "sketch", "kmv_estimate": "sketch",
