@@ -320,6 +320,20 @@ def q_bpe_train(spark, sf_dir):
         "rank int, left string, right string, cnt bigint").orderBy("rank")
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (sampling.dsir_select, Xie et al. 2023)
+    oracled end-to-end: hashed uni+bigram bucket counts (md5 % 256),
+    integer milli-nat λ table with add-one smoothing, exact BIGINT
+    per-doc scores, top-20 most-en-like non-en documents.  DuckDB
+    replays the full estimator; the only non-IEEE-exact op (one ln
+    per bucket) is scaled and rounded to an integer before any
+    summation — the gap_fill portability rule."""
+    from parquet_spark.textops.sampling import dsir_select
+    d = _t(spark, sf_dir, "documents")
+    return (dsir_select(d, F.col("lang") == "en", k=20)
+            .select("doc_id", "dsir_score"))
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k search (the inverted-file read path):
     md5-seeded centroids, 6dp-rounded assignment with cluster-id
@@ -3110,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_tuned_write": q_auto_tuned_write,
         "semdedup": q_semdedup,
         "bpe_train": q_bpe_train,
+        "dsir_select": q_dsir_select,
         # -- band 1: oracle measure changed in session 5 ----------------
         "gap_fill": q_gap_fill,
         "explode_pad": q_explode_pad,
@@ -4900,6 +4915,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster
             FROM a LEFT JOIN losers l ON l.node = a.vec_id
             WHERE l.node IS NULL ORDER BY a.vec_id""",
+        "dsir_select": r"""
+            WITH docs AS (SELECT doc_id, lower(text) AS t, lang
+                          FROM documents WHERE text IS NOT NULL),
+            w AS (SELECT doc_id, lang,
+                         list_filter(regexp_split_to_array(t, '\s+'),
+                                     x -> x <> '') AS ws FROM docs),
+            g AS (SELECT doc_id, lang,
+                         unnest(list_concat(ws,
+                             list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1]))) AS gram
+                  FROM w),
+            b AS (SELECT doc_id, lang,
+                         (('0x' || substr(md5(gram), 1, 8))::BIGINT
+                          % 256) AS bucket
+                  FROM g),
+            tb AS (SELECT bucket, COUNT(*) AS t FROM b
+                   WHERE lang = 'en' GROUP BY 1),
+            rb AS (SELECT bucket, COUNT(*) AS r FROM b
+                   WHERE lang <> 'en' GROUP BY 1),
+            tt AS (SELECT COALESCE(SUM(t), 0) + 256 AS tden FROM tb),
+            rt AS (SELECT COALESCE(SUM(r), 0) + 256 AS rden FROM rb),
+            grid AS (SELECT unnest(range(256)) AS bucket),
+            lam AS (SELECT grid.bucket,
+                           CAST(ROUND(1000.0 * ln(
+                               (CAST(COALESCE(tb.t, 0) + 1 AS DOUBLE)
+                                    * (SELECT rden FROM rt))
+                               / (CAST(COALESCE(rb.r, 0) + 1 AS DOUBLE)
+                                    * (SELECT tden FROM tt))), 0)
+                                AS BIGINT) AS lam
+                    FROM grid
+                    LEFT JOIN tb ON tb.bucket = grid.bucket
+                    LEFT JOIN rb ON rb.bucket = grid.bucket),
+            pd AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b
+                   WHERE lang <> 'en' GROUP BY 1, 2),
+            sc AS (SELECT doc_id, SUM(cnt * lam) AS s FROM pd
+                   JOIN lam USING (bucket) GROUP BY 1)
+            SELECT doc_id, CAST(s AS BIGINT) AS dsir_score FROM sc
+            ORDER BY s DESC, doc_id LIMIT 20""",
         # the full BPE learner replayed in SQL: each merge round is a
         # weighted pair count + argmax + a greedy left-to-right fold
         # expressed as a recursive CTE over symbol positions (the

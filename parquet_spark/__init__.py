@@ -101,6 +101,8 @@ _EXPORTS = {
     "remove_dup_spans": "textops.dedup",
     "semdedup": "textops.dedup",
     "train_bpe": "textops.bpe", "bpe_segment": "textops.bpe",
+    "dsir_lambda": "textops.sampling", "dsir_score": "textops.sampling",
+    "dsir_select": "textops.sampling",
     "gap_fill": "temporal",
     "kmv_sketch": "sketch", "kmv_sketch_many": "sketch",
     "kmv_merge": "sketch", "kmv_estimate": "sketch",

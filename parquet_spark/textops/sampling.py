@@ -180,3 +180,114 @@ def mix_domains(df: DataFrame, id_col: str, domain_col: str,
         {k: p["rate"] for k, p in plan.items()},
         default=0.0, seed=seed)
     return sampled, plan
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): pick raw-pool documents whose hashed-n-gram
+# distribution looks like a small trusted target set.
+
+def _ngram_bucket_counts(df: DataFrame, text_col: str, id_col: str,
+                         n_buckets: int, bigrams: bool,
+                         per_doc: bool) -> DataFrame:
+    """(bucket[, id]) -> occurrence count of word uni(+bi)grams whose
+    md5 lands in that bucket.  The n-gram stream is lowercased
+    whitespace words plus (optionally) space-joined adjacent pairs —
+    the paper's hashed-n-gram feature map with md5 instead of a
+    murmur, so an external SQL engine reproduces every bucket id.
+    Pure codegen until the ONE partial-aggregated groupBy."""
+    t = F.lower(F.col(text_col))
+    ws = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    grams = ws
+    if bigrams:
+        bi = F.zip_with(F.slice(ws, 1, F.size(ws) - 1),
+                        F.slice(ws, 2, F.size(ws) - 1),
+                        lambda a, b: F.concat(a, F.lit(" "), b))
+        grams = F.concat(ws, bi)
+    g = (df.where(F.col(text_col).isNotNull())
+         .select(F.col(id_col), F.explode(grams).alias("gram")))
+    bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+              .cast("long") % n_buckets).alias("bucket")
+    keys = ["bucket", id_col] if per_doc else ["bucket"]
+    return (g.select(F.col(id_col), bucket)
+            .groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def dsir_lambda(docs: DataFrame, target_cond: Column,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 256, scale: int = 1000,
+                bigrams: bool = True) -> DataFrame:
+    """The per-bucket importance table λ_b = round(scale · ln( p̂_b /
+    q̂_b )) with add-one smoothing, as INTEGERS (milli-nats at the
+    default scale) so downstream per-doc sums are exact BIGINT
+    arithmetic — order-independent across engines (the gap_fill
+    lesson: never hash-compare an unquantized float reduction).
+    p̂ is the hashed-n-gram distribution of rows matching
+    `target_cond`, q̂ of the rest.  Output: (bucket, lam) — n_buckets
+    rows, metadata-sized at any corpus scale (broadcast it).
+
+    Exactly one corpus-wide pass: bucket counts partial-aggregate to
+    ≤ 2·n_buckets rows before the shuffle; the totals T and R are two
+    driver-side scalars.  ln() is the only non-IEEE-exact op in the
+    chain; its argument is a single quotient of exact small-integer
+    doubles and the result is scaled+rounded, so a 1-ulp libm
+    disagreement flips nothing in practice."""
+    tagged = docs.withColumn("_is_t", target_cond)
+    tcnt = _ngram_bucket_counts(tagged.where(F.col("_is_t")), text_col,
+                                id_col, n_buckets, bigrams, False)
+    rcnt = _ngram_bucket_counts(tagged.where(~F.col("_is_t")), text_col,
+                                id_col, n_buckets, bigrams, False)
+    totals = {
+        "T": tcnt.agg(F.sum("cnt")).head()[0] or 0,
+        "R": rcnt.agg(F.sum("cnt")).head()[0] or 0,
+    }
+    spark = docs.sparkSession
+    grid = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    joined = (grid.join(tcnt.withColumnRenamed("cnt", "t"), "bucket", "left")
+              .join(rcnt.withColumnRenamed("cnt", "r"), "bucket", "left")
+              .select("bucket",
+                      F.coalesce("t", F.lit(0)).alias("t"),
+                      F.coalesce("r", F.lit(0)).alias("r")))
+    tden = totals["T"] + n_buckets
+    rden = totals["R"] + n_buckets
+    lam = F.round(F.lit(float(scale)) * F.log(
+        ((F.col("t") + 1).cast("double") * F.lit(float(rden)))
+        / ((F.col("r") + 1).cast("double") * F.lit(float(tden)))
+    ), 0).cast("long")
+    return joined.select("bucket", lam.alias("lam"))
+
+
+def dsir_score(docs: DataFrame, lam: DataFrame,
+               text_col: str = "text", id_col: str = "doc_id",
+               n_buckets: int = 256, bigrams: bool = True,
+               out_col: str = "dsir_score") -> DataFrame:
+    """Per-document importance score: the exact BIGINT sum of λ over
+    the doc's n-gram occurrences (docs with no n-grams score 0).
+    One corpus pass; λ is a broadcast join on the bucket id."""
+    per_doc = _ngram_bucket_counts(docs, text_col, id_col, n_buckets,
+                                   bigrams, True)
+    scores = (per_doc.join(F.broadcast(lam), "bucket")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("cnt") * F.col("lam")).alias(out_col)))
+    return (docs.join(scores, id_col, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0))))
+
+
+def dsir_select(docs: DataFrame, target_cond: Column, k: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 256, scale: int = 1000,
+                bigrams: bool = True) -> DataFrame:
+    """End-to-end DSIR selection: learn λ from the target/raw split,
+    score every RAW document, keep the top-k most target-like
+    (score DESC, id ASC — deterministic).  The paper resamples with
+    Gumbel noise; top-k is its deterministic limit and is what an
+    external engine can replay bit-for-bit.  Top-k over the raw pool
+    uses a global sort of (score, id) PAIRS only after the per-doc
+    reduction — at 10^12 docs swap the orderBy/limit for
+    similarity.bounded_topk semantics if k is large."""
+    lam = dsir_lambda(docs, target_cond, text_col, id_col, n_buckets,
+                      scale, bigrams)
+    raw = docs.where(~target_cond)
+    scored = dsir_score(raw, lam, text_col, id_col, n_buckets, bigrams)
+    return (scored.orderBy(F.col("dsir_score").desc(),
+                           F.col(id_col).asc()).limit(k))

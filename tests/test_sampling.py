@@ -170,3 +170,50 @@ def test_mix_domains_token_budget(spark):
     # Bernoulli expectation: realized tokens near the target
     for d in ("big", "mid"):
         assert abs(got[d] - plan[d]["target"]) < 0.15 * plan[d]["target"]
+
+
+@pytest.mark.spark
+def test_dsir_lambda_directional_and_integer(spark):
+    """Buckets dominated by target n-grams get positive lambda, raw-
+    dominated buckets negative; the table covers every bucket and is
+    pure BIGINT (exact downstream sums)."""
+    from parquet_spark.textops.sampling import dsir_lambda
+    rows = [(i, "alpha beta " * 5, True) for i in range(10)]
+    rows += [(100 + i, "gamma delta " * 5, False) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    lam = dsir_lambda(df, F.col("t"), n_buckets=32)
+    assert lam.count() == 32
+    assert dict(lam.dtypes)["lam"] == "bigint"
+    vals = {r.bucket: r.lam for r in lam.collect()}
+    # target-only grams land positive, raw-only negative
+    from pyspark.sql import functions as SF
+    b_alpha = df.sparkSession.range(1).select(
+        (SF.conv(SF.substring(SF.md5(SF.lit("alpha")), 1, 8), 16, 10)
+         .cast("long") % 32).alias("b")).head().b
+    b_gamma = df.sparkSession.range(1).select(
+        (SF.conv(SF.substring(SF.md5(SF.lit("gamma")), 1, 8), 16, 10)
+         .cast("long") % 32).alias("b")).head().b
+    assert vals[b_alpha] > 0 and vals[b_gamma] < 0
+
+
+@pytest.mark.spark
+def test_dsir_select_prefers_target_like_raw_docs(spark):
+    """A raw doc written in the target's vocabulary outranks raw docs
+    in their own vocabulary; k bounds the output; scores are exact
+    (two runs identical)."""
+    from parquet_spark.textops.sampling import dsir_select
+    rows = [(i, "the quick brown fox jumps over the lazy dog", True)
+            for i in range(8)]
+    rows += [(50, "the quick brown fox runs", False),
+             (51, "zug blorp qwx vnn", False),
+             (52, "zug zug blorp blorp qwx", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    sel = dsir_select(df, F.col("t"), k=2, n_buckets=64)
+    got = [(r.doc_id, r.dsir_score) for r in
+           sel.select("doc_id", "dsir_score").collect()]
+    assert got[0][0] == 50 and got[0][1] > 0
+    assert len(got) == 2 and got[1][1] < got[0][1]
+    again = [(r.doc_id, r.dsir_score) for r in
+             dsir_select(df, F.col("t"), k=2, n_buckets=64)
+             .select("doc_id", "dsir_score").collect()]
+    assert got == again
