@@ -3069,6 +3069,57 @@ def q_time_travel(spark, sf_dir):
     return out
 
 
+def q_expire_vacuum(spark, sf_dir):
+    """Full table-maintenance path (manifest.expire_snapshots +
+    vacuum_table): three commits, expire history to the last two
+    snapshots (tombstoned truncation), vacuum the dead files, then
+    decode snapshot 1 BEFORE maintenance and CURRENT after it.  The
+    snapshot-1 aggregate is forced eagerly because vacuum is by design
+    aggressive — only CURRENT + named refs keep their data files — so
+    that time-travel point's files are legitimately reclaimed while
+    its (expire-protected) snapshot object stays in history.  DuckDB
+    computes the aggregate once from raw parquet; maintenance must be
+    invisible to readers.  Asserted along the way: snapshot 0's object
+    is gone, history re-rooted at 1, fsck clean with zero orphans."""
+    import tempfile
+
+    from parquet_spark.fsck import fsck_table
+    from parquet_spark.manifest import (EncodedTable, compact_table,
+                                        expire_snapshots, read_decoded,
+                                        vacuum_table, write_encoded)
+
+    def _agg(dec, sid):
+        return dec.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct(F.md5("text")).alias("n_texts"),
+            F.sum("doc_id").alias("sum_ids")) \
+            .withColumn("snapshot_id", F.lit(sid).cast("long"))
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    path = tempfile.mkdtemp(prefix="entry_expire_") + "/t"
+    write_encoded(d, path, key=["doc_id"], n_parts=4, rows_per_chunk=40)
+    compact_table(spark, path, target_parts=2)
+    compact_table(spark, path, target_parts=1, rechunk=True)
+    # materialize (driver-side, 1 row) before vacuum reclaims snap 1's
+    # exclusive files; rebuilt as a DataFrame for the union below
+    pre = _agg(read_decoded(spark, path, snapshot_id=1), 1)
+    pre_rows, pre_schema = pre.collect(), pre.schema
+    rep = expire_snapshots(path, keep_last=2, older_than_s=0.0)
+    assert len(rep["expired"]) == 1 and rep["tombstone"]
+    vacuum_table(path, grace_s=0.0)
+    t = EncodedTable(path)
+    assert [s["snapshot_id"] for s in t.history()] == [1, 2]
+    fr = fsck_table(path)
+    assert fr["ok"] and not fr["orphan_snapshots"], fr
+    post = _agg(read_decoded(spark, path), 2)
+    out = spark.createDataFrame(pre_rows, pre_schema) \
+        .unionByName(post).orderBy("snapshot_id")
+    out = out.cache()
+    out.count()
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Facet order is deliberate: the driver's correctness gate checks
     roughly the FIRST 50 entries per round, so the queue is priority-
@@ -3125,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "bpe_train": q_bpe_train,
         "dsir_select": q_dsir_select,
+        "expire_vacuum": q_expire_vacuum,
         # -- band 1: oracle measure changed in session 5 ----------------
         "gap_fill": q_gap_fill,
         "explode_pad": q_explode_pad,
@@ -3481,6 +3533,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT event_type) AS n_types,
                    MIN(value) AS min_v, MAX(value) AS max_v
             FROM events WHERE value BETWEEN 10.0 AND 60.0""",
+        "expire_vacuum": """
+            WITH a AS (SELECT COUNT(*) AS n_rows,
+                              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                              COUNT(DISTINCT md5(text)) AS n_texts,
+                              CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+                       FROM documents WHERE doc_id < 300)
+            SELECT n_rows, sum_chars, n_texts, sum_ids,
+                   CAST(s AS BIGINT) AS snapshot_id
+            FROM a, (VALUES (1), (2)) t(s) ORDER BY snapshot_id""",
         "time_travel": """
             WITH a AS (SELECT COUNT(*) AS n_rows,
                               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

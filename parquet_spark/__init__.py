@@ -47,7 +47,8 @@ _EXPORTS = {
     "read_encoded": "manifest", "compact_table": "manifest",
     "route_encoded": "manifest", "lineage_df": "manifest",
     "route_encoded_partitioned": "manifest", "read_route": "manifest",
-    "vacuum_table": "manifest", "relocate_table": "manifest",
+    "vacuum_table": "manifest", "expire_snapshots": "manifest",
+    "relocate_table": "manifest",
     "alter_table": "manifest", "publish_branch": "manifest",
     "create_ref": "manifest", "drop_ref": "manifest",
     "list_refs": "manifest",

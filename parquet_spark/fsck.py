@@ -152,7 +152,13 @@ def fsck_table(table_path: str, deep: bool = False,
                 report["orphan_data"].append(p)
     snap_dir = os.path.join(table_path, "snapshots")
     if os.path.isdir(snap_dir):
+        expired = table._expired_names()
         for name in sorted(os.listdir(snap_dir)):
+            # expire_snapshots tombstones are maintenance metadata, and
+            # names they record were deleted deliberately — neither is
+            # an orphan
+            if name.startswith("expired-") or name in expired:
+                continue
             if name.endswith(".json") and name not in seen:
                 report["orphan_snapshots"].append(name)
 

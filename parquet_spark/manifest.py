@@ -430,8 +430,36 @@ class EncodedTable:
             return None
         return self._load_snapshot(name)
 
+    def _expired_names(self) -> set[str]:
+        """Union of snapshot names recorded by `expire_snapshots`
+        tombstones (snapshots/expired-*.json) — the marker that lets
+        chain walks distinguish 'history legitimately truncated here'
+        from 'snapshot object lost' (which stays a loud error).
+        Cached per handle; tombstones are append-only."""
+        cached = getattr(self, "_expired_cache", None)
+        if cached is not None:
+            return cached
+        names: set[str] = set()
+        try:
+            entries = sorted(os.listdir(self.snap_dir))
+        except OSError:
+            entries = []
+        for name in entries:
+            if not (name.startswith("expired-") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(self.snap_dir, name)) as f:
+                    names.update(json.load(f).get("expired", []))
+            except (OSError, ValueError):
+                continue
+        self._expired_cache = names
+        return names
+
     def _parent_of(self, snap: dict) -> dict | None:
-        """The committed parent of `snap`, or None at the chain root.
+        """The committed parent of `snap`, or None at the chain root —
+        or at the EXPIRY FLOOR: a parent whose object is gone but whose
+        name is recorded by an `expire_snapshots` tombstone reads as
+        end-of-history, not corruption.
 
         New snapshots record `parent_name` (the exact stored file of
         the snapshot they CAS'd against), which disambiguates the true
@@ -444,7 +472,12 @@ class EncodedTable:
             return None
         pname = snap.get("parent_name")
         if pname:
-            return self._load_snapshot(pname)
+            try:
+                return self._load_snapshot(pname)
+            except (OSError, ValueError):
+                if pname in self._expired_names():
+                    return None
+                raise
         det = f"snap-{pid:06d}.json"
         try:
             return self._load_snapshot(det)
@@ -457,6 +490,9 @@ class EncodedTable:
             cands = []
         if len(cands) == 1:
             return self._load_snapshot(cands[0])
+        if any(n.startswith(f"snap-{pid:06d}") for n in
+               self._expired_names()):
+            return None
         raise ValueError(
             f"cannot resolve parent snapshot {pid} of "
             f"{snap['snapshot_id']} at {self.path}: "
@@ -2249,6 +2285,95 @@ def vacuum_table(table_path: str, grace_s: float = 3600.0,
                 continue
             removed.append(os.path.abspath(p))
     return removed
+
+
+def expire_snapshots(table_path: str, keep_last: int = 1,
+                     older_than_s: float = 3600.0,
+                     backend: CommitBackend | None = None) -> dict:
+    """Truncate table HISTORY: delete ancestor snapshot objects beyond
+    the newest `keep_last` on the CURRENT chain (Iceberg's
+    expire-snapshots), plus orphan snapshot jsons that losing racers
+    left behind.  The complement of `vacuum_table`, which reclaims DATA
+    files — run expire first, then vacuum, and the expired snapshots'
+    exclusive data files go too.
+
+    Protection rules (all conservative):
+      * the newest `keep_last` CURRENT-chain snapshots always survive;
+      * every snapshot reachable from ANY named ref survives — tags pin
+        their whole ancestor chain here (stronger than Iceberg, which
+        ages ref ancestors separately);
+      * nothing younger than `older_than_s` is touched (same in-flight
+        grace as vacuum — a racer may be about to reference it).
+
+    Expired ON-CHAIN names are recorded in an append-only tombstone
+    (snapshots/expired-<uuid>.json) BEFORE any object is deleted, so a
+    concurrent or later chain walk resolves the missing parent as
+    'history ends here' instead of corruption; `fsck` keeps flagging
+    truly lost (untombstoned) snapshots.  Orphans were never on any
+    chain, so they are deleted without a tombstone.  Time travel to an
+    expired snapshot id raises (it is no longer an ancestor), exactly
+    like Iceberg.
+
+    Snapshot objects are files under snapshots/ for both shipped
+    backends; an object-store backend maps the removals to DELETE
+    calls.  Returns {"expired": [...], "orphans_removed": [...],
+    "tombstone": name | None}."""
+    table = EncodedTable(table_path, backend=backend)
+    cutoff = time.time() - older_than_s
+
+    # reachable set per head, protecting refs' full chains
+    protected: set[str] = set()
+    chain: list[str] = []  # CURRENT chain newest -> oldest
+    snap = table.current_snapshot()
+    while snap is not None:
+        chain.append(snap["_snap_name"])
+        snap = table._parent_of(snap)
+    protected.update(chain[:max(keep_last, 1)])
+    reachable: set[str] = set(chain)
+    for ref in list_refs(table_path).values():
+        try:
+            snap = table._load_snapshot(ref["snap_name"])
+        except (OSError, ValueError):
+            continue  # broken ref: fsck's department, not expiry's
+        while snap is not None:
+            nm = snap["_snap_name"]
+            reachable.add(nm)
+            protected.add(nm)
+            snap = table._parent_of(snap)
+
+    def _old_enough(name: str) -> bool:
+        try:
+            return os.path.getmtime(
+                os.path.join(table.snap_dir, name)) <= cutoff
+        except OSError:
+            return False
+
+    expired = [n for n in chain if n not in protected and _old_enough(n)]
+    try:
+        listing = sorted(os.listdir(table.snap_dir))
+    except OSError:
+        listing = []
+    already = table._expired_names()
+    orphans = [n for n in listing
+               if n.endswith(".json") and not n.startswith("expired-")
+               and n not in reachable and n not in already
+               and _old_enough(n)]
+
+    tombstone = None
+    if expired:
+        tombstone = f"expired-{uuid.uuid4().hex}.json"
+        tmp = os.path.join(table.snap_dir, f".tmp-{tombstone}")
+        with open(tmp, "w") as f:
+            json.dump({"expired": expired, "ts": time.time()}, f)
+        os.replace(tmp, os.path.join(table.snap_dir, tombstone))
+    for name in expired + orphans:
+        try:
+            os.remove(os.path.join(table.snap_dir, name))
+        except OSError:
+            pass
+    table._expired_cache = None  # this handle must re-read tombstones
+    return {"expired": expired, "orphans_removed": orphans,
+            "tombstone": tombstone}
 
 
 def _resolve_snap(table: "EncodedTable",

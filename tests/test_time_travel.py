@@ -104,3 +104,79 @@ def test_vacuum_reclaims_time_travel(spark, tmp_path):
     assert removed == {os.path.abspath(f) for f in old_files}
     # CURRENT still reads fine; snapshot 0 is gone by design
     assert read_decoded(spark, path).count() == 500
+
+
+def test_expire_snapshots_truncates_history(spark, tmp_path):
+    """Three commits; expire with keep_last=2: snapshot 0's object goes
+    (tombstoned), history/time-travel re-root at snapshot 1, CURRENT
+    reads unchanged, fsck stays clean with no orphan complaints, and a
+    follow-up vacuum reclaims snapshot 0's exclusive files."""
+    from parquet_spark.fsck import fsck_table
+    from parquet_spark.manifest import expire_snapshots
+
+    df = gen_corpus(spark, 600, seed=53, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=3)          # snap 0
+    t = EncodedTable(path)
+    snap0_files = set(t.data_files(t.snapshot_at(0)))
+    compact_table(spark, path, target_parts=2)               # snap 1
+    compact_table(spark, path, target_parts=1)               # snap 2
+
+    rep = expire_snapshots(path, keep_last=2, older_than_s=0.0)
+    assert len(rep["expired"]) == 1 and rep["tombstone"]
+    assert rep["orphans_removed"] == []
+
+    t2 = EncodedTable(path)
+    hist = [s["snapshot_id"] for s in t2.history()]
+    assert hist == [1, 2]                  # chain re-rooted at snap 1
+    with pytest.raises(ValueError):
+        t2.snapshot_at(0)                  # that time travel is over
+    assert read_decoded(spark, path).count() == 600
+    assert read_decoded(spark, path, snapshot_id=1).count() == 600
+
+    rep = fsck_table(path)
+    assert rep["ok"] and not rep["orphan_snapshots"]
+    assert not rep["broken_refs"]
+
+    removed = set(vacuum_table(path, grace_s=0.0))
+    assert {os.path.abspath(f) for f in snap0_files} <= removed
+    assert read_decoded(spark, path).count() == 600
+
+
+def test_expire_snapshots_protects_refs_and_grace(spark, tmp_path):
+    """A tag on an old snapshot pins its whole chain; a young snapshot
+    survives via the grace window; orphan racer jsons are swept."""
+    import json as _json
+
+    from parquet_spark.manifest import create_ref, expire_snapshots
+
+    df = gen_corpus(spark, 300, seed=59, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=2)          # snap 0
+    compact_table(spark, path, target_parts=1)               # snap 1
+    create_ref(path, "pin", snapshot_id=0)
+    compact_table(spark, path, target_parts=2)               # snap 2
+
+    # keep_last=1 keeps only snap 2; the ref pins snap 0 (its chain is
+    # just the root), so snap 1 — pinned by nothing — expires
+    rep = expire_snapshots(path, keep_last=1, older_than_s=0.0)
+    assert [n.startswith("snap-000001-") for n in rep["expired"]] == [True]
+    assert [s["snapshot_id"] for s in
+            EncodedTable(path).history()] == [2]
+    # the pinned snapshot is still readable through its ref
+    assert read_decoded(spark, path, ref="pin").count() == 300
+
+    # grace window: everything is young -> nothing expires
+    rep = expire_snapshots(path, keep_last=1, older_than_s=3600.0)
+    assert rep["expired"] == [] and rep["orphans_removed"] == []
+
+    # orphan snapshot json (losing racer) is swept once old enough
+    t = EncodedTable(path)
+    orphan = os.path.join(t.snap_dir, "snap-000099-deadbeef.json")
+    with open(orphan, "w") as f:
+        _json.dump({"snapshot_id": 99, "parts": {},
+                    "format_version": 2}, f)
+    os.utime(orphan, (0, 0))
+    rep = expire_snapshots(path, keep_last=1, older_than_s=0.0)
+    assert "snap-000099-deadbeef.json" in rep["orphans_removed"]
+    assert not os.path.exists(orphan)
