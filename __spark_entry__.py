@@ -3120,6 +3120,48 @@ def q_expire_vacuum(spark, sf_dir):
     return out
 
 
+def q_rollback_restore(spark, sf_dir):
+    """Snapshot rollback (manifest.rollback_table, Iceberg's rollback,
+    revert-flavoured): write -> equality-delete -> roll back to the
+    pre-delete snapshot as a NEW commit that copies the target's
+    parts/meta verbatim.  CURRENT must equal DuckDB's full aggregate
+    (the delete undone), while the rolled-past deleted state stays
+    time-travelable and must equal DuckDB's filtered aggregate.
+    Asserted along the way: history keeps all three commits, the
+    rollback commit records its provenance, and no data file was
+    rewritten (the restored snapshot references snapshot 0's files)."""
+    import tempfile
+
+    from parquet_spark.manifest import (EncodedTable, delete_rows,
+                                        read_decoded, rollback_table,
+                                        write_encoded)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    path = tempfile.mkdtemp(prefix="entry_rollback_") + "/t"
+    write_encoded(d, path, key=["doc_id"], n_parts=4, rows_per_chunk=50)
+    doomed = [i for i in range(400) if i % 7 == 2]
+    delete_rows(spark, path, [("doc_id", "in", doomed)])     # snap 1
+    snap = rollback_table(path, snapshot_id=0)               # snap 2
+    assert snap["meta"]["rollback_of"]["snapshot_id"] == 0
+    t = EncodedTable(path)
+    assert [s["snapshot_id"] for s in t.history()] == [0, 1, 2]
+    assert t.data_files(snap) == t.data_files(t.snapshot_at(0))
+
+    def _agg(dec, state):
+        return dec.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.count_distinct(F.md5("text")).alias("n_texts"),
+            F.sum("n_chars").alias("sum_chars")) \
+            .withColumn("state", F.lit(state))
+
+    out = _agg(read_decoded(spark, path, snapshot_id=1), "deleted") \
+        .unionByName(_agg(read_decoded(spark, path), "restored")) \
+        .orderBy("state")
+    out = out.cache()
+    out.count()
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Facet order is deliberate: the driver's correctness gate checks
     roughly the FIRST 50 entries per round, so the queue is priority-
@@ -3177,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "dsir_select": q_dsir_select,
         "expire_vacuum": q_expire_vacuum,
+        "rollback_restore": q_rollback_restore,
         # -- band 1: oracle measure changed in session 5 ----------------
         "gap_fill": q_gap_fill,
         "explode_pad": q_explode_pad,
@@ -3542,6 +3585,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_rows, sum_chars, n_texts, sum_ids,
                    CAST(s AS BIGINT) AS snapshot_id
             FROM a, (VALUES (1), (2)) t(s) ORDER BY snapshot_id""",
+        "rollback_restore": """
+            WITH base AS (SELECT * FROM documents WHERE doc_id < 400),
+            d AS (SELECT COUNT(*) AS n_rows,
+                         CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                         COUNT(DISTINCT md5(text)) AS n_texts,
+                         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                         'deleted' AS state
+                  FROM base WHERE doc_id % 7 <> 2),
+            r AS (SELECT COUNT(*) AS n_rows,
+                         CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                         COUNT(DISTINCT md5(text)) AS n_texts,
+                         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                         'restored' AS state
+                  FROM base)
+            SELECT * FROM d UNION ALL SELECT * FROM r ORDER BY state""",
         "time_travel": """
             WITH a AS (SELECT COUNT(*) AS n_rows,
                               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

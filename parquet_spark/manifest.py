@@ -2376,6 +2376,53 @@ def expire_snapshots(table_path: str, keep_last: int = 1,
             "tombstone": tombstone}
 
 
+def rollback_table(table_path: str, snapshot_id: int | None = None,
+                   ref: str | None = None,
+                   backend: CommitBackend | None = None) -> dict:
+    """Restore an earlier table state as a NEW commit (Iceberg's
+    rollback, revert-flavoured): CURRENT advances to a snapshot whose
+    parts/schema/meta are copied verbatim from the target, so every
+    reader sees the old data while history stays intact — the
+    rolled-past snapshots remain time-travelable until
+    `expire_snapshots` ages them out, and the rollback is itself one
+    more undoable commit (rolling back a rollback works).
+
+    The target may be any resolvable snapshot: a chain ancestor by id,
+    or any named ref (tag/branch) — restoring a tagged known-good state
+    is the motivating use.  Refuses when any file the target references
+    (data or delete files) is missing: a too-eager `vacuum_table` may
+    have reclaimed an unpinned ancestor's files, and a rollback that
+    commits dangling references would poison CURRENT for all readers.
+
+    CAS rules are unchanged — a racer committing between resolve and
+    commit raises ConcurrentCommitError; rerun to re-plan against the
+    new CURRENT."""
+    table = EncodedTable(table_path, backend=backend)
+    target = _resolve_snap(table, snapshot_id, ref)
+    if target is None:
+        raise ValueError(f"no snapshot to roll back to at {table_path}")
+    current = table.current_snapshot()
+    if current is not None and \
+            target["_snap_name"] == current.get("_snap_name"):
+        return current  # already there: no-op, never an empty commit
+    missing = [f for f in table.data_files(target)
+               if not os.path.exists(f)]
+    missing += [d["path"]
+                for d in (target.get("meta") or {}).get("delete_files")
+                or [] if not os.path.exists(d["path"])]
+    if missing:
+        raise ValueError(
+            f"cannot roll back {table_path} to snapshot "
+            f"{target['snapshot_id']}: {len(missing)} referenced file(s) "
+            f"no longer exist (vacuumed?), e.g. {missing[0]}")
+    b64 = target.get("schema_ipc_b64")
+    schema_ipc = base64.b64decode(b64) if b64 else None
+    meta = dict(target.get("meta") or {})
+    meta["rollback_of"] = {"snapshot_id": target["snapshot_id"],
+                           "snap_name": target["_snap_name"]}
+    return table.commit(dict(target["parts"]), schema_ipc, current, meta)
+
+
 def _resolve_snap(table: "EncodedTable",
                   snapshot_id: int | None,
                   ref: str | None = None) -> dict | None:

@@ -180,3 +180,63 @@ def test_expire_snapshots_protects_refs_and_grace(spark, tmp_path):
     rep = expire_snapshots(path, keep_last=1, older_than_s=0.0)
     assert "snap-000099-deadbeef.json" in rep["orphans_removed"]
     assert not os.path.exists(orphan)
+
+
+def test_rollback_restores_earlier_state(spark, tmp_path):
+    """Write (snap 0) -> delete rows (snap 1) -> rollback to 0 (snap
+    2): CURRENT shows the original data, the deleted state stays
+    time-travelable, history keeps all three commits, and rolling back
+    the rollback (to snap 1) restores the deleted state again."""
+    from parquet_spark.manifest import delete_rows, rollback_table
+
+    df = gen_corpus(spark, 400, seed=61, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=3)          # snap 0
+    n0, d0 = _counts(read_decoded(spark, path))
+    delete_rows(spark, path, [("lang", "in", ["en", "de"])])  # snap 1
+    n1, _ = _counts(read_decoded(spark, path))
+    assert n1 < n0
+
+    snap = rollback_table(path, snapshot_id=0)               # snap 2
+    assert snap["snapshot_id"] == 2
+    assert snap["meta"]["rollback_of"]["snapshot_id"] == 0
+    assert _counts(read_decoded(spark, path)) == (n0, d0)
+    # history intact: the rolled-past delete is still travelable
+    assert [s["snapshot_id"] for s in
+            EncodedTable(path).history()] == [0, 1, 2]
+    assert _counts(read_decoded(spark, path, snapshot_id=1))[0] == n1
+
+    rollback_table(path, snapshot_id=1)                      # snap 3
+    assert _counts(read_decoded(spark, path))[0] == n1
+    # rollback to CURRENT's own state is a no-op, not an empty commit
+    assert rollback_table(path, snapshot_id=3)["snapshot_id"] == 3
+    assert [s["snapshot_id"] for s in
+            EncodedTable(path).history()] == [0, 1, 2, 3]
+
+
+def test_rollback_by_ref_and_vacuum_refusal(spark, tmp_path):
+    """A tag names the known-good state to restore; after vacuum
+    reclaims an unpinned ancestor's files, rolling back to it refuses
+    loudly instead of committing dangling file references."""
+    from parquet_spark.manifest import (create_ref, drop_ref,
+                                        rollback_table)
+
+    df = gen_corpus(spark, 300, seed=67, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=2)          # snap 0
+    n0, d0 = _counts(read_decoded(spark, path))
+    create_ref(path, "good", snapshot_id=0)
+    compact_table(spark, path, target_parts=1)               # snap 1
+
+    snap = rollback_table(path, ref="good")                  # snap 2
+    assert snap["meta"]["rollback_of"]["snapshot_id"] == 0
+    assert _counts(read_decoded(spark, path)) == (n0, d0)
+
+    # drop the pin, compact away from snap 0's files, vacuum them
+    drop_ref(path, "good")
+    compact_table(spark, path, target_parts=2)               # snap 3
+    vacuum_table(path, grace_s=0.0)
+    with pytest.raises(ValueError, match="no longer exist"):
+        rollback_table(path, snapshot_id=1)
+    # CURRENT is untouched by the refused rollback
+    assert _counts(read_decoded(spark, path)) == (n0, d0)
