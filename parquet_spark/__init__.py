@@ -45,6 +45,7 @@ _EXPORTS = {
     "write_encoded": "manifest", "read_decoded": "manifest",
     "scan_table": "manifest",
     "read_encoded": "manifest", "compact_table": "manifest",
+    "compact_small_parts": "manifest",
     "route_encoded": "manifest", "lineage_df": "manifest",
     "route_encoded_partitioned": "manifest", "read_route": "manifest",
     "vacuum_table": "manifest", "expire_snapshots": "manifest",

@@ -1410,6 +1410,122 @@ def compact_table(spark: SparkSession, table_path: str,
     return table.commit(parts, None, parent, meta=meta)
 
 
+def compact_small_parts(spark: SparkSession, table_path: str,
+                        small_bytes: int = 8 << 20,
+                        target_bytes: int = 64 << 20,
+                        rechunk: bool = False,
+                        backend: CommitBackend | None = None) -> dict:
+    """Incremental bin-pack compaction (Iceberg's rewrite_data_files
+    binpack): rewrite ONLY parts whose encoded payload is under
+    `small_bytes`, packing them into ~`target_bytes` outputs, and carry
+    every healthy part by REFERENCE — its file, zones, blooms, and
+    hash move into the new snapshot untouched.  This is the form of
+    compaction that survives 100 TB: `compact_table` rewrites the
+    whole table (cost ∝ table), while the small-file problem that
+    streaming epochs / checkpointed increments / frequent appends
+    actually create grows with the INGEST pattern — here cost ∝ the
+    small files only, so a daily maintenance pass stays O(day's
+    fragmentation) forever.
+
+    Same contracts as `compact_table`: pending equality deletes are
+    applied physically first (delete scoping is part-id-addressed and
+    ids are renumbered); output file names embed the new snapshot id
+    so no existing snapshot's file is ever mutated; the committed
+    encoding policy, blooms, key, global dicts, and rename maps all
+    carry; the result is layout mode "compacted" (terminal for
+    key-addressed resume — rewritten ids no longer mean hash buckets).
+    Fewer than two small parts = nothing to pack: returns the current
+    snapshot unchanged, never an empty commit.  `rechunk=True` also
+    merges under-sized chunk runs inside the rewritten parts."""
+    table = EncodedTable(table_path, backend=backend)
+    parent = table.current_snapshot()
+    if parent is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    if (parent.get("meta") or {}).get("delete_files"):
+        parent = rewrite_table(spark, table_path, backend=backend)
+    all_parts = parent["parts"]
+    small = {pid: p for pid, p in all_parts.items()
+             if int(p.get("bytes_out") or 0) < small_bytes}
+    if len(small) < 2:
+        return parent
+    carried = {pid: p for pid, p in all_parts.items() if pid not in small}
+    new_sid = parent["snapshot_id"] + 1
+    pmeta = parent.get("meta") or {}
+    rows_per_chunk = pmeta.get("rows_per_chunk") or DEFAULT_ROWS_PER_CHUNK
+    codec = pmeta.get("codec") or "auto"
+    block_codec = pmeta.get("block_codec") or "auto"
+    bloom_cols = (pmeta.get("layout") or {}).get("bloom_cols")
+    total = sum(int(p.get("bytes_out") or 0) for p in small.values())
+    n_bins = max(1, -(-total // max(target_bytes, 1)))
+    offset = max(int(pid) for pid in all_parts) + 1
+    data_dir = os.path.join(table_path, "data")
+    enc = spark.read.schema(ENCODED_DDL).parquet(
+        *[p["file"] for p in small.values()])
+
+    def writer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = offset + (ctx.partitionId() if ctx is not None else 0)
+        t0 = time.monotonic()
+        rows: list[pa.RecordBatch] = []
+        for batch in batches:
+            rows.append(batch)
+        if not rows:
+            return
+        tbl = pa.Table.from_batches(rows)
+        if rechunk:
+            tbl = _rechunk_part(tbl, rows_per_chunk, pid,
+                                codec=codec, block_codec=block_codec,
+                                bloom_cols=bloom_cols)
+        final = os.path.join(data_dir,
+                             f"binpack-{new_sid:06d}-{pid:05d}.parquet")
+        fhash = write_part_atomic(tbl, final)
+        cmix = sorted({c for ch in tbl.column("codecs") for c in ch.as_py()})
+        yield pa.RecordBatch.from_pylist([{
+            "part_id": pid, "file": final,
+            "n_chunks": tbl.num_rows,
+            "n_rows": int(pa.compute.sum(tbl.column("n_rows")).as_py()),
+            "bytes_in": int(sum(sum(v.as_py()) for v in tbl.column("bytes_in"))),
+            "bytes_out": int(sum(sum(v.as_py()) for v in tbl.column("bytes_out"))),
+            "wall_ms": (time.monotonic() - t0) * 1000.0,
+            "codecs": ",".join(cmix),
+            "zones": part_zone_summary_from_chunkrows(tbl),
+            "file_hash": fhash,
+        }])
+
+    lineage = (enc.repartition(n_bins, "part_id")
+               .sortWithinPartitions("part_id", "chunk_id")
+               .mapInArrow(writer, LINEAGE_DDL).collect())
+    parts = dict(carried)
+    for r in lineage:
+        parts[str(r.part_id)] = {
+            "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
+            "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
+            "wall_ms": r.wall_ms, "codecs": r.codecs,
+            "zones": json.loads(r.zones) if r.zones else {},
+            "file_hash": r.file_hash}
+    new_layout: dict = {"mode": "compacted"}
+    if bloom_cols:
+        new_layout["bloom_cols"] = bloom_cols
+    parent_key = (pmeta.get("layout") or {}).get("key")
+    if parent_key:
+        new_layout["key"] = parent_key
+    meta = {"compacted_from": parent["snapshot_id"],
+            "binpack": {"small_bytes": small_bytes,
+                        "target_bytes": target_bytes,
+                        "rewrote": len(small), "carried": len(carried),
+                        "bins": len(lineage)},
+            "rechunk": rechunk, "rows_per_chunk": rows_per_chunk,
+            "codec": codec, "block_codec": block_codec,
+            "layout": new_layout}
+    for carry in ("mappings", "global_dicts"):
+        if (parent.get("meta") or {}).get(carry):
+            meta[carry] = parent["meta"][carry]
+    if (parent.get("meta") or {}).get("renames") is not None:
+        meta["renames"] = parent["meta"]["renames"]
+    return table.commit(parts, None, parent, meta=meta)
+
+
 def delete_rows(spark: SparkSession, table_path: str,
                 pred: list[tuple] | dict,
                 backend: CommitBackend | None = None) -> dict:
