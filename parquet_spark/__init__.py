@@ -49,7 +49,8 @@ _EXPORTS = {
     "route_encoded": "manifest", "lineage_df": "manifest",
     "route_encoded_partitioned": "manifest", "read_route": "manifest",
     "vacuum_table": "manifest", "expire_snapshots": "manifest",
-    "rollback_table": "manifest", "relocate_table": "manifest",
+    "rollback_table": "manifest", "cherry_pick_snapshot": "manifest",
+    "relocate_table": "manifest",
     "alter_table": "manifest", "publish_branch": "manifest",
     "create_ref": "manifest", "drop_ref": "manifest",
     "list_refs": "manifest",

@@ -2539,6 +2539,111 @@ def rollback_table(table_path: str, snapshot_id: int | None = None,
     return table.commit(dict(target["parts"]), schema_ipc, current, meta)
 
 
+def cherry_pick_snapshot(table_path: str, snapshot_id: int | None = None,
+                         ref: str | None = None,
+                         backend: CommitBackend | None = None) -> dict:
+    """Apply ONE snapshot's append onto CURRENT as a new commit
+    (Iceberg's cherrypick_snapshot): the selective-publish complement
+    of `publish_branch`, which can only fast-forward a whole staged
+    chain.  With several WAP audit branches forked from the same
+    published state, cherry-pick publishes exactly the audited one —
+    the others stay staged — and picking the SAME snapshot again is a
+    no-op (idempotent: an already-present identical part is skipped).
+
+    Only APPEND-ONLY snapshots qualify: every part of the target's
+    parent must appear unchanged in the target (compactions, rewrites,
+    reclusters and delete commits are not a portable 'change', they
+    are a whole-table state).  Refused loudly when the pick cannot be
+    proven safe against what CURRENT has become since the fork:
+      * a new part id already taken by a DIFFERENT part on CURRENT
+        (both chains claimed the id — re-stage against fresh ids);
+      * layout / schema / rename-map / global-dict / mappings
+        divergence between CURRENT and the staged chain (the appended
+        chunks were encoded and placed under the fork's contracts);
+      * pending equality deletes on either side (delete files are
+        part-id-scoped; grafting ids under a live scope could
+        resurrect or re-kill rows — `rewrite_table` first).
+
+    Driver-only metadata op: no Spark job, no data file is read or
+    moved; the added parts' manifest entries (file, zones, blooms,
+    hash) transfer by reference.  Returns the new snapshot (or
+    CURRENT when everything was already applied)."""
+    table = EncodedTable(table_path, backend=backend)
+    target = _resolve_snap(table, snapshot_id, ref)
+    if target is None:
+        raise ValueError(f"no snapshot to cherry-pick at {table_path}")
+    tparent = table._parent_of(target)
+    if tparent is None:
+        raise ValueError(
+            f"snapshot {target['snapshot_id']} is a chain root; a "
+            "cherry-pick needs a parent to diff against (use "
+            "rollback_table to restore a whole state)")
+    pparts, tparts = tparent["parts"], target["parts"]
+    changed = [pid for pid, p in pparts.items()
+               if tparts.get(pid) != p]
+    if changed:
+        raise ValueError(
+            f"snapshot {target['snapshot_id']} is not append-only "
+            f"(parts {sorted(changed)[:4]}... changed or vanished vs its "
+            "parent); only append snapshots can be cherry-picked")
+    current = table.current_snapshot()
+    if current is None:
+        raise ValueError(
+            f"nothing is published at {table_path}; fast-forward with "
+            "publish_branch instead of cherry-picking onto nothing")
+    if current["_snap_name"] == target["_snap_name"]:
+        return current
+
+    def _dels(s):
+        return (s.get("meta") or {}).get("delete_files") or []
+    if _dels(current):
+        raise ValueError(
+            f"{table_path} has pending equality deletes; their part-id "
+            "scope cannot absorb grafted ids — rewrite_table first")
+    if json.dumps(_dels(target), sort_keys=True) != \
+            json.dumps(_dels(tparent), sort_keys=True):
+        raise ValueError(
+            f"snapshot {target['snapshot_id']} changes delete state; "
+            "delete commits are not cherry-pickable")
+    cmeta = current.get("meta") or {}
+    tmeta = target.get("meta") or {}
+    for k in ("renames", "global_dicts", "mappings"):
+        if cmeta.get(k) != tmeta.get(k):
+            raise ValueError(
+                f"{k!r} diverged between CURRENT and the staged chain; "
+                "the appended chunks were encoded under the fork's "
+                f"contract — re-stage against the current table")
+    if _layout_of(current) != _layout_of(target):
+        raise ValueError(
+            "layout diverged between CURRENT and the staged chain "
+            f"({_layout_of(current)} != {_layout_of(target)}); part "
+            "placement is not portable across layouts")
+    if (current.get("schema_ipc_b64") or None) != \
+            (target.get("schema_ipc_b64") or None):
+        raise ValueError(
+            "schema diverged between CURRENT and the staged chain; "
+            "re-stage the append against the current table")
+    added = {pid: p for pid, p in tparts.items() if pid not in pparts}
+    clash = sorted(pid for pid, p in added.items()
+                   if pid in current["parts"]
+                   and current["parts"][pid] != p)
+    if clash:
+        raise ValueError(
+            f"cannot cherry-pick snapshot {target['snapshot_id']}: part "
+            f"ids {clash} were claimed by different parts on CURRENT "
+            "since the fork — re-stage the append with fresh part ids")
+    fresh = {pid: p for pid, p in added.items()
+             if current["parts"].get(pid) != p}
+    if not fresh:
+        return current  # every added part already applied: no-op
+    parts = dict(current["parts"])
+    parts.update(fresh)
+    meta = dict(cmeta)
+    meta["cherry_picked_from"] = {"snapshot_id": target["snapshot_id"],
+                                  "snap_name": target["_snap_name"]}
+    return table.commit(parts, None, current, meta=meta)
+
+
 def _resolve_snap(table: "EncodedTable",
                   snapshot_id: int | None,
                   ref: str | None = None) -> dict | None:

@@ -165,3 +165,67 @@ def test_scan_table_empty_prune_respects_ref(spark):
     assert "lang" in old.columns and old.count() == 0
     new = scan_table(spark, tbl, [("doc_id", 10**9, None)])
     assert "lang" not in new.columns
+
+
+@pytest.mark.spark
+def test_cherry_pick_selective_publish(spark):
+    """Two audit branches fork from the same published state;
+    cherry-pick publishes exactly one of them (the other stays
+    staged), is idempotent on a re-pick, and then the second branch's
+    append grafts on top."""
+    from parquet_spark.manifest import cherry_pick_snapshot
+
+    d1, d2, d3 = (_docs(spark, 0, 200), _docs(spark, 200, 300),
+                  _docs(spark, 300, 420))
+    tbl = tempfile.mkdtemp(prefix="wap_pick_")
+    write_encoded(d1, tbl, key=["doc_id"], n_parts=2)
+    write_encoded(d2, tbl, key=["doc_id"], n_parts=2, part_offset=2,
+                  branch="a")
+    write_encoded(d3, tbl, key=["doc_id"], n_parts=2, part_offset=4,
+                  branch="b")
+    assert read_decoded(spark, tbl).count() == d1.count()
+
+    snap = cherry_pick_snapshot(tbl, ref="b")      # publish b only
+    assert snap["meta"]["cherry_picked_from"]["snapshot_id"] == 1
+    assert read_decoded(spark, tbl).count() == d1.count() + d3.count()
+    # idempotent: same pick finds nothing new to apply
+    assert cherry_pick_snapshot(tbl, ref="b")["_snap_name"] == \
+        snap["_snap_name"]
+
+    snap2 = cherry_pick_snapshot(tbl, ref="a")     # then a on top
+    assert read_decoded(spark, tbl).count() == \
+        d1.count() + d2.count() + d3.count()
+    assert snap2["parent_name"] == snap["_snap_name"]
+
+
+@pytest.mark.spark
+def test_cherry_pick_refusals(spark):
+    """Id collisions, non-append snapshots, and schema divergence are
+    refused loudly; CURRENT is untouched by every refusal."""
+    from parquet_spark.manifest import (cherry_pick_snapshot,
+                                        compact_table)
+
+    d1, d2, d3 = (_docs(spark, 0, 200), _docs(spark, 200, 300),
+                  _docs(spark, 300, 420))
+    tbl = tempfile.mkdtemp(prefix="wap_pickref_")
+    write_encoded(d1, tbl, key=["doc_id"], n_parts=2)
+    # two branches claim the SAME fresh ids
+    write_encoded(d2, tbl, key=["doc_id"], n_parts=2, part_offset=2,
+                  branch="a")
+    write_encoded(d3, tbl, key=["doc_id"], n_parts=2, part_offset=2,
+                  branch="c")
+    cherry_pick_snapshot(tbl, ref="a")
+    n = read_decoded(spark, tbl).count()
+    with pytest.raises(ValueError, match="claimed by different parts"):
+        cherry_pick_snapshot(tbl, ref="c")
+    assert read_decoded(spark, tbl).count() == n
+
+    # a compaction snapshot is a whole-table state, not an append
+    compact_table(spark, tbl, target_parts=1)
+    create_ref(tbl, "compacted", snapshot_id=2)
+    with pytest.raises(ValueError, match="not append-only"):
+        cherry_pick_snapshot(tbl, ref="compacted")
+
+    # root snapshots have nothing to diff against
+    with pytest.raises(ValueError, match="chain root"):
+        cherry_pick_snapshot(tbl, snapshot_id=0)
