@@ -63,6 +63,7 @@ _EXPORTS = {
     "read_changelog": "manifest",
     "read_head": "manifest",
     "fsck_table": "fsck", "fsck_summary": "fsck",
+    "create_rollup": "rollup", "refresh_rollup": "rollup",
     "mix_domains": "textops.sampling",
     "dedup_lines": "textops.dedup",
     "EncodedTable": "manifest", "ConcurrentCommitError": "manifest",
