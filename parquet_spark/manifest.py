@@ -483,6 +483,14 @@ class EncodedTable:
             return self._load_snapshot(det)
         except (OSError, ValueError, KeyError):
             pass
+        # tombstones outrank the unique-candidate shortcut: when the
+        # TRUE parent was expired, a same-id file that survived can
+        # only be a losing racer's orphan (on-chain names are deleted
+        # at tombstone time) — adopting it would silently graft a
+        # never-published lineage onto history
+        if any(n.startswith(f"snap-{pid:06d}") for n in
+               self._expired_names()):
+            return None
         try:
             cands = [n for n in sorted(os.listdir(self.snap_dir))
                      if n.startswith(f"snap-{pid:06d}-")]
@@ -490,9 +498,6 @@ class EncodedTable:
             cands = []
         if len(cands) == 1:
             return self._load_snapshot(cands[0])
-        if any(n.startswith(f"snap-{pid:06d}") for n in
-               self._expired_names()):
-            return None
         raise ValueError(
             f"cannot resolve parent snapshot {pid} of "
             f"{snap['snapshot_id']} at {self.path}: "
@@ -1345,10 +1350,33 @@ def compact_table(spark: SparkSession, table_path: str,
     enc = read_encoded(spark, table_path)
     data_dir = os.path.join(table_path, "data")
 
+    writer = _compaction_writer(data_dir, "compact", new_sid, 0, rechunk,
+                                rows_per_chunk, codec, block_codec,
+                                bloom_cols)
+    lineage = (enc.repartition(target_parts, "part_id")
+               .sortWithinPartitions("part_id", "chunk_id")
+               .mapInArrow(writer, LINEAGE_DDL).collect())
+    parts = _lineage_parts(lineage)
+    meta = _compaction_meta(parent, rechunk, rows_per_chunk, codec,
+                            block_codec, bloom_cols,
+                            {"target_parts": target_parts})
+    return table.commit(parts, None, parent, meta=meta)
+
+
+def _compaction_writer(data_dir: str, prefix: str, new_sid: int,
+                       offset: int, rechunk: bool, rows_per_chunk: int,
+                       codec: str, block_codec: str,
+                       bloom_cols: list[str] | None):
+    """The shared per-task part writer for both compaction forms
+    (compact_table rewrites everything, compact_small_parts only the
+    undersized parts): collect the task's chunk rows, optionally
+    rechunk under the committed encoding policy, write one atomic
+    hashed part file named <prefix>-<new_sid>-<pid>, emit its lineage
+    row.  `offset` shifts the new part ids past any carried ones."""
     def writer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
         ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
+        pid = offset + (ctx.partitionId() if ctx is not None else 0)
         t0 = time.monotonic()
         rows: list[pa.RecordBatch] = []
         for batch in batches:
@@ -1361,7 +1389,7 @@ def compact_table(spark: SparkSession, table_path: str,
                                 codec=codec, block_codec=block_codec,
                                 bloom_cols=bloom_cols)
         final = os.path.join(data_dir,
-                             f"compact-{new_sid:06d}-{pid:05d}.parquet")
+                             f"{prefix}-{new_sid:06d}-{pid:05d}.parquet")
         fhash = write_part_atomic(tbl, final)
         cmix = sorted({c for ch in tbl.column("codecs") for c in ch.as_py()})
         yield pa.RecordBatch.from_pylist([{
@@ -1375,39 +1403,45 @@ def compact_table(spark: SparkSession, table_path: str,
             "zones": part_zone_summary_from_chunkrows(tbl),
             "file_hash": fhash,
         }])
+    return writer
 
-    lineage = (enc.repartition(target_parts, "part_id")
-               .sortWithinPartitions("part_id", "chunk_id")
-               .mapInArrow(writer, LINEAGE_DDL).collect())
-    parts = {str(r.part_id): {
+
+def _lineage_parts(lineage) -> dict[str, dict]:
+    return {str(r.part_id): {
         "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
         "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
         "wall_ms": r.wall_ms, "codecs": r.codecs,
         "zones": json.loads(r.zones) if r.zones else {},
         "file_hash": r.file_hash} for r in lineage}
+
+
+def _compaction_meta(parent: dict, rechunk: bool, rows_per_chunk: int,
+                     codec: str, block_codec: str,
+                     bloom_cols: list[str] | None, extra: dict) -> dict:
+    """Snapshot meta shared by both compaction forms: terminal
+    'compacted' layout with the parent's key/blooms carried (rows and
+    keys are unchanged, so delete_rows keeps working), the committed
+    encoding policy preserved (a LATER rechunk must still honor it),
+    and the evolution state (mappings/global_dicts/renames) riding
+    along — chunks move with their PHYSICAL column names intact."""
+    pmeta = parent.get("meta") or {}
     new_layout: dict = {"mode": "compacted"}
     if bloom_cols:
         new_layout["bloom_cols"] = bloom_cols
-    # the key survives compaction (rows and keys are unchanged) so
-    # delete_rows keeps working on compacted tables
     parent_key = (pmeta.get("layout") or {}).get("key")
     if parent_key:
         new_layout["key"] = parent_key
     meta = {"compacted_from": parent["snapshot_id"],
-            "target_parts": target_parts, "rechunk": rechunk,
-            "rows_per_chunk": rows_per_chunk,
-            # the committed encoding policy survives every lifecycle
-            # step — a LATER rechunk must still honor it
+            "rechunk": rechunk, "rows_per_chunk": rows_per_chunk,
             "codec": codec, "block_codec": block_codec,
             "layout": new_layout}
+    meta.update(extra)
     for carry in ("mappings", "global_dicts"):
-        if (parent.get("meta") or {}).get(carry):
-            meta[carry] = parent["meta"][carry]
-    # schema-evolution mapping survives compaction: chunks move (or
-    # rechunk) with their PHYSICAL column names intact
-    if (parent.get("meta") or {}).get("renames") is not None:
-        meta["renames"] = parent["meta"]["renames"]
-    return table.commit(parts, None, parent, meta=meta)
+        if pmeta.get(carry):
+            meta[carry] = pmeta[carry]
+    if pmeta.get("renames") is not None:
+        meta["renames"] = pmeta["renames"]
+    return meta
 
 
 def compact_small_parts(spark: SparkSession, table_path: str,
@@ -1461,68 +1495,21 @@ def compact_small_parts(spark: SparkSession, table_path: str,
     data_dir = os.path.join(table_path, "data")
     enc = spark.read.schema(ENCODED_DDL).parquet(
         *[p["file"] for p in small.values()])
-
-    def writer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from pyspark import TaskContext
-        ctx = TaskContext.get()
-        pid = offset + (ctx.partitionId() if ctx is not None else 0)
-        t0 = time.monotonic()
-        rows: list[pa.RecordBatch] = []
-        for batch in batches:
-            rows.append(batch)
-        if not rows:
-            return
-        tbl = pa.Table.from_batches(rows)
-        if rechunk:
-            tbl = _rechunk_part(tbl, rows_per_chunk, pid,
-                                codec=codec, block_codec=block_codec,
-                                bloom_cols=bloom_cols)
-        final = os.path.join(data_dir,
-                             f"binpack-{new_sid:06d}-{pid:05d}.parquet")
-        fhash = write_part_atomic(tbl, final)
-        cmix = sorted({c for ch in tbl.column("codecs") for c in ch.as_py()})
-        yield pa.RecordBatch.from_pylist([{
-            "part_id": pid, "file": final,
-            "n_chunks": tbl.num_rows,
-            "n_rows": int(pa.compute.sum(tbl.column("n_rows")).as_py()),
-            "bytes_in": int(sum(sum(v.as_py()) for v in tbl.column("bytes_in"))),
-            "bytes_out": int(sum(sum(v.as_py()) for v in tbl.column("bytes_out"))),
-            "wall_ms": (time.monotonic() - t0) * 1000.0,
-            "codecs": ",".join(cmix),
-            "zones": part_zone_summary_from_chunkrows(tbl),
-            "file_hash": fhash,
-        }])
-
+    writer = _compaction_writer(data_dir, "binpack", new_sid, offset,
+                                rechunk, rows_per_chunk, codec,
+                                block_codec, bloom_cols)
     lineage = (enc.repartition(n_bins, "part_id")
                .sortWithinPartitions("part_id", "chunk_id")
                .mapInArrow(writer, LINEAGE_DDL).collect())
     parts = dict(carried)
-    for r in lineage:
-        parts[str(r.part_id)] = {
-            "file": r.file, "n_chunks": r.n_chunks, "n_rows": r.n_rows,
-            "bytes_in": r.bytes_in, "bytes_out": r.bytes_out,
-            "wall_ms": r.wall_ms, "codecs": r.codecs,
-            "zones": json.loads(r.zones) if r.zones else {},
-            "file_hash": r.file_hash}
-    new_layout: dict = {"mode": "compacted"}
-    if bloom_cols:
-        new_layout["bloom_cols"] = bloom_cols
-    parent_key = (pmeta.get("layout") or {}).get("key")
-    if parent_key:
-        new_layout["key"] = parent_key
-    meta = {"compacted_from": parent["snapshot_id"],
-            "binpack": {"small_bytes": small_bytes,
-                        "target_bytes": target_bytes,
-                        "rewrote": len(small), "carried": len(carried),
-                        "bins": len(lineage)},
-            "rechunk": rechunk, "rows_per_chunk": rows_per_chunk,
-            "codec": codec, "block_codec": block_codec,
-            "layout": new_layout}
-    for carry in ("mappings", "global_dicts"):
-        if (parent.get("meta") or {}).get(carry):
-            meta[carry] = parent["meta"][carry]
-    if (parent.get("meta") or {}).get("renames") is not None:
-        meta["renames"] = parent["meta"]["renames"]
+    parts.update(_lineage_parts(lineage))
+    meta = _compaction_meta(parent, rechunk, rows_per_chunk, codec,
+                            block_codec, bloom_cols,
+                            {"binpack": {"small_bytes": small_bytes,
+                                         "target_bytes": target_bytes,
+                                         "rewrote": len(small),
+                                         "carried": len(carried),
+                                         "bins": len(lineage)}})
     return table.commit(parts, None, parent, meta=meta)
 
 
@@ -2446,12 +2433,23 @@ def expire_snapshots(table_path: str, keep_last: int = 1,
         snap = table._parent_of(snap)
     protected.update(chain[:max(keep_last, 1)])
     reachable: set[str] = set(chain)
-    for ref in list_refs(table_path).values():
+    for name, ref in list_refs(table_path).items():
         try:
             snap = table._load_snapshot(ref["snap_name"])
         except (OSError, ValueError):
-            continue  # broken ref: fsck's department, not expiry's
-        while snap is not None:
+            # a broken ref cannot enumerate the chain it pins, so ANY
+            # deletion would risk destroying exactly what the ref was
+            # protecting — refuse instead of guessing (fsck reports it;
+            # repair or drop_ref, then expire)
+            raise ValueError(
+                f"ref {name!r} at {table_path} points to unreadable "
+                f"snapshot {ref['snap_name']}; expiry cannot prove what "
+                "it protects — run fsck, then repair or drop_ref first")
+        # chains share ancestors: stop each walk at the first
+        # already-protected snapshot (O(total distinct snapshots), not
+        # O(refs x chain) — on an object-store backend every load is a
+        # GET)
+        while snap is not None and snap["_snap_name"] not in protected:
             nm = snap["_snap_name"]
             reachable.add(nm)
             protected.add(nm)
@@ -2474,6 +2472,14 @@ def expire_snapshots(table_path: str, keep_last: int = 1,
                if n.endswith(".json") and not n.startswith("expired-")
                and n not in reachable and n not in already
                and _old_enough(n)]
+    # finish a crashed prior expiry: a name recorded in a tombstone but
+    # still present on storage was tombstoned-then-not-deleted (crash
+    # between the tombstone write and the removal loop); no other code
+    # path reclaims it (the orphan sweep and fsck both skip tombstoned
+    # names by design), so sweep it here
+    orphans += [n for n in listing
+                if n.endswith(".json") and n in already
+                and n not in protected and n not in expired]
 
     tombstone = None
     if expired:
@@ -2523,9 +2529,12 @@ def rollback_table(table_path: str, snapshot_id: int | None = None,
         return current  # already there: no-op, never an empty commit
     missing = [f for f in table.data_files(target)
                if not os.path.exists(f)]
-    missing += [d["path"]
-                for d in (target.get("meta") or {}).get("delete_files")
-                or [] if not os.path.exists(d["path"])]
+    # legacy delete_files entries are bare path strings (the format
+    # _delete_key_frame and fsck still honor), newer ones are dicts
+    dpaths = [d["path"] if isinstance(d, dict) else d
+              for d in (target.get("meta") or {}).get("delete_files")
+              or []]
+    missing += [p for p in dpaths if not os.path.exists(p)]
     if missing:
         raise ValueError(
             f"cannot roll back {table_path} to snapshot "

@@ -69,21 +69,28 @@ def _merge_aggs(aggs: dict) -> list:
             for name, (fn, _) in aggs.items()]
 
 
-def _aggregate(df: DataFrame, spec: dict, first: bool) -> DataFrame:
+def _aggregate(df: DataFrame, spec: dict) -> DataFrame:
     aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
     df = _derive(df, spec.get("derived"))
-    return df.groupBy(*spec["group_cols"]).agg(
-        *(_first_aggs(aggs) if first else _merge_aggs(aggs)))
+    return df.groupBy(*spec["group_cols"]).agg(*_first_aggs(aggs))
 
 
-def _stamp(dst_path: str, spec: dict, backend=None) -> dict:
+def _stamp(dst_path: str, spec: dict, content_snap: dict,
+           backend=None) -> dict:
     """Metadata-only commit carrying the rollup spec + watermark: the
-    parts manifest and schema are the parent's verbatim."""
+    parts manifest and schema are `content_snap`'s verbatim, and the
+    CAS runs against that EXACT snapshot — never against a re-read of
+    CURRENT.  Stamping whatever CURRENT happens to be would let a
+    racing refresh's content get labeled with THIS refresher's
+    watermark, and the next incremental refresh would then merge an
+    increment the content already contains (permanent double count).
+    A racer having moved CURRENT surfaces as ConcurrentCommitError —
+    an honest retry signal, not silent corruption."""
     t = EncodedTable(dst_path, backend=backend)
-    cur = t.current_snapshot()
-    meta = dict(cur.get("meta") or {})
+    meta = dict(content_snap.get("meta") or {})
     meta["rollup"] = spec
-    return t.commit(dict(cur["parts"]), None, cur, meta=meta)
+    return t.commit(dict(content_snap["parts"]), None, content_snap,
+                    meta=meta)
 
 
 def _stamped_base(t: EncodedTable) -> dict:
@@ -122,10 +129,12 @@ def create_rollup(spark: SparkSession, src_path: str, dst_path: str,
     spec["src_snapshot"] = cur["snapshot_id"]
     out = _aggregate(
         read_decoded(spark, src_path, snapshot_id=cur["snapshot_id"],
-                     backend=backend), spec, first=True)
-    write_encoded(out, dst_path, key=spec["key"], n_parts=n_parts,
-                  rows_per_chunk=rows_per_chunk, backend=backend)
-    return _stamp(dst_path, spec, backend=backend)
+                     backend=backend), spec)
+    content = write_encoded(out, dst_path, key=spec["key"],
+                            n_parts=n_parts,
+                            rows_per_chunk=rows_per_chunk,
+                            backend=backend)
+    return _stamp(dst_path, spec, content, backend=backend)
 
 
 def refresh_rollup(spark: SparkSession, dst_path: str,
@@ -158,7 +167,7 @@ def refresh_rollup(spark: SparkSession, dst_path: str,
         old = read_decoded(spark, dst_path,
                            snapshot_id=base["snapshot_id"],
                            backend=backend)
-        merged = (old.unionByName(_aggregate(delta, spec, first=True))
+        merged = (old.unionByName(_aggregate(delta, spec))
                   .groupBy(*spec["group_cols"])
                   .agg(*_merge_aggs(
                       {k: tuple(v) for k, v in spec["aggs"].items()})))
@@ -166,12 +175,12 @@ def refresh_rollup(spark: SparkSession, dst_path: str,
         mode = "full"
         merged = _aggregate(
             read_decoded(spark, spec["src"], snapshot_id=to,
-                         backend=backend), spec, first=True)
-    write_encoded(merged, dst_path, key=spec["key"],
-                  n_parts=spec["n_parts"],
-                  rows_per_chunk=spec["rows_per_chunk"],
-                  replace=True, backend=backend)
+                         backend=backend), spec)
+    content = write_encoded(merged, dst_path, key=spec["key"],
+                            n_parts=spec["n_parts"],
+                            rows_per_chunk=spec["rows_per_chunk"],
+                            replace=True, backend=backend)
     spec["src_snapshot"] = to
-    snap = _stamp(dst_path, spec, backend=backend)
+    snap = _stamp(dst_path, spec, content, backend=backend)
     return {"refreshed": True, "mode": mode, "from": frm, "to": to,
             "snapshot": snap}

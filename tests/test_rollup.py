@@ -139,3 +139,26 @@ def test_rollup_derived_time_bucket(spark, tmp_path):
         create_rollup(spark, src, str(tmp_path / "r2"),
                       group_cols=["lang"],
                       aggs={"m": ("median", "warc_ts")})
+
+
+def test_stamp_cas_refuses_racer(spark, tmp_path):
+    """The stamp commit must CAS against the exact content commit the
+    refresher wrote — if a racer moved CURRENT in between, stamping
+    raises instead of mislabeling the racer's content with this
+    refresher's watermark (which would double-count the next
+    increment)."""
+    from parquet_spark.manifest import ConcurrentCommitError
+    from parquet_spark.rollup import _stamp, _stamped_base
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "roll")
+    write_encoded(_docs(spark, 0, 150), src, key=["doc_id"], n_parts=2)
+    create_rollup(spark, src, dst, group_cols=["lang"],
+                  aggs={"n_docs": ("count", "*")})
+    stale = _stamped_base(EncodedTable(dst))
+    # racer: any commit that moves dst CURRENT past `stale`
+    bogus = read_decoded(spark, dst).limit(1)
+    write_encoded(bogus, dst, key=["lang"], n_parts=1, replace=True)
+    spec = dict(stale["meta"]["rollup"])
+    with pytest.raises(ConcurrentCommitError):
+        _stamp(dst, spec, stale)

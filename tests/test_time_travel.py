@@ -240,3 +240,113 @@ def test_rollback_by_ref_and_vacuum_refusal(spark, tmp_path):
         rollback_table(path, snapshot_id=1)
     # CURRENT is untouched by the refused rollback
     assert _counts(read_decoded(spark, path)) == (n0, d0)
+
+
+def test_expire_refuses_on_broken_ref(spark, tmp_path):
+    """A ref whose snapshot object is unreadable means expiry cannot
+    prove what the ref protects — it must refuse rather than sweep the
+    ref's surviving ancestors as orphans."""
+    import json as _json
+
+    from parquet_spark.manifest import create_ref, expire_snapshots
+
+    df = gen_corpus(spark, 200, seed=97, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=2)          # snap 0
+    compact_table(spark, path, target_parts=1)               # snap 1
+    create_ref(path, "pin", snapshot_id=0)
+    rp = os.path.join(path, "refs", "pin.json")
+    ref = _json.loads(open(rp).read())
+    ref["snap_name"] = "snap-000000-00000000.json"           # lost object
+    with open(rp, "w") as f:
+        _json.dump(ref, f)
+
+    with pytest.raises(ValueError, match="unreadable"):
+        expire_snapshots(path, keep_last=1, older_than_s=0.0)
+
+
+def test_expire_finishes_crashed_deletion(spark, tmp_path):
+    """A tombstoned name still present on storage (crash between the
+    tombstone write and the removal loop) is unreachable, excluded
+    from the normal orphan sweep, and skipped by fsck — the next
+    expire must finish the deletion."""
+    from parquet_spark.manifest import expire_snapshots
+
+    df = gen_corpus(spark, 200, seed=101, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=2)          # snap 0
+    compact_table(spark, path, target_parts=1)               # snap 1
+    compact_table(spark, path, target_parts=2)               # snap 2
+    compact_table(spark, path, target_parts=1)               # snap 3
+    t = EncodedTable(path)
+    snap0_name = t.snapshot_at(0)["_snap_name"]
+    snap0_bytes = open(os.path.join(t.snap_dir, snap0_name), "rb").read()
+
+    rep = expire_snapshots(path, keep_last=2, older_than_s=0.0)
+    assert snap0_name in rep["expired"]
+    # simulate the crash: the tombstone landed but this delete did not
+    with open(os.path.join(t.snap_dir, snap0_name), "wb") as f:
+        f.write(snap0_bytes)
+    os.utime(os.path.join(t.snap_dir, snap0_name), (0, 0))
+
+    rep = expire_snapshots(path, keep_last=2, older_than_s=0.0)
+    assert snap0_name in rep["orphans_removed"]
+    assert not os.path.exists(os.path.join(t.snap_dir, snap0_name))
+
+
+def test_parent_tombstone_outranks_racer_orphan(spark, tmp_path):
+    """Legacy snapshot (no parent_name) whose true parent was expired:
+    a surviving same-id racer orphan must NOT be adopted as the parent
+    — the tombstone ends the history."""
+    import json as _json
+
+    from parquet_spark.manifest import expire_snapshots
+
+    df = gen_corpus(spark, 200, seed=103, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=2)          # snap 0
+    compact_table(spark, path, target_parts=1)               # snap 1
+    t = EncodedTable(path)
+    cur_name = t._current_name()
+    snap_path = os.path.join(t.snap_dir, cur_name)
+    snap = _json.loads(open(snap_path).read())
+    del snap["parent_name"]                                  # legacy form
+    with open(snap_path, "w") as f:
+        _json.dump(snap, f)
+
+    expire_snapshots(path, keep_last=1, older_than_s=0.0)    # snap 0 gone
+    # a losing racer's same-id orphan survives (too young to sweep)
+    fake = os.path.join(t.snap_dir, "snap-000000-deadbeef.json")
+    with open(fake, "w") as f:
+        _json.dump({"snapshot_id": 0, "parts": {}, "format_version": 2,
+                    "meta": {}}, f)
+
+    hist = [s["snapshot_id"] for s in EncodedTable(path).history()]
+    assert hist == [1]  # end-of-history, not the racer's lineage
+
+
+def test_rollback_handles_legacy_delete_file_strings(spark, tmp_path):
+    """Older builds stored meta.delete_files as bare path strings; the
+    rollback dangling-file check must accept both forms."""
+    import json as _json
+
+    from parquet_spark.manifest import delete_rows, rollback_table
+
+    df = gen_corpus(spark, 200, seed=107, parts=2)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["url"], n_parts=2)          # snap 0
+    delete_rows(spark, path, [("lang", "in", ["en"])])       # snap 1
+    compact_table(spark, path, target_parts=1)               # snap 2 (applies)
+    t = EncodedTable(path)
+    snap1_name = t.snapshot_at(1)["_snap_name"]
+    sp = os.path.join(t.snap_dir, snap1_name)
+    snap = _json.loads(open(sp).read())
+    snap["meta"]["delete_files"] = [
+        d["path"] for d in snap["meta"]["delete_files"]]     # legacy form
+    with open(sp, "w") as f:
+        _json.dump(snap, f)
+
+    n1 = read_decoded(spark, path, snapshot_id=1).count()
+    snap = rollback_table(path, snapshot_id=1)               # no TypeError
+    assert snap["meta"]["rollback_of"]["snapshot_id"] == 1
+    assert read_decoded(spark, path).count() == n1
