@@ -2498,6 +2498,50 @@ def expire_snapshots(table_path: str, keep_last: int = 1,
             "tombstone": tombstone}
 
 
+def maintain_table(spark: SparkSession, table_path: str, *,
+                   binpack_small_bytes: int | None = None,
+                   binpack_target_bytes: int = 64 << 20,
+                   expire_keep_last: int | None = None,
+                   older_than_s: float = 3600.0,
+                   vacuum: bool = True,
+                   vacuum_grace_s: float = 3600.0,
+                   fsck: bool = True,
+                   backend: CommitBackend | None = None) -> dict:
+    """One maintenance pass in the only order that composes correctly:
+    bin-pack small parts FIRST (so the snapshot that expiry/vacuum
+    protect is the healthy layout), then expire history, then vacuum —
+    the expired snapshots' exclusive data files and the binpacked
+    originals are reclaimable only after both metadata steps — then an
+    fsck audit of what remains.  Steps whose knob is None are skipped;
+    every step is the public verb, so each keeps its own documented
+    contract (grace windows, ref pinning, tombstones, carried-by-
+    reference parts).  Returns {"binpack", "expire", "vacuumed",
+    "fsck"} with each step's own report (or None when skipped).
+
+    Intended as the daily cron body for a streaming-ingested table at
+    10^12 docs: binpack cost ∝ the day's fragmentation, expire/vacuum
+    are driver-only metadata plus unreferenced-file deletes, fsck is
+    O(manifest)."""
+    report: dict = {"binpack": None, "expire": None, "vacuumed": None,
+                    "fsck": None}
+    if binpack_small_bytes is not None:
+        snap = compact_small_parts(
+            spark, table_path, small_bytes=binpack_small_bytes,
+            target_bytes=binpack_target_bytes, backend=backend)
+        report["binpack"] = (snap.get("meta") or {}).get("binpack")
+    if expire_keep_last is not None:
+        report["expire"] = expire_snapshots(
+            table_path, keep_last=expire_keep_last,
+            older_than_s=older_than_s, backend=backend)
+    if vacuum:
+        report["vacuumed"] = vacuum_table(
+            table_path, grace_s=vacuum_grace_s, backend=backend)
+    if fsck:
+        from .fsck import fsck_table
+        report["fsck"] = fsck_table(table_path, backend=backend)
+    return report
+
+
 def rollback_table(table_path: str, snapshot_id: int | None = None,
                    ref: str | None = None,
                    backend: CommitBackend | None = None) -> dict:

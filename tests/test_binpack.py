@@ -97,3 +97,35 @@ def test_binpack_noop_and_terminal_layout(spark, tmp_path):
     more = gen_corpus(spark, 100, seed=74, parts=1)
     with pytest.raises(ValueError, match="layout"):
         write_encoded(more, path, key=["url"], n_parts=3)
+
+
+def test_maintain_table_full_pass(spark, tmp_path):
+    """The one-call maintenance choreography: binpack -> expire ->
+    vacuum -> fsck.  After the pass the table reads identically, the
+    binpacked originals and expired snapshots are gone, and fsck is
+    clean."""
+    from parquet_spark.manifest import maintain_table
+
+    df = gen_corpus(spark, 900, seed=109, parts=3)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, key=["lang"], n_parts=4)         # snap 0
+    t = EncodedTable(path)
+    n_files_before = len(t.data_files())
+
+    rep = maintain_table(spark, path,
+                         binpack_small_bytes=1 << 30,
+                         expire_keep_last=1, older_than_s=0.0,
+                         vacuum_grace_s=0.0)
+    assert rep["binpack"]["rewrote"] == n_files_before
+    assert len(rep["expire"]["expired"]) == 1       # snap 0 aged out
+    assert rep["vacuumed"]                          # originals reclaimed
+    assert rep["fsck"]["ok"] and not rep["fsck"]["orphan_snapshots"]
+    assert read_decoded(spark, path).count() == 900
+    assert [s["snapshot_id"] for s in
+            EncodedTable(path).history()] == [1]
+
+    # knobs default to None/True: a metadata-only pass is a safe no-op
+    rep = maintain_table(spark, path, vacuum_grace_s=3600.0)
+    assert rep["binpack"] is None and rep["expire"] is None
+    assert rep["vacuumed"] == [] and rep["fsck"]["ok"]
+    assert read_decoded(spark, path).count() == 900
