@@ -3292,6 +3292,35 @@ def q_rollup_refresh(spark, sf_dir):
     return out
 
 
+def q_token_budget(spark, sf_dir):
+    """Budget-truncated quality selection
+    (sampling.select_token_budget, the FineWeb/Dolma curation cut):
+    keep documents by (score DESC, id ASC) until the token budget
+    fills — EXACTLY, but with no global sort: the score axis narrows
+    by multi-pass histogram (boundary_cap=16 forces the narrowing to
+    actually run at this SF) and only the boundary set is windowed.
+    Score = n_chars (integer, bit-portable); DuckDB replays the
+    selection as a window cumulative sum, so any drift in the
+    above-set/boundary split, the keep rule (cum-before < budget), or
+    tie handling mismatches.  Output: selection aggregate + per-lang
+    counts of the kept set."""
+    from parquet_spark.textops.sampling import select_token_budget
+    d = _t(spark, sf_dir, "documents")
+    sel, rep = select_token_budget(d, "n_chars", "n_chars", 44444,
+                                   id_col="doc_id", boundary_cap=16)
+    assert not rep["selected_all"] and rep["passes"] >= 2, rep
+    assert rep["selected_tokens"] >= 44444, rep
+    out = (sel.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.sum("n_chars").alias("sum_tokens"),
+                F.sum("doc_id").alias("sum_ids"),
+                F.count_distinct(F.md5("text")).alias("n_texts"))
+           .orderBy("lang"))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Facet order is deliberate: the driver's correctness gate checks
     roughly the FIRST 50 entries per round, so the queue is priority-
@@ -3353,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binpack_compact": q_binpack_compact,
         "cherry_pick": q_cherry_pick,
         "rollup_refresh": q_rollup_refresh,
+        "token_budget": q_token_budget,
         # -- band 1: oracle measure changed in session 5 ----------------
         "gap_fill": q_gap_fill,
         "explode_pad": q_explode_pad,
@@ -3718,6 +3748,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_rows, sum_chars, n_texts, sum_ids,
                    CAST(s AS BIGINT) AS snapshot_id
             FROM a, (VALUES (1), (2)) t(s) ORDER BY snapshot_id""",
+        "token_budget": """
+            WITH ranked AS (
+              SELECT doc_id, lang, text, n_chars,
+                     SUM(n_chars) OVER (
+                       ORDER BY n_chars DESC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents)
+            SELECT lang, COUNT(*) AS n_kept,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   COUNT(DISTINCT md5(text)) AS n_texts
+            FROM ranked WHERE cum - n_chars < 44444
+            GROUP BY lang ORDER BY lang""",
         "rollup_refresh": """
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -107,6 +107,7 @@ _EXPORTS = {
     "semdedup": "textops.dedup",
     "train_bpe": "textops.bpe", "bpe_segment": "textops.bpe",
     "dsir_lambda": "textops.sampling", "dsir_score": "textops.sampling",
+    "select_token_budget": "textops.sampling",
     "dsir_select": "textops.sampling",
     "gap_fill": "temporal",
     "kmv_sketch": "sketch", "kmv_sketch_many": "sketch",

@@ -9,7 +9,7 @@ id, so the ops compose with any scan and scale row-wise to 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # md5 first-8-hex-digits as a uniform draw in [0, 2^32)
 _HASH_SPACE = float(1 << 32)
@@ -291,3 +291,96 @@ def dsir_select(docs: DataFrame, target_cond: Column, k: int,
     scored = dsir_score(raw, lam, text_col, id_col, n_buckets, bigrams)
     return (scored.orderBy(F.col("dsir_score").desc(),
                            F.col(id_col).asc()).limit(k))
+
+
+def select_token_budget(df: DataFrame, score_col: str, token_col: str,
+                        budget: int, id_col: str = "doc_id",
+                        n_buckets: int = 1024,
+                        boundary_cap: int = 100_000
+                        ) -> tuple[DataFrame, dict]:
+    """Budget-truncated quality selection (the FineWeb/Dolma curation
+    cut): keep documents ordered by (score DESC, id ASC) until their
+    `token_col` sum first reaches `budget` — i.e. a row is kept iff
+    the cumulative tokens of all strictly-better rows is still below
+    the budget.  EXACT, with no global sort: a corpus-wide window
+    cumsum would funnel 10^12 rows through one task, so instead the
+    score axis is narrowed by the multi-pass histogram strategy of
+    stats.exact_quantiles — each pass is one scan aggregating
+    (token-sum, row-count) into <= n_buckets rows, the driver picks
+    the bucket containing the budget boundary, and only when the
+    boundary set fits `boundary_cap` does a bounded single-partition
+    window order it (the _per_query_rank bounded form).  Buckets
+    chain by the floor expression itself (never by recomputed float
+    edges), so assignment is bit-stable across passes.
+
+    Ties: rows sharing the boundary SCORE are split by id; a tie set
+    larger than boundary_cap still sorts only the tie set, never the
+    table (flagged in the report).  Returns (selected rows as a
+    DataFrame, report with threshold/token totals/pass count).
+    Deterministic given deterministic inputs — the same recompute
+    contract as sketch.heavy_hitters."""
+    tot = df.agg(F.sum(token_col).alias("t"),
+                 F.count(F.lit(1)).alias("n")).collect()[0]
+    if tot.n == 0 or tot.t is None or int(tot.t) <= budget:
+        return df, {"selected_all": True, "threshold": None,
+                    "total_tokens": int(tot.t or 0), "passes": 0,
+                    "boundary_rows": 0}
+
+    score = F.col(score_col).cast("double")
+    filters = F.lit(True)     # chain of chosen-bucket predicates
+    above = F.lit(False)      # union of strictly-better buckets
+    acc = 0                   # exact token sum of `above`
+    lo, hi, passes = None, None, 0
+    n_boundary = int(tot.n)
+    while True:
+        passes += 1
+        window = df.where(filters)
+        if lo is None:
+            b = window.agg(F.min(score).alias("lo"),
+                           F.max(score).alias("hi")).collect()[0]
+            lo, hi = float(b.lo), float(b.hi)
+        if hi <= lo or n_boundary <= boundary_cap or passes > 64:
+            break
+        w = (hi - lo) / n_buckets
+        bucket = F.least(F.lit(n_buckets - 1),
+                         F.floor((score - F.lit(lo)) / F.lit(w)))
+        hist = {int(r.b): (int(r.t), int(r.n)) for r in
+                window.groupBy(bucket.alias("b"))
+                .agg(F.sum(token_col).alias("t"),
+                     F.count(F.lit(1)).alias("n")).collect()}
+        need = budget - acc
+        run, chosen = 0, 0
+        for bi in sorted(hist, reverse=True):
+            t, _ = hist[bi]
+            if run + t >= need:
+                chosen = bi
+                break
+            run += t
+        else:
+            break  # fp slack: boundary is the lowest occupied bucket
+        acc += run
+        above = above | (filters & (bucket > chosen))
+        filters = filters & (bucket == chosen)
+        n_boundary = hist[chosen][1]
+        lo, hi = None, None  # re-derive inside the chosen bucket
+
+    # bounded boundary resolution: rows while cum-before < remaining
+    remaining = budget - acc
+    wspec = (Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    boundary = (df.where(filters)
+                .withColumn("_cum", F.sum(token_col).over(wspec))
+                .where(F.col("_cum") - F.col(token_col) < remaining)
+                .drop("_cum"))
+    selected = df.where(above).unionByName(boundary)
+    rep_rows = selected.agg(F.sum(token_col).alias("t"),
+                            F.count(F.lit(1)).alias("n"),
+                            F.min(score).alias("thr")).collect()[0]
+    return selected, {
+        "selected_all": False,
+        "threshold": None if rep_rows.thr is None else float(rep_rows.thr),
+        "selected_tokens": int(rep_rows.t or 0),
+        "selected_rows": int(rep_rows.n),
+        "total_tokens": int(tot.t), "budget": budget, "passes": passes,
+        "boundary_rows": n_boundary,
+        "boundary_exceeded_cap": n_boundary > boundary_cap}

@@ -217,3 +217,52 @@ def test_dsir_select_prefers_target_like_raw_docs(spark):
              dsir_select(df, F.col("t"), k=2, n_buckets=64)
              .select("doc_id", "dsir_score").collect()]
     assert got == again
+
+
+def test_select_token_budget_exact(spark):
+    """Budget-truncated selection equals the brute-force (score DESC,
+    id ASC) cumulative cut for int and float scores, across budgets,
+    with a tiny boundary_cap forcing multi-pass narrowing."""
+    from parquet_spark.textops.sampling import select_token_budget
+
+    d = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+         .select("doc_id", "n_chars")
+         .withColumn("q", F.col("n_chars") * 1.0 / (F.col("doc_id") + 7)))
+    rows = d.collect()
+
+    def brute(score, budget):
+        order = sorted(rows, key=lambda r: (-getattr(r, score), r.doc_id))
+        keep, cum = set(), 0
+        for r in order:
+            if cum >= budget:
+                break
+            keep.add(r.doc_id)
+            cum += r.n_chars
+        return keep
+
+    total = sum(r.n_chars for r in rows)
+    for score in ("n_chars", "q"):
+        for budget in (0, 1, total // 3, total - 1, total + 10):
+            sel, rep = select_token_budget(d, score, "n_chars", budget,
+                                           boundary_cap=4)
+            got = {r.doc_id for r in sel.select("doc_id").collect()}
+            if rep.get("selected_all"):
+                assert budget >= total
+                assert got == {r.doc_id for r in rows}
+            else:
+                assert got == brute(score, budget), (score, budget, rep)
+                assert rep["selected_tokens"] >= min(budget, total) \
+                    or budget == 0
+
+    # all-ties: selection degenerates to smallest ids first, still exact
+    tie = d.withColumn("c", F.lit(1))
+    sel, rep = select_token_budget(tie, "c", "n_chars", total // 2,
+                                   boundary_cap=4)
+    got = {r.doc_id for r in sel.select("doc_id").collect()}
+    keep, cum = set(), 0
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        if cum >= total // 2:
+            break
+        keep.add(r.doc_id)
+        cum += r.n_chars
+    assert got == keep and rep["boundary_exceeded_cap"]
