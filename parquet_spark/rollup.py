@@ -35,10 +35,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .manifest import (EncodedTable, read_decoded, read_increment,
+from .manifest import (ConditionalPutCommitBackend, EncodedTable,
+                       PosixCommitBackend, read_decoded, read_increment,
                        write_encoded)
 
 _MERGEABLE = ("count", "sum", "min", "max")
+
+
+def _backend_kind(b) -> str:
+    """Serializable name of a backend so the rollup SPEC can record how
+    to reach its source table across refreshes (src and dst can live on
+    different stores — a posix rollup over an object-store source)."""
+    if b is None or isinstance(b, PosixCommitBackend):
+        return "posix"
+    if isinstance(b, ConditionalPutCommitBackend):
+        return "condput"
+    return "custom"
+
+
+def _make_backend(path: str, kind: str):
+    if kind == "posix":
+        return None
+    if kind == "condput":
+        return ConditionalPutCommitBackend(path)
+    raise ValueError(
+        "the rollup source used a custom CommitBackend; pass it to "
+        "refresh_rollup(src_backend=...) explicitly")
 
 
 def _derive(df: DataFrame, derived: dict[str, str] | None) -> DataFrame:
@@ -109,27 +131,31 @@ def create_rollup(spark: SparkSession, src_path: str, dst_path: str,
                   derived: dict[str, str] | None = None,
                   key: list[str] | None = None, n_parts: int = 1,
                   rows_per_chunk: int = 10_000,
-                  backend=None) -> dict:
+                  backend=None, src_backend=None) -> dict:
     """Materialize `SELECT group_cols, aggs FROM src GROUP BY
     group_cols` as an encoded rollup table at dst_path, stamped with
     the source snapshot watermark so `refresh_rollup` can catch up
     incrementally.  `aggs` maps output column -> (fn, src_col) with fn
     in {count, sum, min, max} (count accepts "*"); `derived` adds
     pre-group SQL expressions (e.g. {"day": "date_trunc('DAY', ts)"})
-    usable in group_cols.  Returns the stamped snapshot."""
+    usable in group_cols.  `backend` commits the ROLLUP table;
+    `src_backend` reads the source (they can differ — the spec records
+    the source backend kind so refreshes reconnect unaided).  Returns
+    the stamped snapshot."""
     spec = {"src": src_path, "group_cols": list(group_cols),
             "aggs": {k: list(v) for k, v in aggs.items()},
             "derived": dict(derived or {}),
             "key": list(key or group_cols[:1]), "n_parts": n_parts,
-            "rows_per_chunk": rows_per_chunk}
-    src = EncodedTable(src_path, backend=backend)
+            "rows_per_chunk": rows_per_chunk,
+            "src_backend": _backend_kind(src_backend)}
+    src = EncodedTable(src_path, backend=src_backend)
     cur = src.current_snapshot()
     if cur is None:
         raise ValueError(f"no committed snapshot at {src_path}")
     spec["src_snapshot"] = cur["snapshot_id"]
     out = _aggregate(
         read_decoded(spark, src_path, snapshot_id=cur["snapshot_id"],
-                     backend=backend), spec)
+                     backend=src_backend), spec)
     content = write_encoded(out, dst_path, key=spec["key"],
                             n_parts=n_parts,
                             rows_per_chunk=rows_per_chunk,
@@ -138,7 +164,7 @@ def create_rollup(spark: SparkSession, src_path: str, dst_path: str,
 
 
 def refresh_rollup(spark: SparkSession, dst_path: str,
-                   backend=None) -> dict:
+                   backend=None, src_backend=None) -> dict:
     """Catch the rollup up to the source's CURRENT snapshot.  Fast
     path: `read_increment` over the manifest diff scans only the
     appended part files, partially aggregates them, and merges with
@@ -152,7 +178,10 @@ def refresh_rollup(spark: SparkSession, dst_path: str,
     t = EncodedTable(dst_path, backend=backend)
     base = _stamped_base(t)
     spec = dict(base["meta"]["rollup"])
-    src = EncodedTable(spec["src"], backend=backend)
+    if src_backend is None:
+        src_backend = _make_backend(spec["src"],
+                                    spec.get("src_backend", "posix"))
+    src = EncodedTable(spec["src"], backend=src_backend)
     now = src.current_snapshot()
     if now is None:
         raise ValueError(f"no committed snapshot at {spec['src']}")
@@ -163,7 +192,7 @@ def refresh_rollup(spark: SparkSession, dst_path: str,
     mode = "incremental"
     try:
         delta = read_increment(spark, spec["src"], from_snapshot_id=frm,
-                               to_snapshot_id=to, backend=backend)
+                               to_snapshot_id=to, backend=src_backend)
         old = read_decoded(spark, dst_path,
                            snapshot_id=base["snapshot_id"],
                            backend=backend)
@@ -175,7 +204,7 @@ def refresh_rollup(spark: SparkSession, dst_path: str,
         mode = "full"
         merged = _aggregate(
             read_decoded(spark, spec["src"], snapshot_id=to,
-                         backend=backend), spec)
+                         backend=src_backend), spec)
     content = write_encoded(merged, dst_path, key=spec["key"],
                             n_parts=spec["n_parts"],
                             rows_per_chunk=spec["rows_per_chunk"],
