@@ -261,3 +261,29 @@ def test_timestamp_session_tz_independent(spark):
             [1600000000000000 + i * 1000000 for i in range(50)]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_read_survives_maintenance_pass(spark, docs):
+    """The Catalyst read surface over a table that went through the
+    full maintenance choreography (binpack -> expire -> vacuum): the
+    DataSource resolves the binpacked manifest (carried + rewritten
+    parts, tombstoned history) identically to the library reader."""
+    from parquet_spark.manifest import maintain_table
+
+    path = tempfile.mkdtemp(prefix="ds_maint_") + "/t"
+    write_encoded(docs, path, key=["lang"], n_parts=4)
+    write_encoded(docs.withColumn("doc_id", F.col("doc_id") + 10_000),
+                  path, key=["lang"], n_parts=4, part_offset=4)
+    rep = maintain_table(spark, path, binpack_small_bytes=1 << 30,
+                         expire_keep_last=1, older_than_s=0.0,
+                         vacuum_grace_s=0.0)
+    assert rep["fsck"]["ok"]
+
+    ds = spark.read.format("parquet_spark").load(path)
+    lib = read_decoded(spark, path)
+    assert ds.count() == lib.count() == 2 * docs.count()
+    assert ds.exceptAll(lib).count() == 0
+    got = (ds.where(F.col("doc_id") >= 10_000)
+           .agg(F.sum("n_chars").alias("s")).collect()[0].s)
+    want = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert got == want
