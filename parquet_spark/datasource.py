@@ -601,8 +601,18 @@ class _EncodedTableStreamWriter(DataSourceStreamArrowWriter):
         table = EncodedTable(self._path)
         snap = table.current_snapshot()
         if snap is not None:
-            layout = (snap.get("meta") or {}).get("layout") or {}
-            if layout.get("mode") != "external":
+            meta = snap.get("meta") or {}
+            layout = meta.get("layout") or {}
+            # "compacted" with a stream fence present = THIS stream's
+            # own table after a maintenance pass (compact_table /
+            # compact_small_parts carry stream_last_batch precisely so
+            # the stream can continue across maintenance); part ids
+            # keep claiming past max, so carried/binpacked ids and new
+            # epochs never collide
+            ok = layout.get("mode") == "external" or (
+                layout.get("mode") == "compacted"
+                and meta.get("stream_last_batch") is not None)
+            if not ok:
                 raise ValueError(
                     f"streaming sink needs a fresh path or an "
                     f"'external'-layout table; {self._path} has layout "

@@ -1113,6 +1113,10 @@ def write_encoded(df: DataFrame, table_path: str,
     # arms the evolution decoder for null-filling added columns)
     if pmeta.get("renames") is not None:
         meta["renames"] = pmeta["renames"]
+    # the streaming sink's exactly-once fence survives library appends
+    # (batch id 0 is valid — no truthiness test)
+    if pmeta.get("stream_last_batch") is not None:
+        meta["stream_last_batch"] = pmeta["stream_last_batch"]
     if replace and parent is not None:
         meta["replaced_snapshot"] = parent["snapshot_id"]
     if branch is not None:
@@ -1436,8 +1440,14 @@ def _compaction_meta(parent: dict, rechunk: bool, rows_per_chunk: int,
             "codec": codec, "block_codec": block_codec,
             "layout": new_layout}
     meta.update(extra)
-    for carry in ("mappings", "global_dicts"):
-        if pmeta.get(carry):
+    # stream_last_batch is the streaming sink's exactly-once fence: a
+    # maintenance commit landing inside the crash window between a
+    # batch commit and Spark's own offset commit must not erase it, or
+    # the replayed batch double-appends.  global_dict_fallback likewise
+    # records that committed chunks hold RAW values for a column.
+    for carry in ("mappings", "global_dicts", "global_dict_fallback",
+                  "stream_last_batch"):
+        if pmeta.get(carry) is not None and pmeta.get(carry) != {}:
             meta[carry] = pmeta[carry]
     if pmeta.get("renames") is not None:
         meta["renames"] = pmeta["renames"]

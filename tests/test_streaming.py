@@ -353,3 +353,46 @@ def test_stream_source_starting_latest_and_guards(spark, tmp_path):
     write_encoded(d2, tbl, key=["url"], n_parts=2, part_offset=2)
     run_once()
     assert spark.read.parquet(out_dir).count() == 150
+
+
+def test_stream_fence_survives_maintenance(spark):
+    """A compaction (or any lifecycle commit) landing inside the crash
+    window between a batch commit and Spark's offset commit must not
+    erase the stream_last_batch fence — the replayed batch is still
+    discarded, and a later library append keeps carrying the fence."""
+    from parquet_spark.corpus import gen_corpus
+    from parquet_spark.datasource import _EncodedTableStreamWriter
+    from parquet_spark.manifest import (EncodedTable, compact_table,
+                                        read_decoded)
+
+    tbl = tempfile.mkdtemp(prefix="dss_fence_")
+    d = gen_corpus(spark, 200, seed=43, parts=1)
+    w = _EncodedTableStreamWriter({"path": tbl, "key": "url"},
+                                  d.schema, overwrite=False)
+    batches = d.toArrow().to_batches()
+
+    class _Ctx:
+        @staticmethod
+        def partitionId():
+            return 0
+    import pyspark
+    orig = pyspark.TaskContext.get
+    pyspark.TaskContext.get = staticmethod(lambda: _Ctx)
+    try:
+        w.commit([w.write(iter(batches))], 0)
+        compact_table(spark, tbl, target_parts=1)   # maintenance lands
+        snap = EncodedTable(tbl).current_snapshot()
+        assert snap["meta"]["stream_last_batch"] == 0  # fence carried
+        m0r = w.write(iter(batches))                # batch 0 replays
+        w.commit([m0r], 0)
+        assert read_decoded(spark, tbl).count() == 200  # discarded
+        assert not os.path.exists(m0r.file)
+        # the stream CONTINUES across maintenance: a genuinely new
+        # batch appends with ids claimed past the compacted parts
+        d2 = gen_corpus(spark, 150, seed=44, parts=1)
+        w.commit([w.write(iter(d2.toArrow().to_batches()))], 1)
+    finally:
+        pyspark.TaskContext.get = orig
+    assert read_decoded(spark, tbl).count() == 350
+    snap = EncodedTable(tbl).current_snapshot()
+    assert snap["meta"]["stream_last_batch"] == 1
