@@ -537,6 +537,13 @@ class _EncodedTableWriter(DataSourceArrowWriter):
                 meta[carry] = pmeta[carry]
         if pmeta.get("renames") is not None:
             meta["renames"] = pmeta["renames"]
+        # the streaming sink's exactly-once fence must survive a batch
+        # append landing between a stream's commit and Spark's offset
+        # commit (batch id 0 is valid — no truthiness test); an
+        # overwrite deliberately resets it (new table contents)
+        if not self._overwrite and \
+                pmeta.get("stream_last_batch") is not None:
+            meta["stream_last_batch"] = pmeta["stream_last_batch"]
         if self._overwrite and parent is not None:
             meta["replaced_snapshot"] = parent["snapshot_id"]
         table.commit(parts, self._schema_ipc, parent, meta)
@@ -637,10 +644,35 @@ class _EncodedTableStreamWriter(DataSourceStreamArrowWriter):
         table = EncodedTable(self._path)
         parent = table.current_snapshot()
         pmeta = (parent.get("meta") or {}) if parent else {}
+        # layout acceptance re-checked DRIVER-side: an empty first
+        # microbatch runs zero write() tasks, so without this a stream
+        # pointed at a hash/range table would flip its layout to
+        # 'external' here and corrupt the key-addressed id namespace
+        if parent is not None:
+            layout = pmeta.get("layout") or {}
+            if not (layout.get("mode") == "external"
+                    or (layout.get("mode") == "compacted"
+                        and pmeta.get("stream_last_batch") is not None)):
+                self.abort(messages, batchId)
+                raise ValueError(
+                    f"streaming sink needs a fresh path or an "
+                    f"'external'-layout table; {self._path} has layout "
+                    f"{layout.get('mode')!r}")
         last = pmeta.get("stream_last_batch")
         if last is not None and batchId <= int(last):
             # re-delivered batch (checkpoint replay): the data is
-            # already committed — discard this attempt's files
+            # already committed — discard this attempt's files.  LOUD:
+            # a NEW query (fresh checkpoint, batch ids restarting at 0)
+            # against a table another query streamed into hits this
+            # path too and would lose its early batches — that setup
+            # needs a fresh table path.
+            import warnings
+            warnings.warn(
+                f"discarding replayed batch {batchId} <= committed "
+                f"fence {last} at {self._path}; if this is a NEW "
+                "streaming query (fresh checkpoint) rather than a "
+                "checkpoint replay, its early batches are being "
+                "dropped — stream to a fresh table path instead")
             self.abort(messages, batchId)
             return
         parts = dict(parent["parts"]) if parent else {}

@@ -1481,6 +1481,13 @@ def compact_small_parts(spark: SparkSession, table_path: str,
     Fewer than two small parts = nothing to pack: returns the current
     snapshot unchanged, never an empty commit.  `rechunk=True` also
     merges under-sized chunk runs inside the rewritten parts."""
+    if small_bytes > target_bytes:
+        raise ValueError(
+            f"binpack small_bytes ({small_bytes}) > target_bytes "
+            f"({target_bytes}): every packed bin would immediately "
+            "re-qualify as small, and a daily maintenance pass would "
+            "rewrite the whole packed set forever — pick small_bytes "
+            "<= target_bytes")
     table = EncodedTable(table_path, backend=backend)
     parent = table.current_snapshot()
     if parent is None:
@@ -2535,10 +2542,21 @@ def maintain_table(spark: SparkSession, table_path: str, *,
     report: dict = {"binpack": None, "expire": None, "vacuumed": None,
                     "fsck": None}
     if binpack_small_bytes is not None:
+        before = EncodedTable(table_path, backend=backend) \
+            .current_snapshot()
         snap = compact_small_parts(
             spark, table_path, small_bytes=binpack_small_bytes,
             target_bytes=binpack_target_bytes, backend=backend)
-        report["binpack"] = (snap.get("meta") or {}).get("binpack")
+        # a no-op returns the unchanged snapshot, whose meta may still
+        # carry a PREVIOUS pass's binpack provenance — never report
+        # stale work as this pass's
+        if before is not None and \
+                snap["snapshot_id"] == before["snapshot_id"]:
+            report["binpack"] = {"rewrote": 0, "carried":
+                                 len(snap["parts"]), "bins": 0,
+                                 "noop": True}
+        else:
+            report["binpack"] = (snap.get("meta") or {}).get("binpack")
     if expire_keep_last is not None:
         report["expire"] = expire_snapshots(
             table_path, keep_last=expire_keep_last,

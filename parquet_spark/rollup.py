@@ -151,7 +151,12 @@ def create_rollup(spark: SparkSession, src_path: str, dst_path: str,
     src = EncodedTable(src_path, backend=src_backend)
     cur = src.current_snapshot()
     if cur is None:
-        raise ValueError(f"no committed snapshot at {src_path}")
+        raise ValueError(
+            f"no committed snapshot at {src_path}"
+            + ("" if src_backend is not None else
+               " (if the source uses a non-posix CommitBackend, pass "
+               "src_backend=...; `backend` commits only the rollup "
+               "table)"))
     spec["src_snapshot"] = cur["snapshot_id"]
     out = _aggregate(
         read_decoded(spark, src_path, snapshot_id=cur["snapshot_id"],

@@ -319,50 +319,57 @@ def select_token_budget(df: DataFrame, score_col: str, token_col: str,
     DataFrame, report with threshold/token totals/pass count).
     Deterministic given deterministic inputs — the same recompute
     contract as sketch.heavy_hitters."""
+    score = F.col(score_col).cast("double")
+    # ONE initial scan: totals + global score bounds together
     tot = df.agg(F.sum(token_col).alias("t"),
-                 F.count(F.lit(1)).alias("n")).collect()[0]
+                 F.count(F.lit(1)).alias("n"),
+                 F.min(score).alias("lo"),
+                 F.max(score).alias("hi")).collect()[0]
     if tot.n == 0 or tot.t is None or int(tot.t) <= budget:
         return df, {"selected_all": True, "threshold": None,
-                    "total_tokens": int(tot.t or 0), "passes": 0,
-                    "boundary_rows": 0}
+                    "total_tokens": int(tot.t or 0),
+                    "selected_tokens": int(tot.t or 0),
+                    "selected_rows": int(tot.n), "budget": budget,
+                    "passes": 0, "boundary_rows": 0,
+                    "boundary_exceeded_cap": False}
 
-    score = F.col(score_col).cast("double")
     filters = F.lit(True)     # chain of chosen-bucket predicates
     above = F.lit(False)      # union of strictly-better buckets
     acc = 0                   # exact token sum of `above`
-    lo, hi, passes = None, None, 0
+    lo, hi = float(tot.lo), float(tot.hi)
+    passes = 0
     n_boundary = int(tot.n)
     while True:
         passes += 1
-        window = df.where(filters)
-        if lo is None:
-            b = window.agg(F.min(score).alias("lo"),
-                           F.max(score).alias("hi")).collect()[0]
-            lo, hi = float(b.lo), float(b.hi)
         if hi <= lo or n_boundary <= boundary_cap or passes > 64:
             break
         w = (hi - lo) / n_buckets
         bucket = F.least(F.lit(n_buckets - 1),
                          F.floor((score - F.lit(lo)) / F.lit(w)))
-        hist = {int(r.b): (int(r.t), int(r.n)) for r in
-                window.groupBy(bucket.alias("b"))
+        # per-bucket min/max of ACTUAL data values ride the same scan,
+        # so the next pass needs no separate bounds query (data values,
+        # not recomputed float edges — bit-stable)
+        hist = {int(r.b): (int(r.t), int(r.n),
+                           float(r.mn), float(r.mx)) for r in
+                df.where(filters).groupBy(bucket.alias("b"))
                 .agg(F.sum(token_col).alias("t"),
-                     F.count(F.lit(1)).alias("n")).collect()}
+                     F.count(F.lit(1)).alias("n"),
+                     F.min(score).alias("mn"),
+                     F.max(score).alias("mx")).collect()}
         need = budget - acc
-        run, chosen = 0, 0
+        run, chosen = 0, None
         for bi in sorted(hist, reverse=True):
-            t, _ = hist[bi]
+            t = hist[bi][0]
             if run + t >= need:
                 chosen = bi
                 break
             run += t
-        else:
+        if chosen is None:
             break  # fp slack: boundary is the lowest occupied bucket
         acc += run
         above = above | (filters & (bucket > chosen))
         filters = filters & (bucket == chosen)
-        n_boundary = hist[chosen][1]
-        lo, hi = None, None  # re-derive inside the chosen bucket
+        _, n_boundary, lo, hi = hist[chosen]
 
     # bounded boundary resolution: rows while cum-before < remaining
     remaining = budget - acc

@@ -89,6 +89,7 @@ def test_binpack_noop_and_terminal_layout(spark, tmp_path):
             EncodedTable(path).history()] == [0]
 
     snap = compact_small_parts(spark, path, small_bytes=1 << 30,
+                               target_bytes=1 << 30,
                                rechunk=True)                 # snap 1
     assert snap["meta"]["binpack"]["rewrote"] == 3
     assert snap["meta"]["layout"]["mode"] == "compacted"
@@ -114,6 +115,7 @@ def test_maintain_table_full_pass(spark, tmp_path):
 
     rep = maintain_table(spark, path,
                          binpack_small_bytes=1 << 30,
+                         binpack_target_bytes=1 << 30,
                          expire_keep_last=1, older_than_s=0.0,
                          vacuum_grace_s=0.0)
     assert rep["binpack"]["rewrote"] == n_files_before

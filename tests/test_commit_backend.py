@@ -380,6 +380,7 @@ def test_lifecycle_verbs_through_conditional_put_backend(spark, tmp_path):
     be = ConditionalPutCommitBackend(path)
     write_encoded(df, path, key=["lang"], n_parts=4, backend=be)  # snap 0
     snap = compact_small_parts(spark, path, small_bytes=1 << 30,
+                               target_bytes=1 << 30,
                                backend=be)                        # snap 1
     assert snap["meta"]["binpack"]["rewrote"] >= 2
 

@@ -275,6 +275,7 @@ def test_read_survives_maintenance_pass(spark, docs):
     write_encoded(docs.withColumn("doc_id", F.col("doc_id") + 10_000),
                   path, key=["lang"], n_parts=4, part_offset=4)
     rep = maintain_table(spark, path, binpack_small_bytes=1 << 30,
+                         binpack_target_bytes=1 << 30,
                          expire_keep_last=1, older_than_s=0.0,
                          vacuum_grace_s=0.0)
     assert rep["fsck"]["ok"]
