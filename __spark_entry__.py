@@ -3321,6 +3321,42 @@ def q_token_budget(spark, sf_dir):
     return out
 
 
+def q_table_diff(spark, sf_dir):
+    """Key-level reconciliation (verify.diff_tables): encode table A
+    (doc_id<400) and a mutated copy B (rows removed where
+    doc_id%97=5, n_chars negated where doc_id%89=7, rows 400..409
+    added), then diff — one row per differing key with
+    added/removed/changed and per-side counts, computed from per-key
+    multiset digests so the join shuffles 32 bytes per key, never
+    documents.  DuckDB reconstructs the classification directly from
+    the mutation rules; any digest false-negative/positive, missed
+    multiplicity, or join-side confusion mismatches.  Asserted inline:
+    a table diffed against itself is empty."""
+    import tempfile
+
+    from parquet_spark.manifest import write_encoded
+    from parquet_spark.verify import diff_tables
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") < 400)
+    b = (a.where(F.col("doc_id") % 97 != 5)
+         .withColumn("n_chars",
+                     F.when(F.col("doc_id") % 89 == 7, -F.col("n_chars"))
+                     .otherwise(F.col("n_chars")))
+         .unionByName(d.where(F.col("doc_id").between(400, 409))))
+    root = tempfile.mkdtemp(prefix="entry_diff_")
+    write_encoded(a, root + "/a", key=["doc_id"], n_parts=3,
+                  rows_per_chunk=64)
+    write_encoded(b, root + "/b", key=["doc_id"], n_parts=3,
+                  rows_per_chunk=64)
+    assert diff_tables(spark, root + "/a", root + "/a",
+                       key=["doc_id"]).count() == 0
+    out = (diff_tables(spark, root + "/a", root + "/b", key=["doc_id"])
+           .orderBy("doc_id"))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Facet order is deliberate: the driver's correctness gate checks
     roughly the FIRST 50 entries per round, so the queue is priority-
@@ -3383,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cherry_pick": q_cherry_pick,
         "rollup_refresh": q_rollup_refresh,
         "token_budget": q_token_budget,
+        "table_diff": q_table_diff,
         # -- band 1: oracle measure changed in session 5 ----------------
         "gap_fill": q_gap_fill,
         "explode_pad": q_explode_pad,
@@ -3748,6 +3785,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_rows, sum_chars, n_texts, sum_ids,
                    CAST(s AS BIGINT) AS snapshot_id
             FROM a, (VALUES (1), (2)) t(s) ORDER BY snapshot_id""",
+        "table_diff": """
+            WITH rem AS (SELECT doc_id FROM documents
+                         WHERE doc_id < 400 AND doc_id % 97 = 5),
+            chg AS (SELECT doc_id FROM documents
+                    WHERE doc_id < 400 AND doc_id % 89 = 7
+                      AND doc_id % 97 <> 5),
+            added AS (SELECT doc_id FROM documents
+                      WHERE doc_id BETWEEN 400 AND 409)
+            SELECT doc_id, 'removed' AS _diff,
+                   CAST(1 AS BIGINT) AS n_rows_a,
+                   CAST(NULL AS BIGINT) AS n_rows_b FROM rem
+            UNION ALL
+            SELECT doc_id, 'changed', 1, 1 FROM chg
+            UNION ALL
+            SELECT doc_id, 'added', CAST(NULL AS BIGINT), 1 FROM added
+            ORDER BY doc_id""",
         "token_budget": """
             WITH ranked AS (
               SELECT doc_id, lang, text, n_chars,

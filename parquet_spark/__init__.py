@@ -74,7 +74,7 @@ _EXPORTS = {
     "list_splits": "splits",
     "encode_stream": "streaming", "streaming_dedup": "streaming",
     "windowed_ingest_stats": "streaming", "file_stream": "streaming",
-    "verify_roundtrip": "verify",
+    "verify_roundtrip": "verify", "diff_tables": "verify",
     "gen_corpus": "corpus",
     "register_datasource": "datasource",
     "EncodedTableDataSource": "datasource",
