@@ -3357,6 +3357,27 @@ def q_table_diff(spark, sf_dir):
     return out
 
 
+def q_group_topk(spark, sf_dir):
+    """Per-group exemplar selection (sampling.top_k_by_group): the 3
+    highest-n_chars documents per lang, ties by doc_id ASC — the
+    deterministic 'k best per domain' curation cut.  Catalyst rewrites
+    the rank filter into WindowGroupLimit (bounded per-task heap both
+    sides of the shuffle — asserted on the physical plan inline), so
+    no task ever materializes a whole group.  DuckDB replays the same
+    ROW_NUMBER window."""
+    from parquet_spark.textops.sampling import top_k_by_group
+    d = _t(spark, sf_dir, "documents")
+    out = top_k_by_group(d, ["lang"], "n_chars", 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:1500]
+    out = (out.select("lang", "doc_id", "n_chars",
+                      F.md5("text").alias("text_md5"))
+           .orderBy("lang", "doc_id"))
+    out = out.cache()
+    out.count()
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Facet order is deliberate: the driver's correctness gate checks
     roughly the FIRST 50 entries per round, so the queue is priority-
@@ -3420,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_refresh": q_rollup_refresh,
         "token_budget": q_token_budget,
         "table_diff": q_table_diff,
+        "group_topk": q_group_topk,
         # -- band 1: oracle measure changed in session 5 ----------------
         "gap_fill": q_gap_fill,
         "explode_pad": q_explode_pad,
@@ -3785,6 +3807,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_rows, sum_chars, n_texts, sum_ids,
                    CAST(s AS BIGINT) AS snapshot_id
             FROM a, (VALUES (1), (2)) t(s) ORDER BY snapshot_id""",
+        "group_topk": """
+            WITH ranked AS (
+              SELECT lang, doc_id, n_chars, md5(text) AS text_md5,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM documents)
+            SELECT lang, doc_id, n_chars, text_md5
+            FROM ranked WHERE rk <= 3 ORDER BY lang, doc_id""",
         "table_diff": """
             WITH rem AS (SELECT doc_id FROM documents
                          WHERE doc_id < 400 AND doc_id % 97 = 5),

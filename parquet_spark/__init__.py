@@ -108,6 +108,7 @@ _EXPORTS = {
     "train_bpe": "textops.bpe", "bpe_segment": "textops.bpe",
     "dsir_lambda": "textops.sampling", "dsir_score": "textops.sampling",
     "select_token_budget": "textops.sampling",
+    "top_k_by_group": "textops.sampling",
     "dsir_select": "textops.sampling",
     "gap_fill": "temporal",
     "kmv_sketch": "sketch", "kmv_sketch_many": "sketch",

@@ -391,3 +391,25 @@ def select_token_budget(df: DataFrame, score_col: str, token_col: str,
         "total_tokens": int(tot.t), "budget": budget, "passes": passes,
         "boundary_rows": n_boundary,
         "boundary_exceeded_cap": n_boundary > boundary_cap}
+
+
+def top_k_by_group(df: DataFrame, group_cols: list[str],
+                   order_col: str, k: int, id_col: str = "doc_id",
+                   descending: bool = True) -> DataFrame:
+    """Top-k rows per group by (order_col, id tie-break) — the
+    exemplar-selection curation op (k highest-quality documents per
+    domain/lang bucket), deterministic: ties split by id ASC, so two
+    engines and two runs keep the identical set.
+
+    Scale shape: the rank window LOOKS like a per-group sort, but
+    Catalyst rewrites `row_number() <= k` into WindowGroupLimit — a
+    bounded per-task top-k heap BEFORE the shuffle and again after, so
+    each group moves at most k rows past its first stage and no task
+    ever holds a full group (the bounded_topk insight applied by the
+    optimizer itself; verified in tests against the physical plan)."""
+    from pyspark.sql import Window
+    ordv = F.col(order_col).desc() if descending \
+        else F.col(order_col).asc()
+    w = Window.partitionBy(*group_cols).orderBy(ordv, F.col(id_col).asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k).drop("_rk"))

@@ -266,3 +266,25 @@ def test_select_token_budget_exact(spark):
         keep.add(r.doc_id)
         cum += r.n_chars
     assert got == keep and rep["boundary_exceeded_cap"]
+
+
+def test_top_k_by_group_exact_and_bounded_plan(spark):
+    """Per-group top-k equals the brute-force (order DESC, id ASC) cut,
+    and the physical plan uses WindowGroupLimit (bounded per-task
+    heap), not a full per-group sort materialization."""
+    from parquet_spark.textops.sampling import top_k_by_group
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = top_k_by_group(d, ["lang"], "n_chars", 3)
+    got = {(r.lang, r.doc_id) for r in out.collect()}
+
+    want = set()
+    rows = d.select("lang", "doc_id", "n_chars").collect()
+    for lang in {r.lang for r in rows}:
+        grp = sorted((r for r in rows if r.lang == lang),
+                     key=lambda r: (-r.n_chars, r.doc_id))[:3]
+        want.update((lang, r.doc_id) for r in grp)
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
