@@ -50,7 +50,7 @@ _EXPORTS = {
     "route_encoded_partitioned": "manifest", "read_route": "manifest",
     "vacuum_table": "manifest", "expire_snapshots": "manifest",
     "rollback_table": "manifest", "cherry_pick_snapshot": "manifest",
-    "maintain_table": "manifest",
+    "maintain_table": "manifest", "export_parquet": "manifest",
     "relocate_table": "manifest",
     "alter_table": "manifest", "publish_branch": "manifest",
     "create_ref": "manifest", "drop_ref": "manifest",

@@ -2069,6 +2069,54 @@ def recluster_table(spark: SparkSession, table_path: str, mode: str,
         mappings=pmeta.get("mappings"), backend=backend)
 
 
+def export_parquet(spark: SparkSession, table_path: str, dst_path: str,
+                   partition_by: list[str] | None = None,
+                   columns: list[str] | None = None,
+                   snapshot_id: int | None = None,
+                   ref: str | None = None,
+                   max_records_per_file: int | None = None,
+                   backend: CommitBackend | None = None) -> dict:
+    """Export a pinned snapshot's DECODED rows as a plain parquet
+    dataset — the leave-the-engine interop step for consumers that
+    speak only stock parquet (training jobs, external warehouses,
+    pandas).  The export is a pure read of ONE snapshot (id or ref),
+    so a concurrent writer cannot tear it: every row the consumer sees
+    existed together in that snapshot, and re-running against the same
+    snapshot is byte-reproducible.
+
+    `partition_by` hive-partitions the output (lang/domain/day are the
+    usual cuts) so downstream engines get directory-level pruning;
+    global-dict columns export as their VALUES (read_decoded restores
+    them), renames/evolution resolve to logical names, and pending
+    equality deletes are applied — the consumer sees exactly what a
+    reader of this engine sees.  Refuses to overwrite an existing
+    non-empty destination (exports are artifacts, not tables; publish
+    a new path per snapshot).  Returns {"files", "snapshot_id"}."""
+    if os.path.isdir(dst_path) and os.listdir(dst_path):
+        raise ValueError(
+            f"export destination {dst_path} exists and is not empty; "
+            "exports are immutable artifacts — write each snapshot to "
+            "a fresh path")
+    table = EncodedTable(table_path, backend=backend)
+    snap = _resolve_snap(table, snapshot_id, ref)
+    if snap is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    dec = read_decoded(spark, table_path, columns=columns,
+                       backend=backend,
+                       snapshot_id=snap["snapshot_id"]
+                       if ref is None else None,
+                       ref=ref)
+    w = dec.write.mode("error")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(dst_path)
+    n_files = sum(1 for _, _, fs in os.walk(dst_path)
+                  for f in fs if f.endswith(".parquet"))
+    return {"files": n_files, "snapshot_id": snap["snapshot_id"]}
+
+
 def relocate_table(spark: SparkSession, src_path: str, dst_path: str,
                    n_parts: int, by: str = "range",
                    src_backend: CommitBackend | None = None,

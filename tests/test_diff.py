@@ -79,3 +79,35 @@ def test_diff_refuses_missing_columns(spark, tmp_path):
         diff_tables(spark, a_path, b_path, key=["doc_id"])
     assert diff_tables(spark, a_path, b_path, key=["doc_id"],
                        columns=["lang", "text", "n_chars"]).count() == 0
+
+
+def test_export_parquet_faithful_and_partitioned(spark, tmp_path):
+    """Exported plain parquet equals the engine's decoded view (dict
+    restore + deletes applied, snapshot-pinned), hive-partitions by
+    lang, and refuses a non-empty destination."""
+    import os
+
+    from parquet_spark.manifest import export_parquet
+
+    path = str(tmp_path / "t")
+    base = _docs(spark, 0, 300)
+    write_encoded(base, path, key=["doc_id"], n_parts=2,
+                  global_dict_cols=["lang"])
+    delete_rows(spark, path, [("doc_id", "in", [11, 12])])
+
+    dst = str(tmp_path / "exp")
+    rep = export_parquet(spark, path, dst, partition_by=["lang"])
+    assert rep["files"] >= 1 and rep["snapshot_id"] == 1
+    back = spark.read.parquet(dst)
+    lib = read_decoded(spark, path)
+    assert back.count() == lib.count() == 298
+    assert back.select(*lib.columns).exceptAll(lib).count() == 0
+    assert any(d.startswith("lang=") for d in os.listdir(dst))
+
+    # snapshot pinning: exporting snapshot 0 resurrects the deletes
+    dst0 = str(tmp_path / "exp0")
+    export_parquet(spark, path, dst0, snapshot_id=0)
+    assert spark.read.parquet(dst0).count() == 300
+
+    with pytest.raises(ValueError, match="not empty"):
+        export_parquet(spark, path, dst)
